@@ -1,0 +1,92 @@
+"""Catalog: named typed collections (the reference's "resource types").
+
+Reference model: a resource type is a named collection of JSON documents with
+a declared prototype and system fields ``id``/``type``/``revision``
+(``/root/reference/qvarnmr/testing/realqvarn.py:20-27``,
+``[qvarn] schema.py:23-47``). Here a resource type is simply a DataFrame with
+a StructType schema; nested list fields are native ``ArrayType`` columns
+instead of the reference's flattened side tables (``[qvarn] schema.py:56-115``)
+— Spark stores nesting natively, so the whole flattening subsystem is dropped
+(SURVEY.md §1.3).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Tables the driver generates at each scale factor (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, tables=TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    """Load the driver's parquet tables as a dict of DataFrames.
+
+    Reads are plain ``spark.read.parquet`` so Catalyst's predicate pushdown,
+    column pruning and partition pruning all apply to downstream queries.
+    """
+    out = {}
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = _normalize(spark.read.parquet(path))
+    return out
+
+
+def _normalize(df: DataFrame) -> DataFrame:
+    """Convert nanosecond-epoch long columns (read via
+    ``spark.sql.legacy.parquet.nanosAsLong`` — see session.py) to
+    microsecond timestamps. Only the driver's ``events.ts`` is affected;
+    detection is by name+type so other tables pass through untouched."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if "ts" in df.columns and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+@dataclass
+class Catalog:
+    """A registry of resource types → DataFrames.
+
+    The map/reduce engine resolves handler source names through this, the
+    same way the reference resolves resource-type paths through its Qvarn
+    client (``clients/qvarn.py:104-131``).
+    """
+
+    spark: SparkSession
+    tables: dict[str, DataFrame] = field(default_factory=dict)
+
+    @classmethod
+    def from_dir(cls, spark: SparkSession, sf_dir: str) -> "Catalog":
+        return cls(spark=spark, tables=load_tables(spark, sf_dir))
+
+    def register(self, name: str, df: DataFrame) -> None:
+        self.tables[name] = df
+
+    def get(self, name: str) -> DataFrame:
+        if name not in self.tables:
+            raise KeyError(f"unknown resource type: {name!r}")
+        return self.tables[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.tables

@@ -1,0 +1,343 @@
+"""Incremental view maintenance — the heart of the reference.
+
+The reference (``/root/reference/qvarnmr/processor.py``) maintains derived
+map/reduce tables from a change-data-capture feed, one notification at a
+time over synchronous REST. This module re-expresses the same contract as
+*set-oriented batch application*: one CDC micro-batch in, one transactional
+state update out. The semantics preserved (SURVEY.md §2.7):
+
+- **T2 map upsert**: on created/updated, delete ALL previous map outputs of
+  that ``_mr_source_id`` then insert fresh ones (``processor.py:99-131``,
+  delete-then-insert ``processor.py:111-126``). Set form: anti-join the old
+  map table against the dirty-id set, union the freshly mapped rows.
+- **T3 delete propagation**: on deleted, tombstone map rows
+  (``_mr_deleted=true``) rather than removing them — the reduce stage still
+  needs the key to know which groups to recompute (``processor.py:133-148``,
+  rationale comment ``processor.py:143-145``); purge only after the key's
+  reduce succeeded (``processor.py:406-409``).
+- **T4 dirty-key tracking**: re-reduce only keys touched by this batch
+  (``processor.py:345-360,373-382``). Set form: dirty keys = keys of old ∪
+  new map rows of the dirty source ids; recompute = semi-join + groupBy.
+- **T5 full-group recompute**: reduce re-runs over the entire key group, not
+  an incremental delta (``processor.py:192-227``) — always correct for
+  non-decomposable aggregates; Catalyst still does partial aggregation
+  inside the recompute.
+- **A8 empty-group elimination**: a key whose live mapped rows all vanished
+  loses its reduce row (``processor.py:214-217``, ``utils.py:31-37``).
+- **T8 resync/backfill**: full recompute through the same builders +
+  transactional overwrite (``resync.py:15-49,77-128``) — versioned-state
+  skip machinery becomes unnecessary because the overwrite is atomic.
+
+State lives in a :class:`ParquetStateStore` — versioned parquet snapshots
+with an atomically-renamed pointer file. On a production cluster this role
+is played by Delta/Iceberg ``MERGE`` (ACID, file-level data skipping); the
+store isolates that choice behind ``read``/``overwrite`` so swapping the
+backend does not touch engine logic. All engine logic is DataFrame-level
+joins — no driver-side loops over ids — so a 100 TB map table with a
+1k-row dirty batch does a broadcast anti-join, not a full rewrite of logic.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qvarn_mr_spark.catalog import Catalog
+from qvarn_mr_spark.operators.mapreduce import (
+    REDUCE_SPECS,
+    ViewEngine,
+)
+
+#: Change kinds in the reference's notification feed
+#: (``processor.py:17-27``; ``[qvarn] listener_resource.py:319-399``).
+CREATED, UPDATED, DELETED = "created", "updated", "deleted"
+
+
+class ParquetStateStore:
+    """Versioned parquet snapshots with an atomic pointer — a minimal stand-in
+    for Delta/Iceberg transactional tables on plain parquet.
+
+    Layout: ``{root}/{table}/v{n}/*.parquet`` + ``{root}/{table}/_LATEST``
+    (text file holding ``n``, written via tmp+rename so readers never see a
+    torn pointer). ``overwrite`` is therefore atomic at the table level —
+    which is exactly the property the reference's version-barrier machinery
+    (SURVEY §2.7 T7) exists to fake; with atomic overwrite the barrier is
+    structural.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _dir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _pointer(self, table: str) -> str:
+        return os.path.join(self._dir(table), "_LATEST")
+
+    def version(self, table: str) -> int | None:
+        try:
+            with open(self._pointer(table)) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def exists(self, table: str) -> bool:
+        return self.version(table) is not None
+
+    def read(self, table: str) -> DataFrame:
+        v = self.version(table)
+        if v is None:
+            raise KeyError(f"no state for table {table!r}")
+        return self.spark.read.parquet(os.path.join(self._dir(table), f"v{v}"))
+
+    def overwrite(self, table: str, df: DataFrame) -> None:
+        v = (self.version(table) or 0) + 1
+        path = os.path.join(self._dir(table), f"v{v}")
+        df.write.mode("overwrite").parquet(path)
+        tmp = self._pointer(table) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, self._pointer(table))
+        self._gc(table, keep=v)
+
+    def _gc(self, table: str, keep: int, retain: int = 2) -> None:
+        """Drop snapshot dirs older than ``retain`` versions back."""
+        d = self._dir(table)
+        for name in os.listdir(d):
+            if name.startswith("v") and name[1:].isdigit():
+                if int(name[1:]) <= keep - retain:
+                    shutil.rmtree(os.path.join(d, name), ignore_errors=True)
+
+    # -- handler-version metadata (reference qvarnmr_handlers state,
+    #    ``resync.py:52-74``) ------------------------------------------------
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.root, "_handlers.json")
+
+    def get_handler_versions(self) -> dict:
+        try:
+            with open(self._meta_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def set_handler_version(self, target: str, source: str, version: int) -> None:
+        meta = self.get_handler_versions()
+        meta[f"{target}\x00{source}"] = version
+        tmp = self._meta_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_path())
+
+
+@dataclass
+class IncrementalEngine:
+    """Applies CDC batches to stored derived tables.
+
+    ``changes`` schema mirrors the reference's notification feed
+    (``processor.py:17-27``): ``resource_type string, resource_change string
+    (created|updated|deleted), resource_id string``. Feed ordering
+    (``last_modified`` — ``[qvarn] listener_resource.py:207-214``) is only
+    needed to resolve multiple changes to the SAME id within one batch; we
+    keep the *final* state per id, which is what replaying the feed in order
+    yields (the map upsert is delete-then-insert, so intermediate states
+    never survive a batch anyway).
+    """
+
+    engine: ViewEngine
+    store: ParquetStateStore
+
+    @property
+    def catalog(self) -> Catalog:
+        return self.engine.catalog
+
+    # -- bootstrap / resync (T8) --------------------------------------------
+
+    def resync(self, target: str) -> None:
+        """Full rebuild of one target — bootstrap and handler-upgrade path.
+
+        Reference: ``resync.py:91-128`` walks every source id through the
+        normal notification path in chunks of 100, with per-row same-version
+        skips so an interrupted resync resumes. Here the rebuild is ONE
+        batch pipeline + atomic overwrite: interruption leaves the old
+        snapshot live, so the skip machinery is unnecessary.
+        """
+        sources = self.engine.config[target]
+        first = next(iter(sources.values()))
+        if isinstance(first, REDUCE_SPECS):
+            ((src, spec),) = sources.items()
+            map_df = self.store.read(src) if self.store.exists(src) \
+                else self.engine.map_table(src)
+            self.store.overwrite(target, self.engine.reduce_table(target, map_df))
+            self.store.set_handler_version(target, src, spec.version)
+        else:
+            self.store.overwrite(target, self.engine.map_table(target))
+            for src, spec in sources.items():
+                self.store.set_handler_version(target, src, spec.version)
+
+    def resync_all(self) -> None:
+        """Rebuild map targets first, then the reduce targets over them —
+        the reference's startup resync loop (``scripts/worker.py:66-71``)."""
+        reduces = []
+        for target, sources in self.engine.config.items():
+            if isinstance(next(iter(sources.values())), REDUCE_SPECS):
+                reduces.append(target)
+            else:
+                self.resync(target)
+        for target in reduces:
+            self.resync(target)
+
+    def resync_changed(self) -> list[str]:
+        """Resync only targets whose configured handler version differs from
+        the stored one (``resync.py:77-88`` version diff)."""
+        meta = self.store.get_handler_versions()
+        changed = []
+        for target, sources in self.engine.config.items():
+            for src, spec in sources.items():
+                if meta.get(f"{target}\x00{src}") != spec.version or \
+                        not self.store.exists(target):
+                    changed.append(target)
+                    break
+        # map targets before reduce targets, preserving config order
+        changed.sort(key=lambda t: isinstance(
+            next(iter(self.engine.config[t].values())), REDUCE_SPECS))
+        for target in changed:
+            self.resync(target)
+        return changed
+
+    # -- incremental application (T2-T5, A8) ---------------------------------
+
+    def apply_changes(self, changes: DataFrame) -> None:
+        """Apply one CDC micro-batch to every derived table it touches.
+
+        This is the batch form of ``MapReduceEngine.process_changes``
+        (``processor.py:426-434``): map targets first (upsert + tombstone),
+        then reduce targets over the dirty keys, then tombstone purge.
+        """
+        # final change per resource id — replay-order equivalent (see class doc)
+        changes = changes.cache()
+        for target, sources in self.engine.config.items():
+            if isinstance(next(iter(sources.values())), REDUCE_SPECS):
+                continue
+            self._apply_map(target, sources, changes)
+        for target, sources in self.engine.config.items():
+            if not isinstance(next(iter(sources.values())), REDUCE_SPECS):
+                continue
+            self._apply_reduce(target, sources)
+        changes.unpersist()
+
+    def _apply_map(self, target: str, sources: dict, changes: DataFrame) -> None:
+        """T2 upsert + T3 tombstone for one map target.
+
+        Produces the new map snapshot and remembers this batch's dirty keys
+        in ``{target}__dirty`` for the reduce pass. Everything is joins:
+        - surviving rows  = old anti-join dirty ids (per source type)
+        - tombstoned rows = old semi-join deleted ids, flagged
+        - fresh rows      = map(source semi-join upserted ids)
+        On Delta this whole function is one ``MERGE``; the shape (broadcast
+        the small dirty-id set against the big map table) is identical.
+        """
+        old = self.store.read(target) if self.store.exists(target) else None
+        parts = []
+        dirty_key_parts = []
+        for source, spec in sources.items():
+            ch = (changes.filter(F.col("resource_type") == source)
+                  .groupBy("resource_id")
+                  .agg(F.max_by("resource_change", F.col("seq")).alias("change")
+                       if "seq" in changes.columns
+                       else F.last("resource_change").alias("change")))
+            upserted = ch.filter(F.col("change") != DELETED).select("resource_id")
+            deleted = ch.filter(F.col("change") == DELETED).select("resource_id")
+            src_df = self.catalog.get(source)
+            id_col = self.engine._id_col(source)
+            fresh = self.engine._map_one(
+                source, spec,
+                src_df.join(
+                    F.broadcast(upserted),
+                    src_df[id_col].cast("string") == upserted["resource_id"],
+                    "left_semi"))
+            if old is not None:
+                mine = old.filter(F.col("_mr_source_type") == source)
+                all_dirty = ch.select("resource_id")
+                survivors = mine.join(
+                    F.broadcast(all_dirty),
+                    mine["_mr_source_id"] == all_dirty["resource_id"],
+                    "left_anti")
+                tombstoned = (mine.join(
+                    F.broadcast(deleted),
+                    mine["_mr_source_id"] == deleted["resource_id"],
+                    "left_semi")
+                    .withColumn("_mr_deleted", F.lit(True)))
+                parts += [survivors, tombstoned, fresh]
+                # dirty keys: keys the changed ids had before + have now
+                touched = mine.join(
+                    F.broadcast(all_dirty),
+                    mine["_mr_source_id"] == all_dirty["resource_id"],
+                    "left_semi").select("_mr_key")
+                dirty_key_parts += [touched, fresh.select("_mr_key")]
+            else:
+                parts.append(fresh)
+                dirty_key_parts.append(fresh.select("_mr_key"))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        dirty = dirty_key_parts[0]
+        for p in dirty_key_parts[1:]:
+            dirty = dirty.unionByName(p)
+        self.store.overwrite(target, out)
+        self.store.overwrite(target + "__dirty", dirty.distinct())
+
+    def _apply_reduce(self, target: str, sources: dict) -> None:
+        """T4/T5 dirty-key group recompute + A8 empty-group delete + T3 purge.
+
+        new_reduce = old_reduce (keys not dirty)
+                   ∪ recompute(map ⋉ dirty_keys)        — dropped groups
+                                                           simply emit no row
+        Then purge tombstoned map rows of the dirty keys (two-phase done —
+        ``processor.py:406-409``).
+        """
+        ((src, spec),) = sources.items()
+        if not self.store.exists(src + "__dirty"):
+            return
+        dirty = self.store.read(src + "__dirty")
+        map_df = self.store.read(src)
+        dirty_map = map_df.join(F.broadcast(dirty), "_mr_key", "left_semi")
+        recomputed = self.engine.reduce_table(target, dirty_map)
+        if self.store.exists(target):
+            old = self.store.read(target)
+            keep = old.join(F.broadcast(dirty), "_mr_key", "left_anti")
+            new = keep.unionByName(recomputed, allowMissingColumns=True)
+        else:
+            new = recomputed
+        self.store.overwrite(target, new)
+        # purge tombstones for keys whose reduce has now succeeded — set form
+        # (no collect): drop rows matching (source_id, key) of tombstoned∩dirty
+        tomb_dirty = (map_df.filter(F.col("_mr_deleted"))
+                      .join(F.broadcast(dirty), "_mr_key", "left_semi"))
+        purged = map_df.join(
+            tomb_dirty.select("_mr_source_id", "_mr_key").distinct(),
+            ["_mr_source_id", "_mr_key"], "left_anti")
+        self.store.overwrite(src, purged)
+
+    # -- convenience ----------------------------------------------------------
+
+    def read(self, target: str) -> DataFrame:
+        return self.store.read(target)
+
+
+def notifications(spark: SparkSession, rows: list[tuple[str, str, str]]) -> DataFrame:
+    """Build a CDC batch DataFrame from (resource_type, change, resource_id)
+    tuples, with a ``seq`` column preserving list order (the reference feed's
+    ``last_modified`` ordering)."""
+    return spark.createDataFrame(
+        [(t, c, str(i), s) for s, (t, c, i) in enumerate(rows)],
+        "resource_type string, resource_change string, resource_id string, seq long",
+    )

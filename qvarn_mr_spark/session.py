@@ -1,0 +1,46 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[N]``; the configs below are the ones that
+matter at cluster scale too: AQE for runtime re-planning (skew joins,
+partition coalescing), Arrow for any pandas-UDF boundary, and a shuffle
+partition count sized by the caller (default 32 to match the test harness,
+overridden per-deployment — at 100 TB you'd set this to ~2-3x total cores or
+rely on AQE's coalescing from a high initial value).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "qvarn-mr-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(cpus)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime partition coalescing, skew-join splitting, join-strategy
+        # switching. Essential at scale; harmless locally.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow makes pandas-UDF / toPandas boundaries vectorized.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # The driver's events table stores TIMESTAMP(NANOS) which Spark's
+        # parquet reader rejects by default; read as long (ns since epoch —
+        # incidentally the reference's own timestamp convention,
+        # processor.py:88-90) and convert in load_tables.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    return builder.getOrCreate()

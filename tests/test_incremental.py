@@ -1,0 +1,133 @@
+"""Incremental (CDC) lifecycle conformance — SURVEY §2.7 T2-T5, A8.
+
+The golden sequence from the reference (tests/scripts/test_worker.py:98-116):
+sum of values 1,2,3 = 6; update 1→2 and 3→5 → 9; delete the 5 → 4;
+delete everything → reduce row disappears (empty-group elimination,
+tests/test_processor.py:153-157).
+"""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from qvarn_mr_spark.catalog import Catalog
+from qvarn_mr_spark.operators import (
+    IncrementalEngine,
+    ParquetStateStore,
+    ViewEngine,
+    map_item,
+    reduce_agg,
+)
+from qvarn_mr_spark.operators.incremental import notifications
+
+
+@pytest.fixture()
+def setup(spark, tmp_path):
+    cat = Catalog(spark)
+
+    def set_source(rows):
+        cat.register("source", spark.createDataFrame(
+            rows, "id string, type string, revision string, key long, value long"))
+
+    set_source([("1", "source", "a", 1, 1),
+                ("2", "source", "a", 1, 2),
+                ("3", "source", "a", 1, 3)])
+    eng = ViewEngine(cat, {
+        "source__map": {"source": map_item("key", "value")},
+        "sum_target": {"source__map": reduce_agg(F.sum)},
+    })
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+    inc = IncrementalEngine(eng, store)
+    return spark, cat, inc, set_source
+
+
+def read_sums(inc):
+    return {r["_mr_key"]: r["_mr_value"] for r in inc.read("sum_target").collect()}
+
+
+def test_lifecycle_sum(setup):
+    spark, cat, inc, set_source = setup
+
+    inc.apply_changes(notifications(spark, [
+        ("source", "created", "1"),
+        ("source", "created", "2"),
+        ("source", "created", "3")]))
+    assert read_sums(inc) == {"1": 6}
+
+    # update 1→2 and 3→5 → 9
+    set_source([("1", "source", "b", 1, 2),
+                ("2", "source", "a", 1, 2),
+                ("3", "source", "b", 1, 5)])
+    inc.apply_changes(notifications(spark, [
+        ("source", "updated", "1"),
+        ("source", "updated", "3")]))
+    assert read_sums(inc) == {"1": 9}
+
+    # delete the 5 → 4
+    set_source([("1", "source", "b", 1, 2),
+                ("2", "source", "a", 1, 2)])
+    inc.apply_changes(notifications(spark, [("source", "deleted", "3")]))
+    assert read_sums(inc) == {"1": 4}
+    # tombstones purged after successful reduce (T3 two-phase)
+    live = inc.read("source__map").filter("_mr_deleted").count()
+    assert live == 0
+
+    # delete everything → empty-group elimination (A8)
+    set_source([])
+    inc.apply_changes(notifications(spark, [
+        ("source", "deleted", "1"), ("source", "deleted", "2")]))
+    assert read_sums(inc) == {}
+
+
+def test_key_change_moves_group(setup):
+    # an update that CHANGES the key must recompute both old and new groups
+    spark, cat, inc, set_source = setup
+    inc.apply_changes(notifications(spark, [
+        ("source", "created", "1"),
+        ("source", "created", "2"),
+        ("source", "created", "3")]))
+    set_source([("1", "source", "b", 2, 1),   # key 1 → 2
+                ("2", "source", "a", 1, 2),
+                ("3", "source", "a", 1, 3)])
+    inc.apply_changes(notifications(spark, [("source", "updated", "1")]))
+    assert read_sums(inc) == {"1": 5, "2": 1}
+
+
+def test_resync_bootstrap_equals_incremental(setup):
+    spark, cat, inc, set_source = setup
+    inc.resync_all()
+    assert read_sums(inc) == {"1": 6}
+    # resync_changed is a no-op when versions match
+    assert inc.resync_changed() == []
+
+
+def test_resync_changed_on_version_bump(setup):
+    spark, cat, inc, set_source = setup
+    inc.resync_all()
+    # bump reduce handler version → only that target resyncs
+    inc.engine.config["sum_target"]["source__map"] = reduce_agg(F.sum, version=2)
+    changed = inc.resync_changed()
+    assert changed == ["sum_target"]
+    assert read_sums(inc) == {"1": 6}
+
+
+def test_multiple_changes_same_id_in_batch(setup):
+    # created then deleted within one batch → final state wins
+    spark, cat, inc, set_source = setup
+    set_source([("1", "source", "a", 1, 1),
+                ("2", "source", "a", 1, 2)])
+    inc.apply_changes(notifications(spark, [
+        ("source", "created", "1"),
+        ("source", "created", "2"),
+        ("source", "created", "3"),
+        ("source", "deleted", "3")]))
+    assert read_sums(inc) == {"1": 3}
+
+
+def test_store_versioning(spark, tmp_path):
+    store = ParquetStateStore(spark, str(tmp_path / "s"))
+    df1 = spark.createDataFrame([Row(a=1)])
+    store.overwrite("t", df1)
+    assert store.version("t") == 1
+    store.overwrite("t", spark.createDataFrame([Row(a=2)]))
+    assert store.version("t") == 2
+    assert [r["a"] for r in store.read("t").collect()] == [2]
