@@ -1,38 +1,509 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+Query inventory maps to SURVEY.md §2 line items (tag in each docstring);
+floating aggregates are rounded identically on both sides so the value-hash
+is stable; every computed column is aliased identically in Spark and SQL.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from qvarn_mr_spark import oracle
+from qvarn_mr_spark.catalog import Catalog, load_tables
+from qvarn_mr_spark.functions import dedup, similarity, text
+from qvarn_mr_spark.operators.mapreduce import (
+    ViewEngine,
+    map_expr,
+    map_item,
+    reduce_agg,
+    reduce_count,
+    reduce_join,
+)
+from qvarn_mr_spark.query import search
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+_TCACHE: dict[tuple[int, str, tuple], dict[str, DataFrame]] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load (and memoize per-session) just the tables a query needs."""
+    key = (id(spark), sf_dir, tuple(sorted(names)))
+    if key not in _TCACHE:
+        _TCACHE[key] = load_tables(spark, sf_dir, tables=names)
+    return _TCACHE[key]
+
+
+def _ids() -> dict[str, str]:
+    return {
+        "region": "r_regionkey", "nation": "n_nationkey",
+        "customer": "c_custkey", "supplier": "s_suppkey",
+        "part": "p_partkey", "orders": "o_orderkey",
+        "lineitem": "l_orderkey", "events": "event_id",
+        "documents": "doc_id", "embeddings": "vec_id",
+    }
+
+
+def _engine(spark, sf_dir, config, *tables) -> ViewEngine:
+    cat = Catalog(spark, tables=_t(spark, sf_dir, *tables))
+    return ViewEngine(catalog=cat, config=config, id_cols=_ids())
+
+
+def _rev():
+    """revenue term — built lazily (Column creation needs a live session)"""
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+# ---------------------------------------------------------------------------
+# §2.2 search surface (P1-P11, O1-O2)
+# ---------------------------------------------------------------------------
+
+def q_search_exact_ci(spark, sf_dir):
+    """P1 case-insensitive exact + P10 show projection + O1 sort."""
+    cust = _t(spark, sf_dir, "customer")["customer"]
+    return search(cust, show=["c_custkey", "c_name", "c_acctbal"],
+                  sort=("c_custkey",), c_mktsegment="Building")
+
+
+def q_search_range_sort_limit(spark, sf_dir):
+    """P2 ne + P3 ge + O1 multi-sort + O2 limit/offset."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    return search(orders, show=["o_orderkey", "o_totalprice", "o_orderstatus"],
+                  sort=("-o_totalprice", "o_orderkey"), limit=100, offset=10,
+                  o_orderstatus__ne="O", o_totalprice__ge=100000.0)
+
+
+def q_search_like(spark, sf_dir):
+    """P4 startswith + P5 contains (both case-insensitive)."""
+    part = _t(spark, sf_dir, "part")["part"]
+    return search(part, show=["p_partkey", "p_name", "p_type", "p_brand"],
+                  sort=("p_partkey",), p_name__contains="RED",
+                  p_type__startswith="eco")
+
+
+# ---------------------------------------------------------------------------
+# §2.3-2.6 map/reduce views (F1-F5, A1-A9, J1/J3, U1/U2)
+# ---------------------------------------------------------------------------
+
+def q_mr_count(spark, sf_dir):
+    """F1 item + A1 group-by-key + A2 count."""
+    eng = _engine(spark, sf_dir, {
+        "by_type__map": {"events": map_item("event_type")},
+        "by_type": {"by_type__map": reduce_count()},
+    }, "events")
+    return eng.reduce_table("by_type")
+
+
+def q_mr_sum(spark, sf_dir):
+    """F1 item(key, value) + A3 sum."""
+    eng = _engine(spark, sf_dir, {
+        "qty__map": {"lineitem": map_item("l_returnflag", "l_quantity")},
+        "qty": {"qty__map": reduce_agg(
+            {"sum_qty": lambda c: F.round(F.sum(c), 2)})},
+    }, "lineitem")
+    return eng.reduce_table("qty")
+
+
+def q_mr_minmax(spark, sf_dir):
+    """A4 min + extension max over the same group."""
+    eng = _engine(spark, sf_dir, {
+        "px__map": {"lineitem": map_item("l_returnflag", "l_extendedprice")},
+        "px": {"px__map": reduce_agg({
+            "min_price": lambda c: F.round(F.min(c), 2),
+            "max_price": lambda c: F.round(F.max(c), 2)})},
+    }, "lineitem")
+    return eng.reduce_table("px")
+
+
+def q_mr_dict_map(spark, sf_dir):
+    """Dict-valued map output + A6 reduce-side pre-projection ('map' option):
+    revenue = sum(price*(1-disc)) computed from mapped fields."""
+    eng = _engine(spark, sf_dir, {
+        "rev__map": {"lineitem": map_expr(
+            key="l_returnflag",
+            fields={"price": "l_extendedprice", "disc": "l_discount"})},
+        "rev": {"rev__map": reduce_agg(
+            {"revenue": lambda c: F.round(F.sum(c), 2)},
+            input=F.col("price") * (1 - F.col("disc")))},
+    }, "lineitem")
+    return eng.reduce_table("rev")
+
+
+def q_mr_join(spark, sf_dir):
+    """J1 flagship N-way entity join with per-type last-writer-wins (J3
+    source-backref, U1 union of map outputs). Mirrors the reference's
+    company_reports view (README.rst:561-661; last-writer semantics
+    tests/test_mapreduce.py:186-195)."""
+    eng = _engine(spark, sf_dir, {
+        "cn__map": {"nation": map_item("n_nationkey"),
+                    "customer": map_item("c_nationkey")},
+        "cn": {"cn__map": reduce_join(
+            {"nation": {"nation_name": "n_name"},
+             "customer": {"top_customer": "c_name",
+                          "top_acctbal": "c_acctbal"}},
+            order_by={"nation": "n_nationkey", "customer": "c_custkey"})},
+    }, "nation", "customer")
+    return eng.reduce_table("cn")
+
+
+def q_mr_wordcount(spark, sf_dir):
+    """U2 generator/flatMap map handler (explode) + A2 count."""
+    eng = _engine(spark, sf_dir, {
+        "wc__map": {"documents": map_expr(
+            key=dedup.tokens_col("text"), explode_key=True)},
+        "wc": {"wc__map": reduce_count()},
+    }, "documents")
+    return eng.reduce_table("wc")
+
+
+def q_window_latest(spark, sf_dir):
+    """W1 newest-row-per-key (the reference's per-key newest-wins dedup,
+    processor.py:181-189)."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (orders.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("o_custkey", "o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("orderdate"), "o_totalprice"))
+
+
+def q_agg_rollup(spark, sf_dir):
+    """A10 extensions: rollup grouping sets + distinct aggregation."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.countDistinct("l_suppkey").alias("n_supp"),
+                 F.round(F.sum("l_quantity"), 2).alias("sum_qty")))
+
+
+# ---------------------------------------------------------------------------
+# analytics headliners (bench queries)
+# ---------------------------------------------------------------------------
+
+def q1_pricing(spark, sf_dir):
+    """TPC-H Q1 shape: scan-heavy grouped aggregation, predicate pushed to
+    parquet, partial+final hash agg from Catalyst."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(_rev()), 2).alias("sum_disc_price"),
+                 F.round(F.sum(_rev() * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                 F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+def q3_topk_revenue(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter → fact join → top-k. The customer
+    side is small after the segment filter — broadcast to the orders/lineitem
+    join (no big-table shuffle on the probe side)."""
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    cust = t["customer"].filter(F.lower(F.col("c_mktsegment")) == "building")
+    orders = t["orders"].filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = t["lineitem"].filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    return (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+            .groupBy("o_orderkey",
+                     F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+            .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+            .limit(10))
+
+
+def q5_region_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: star join — every dimension broadcast, one shuffle for
+    the final aggregate."""
+    t = _t(spark, sf_dir, "region", "nation", "customer", "supplier",
+           "orders", "lineitem")
+    region = t["region"].filter(F.lower(F.col("r_name")) == "asia")
+    nation = t["nation"].join(
+        F.broadcast(region), t["nation"]["n_regionkey"] == region["r_regionkey"])
+    li, orders, cust, supp = (t["lineitem"], t["orders"], t["customer"],
+                              t["supplier"])
+    return (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+            .join(F.broadcast(cust),
+                  (orders["o_custkey"] == cust["c_custkey"])
+                  & (cust["c_nationkey"] == supp["s_nationkey"]))
+            .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+            .groupBy("n_name")
+            .agg(F.round(F.sum(_rev()), 2).alias("revenue")))
+
+
+def q_events_hourly(spark, sf_dir):
+    """T10 extension: event-time tumbling-window aggregation (batch form of
+    the streaming windowed agg)."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    return (ev.groupBy(
+                F.date_format(F.date_trunc("hour", "ts"),
+                              "yyyy-MM-dd HH:mm:ss").alias("hour"),
+                "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+def q_events_top_users(spark, sf_dir):
+    """K1 top-k over grouped aggregation with distinct count."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    return (ev.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("total_value"),
+                 F.countDistinct("event_type").alias("n_types"))
+            .orderBy(F.desc("total_value"), F.asc("user_id"))
+            .limit(20))
+
+
+# ---------------------------------------------------------------------------
+# text analysis / dedup / similarity (LLM-pipeline extensions)
+# ---------------------------------------------------------------------------
+
+def q_text_profile(spark, sf_dir):
+    """Language-ID, quality scoring, token counting, fingerprinting — all
+    JVM-side Column expressions (functions/text.py), zero UDFs."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        text.token_count(c).alias("n_tokens"),
+        text.char_count(c).alias("n_chars_calc"),
+        text.lang_guess(c).alias("lang_guess"),
+        F.round(text.punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(text.stopword_ratio(c), 6).alias("stopword_ratio"),
+        text.quality_score(c).alias("quality"),
+        text.fingerprint(c).alias("fp"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return dedup.exact_dedup(docs, "doc_id", "text")
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text")
+
+
+def q_minhash_signatures(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return dedup.minhash_signatures(docs, "doc_id", "text")
+
+
+def q_minhash_candidates(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return dedup.minhash_candidates(docs, "doc_id", "text")
+
+
+def q_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return dedup.simhash(docs, "doc_id", "text")
+
+
+def q_knn(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.knn_bruteforce(emb, "vec_id", "embedding",
+                                     F.col("vec_id") < 8, k=3)
+
+
+def q_ivf_assign(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.ivf_assign(emb, "vec_id", "embedding",
+                                 F.col("vec_id") % 100 == 0)
+
+
+def q_centroid_by_label(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.centroid_by_label(emb, "label", "embedding")
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the reference's signature
+    N-way entity-join view (J1) — nation ⋈ customers with last-writer-wins."""
+    return q_mr_join(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "search_exact_ci": q_search_exact_ci,
+        "search_range_sort_limit": q_search_range_sort_limit,
+        "search_like": q_search_like,
+        "mr_count": q_mr_count,
+        "mr_sum": q_mr_sum,
+        "mr_minmax": q_mr_minmax,
+        "mr_dict_map": q_mr_dict_map,
+        "mr_join": q_mr_join,
+        "mr_wordcount": q_mr_wordcount,
+        "window_latest": q_window_latest,
+        "agg_rollup": q_agg_rollup,
+        "q1_pricing": q1_pricing,
+        "q3_topk_revenue": q3_topk_revenue,
+        "q5_region_revenue": q5_region_revenue,
+        "events_hourly": q_events_hourly,
+        "events_top_users": q_events_top_users,
+        "text_profile": q_text_profile,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_candidates": q_minhash_candidates,
+        "simhash": q_simhash,
+        "knn_bruteforce": q_knn,
+        "ivf_assign": q_ivf_assign,
+        "centroid_by_label": q_centroid_by_label,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "search_exact_ci": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+            WHERE lower(c_mktsegment) = lower('Building')
+        """,
+        "search_range_sort_limit": """
+            SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+            WHERE lower(o_orderstatus) != lower('O')
+              AND o_totalprice >= 100000.0
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 100 OFFSET 10
+        """,
+        "search_like": """
+            SELECT p_partkey, p_name, p_type, p_brand FROM part
+            WHERE contains(lower(p_name), lower('RED'))
+              AND starts_with(lower(p_type), lower('eco'))
+        """,
+        "mr_count": """
+            SELECT event_type AS _mr_key, count(*) AS _mr_value
+            FROM events GROUP BY 1
+        """,
+        "mr_sum": """
+            SELECT l_returnflag AS _mr_key, round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY 1
+        """,
+        "mr_minmax": """
+            SELECT l_returnflag AS _mr_key,
+                   round(min(l_extendedprice), 2) AS min_price,
+                   round(max(l_extendedprice), 2) AS max_price
+            FROM lineitem GROUP BY 1
+        """,
+        "mr_dict_map": """
+            SELECT l_returnflag AS _mr_key,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem GROUP BY 1
+        """,
+        "mr_join": """
+            WITH n AS (
+              SELECT CAST(n_nationkey AS VARCHAR) AS _mr_key,
+                     arg_max(n_name, n_nationkey) AS nation_name
+              FROM nation GROUP BY 1
+            ),
+            c AS (
+              SELECT CAST(c_nationkey AS VARCHAR) AS _mr_key,
+                     arg_max(c_name, c_custkey) AS top_customer,
+                     arg_max(c_acctbal, c_custkey) AS top_acctbal
+              FROM customer GROUP BY 1
+            )
+            SELECT coalesce(n._mr_key, c._mr_key) AS _mr_key,
+                   nation_name, top_customer, top_acctbal
+            FROM n FULL OUTER JOIN c ON n._mr_key = c._mr_key
+        """,
+        "mr_wordcount": """
+            SELECT tok AS _mr_key, count(*) AS _mr_value
+            FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+                    AS tok FROM documents)
+            WHERE tok != '' GROUP BY 1
+        """,
+        "window_latest": """
+            SELECT o_custkey, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_totalprice
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                  FROM orders)
+            WHERE rn = 1
+        """,
+        "agg_rollup": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+                   count(DISTINCT l_suppkey) AS n_supp,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                     AS sum_charge,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_extendedprice), 6) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY 1, 2
+        """,
+        "q3_topk_revenue": """
+            SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE lower(c_mktsegment) = 'building'
+              AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+              AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderkey LIMIT 10
+        """,
+        "q5_region_revenue": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE lower(r_name) = 'asia'
+            GROUP BY 1
+        """,
+        "events_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_top_users": """
+            SELECT user_id, count(*) AS n_events,
+                   round(sum(value), 2) AS total_value,
+                   count(DISTINCT event_type) AS n_types
+            FROM events GROUP BY 1
+            ORDER BY total_value DESC, user_id LIMIT 20
+        """,
+        "text_profile": oracle.text_profile_sql(),
+        "dedup_exact": oracle.exact_dedup_sql(),
+        "dedup_jaccard": oracle.ngram_jaccard_sql(),
+        "minhash_signatures": oracle.minhash_signatures_sql(),
+        "minhash_candidates": oracle.minhash_candidates_sql(),
+        "simhash": oracle.simhash_sql(),
+        "knn_bruteforce": oracle.knn_bruteforce_sql("vec_id < 8", k=3),
+        "ivf_assign": oracle.ivf_assign_sql("vec_id % 100 = 0"),
+        "centroid_by_label": oracle.centroid_by_label_agg_sql(),
+    }

@@ -1,0 +1,76 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the no-op sink (full physical execution,
+no driver collect bottleneck — the same way a cluster job would be bounded by
+the job, not the result transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry
+from qvarn_mr_spark.session import get_spark
+
+#: Queries benched: the scan/join/agg headliners plus every LLM-pipeline
+#: operator (dedup/similarity/text) — the ops whose scale behavior matters.
+BENCH_QUERIES = (
+    "q1_pricing",
+    "q3_topk_revenue",
+    "q5_region_revenue",
+    "mr_join",
+    "mr_wordcount",
+    "window_latest",
+    "agg_rollup",
+    "events_hourly",
+    "text_profile",
+    "dedup_exact",
+    "dedup_jaccard",
+    "minhash_candidates",
+    "simhash",
+    "knn_bruteforce",
+    "ivf_assign",
+    "centroid_by_label",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("qvarn-mr-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+
+    # warmup: JIT + executor spin-up on a trivial job
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        df = qs[name](spark, sf_dir)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -42,6 +42,10 @@ def load_tables(
     Reads are plain ``spark.read.parquet`` so Catalyst's predicate pushdown,
     column pruning and partition pruning all apply to downstream queries.
     """
+    # The driver may hand us a session built without the ns-timestamp conf
+    # (events.parquet stores TIMESTAMP(NANOS) which Spark's reader rejects);
+    # it is runtime-settable, so set it here rather than only at build time.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out = {}
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")

@@ -1,0 +1,228 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference engine has no dedup surface (its per-key newest-wins dedup,
+``/root/reference/qvarnmr/processor.py:181-189``, is bookkeeping, not content
+dedup). These are the content-dedup operators a 100 TB corpus pipeline needs,
+each expressed as DataFrame transformations whose physical plan scales:
+
+- **exact dedup**          — hash-groupBy on a normalized fingerprint: one
+                             shuffle on the hash, trivially parallel.
+- **n-gram Jaccard**       — shingle → explode → self-equi-join on shingle →
+                             pair aggregation. The join key (shingle) is the
+                             high-cardinality dimension, so the shuffle spreads
+                             evenly; frequent-shingle skew is handled by AQE
+                             skew-join splitting (enabled in session.py).
+- **MinHash + LSH banding**— the scale path: per-doc signature (one groupBy),
+                             band → bucket self-join. Candidate generation cost
+                             is O(#bucket-collisions), not O(n²).
+- **SimHash**              — per-doc 16-bit signature via per-bit majority
+                             vote: explode tokens → one groupBy(doc) with 16
+                             conditional sums — a single shuffle.
+
+Everything is built from JVM-side ``pyspark.sql.functions`` (no Python UDFs):
+the hash primitive is ``md5`` (hex string), deterministic and reproducible in
+any SQL engine, which is what makes the DuckDB oracles in
+``qvarn_mr_spark/oracle.py`` possible. Shared constants below are imported by
+the oracle builders so both sides stay in lockstep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tokenization: lowercase, split on runs of non-alphanumerics, drop empties.
+TOKEN_RE = "[^a-z0-9]+"
+#: Word-shingle width for Jaccard / MinHash.
+SHINGLE_K = 3
+#: Number of MinHash hash functions and LSH band layout (bands of ROWS each).
+MINHASH_N = 8
+MINHASH_BANDS = 4
+MINHASH_ROWS = MINHASH_N // MINHASH_BANDS
+#: SimHash signature width (bits) — 4 hex chars of md5.
+SIMHASH_BITS = 16
+HEX_DIGITS = "0123456789abcdef"
+
+
+def tokens_col(col: Column | str) -> Column:
+    """Array of normalized word tokens (no empties)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), TOKEN_RE), lambda x: x != "")
+
+
+def shingles_col(col: Column | str, k: int = SHINGLE_K) -> Column:
+    """Array of word ``k``-shingles (space-joined k-grams). Documents shorter
+    than ``k`` tokens produce an empty array."""
+    t = tokens_col(col)
+    n = F.size(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - k + 1),
+        lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+    )
+    return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_table(df: DataFrame, id_col: str, text_col: str,
+                  k: int = SHINGLE_K) -> DataFrame:
+    """Distinct ``(id, shingle)`` pairs — the dedup working set.
+
+    ``explode`` + ``distinct``: one shuffle keyed by (id, shingle)."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.explode(shingles_col(text_col, k)).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact (after text normalization) duplicate groups.
+
+    Returns ``(fp, n_dups, keeper_id)`` — md5 fingerprint of the normalized
+    text, group size, and the smallest id as the canonical survivor. One
+    hash-aggregate; at 100 TB the shuffle carries (fp, id) pairs only.
+    """
+    from qvarn_mr_spark.functions.text import fingerprint
+
+    return (
+        df.select(F.col(id_col).alias("doc_id"),
+                  fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_dups"),
+             F.min("doc_id").alias("keeper_id"))
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        k: int = SHINGLE_K, min_common: int = 2) -> DataFrame:
+    """Candidate near-duplicate pairs by word-``k``-gram Jaccard similarity.
+
+    Self-equi-join of the shingle table on ``shingle`` (a < b), then one
+    aggregation per pair; per-doc shingle counts join back (broadcast — the
+    count table is |docs| rows, tiny next to the pair stream). Returns
+    ``(a_id, b_id, n_common, jaccard)`` for pairs sharing ≥ ``min_common``
+    shingles.
+
+    Scale: cost is Σ_shingle df(s)² — bounded by shingle frequency, not n².
+    For heavy-tailed shingle frequencies, drop the top-frequency shingles
+    (stopword shingles) before the join or rely on AQE skew splitting; the
+    MinHash path below is the preferred O(n·sig) route at extreme scale.
+    """
+    sh = shingle_table(df, id_col, text_col, k)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("a_id"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b_id"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    ca = counts.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ca), "a_id").join(F.broadcast(cb), "b_id")
+        .select(
+            "a_id", "b_id", "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _minhash_cols() -> list[Column]:
+    """``min(md5('i|' || shingle))`` per hash function i — min over hex
+    strings is a valid MinHash (uniform order-preserving hash), and is
+    bit-reproducible in any engine with md5."""
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(MINHASH_N)
+    ]
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document MinHash signature, banded for LSH.
+
+    Returns ``(doc_id, band_0 … band_{B-1})`` where each band is the
+    concatenation of ROWS adjacent minhashes. One groupBy(doc_id) — a single
+    shuffle of (doc_id, shingle-hash) pairs.
+    """
+    sh = shingle_table(df, id_col, text_col)
+    sig = sh.groupBy("doc_id").agg(*_minhash_cols())
+    bands = [
+        F.concat_ws("|", *[F.col(f"h{b * MINHASH_ROWS + r}")
+                           for r in range(MINHASH_ROWS)]).alias(f"band_{b}")
+        for b in range(MINHASH_BANDS)
+    ]
+    return sig.select("doc_id", *bands)
+
+
+def minhash_candidates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """LSH candidate pairs: documents agreeing on ≥1 band.
+
+    Bucket self-join per band position — the LSH trick: only rows in the same
+    (band_pos, signature) bucket ever meet, so candidate generation is
+    O(bucket collisions), never O(n²). Returns ``(a_id, b_id, n_bands)``.
+    """
+    sigs = minhash_signatures(df, id_col, text_col)
+    melted = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"band_{b}")
+                               for b in range(MINHASH_BANDS)]))
+        .alias("band_pos", "sig"),
+    )
+    a = melted.select(F.col("doc_id").alias("a_id"), "band_pos", "sig")
+    b = melted.select(F.col("doc_id").alias("b_id"), "band_pos", "sig")
+    return (
+        a.join(b, ["band_pos", "sig"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document ``SIMHASH_BITS``-bit SimHash over the distinct token set.
+
+    Classic Charikar sketch: each token votes ±1 on every bit of its hash;
+    the signature bit is the sign of the vote sum. Near-duplicate documents
+    differ in few bits (compare with hamming distance downstream).
+
+    Token hash = first 4 hex chars of md5 → 16 bits, decoded nibble-by-nibble
+    with ``locate`` (portable across engines — the DuckDB oracle uses
+    ``strpos`` identically). Distinct tokens per doc make the result
+    order-independent. One explode + one groupBy(doc) with 16 conditional
+    sums — a single shuffle, JVM-side throughout.
+    """
+    toks = (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.explode(tokens_col(text_col)).alias("tok"))
+        .distinct()
+        .withColumn("h4", F.substring(F.md5(F.col("tok")), 1, 4))
+    )
+    # nibble value of hex char j+1 (1-indexed) of h4, decoded by position in
+    # the digit string — portable to any SQL engine (DuckDB strpos), unlike
+    # conv()
+    nib = [
+        F.expr(f"locate(substring(h4, {j + 1}, 1), '{HEX_DIGITS}') - 1")
+        for j in range(4)
+    ]
+    toks = toks.select(
+        "doc_id",
+        *[nib[j].alias(f"nib{j}") for j in range(4)],
+    )
+    # bit b lives in nibble b//4 (hex char order = most-significant first),
+    # at position b%4 counting from the LSB of that nibble
+    bit_votes = []
+    for b in range(SIMHASH_BITS):
+        nibble = F.col(f"nib{3 - b // 4}")  # LSB-first bit order
+        bit = F.floor(nibble / (2 ** (b % 4))) % 2
+        bit_votes.append(F.sum(bit * 2 - 1).alias(f"v{b}"))
+    votes = toks.groupBy("doc_id").agg(*bit_votes)
+    sig = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{b}") >= 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return votes.select("doc_id", sig.cast("long").alias("simhash"))

@@ -1,0 +1,106 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+The reference has no vector surface at all; this is the LLM-pipeline
+extension (SURVEY.md §7 step 7). Design for 100 TB:
+
+- **Brute-force top-k** is the correctness baseline: broadcast the (small)
+  query set against the full corpus — a broadcast nested-loop the optimizer
+  handles; per-row cost is one fused dot-product expression, JVM-side
+  (``zip_with`` + ``aggregate``), no Python boundary.
+- **IVF assignment** is the scale path: broadcast the centroid table, assign
+  each vector to its nearest centroid in one narrow projection + window; at
+  query time only the probed clusters are scanned (cluster id becomes a
+  partition/Z-order key on the corpus table).
+
+All arithmetic is done in ``double`` (float arrays are cast up front) with
+sequential left-to-right accumulation — the same order DuckDB uses — so the
+oracle comparison is stable to 1 ulp and far inside the round(…, 6) guard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ over two array<double> columns, left-to-right."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def _as_double(df: DataFrame, vec_col: str) -> Column:
+    return F.col(vec_col).cast("array<double>")
+
+
+def knn_bruteforce(df: DataFrame, id_col: str, vec_col: str,
+                   query_filter: Column, k: int = 3) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``query_filter`` selects the query rows out of ``df``; every query is
+    compared against the whole corpus (minus itself). Returns
+    ``(q_id, n_id, cos_sim, rn)``, rank 1 = nearest. Ranking uses the
+    *rounded* similarity with id tiebreak so it is reproducible across
+    engines regardless of last-ulp noise.
+    """
+    q = df.filter(query_filter).select(
+        F.col(id_col).alias("q_id"), _as_double(df, vec_col).alias("q_vec"))
+    c = df.select(
+        F.col(id_col).alias("n_id"), _as_double(df, vec_col).alias("n_vec"))
+    scored = (
+        F.broadcast(q).crossJoin(c)
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id",
+                F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6)
+                .alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k))
+
+
+def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
+               centroid_filter: Column) -> DataFrame:
+    """IVF cluster assignment: nearest centroid by cosine.
+
+    ``centroid_filter`` picks the centroid rows out of ``df`` (a real system
+    would take k-means centroids; any deterministic representative set gives
+    the same plan shape). Broadcast centroids × corpus → windowed argmax.
+    Returns ``(vec_id, cluster_id, cos_sim)`` — at scale this column becomes
+    the corpus table's partition key, so an ANN probe scans only
+    ``nprobe``/``nlist`` of the data.
+    """
+    cent = df.filter(centroid_filter).select(
+        F.col(id_col).alias("cluster_id"),
+        _as_double(df, vec_col).alias("c_vec"))
+    v = df.select(F.col(id_col).alias("vec_id"),
+                  _as_double(df, vec_col).alias("v_vec"))
+    scored = v.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cluster_id",
+        F.round(cosine(F.col("v_vec"), F.col("c_vec")), 6).alias("cos_sim"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"),
+                                             F.asc("cluster_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).drop("rn"))
+
+
+def centroid_by_label(df: DataFrame, label_col: str, vec_col: str) -> DataFrame:
+    """Mean embedding per label, exploded to ``(label, pos, avg_val)`` rows.
+
+    ``posexplode`` + one hash aggregate on (label, pos) — the standard way to
+    aggregate vectors without a Python UDF; at 100 TB the shuffle carries
+    (label, pos, partial-sum) after map-side combine, i.e. |labels|·dim rows.
+    """
+    return (
+        df.select(F.col(label_col).alias("label"),
+                  F.posexplode(_as_double(df, vec_col)).alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("avg_val"))
+    )

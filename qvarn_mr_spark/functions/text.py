@@ -1,0 +1,140 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+The reference has no scalar-function library (SURVEY.md §2.6) — handlers run
+arbitrary Python. Here the text operators a 100 TB document pipeline needs are
+expressed as *pure Column expressions* (``pyspark.sql.functions`` only), so
+they run inside WholeStageCodegen on the JVM — no Python boundary, no UDF tax,
+fully pushdown/prune-friendly. Each helper returns a Column; `profile()`
+assembles the standard document-quality projection.
+
+All of these are deliberately expressible in ANSI SQL too, so every one has a
+DuckDB oracle in ``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny stopword inventories for the language-ID heuristic. Word-boundary
+# counting of high-frequency function words is the classic cheap lang-ID
+# signal (n-gram/profile methods, cf. Cavnar & Trenkle 1994); three languages
+# suffice for the synthetic corpus, the word lists extend trivially.
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit"),
+    "fr": ("le", "la", "les", "et", "est", "une", "que", "pour"),
+}
+
+EN_STOPWORDS = LANG_MARKERS["en"] + ("a", "for", "on", "with", "as", "was")
+
+#: Punctuation class shared with the DuckDB oracle (explicit chars — regex
+#: POSIX classes differ subtly between engines).
+PUNCT_CLASS = r"[.,!?;:'\"()\[\]{}-]"
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count. Empty/blank text counts 0."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))).cast("long")
+
+
+def char_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c).cast("long")
+
+
+def _count_occurrences(lowered: Column, word: str) -> Column:
+    """Occurrences of `` word `` (space-delimited) in a lowered, space-padded
+    string, via the length-difference trick — pure string ops, identical
+    semantics in every SQL engine (no regex dialect drift)."""
+    needle = f" {word} "
+    return (
+        (F.length(lowered) - F.length(F.replace(lowered, F.lit(needle))))
+        / len(needle)
+    ).cast("long")
+
+
+def _normalized_for_words(col: Column) -> Column:
+    """lowercase, strip punctuation to spaces, collapse+pad spaces so every
+    word is `` word ``-matchable."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^a-z0-9]+", " ")
+    return F.concat(F.lit(" "), F.trim(c), F.lit(" "))
+
+
+def marker_hits(col: Column | str, words) -> Column:
+    """Total occurrences of any marker word. NOTE: overlapping-needle
+    undercount (`` a a a `` counts 1 for ``a``) is accepted and mirrored in
+    the oracle (both use non-overlapping replace semantics)."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = _normalized_for_words(c)
+    total = None
+    for w in words:
+        h = _count_occurrences(norm, w)
+        total = h if total is None else total + h
+    return total
+
+
+def lang_guess(col: Column | str) -> Column:
+    """Cheap language ID: argmax of per-language stopword hit counts;
+    ``und`` (undetermined) when no marker appears.
+
+    At scale this is one codegen'd projection over the scan — no shuffle,
+    no UDF. Ties break by language-code order (en < de < fr by score
+    comparison order below, i.e. first language with the max score wins).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    scores = {lang: marker_hits(c, words) for lang, words in LANG_MARKERS.items()}
+    best_score = None
+    for s in scores.values():
+        best_score = s if best_score is None else F.greatest(best_score, s)
+    out = F.lit("und")
+    # reversed so earlier languages win ties (last when() wins in a chain
+    # built inside-out)
+    for lang in reversed(list(scores)):
+        out = F.when(scores[lang] == best_score, F.lit(lang)).otherwise(out)
+    return F.when(best_score <= 0, F.lit("und")).otherwise(out)
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Punctuation chars / total chars (0 for empty text)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    punct = n - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(punct.cast("double") / n)
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    """English stopword tokens / total tokens (0 when no tokens)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = token_count(c)
+    hits = marker_hits(c, EN_STOPWORDS)
+    return F.when(toks == 0, F.lit(0.0)).otherwise(
+        F.least(hits.cast("double") / toks, F.lit(1.0)))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite document-quality score in [0, 1]: rewards reasonable length,
+    some stopword mass (prose-ness), and moderate punctuation. The exact
+    blend is a heuristic; what matters is that it is deterministic, cheap,
+    and monotone in the underlying signals."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = token_count(c).cast("double")
+    len_score = F.least(toks / F.lit(100.0), F.lit(1.0))
+    sw = stopword_ratio(c)
+    sw_score = F.least(sw * 4, F.lit(1.0))
+    p = punct_ratio(c)
+    p_score = F.when(p > 0.2, F.lit(0.0)).otherwise(1.0 - p * 5)
+    return F.round((len_score + sw_score + p_score) / 3, 6)
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 over the word-normalized text (lowercased,
+    punctuation stripped, whitespace collapsed). Two documents differing only
+    in case/punctuation/spacing collide — the standard cheap canonical hash
+    for exact-after-normalization dedup."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.trim(_normalized_for_words(c)))

@@ -1,0 +1,283 @@
+"""DuckDB oracle SQL builders.
+
+Every non-trivial operator in this engine has an ANSI-SQL twin runnable by
+DuckDB on the same parquet tables (the driver's correctness gate — see
+``__spark_entry__.py``). The SQL here is *generated from the same constants*
+(`functions.dedup`, `functions.text`) as the Spark expressions, so the two
+sides cannot drift: change SHINGLE_K or a stopword list once, both the Spark
+plan and the oracle move together.
+
+Portability rules observed throughout (both Java-regex/Spark and RE2/DuckDB,
+both HALF_UP-ish double rounding):
+
+- hashes are ``md5`` hex strings (identical in every engine);
+- hex→int decoding uses position-in-digit-string (``locate``/``strpos``),
+  never ``conv`` (Spark-only) or ``::INT`` hex casts (DuckDB-only);
+- word counting uses the space-padded ``replace`` length trick, not regex
+  counts (regex dialects drift);
+- floating aggregates are rounded in-query on BOTH sides.
+"""
+
+from __future__ import annotations
+
+from qvarn_mr_spark.functions.dedup import (
+    HEX_DIGITS,
+    MINHASH_BANDS,
+    MINHASH_N,
+    MINHASH_ROWS,
+    SHINGLE_K,
+    SIMHASH_BITS,
+    TOKEN_RE,
+)
+from qvarn_mr_spark.functions.text import EN_STOPWORDS, LANG_MARKERS
+
+# ---------------------------------------------------------------------------
+# text.py twins
+# ---------------------------------------------------------------------------
+
+#: punctuation class of text.PUNCT_CLASS with the quote SQL-escaped
+_PUNCT_SQL = "[.,!?;:''\"()\\[\\]{}-]"
+
+
+def norm_sql(c: str) -> str:
+    """text._normalized_for_words"""
+    return ("(' ' || trim(regexp_replace(lower(" + c +
+            "), '[^a-z0-9]+', ' ', 'g')) || ' ')")
+
+
+def count_occ_sql(norm: str, word: str) -> str:
+    """text._count_occurrences — length-difference trick."""
+    needle = f" {word} "
+    return (f"CAST((length({norm}) - length(replace({norm}, '{needle}', '')))"
+            f" / {len(needle)} AS BIGINT)")
+
+
+def marker_hits_sql(norm: str, words) -> str:
+    return "(" + " + ".join(count_occ_sql(norm, w) for w in words) + ")"
+
+
+def token_count_sql(c: str) -> str:
+    return (f"CASE WHEN trim({c}) = '' THEN 0 ELSE "
+            f"len(string_split_regex(trim({c}), '\\s+')) END")
+
+
+def lang_guess_sql(norm: str) -> str:
+    scores = {lang: marker_hits_sql(norm, words)
+              for lang, words in LANG_MARKERS.items()}
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    whens = " ".join(f"WHEN {s} = {best} THEN '{lang}'"
+                     for lang, s in scores.items())
+    return f"CASE WHEN {best} <= 0 THEN 'und' {whens} ELSE 'und' END"
+
+
+def punct_ratio_sql(c: str) -> str:
+    stripped = f"regexp_replace({c}, '{_PUNCT_SQL}', '', 'g')"
+    return (f"CASE WHEN length({c}) = 0 THEN 0.0 ELSE "
+            f"CAST(length({c}) - length({stripped}) AS DOUBLE) / length({c}) END")
+
+
+def stopword_ratio_sql(c: str, norm: str) -> str:
+    toks = token_count_sql(c)
+    hits = marker_hits_sql(norm, EN_STOPWORDS)
+    return (f"CASE WHEN {toks} = 0 THEN 0.0 ELSE "
+            f"least(CAST({hits} AS DOUBLE) / {toks}, 1.0) END")
+
+
+def quality_score_sql(c: str, norm: str) -> str:
+    toks = token_count_sql(c)
+    sw = stopword_ratio_sql(c, norm)
+    p = punct_ratio_sql(c)
+    len_score = f"least(CAST({toks} AS DOUBLE) / 100.0, 1.0)"
+    sw_score = f"least(({sw}) * 4, 1.0)"
+    p_score = f"CASE WHEN ({p}) > 0.2 THEN 0.0 ELSE 1.0 - ({p}) * 5 END"
+    return f"round((({len_score}) + ({sw_score}) + ({p_score})) / 3, 6)"
+
+
+def fingerprint_sql(c: str) -> str:
+    return f"md5(trim({norm_sql(c)}))"
+
+
+def text_profile_sql(table: str = "documents") -> str:
+    n = norm_sql("text")
+    return f"""
+SELECT doc_id,
+       {token_count_sql('text')} AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       {lang_guess_sql(n)} AS lang_guess,
+       round({punct_ratio_sql('text')}, 6) AS punct_ratio,
+       round({stopword_ratio_sql('text', n)}, 6) AS stopword_ratio,
+       {quality_score_sql('text', n)} AS quality,
+       {fingerprint_sql('text')} AS fp
+FROM {table}
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup.py twins
+# ---------------------------------------------------------------------------
+
+def _shingle_cte(table: str = "documents", k: int = SHINGLE_K) -> str:
+    """Distinct (doc_id, shingle) — dedup.shingle_table."""
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    return f"""
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '{TOKEN_RE}'),
+                     x -> x != '') AS t
+  FROM {table}
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - {k - 2}), i -> {gram})) AS shingle
+  FROM toks
+  WHERE len(t) >= {k}
+)"""
+
+
+def exact_dedup_sql(table: str = "documents") -> str:
+    return f"""
+SELECT {fingerprint_sql('text')} AS fp,
+       count(*) AS n_dups,
+       min(doc_id) AS keeper_id
+FROM {table}
+GROUP BY 1
+"""
+
+
+def ngram_jaccard_sql(table: str = "documents", min_common: int = 2) -> str:
+    return f"""
+WITH {_shingle_cte(table)},
+counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {min_common}
+)
+SELECT a_id, b_id, n_common,
+       round(CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common), 6)
+         AS jaccard
+FROM pairs
+JOIN counts ca ON ca.doc_id = a_id
+JOIN counts cb ON cb.doc_id = b_id
+"""
+
+
+def _minhash_sig_cte(table: str = "documents") -> str:
+    hashes = ", ".join(
+        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(MINHASH_N))
+    bands = ", ".join(
+        "concat_ws('|', " + ", ".join(
+            f"h{b * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS)
+        ) + f") AS band_{b}"
+        for b in range(MINHASH_BANDS))
+    return f"""{_shingle_cte(table)},
+sig AS (SELECT doc_id, {hashes} FROM sh GROUP BY 1),
+bands AS (SELECT doc_id, {bands} FROM sig)"""
+
+
+def minhash_signatures_sql(table: str = "documents") -> str:
+    cols = ", ".join(f"band_{b}" for b in range(MINHASH_BANDS))
+    return f"WITH {_minhash_sig_cte(table)} SELECT doc_id, {cols} FROM bands"
+
+
+def minhash_candidates_sql(table: str = "documents") -> str:
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_pos, band_{b} AS sig FROM bands"
+        for b in range(MINHASH_BANDS))
+    return f"""
+WITH {_minhash_sig_cte(table)},
+melted AS ({unions})
+SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_bands
+FROM melted a
+JOIN melted b ON a.band_pos = b.band_pos AND a.sig = b.sig
+             AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+def simhash_sql(table: str = "documents") -> str:
+    nibs = ", ".join(
+        f"strpos('{HEX_DIGITS}', substring(h4, {j + 1}, 1)) - 1 AS nib{j}"
+        for j in range(4))
+    votes = ", ".join(
+        f"sum((floor(nib{3 - b // 4} / {2 ** (b % 4)})::BIGINT % 2) * 2 - 1)"
+        f" AS v{b}"
+        for b in range(SIMHASH_BITS))
+    sig = " + ".join(
+        f"CASE WHEN v{b} >= 0 THEN {2 ** b} ELSE 0 END"
+        for b in range(SIMHASH_BITS))
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(
+    list_filter(string_split_regex(lower(text), '{TOKEN_RE}'), x -> x != '')
+  ) AS tok
+  FROM {table}
+),
+hashed AS (SELECT doc_id, substring(md5(tok), 1, 4) AS h4 FROM toks),
+nibbles AS (SELECT doc_id, {nibs} FROM hashed),
+votes AS (SELECT doc_id, {votes} FROM nibbles GROUP BY 1)
+SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity.py twins
+# ---------------------------------------------------------------------------
+
+_COS = ("list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))")
+
+
+def knn_bruteforce_sql(query_pred: str, k: int = 3,
+                       table: str = "embeddings") -> str:
+    cos = _COS.format(a="q.e", b="c.e")
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM {table}),
+q AS (SELECT vec_id AS q_id, e FROM e WHERE {query_pred}),
+scored AS (
+  SELECT q.q_id, c.vec_id AS n_id, round({cos}, 6) AS cos_sim
+  FROM q, e c WHERE q.q_id != c.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos_sim DESC, n_id ASC) AS rn
+  FROM scored
+)
+SELECT q_id, n_id, cos_sim, rn FROM ranked WHERE rn <= {k}
+"""
+
+
+def ivf_assign_sql(centroid_pred: str, table: str = "embeddings") -> str:
+    cos = _COS.format(a="v.e", b="c.e")
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM {table}),
+cent AS (SELECT vec_id AS cluster_id, e FROM e WHERE {centroid_pred}),
+scored AS (
+  SELECT v.vec_id, c.cluster_id, round({cos}, 6) AS cos_sim
+  FROM e v, cent c
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cos_sim DESC, cluster_id ASC) AS rn
+  FROM scored
+)
+SELECT vec_id, cluster_id, cos_sim FROM ranked WHERE rn = 1
+"""
+
+
+def centroid_by_label_sql(table: str = "embeddings") -> str:
+    return f"""
+SELECT label,
+       generate_subscripts(embedding, 1) - 1 AS pos,
+       unnest(CAST(embedding AS DOUBLE[])) AS val
+FROM {table}
+"""
+
+
+def centroid_by_label_agg_sql(table: str = "embeddings") -> str:
+    return f"""
+SELECT label, pos, round(avg(val), 6) AS avg_val
+FROM ({centroid_by_label_sql(table)})
+GROUP BY 1, 2
+"""
