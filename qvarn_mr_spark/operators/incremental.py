@@ -258,6 +258,14 @@ class IncrementalEngine:
             deleted = ch.filter(F.col("change") == DELETED).select("resource_id")
             src_df = self.catalog.get(source)
             id_col = self.engine._id_col(source)
+            # T11/T6 dead-letter: an upsert notification whose resource is
+            # absent from the source (the reference's not-yet-replicated 404,
+            # processor.py:346-355, retried then dropped) is recorded rather
+            # than silently producing nothing.
+            missing = upserted.join(
+                src_df.select(src_df[id_col].cast("string").alias("resource_id")),
+                "resource_id", "left_anti")
+            self._record_dead_letters(target, source, missing)
             fresh = self.engine._map_one(
                 source, spec,
                 src_df.join(
@@ -326,6 +334,22 @@ class IncrementalEngine:
             tomb_dirty.select("_mr_source_id", "_mr_key").distinct(),
             ["_mr_source_id", "_mr_key"], "left_anti")
         self.store.overwrite(src, purged)
+
+    def _record_dead_letters(self, target: str, source: str,
+                             missing: DataFrame) -> None:
+        """Append (set-union) missing-resource notifications to
+        ``{target}__dead_letter`` — the replacement for the reference's
+        drop-after-3-retries (``processor.py:261-280``): nothing is silently
+        lost, and an operator can replay the table once the source catches
+        up."""
+        if missing.isEmpty():
+            return
+        dl = missing.select(
+            F.lit(source).alias("resource_type"), "resource_id")
+        table = target + "__dead_letter"
+        if self.store.exists(table):
+            dl = self.store.read(table).unionByName(dl).distinct()
+        self.store.overwrite(table, dl)
 
     # -- convenience ----------------------------------------------------------
 

@@ -23,6 +23,15 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(cpus)
+    # Executor Python workers unpickle closures that reference this package
+    # (foreachBatch, mapInPandas); make it importable no matter where the
+    # consumer script lives. Local mode workers inherit the driver env;
+    # spark.executorEnv covers cluster mode.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pypath = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pypath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + pypath if pypath else ""))
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -40,6 +49,7 @@ def get_spark(
         # incidentally the reference's own timestamp convention,
         # processor.py:88-90) and convert in load_tables.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )

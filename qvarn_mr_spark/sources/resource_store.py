@@ -1,0 +1,135 @@
+"""Mutable resource collections with CRUD + change-notification emission.
+
+This is the Spark-side stand-in for the Qvarn store the reference writes
+through (SURVEY §2.1 S2/S6/S7/S8 and the listener notification machinery):
+
+- **create** assigns server-side ``id`` and ``revision`` and emits a
+  ``created`` notification (``[qvarn] list_resource.py:263-292``,
+  notification creation ``[qvarn] listener_resource.py:319-399``);
+- **update** is a put-by-id with an optimistic ``revision`` check — mismatch
+  raises :class:`RevisionConflict`, the reference's 409
+  (``clients/qvarn.py:157-168``, conflict ``clients/qvarn.py:31,94-95``);
+  the revision is regenerated on every update;
+- **delete** emits ``deleted`` (``clients/qvarn.py:202-209``).
+
+Storage is the versioned :class:`ParquetStateStore` (atomic snapshot
+overwrite); notifications append to a JSON-lines feed directory that
+:func:`qvarn_mr_spark.streaming.read_change_feed` consumes — together they
+close the reference's full loop: write → notification → incremental view
+maintenance.
+
+Scale note: single-document CRUD is inherently a small-data control path
+(the reference processes one REST call at a time); the bulk path at 100 TB
+is ``create_many``/backfill which writes one DataFrame snapshot. On a real
+cluster the store becomes a Delta table (``MERGE``/``DELETE`` instead of
+snapshot rewrite) and the feed becomes the table's Change Data Feed — same
+interface, zero engine changes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qvarn_mr_spark.operators.incremental import ParquetStateStore
+
+
+class RevisionConflict(Exception):
+    """Optimistic-concurrency failure — the reference's HTTP 409."""
+
+
+@dataclass
+class ResourceStore:
+    spark: SparkSession
+    root: str
+    feed_dir: str | None = None
+    _store: ParquetStateStore = field(init=False)
+    _seq: int = field(init=False, default=0)
+
+    def __post_init__(self):
+        self._store = ParquetStateStore(self.spark, self.root)
+        if self.feed_dir:
+            os.makedirs(self.feed_dir, exist_ok=True)
+
+    # -- notification feed ---------------------------------------------------
+
+    def _emit(self, resource_type: str, change: str, ids: list[str]) -> None:
+        """One JSON-lines file per CRUD call — the feed's ``seq`` preserves
+        emission order (the reference's ``last_modified`` ordering)."""
+        if not self.feed_dir or not ids:
+            return
+        lines = []
+        for rid in ids:
+            self._seq += 1
+            lines.append(json.dumps({
+                "resource_type": resource_type, "resource_change": change,
+                "resource_id": rid, "seq": self._seq}))
+        name = f"{time.time_ns()}-{uuid.uuid4().hex[:8]}.json"
+        tmp = os.path.join(self.feed_dir, "." + name)
+        with open(tmp, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        os.replace(tmp, os.path.join(self.feed_dir, name))
+
+    # -- reads ---------------------------------------------------------------
+
+    def table(self, resource_type: str) -> DataFrame:
+        return self._store.read(resource_type)
+
+    def get(self, resource_type: str, rid: str) -> dict | None:
+        """S2 point lookup."""
+        rows = self.table(resource_type).filter(F.col("id") == rid).collect()
+        return rows[0].asDict() if rows else None
+
+    # -- writes --------------------------------------------------------------
+
+    def create_many(self, resource_type: str, docs: list[dict]) -> list[str]:
+        """S6 insert: assign id + revision, append, emit ``created``."""
+        docs = [{**d, "type": resource_type, "id": uuid.uuid4().hex,
+                 "revision": uuid.uuid4().hex} for d in docs]
+        new = self.spark.createDataFrame(docs)
+        if self._store.exists(resource_type):
+            new = self.table(resource_type).unionByName(
+                new, allowMissingColumns=True)
+        self._store.overwrite(resource_type, new)
+        ids = [d["id"] for d in docs]
+        self._emit(resource_type, "created", ids)
+        return ids
+
+    def create(self, resource_type: str, doc: dict) -> str:
+        return self.create_many(resource_type, [doc])[0]
+
+    def update(self, resource_type: str, rid: str, doc: dict,
+               revision: str | None = None) -> str:
+        """S7 put-by-id with optimistic revision check (409 on mismatch).
+
+        Like the reference client, a caller that omits ``revision`` gets
+        last-writer-wins (auto-fetch, ``clients/qvarn.py:157-168``)."""
+        current = self.get(resource_type, rid)
+        if current is None:
+            raise KeyError(f"{resource_type}/{rid} not found")
+        if revision is not None and revision != current["revision"]:
+            raise RevisionConflict(
+                f"{resource_type}/{rid}: revision {revision!r} is stale")
+        new_rev = uuid.uuid4().hex
+        doc = {**doc, "type": resource_type, "id": rid, "revision": new_rev}
+        others = self.table(resource_type).filter(F.col("id") != rid)
+        merged = others.unionByName(self.spark.createDataFrame([doc]),
+                                    allowMissingColumns=True)
+        self._store.overwrite(resource_type, merged)
+        self._emit(resource_type, "updated", [rid])
+        return new_rev
+
+    def delete_many(self, resource_type: str, ids: list[str]) -> None:
+        """S8 delete, emits ``deleted``."""
+        remaining = self.table(resource_type).filter(~F.col("id").isin(ids))
+        self._store.overwrite(resource_type, remaining)
+        self._emit(resource_type, "deleted", ids)
+
+    def delete(self, resource_type: str, rid: str) -> None:
+        self.delete_many(resource_type, [rid])

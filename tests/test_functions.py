@@ -1,0 +1,171 @@
+"""Unit tests for the function library: text analysis, dedup, similarity,
+multimodal plumbing — known tiny inputs, exact expected outputs."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from qvarn_mr_spark.functions import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat and the dog is in the house"),          # en
+        (1, "der Hund und die Katze ist nicht ein Tier"),     # de
+        (2, "le chat est une bete que la maison pour"),       # fr
+        (3, "xyzzy plugh"),                                   # und
+        (4, ""),                                              # empty
+        (5, "The cat AND the dog -- is in the house!!"),      # near-dup of 0
+        (6, "the cat and the dog is in the house"),           # exact dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def rows_by_id(df, *cols):
+    return {r["doc_id"]: tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_token_and_char_count(docs):
+    out = docs.select("doc_id", text.token_count("text").alias("t"),
+                      text.char_count("text").alias("c"))
+    got = rows_by_id(out, "t", "c")
+    assert got[0] == (9, 35)
+    assert got[3] == (2, 11)
+    assert got[4] == (0, 0)
+
+
+def test_lang_guess(docs):
+    got = rows_by_id(docs.select("doc_id", text.lang_guess("text").alias("l")), "l")
+    assert got[0] == ("en",)
+    assert got[1] == ("de",)
+    assert got[2] == ("fr",)
+    assert got[3] == ("und",)
+    assert got[4] == ("und",)
+
+
+def test_fingerprint_normalizes(docs):
+    got = rows_by_id(docs.select("doc_id", text.fingerprint("text").alias("f")), "f")
+    assert got[0] == got[5] == got[6]      # case/punct-insensitive
+    assert got[0] != got[1]
+
+
+def test_punct_and_stopword_ratio(docs):
+    out = docs.select("doc_id", text.punct_ratio("text").alias("p"),
+                      text.stopword_ratio("text").alias("s"))
+    got = rows_by_id(out, "p", "s")
+    assert got[4] == (0.0, 0.0)
+    assert got[0][0] == 0.0
+    p5 = got[5][0]
+    assert p5 == pytest.approx(4 / 40)     # two '-' + two '!' in 40 chars
+    assert got[0][1] == pytest.approx(6 / 9)  # 3×the + and + is + in / 9 tokens
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs, "doc_id", "text")
+    groups = {r["fp"]: (r["n_dups"], r["keeper_id"]) for r in out.collect()}
+    assert (3, 0) in groups.values()       # docs 0, 5, 6 collapse; keeper 0
+
+
+def test_shingles():
+    from pyspark.sql import SparkSession
+    spark = SparkSession.getActiveSession()
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b")],
+                               "doc_id long, text string")
+    sh = dedup.shingle_table(df, "doc_id", "text")
+    got = {(r["doc_id"], r["shingle"]) for r in sh.collect()}
+    assert got == {(1, "a b c"), (1, "b c d")}   # doc 2 is shorter than k=3
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    out = dedup.ngram_jaccard_pairs(docs, "doc_id", "text")
+    pairs = {(r["a_id"], r["b_id"]): r["jaccard"] for r in out.collect()}
+    assert pairs[(0, 5)] == 1.0            # identical after normalization
+    assert pairs[(0, 6)] == 1.0
+    assert (0, 1) not in pairs
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    cands = dedup.minhash_candidates(docs, "doc_id", "text")
+    got = {(r["a_id"], r["b_id"]): r["n_bands"] for r in cands.collect()}
+    # identical shingle sets agree on every band
+    assert got[(0, 5)] == dedup.MINHASH_BANDS
+    assert got[(0, 6)] == dedup.MINHASH_BANDS
+
+
+def test_simhash_near_dup_close(docs):
+    got = rows_by_id(dedup.simhash(docs, "doc_id", "text"), "simhash")
+    h0, h5, h1 = got[0][0], got[5][0], got[1][0]
+    assert h0 == h5                        # same token set → same signature
+    assert 0 <= h0 < 2 ** dedup.SIMHASH_BITS
+    assert bin(h0 ^ h1).count("1") > 0     # different docs differ
+
+
+def test_knn_bruteforce(spark):
+    vecs = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = similarity.knn_bruteforce(df, "vec_id", "embedding",
+                                    F.col("vec_id") == 0, k=3)
+    ranked = [r["n_id"] for r in out.orderBy("rn").collect()]
+    assert ranked == [1, 2, 3]
+    top = out.filter(F.col("rn") == 1).collect()[0]
+    assert top["cos_sim"] == pytest.approx(0.9 / math.sqrt(0.82), abs=1e-6)
+
+
+def test_ivf_assign(spark):
+    vecs = [(0, [1.0, 0.0]), (100, [0.0, 1.0]),
+            (7, [0.9, 0.2]), (8, [0.1, 0.8])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = similarity.ivf_assign(df, "vec_id", "embedding",
+                                F.col("vec_id") % 100 == 0)
+    got = {r["vec_id"]: r["cluster_id"] for r in out.collect()}
+    assert got == {0: 0, 100: 100, 7: 0, 8: 100}
+
+
+def test_centroid_by_label(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 3.0]), (1, [3.0, 5.0]), (2, [2.0, 2.0])],
+        "label int, embedding array<float>")
+    out = similarity.centroid_by_label(df, "label", "embedding")
+    got = {(r["label"], r["pos"]): r["avg_val"] for r in out.collect()}
+    assert got == {(1, 0): 2.0, (1, 1): 4.0, (2, 0): 2.0, (2, 1): 2.0}
+
+
+# -- multimodal plumbing -----------------------------------------------------
+
+def test_media_features_deterministic(spark):
+    media = multimodal.synthetic_media(spark, n=12)
+    out = multimodal.extract_features(media, decoder=multimodal.fake_decode)
+    rows = out.collect()
+    assert len(rows) == 12
+    for r in rows:
+        assert len(r["feature"]) == multimodal.FEATURE_DIM
+        norm = sum(v * v for v in r["feature"]) ** 0.5
+        assert norm == pytest.approx(1.0)
+    # deterministic: same input → same features
+    again = {r["media_id"]: r["feature"]
+             for r in multimodal.extract_features(
+                 media, decoder=multimodal.fake_decode).collect()}
+    assert again[rows[0]["media_id"]] == rows[0]["feature"]
+
+
+def test_media_decode_stub_raises(spark):
+    media = multimodal.synthetic_media(spark, n=2)
+    with pytest.raises(Exception):   # NotImplementedError inside executor
+        multimodal.extract_features(media).collect()
+
+
+def test_frame_sample_shapes(spark):
+    media = multimodal.synthetic_media(spark, n=9)
+    frames = multimodal.frame_sample(media, every_ms=500)
+    rows = frames.collect()
+    assert rows, "videos must produce frames"
+    videos = {r["meta"]["duration_ms"]: r["media_id"]
+              for r in media.filter("meta.kind = 'video'").collect()}
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r["frame_ts_ms"])
+    for dur, mid in videos.items():
+        assert len(by_media[mid]) == math.ceil(dur / 500)
+    assert all(len(r["frame"]) == 16 for r in rows)

@@ -1,0 +1,102 @@
+"""End-to-end streaming loop: ResourceStore CRUD → notification feed →
+StreamingMaintainer → incrementally maintained views (SURVEY §2.7 T1/T6).
+
+Mirrors the reference worker's drain-and-exit test mode
+(/root/reference/tests/scripts/test_worker.py:87-116): create → process →
+assert; update → process → assert; delete → process → assert.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from qvarn_mr_spark.catalog import Catalog
+from qvarn_mr_spark.operators import (
+    IncrementalEngine,
+    ParquetStateStore,
+    ViewEngine,
+    map_item,
+    reduce_agg,
+)
+from qvarn_mr_spark.operators.incremental import notifications
+from qvarn_mr_spark.sources import ResourceStore, RevisionConflict
+from qvarn_mr_spark.streaming import StreamingMaintainer
+
+
+class StoreCatalog(Catalog):
+    """Catalog view over a live ResourceStore — sources resolve to the
+    store's current snapshot at access time."""
+
+    def __init__(self, spark, rstore, types):
+        super().__init__(spark)
+        self.rstore = rstore
+        self.types = types
+
+    def get(self, name):
+        if name in self.types:
+            return self.rstore.table(name)
+        return super().get(name)
+
+
+@pytest.fixture()
+def loop(spark, tmp_path):
+    rstore = ResourceStore(spark, str(tmp_path / "store"),
+                           feed_dir=str(tmp_path / "feed"))
+    cat = StoreCatalog(spark, rstore, {"source"})
+    eng = ViewEngine(cat, {
+        "source__map": {"source": map_item("key", "value")},
+        "sums": {"source__map": reduce_agg(F.sum)},
+    })
+    inc = IncrementalEngine(eng, ParquetStateStore(spark, str(tmp_path / "state")))
+    sm = StreamingMaintainer(inc, feed_dir=str(tmp_path / "feed"),
+                             checkpoint_dir=str(tmp_path / "ckpt"))
+    return rstore, inc, sm
+
+
+def sums(inc):
+    return {r["_mr_key"]: r["_mr_value"] for r in inc.read("sums").collect()}
+
+
+def test_crud_feed_maintains_view(loop):
+    rstore, inc, sm = loop
+
+    ids = rstore.create_many("source", [
+        {"key": 1, "value": 1}, {"key": 1, "value": 2}, {"key": 1, "value": 3}])
+    sm.run_available()
+    assert sums(inc) == {"1": 6}
+
+    # update values 1→2 and 3→5 (reference golden: 6 → 9 → 4)
+    rstore.update("source", ids[0], {"key": 1, "value": 2})
+    rstore.update("source", ids[2], {"key": 1, "value": 5})
+    sm.run_available()
+    assert sums(inc) == {"1": 9}
+
+    rstore.delete("source", ids[2])
+    sm.run_available()
+    assert sums(inc) == {"1": 4}
+
+    # checkpoint = ack: re-running with no new notifications changes nothing
+    sm.run_available()
+    assert sums(inc) == {"1": 4}
+
+
+def test_revision_conflict(loop):
+    rstore, _, _ = loop
+    rid = rstore.create("source", {"key": 1, "value": 1})
+    rev = rstore.get("source", rid)["revision"]
+    new_rev = rstore.update("source", rid, {"key": 1, "value": 2}, revision=rev)
+    assert new_rev != rev
+    with pytest.raises(RevisionConflict):
+        rstore.update("source", rid, {"key": 1, "value": 3}, revision=rev)
+    # revision-less update = last-writer-wins (reference auto-fetch)
+    rstore.update("source", rid, {"key": 1, "value": 4})
+    assert rstore.get("source", rid)["value"] == 4
+
+
+def test_dead_letter_on_missing_resource(spark, tmp_path, loop):
+    rstore, inc, sm = loop
+    rstore.create("source", {"key": 1, "value": 1})
+    # a notification for an id that is NOT in the store (not-yet-replicated)
+    inc.apply_changes(notifications(spark, [("source", "created", "ghost-id")]))
+    dl = inc.read("source__map__dead_letter").collect()
+    assert [(r["resource_type"], r["resource_id"]) for r in dl] == \
+        [("source", "ghost-id")]
