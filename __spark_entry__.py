@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from qvarn_mr_spark import oracle
 from qvarn_mr_spark.catalog import Catalog, load_tables
 from qvarn_mr_spark.functions import dedup, similarity, text
+from qvarn_mr_spark.operators.sessions import sessionize_sql
 from qvarn_mr_spark.operators.mapreduce import (
     ViewEngine,
     map_expr,
@@ -257,6 +258,14 @@ def q_events_hourly(spark, sf_dir):
                  F.round(F.sum("value"), 2).alias("sum_value")))
 
 
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization — event-time extension (T10), exact batch
+    form of the streaming stateful operator (streaming/stateful.py)."""
+    from qvarn_mr_spark.operators.sessions import sessionize
+    ev = _t(spark, sf_dir, "events")["events"]
+    return sessionize(ev, gap_minutes=30)
+
+
 def q_events_top_users(spark, sf_dir):
     """K1 top-k over grouped aggregation with distinct count."""
     ev = _t(spark, sf_dir, "events")["events"]
@@ -357,6 +366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_topk_revenue": q3_topk_revenue,
         "q5_region_revenue": q5_region_revenue,
         "events_hourly": q_events_hourly,
+        "events_sessionize": q_events_sessionize,
         "events_top_users": q_events_top_users,
         "text_profile": q_text_profile,
         "dedup_exact": q_dedup_exact,
@@ -490,6 +500,7 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
         """,
+        "events_sessionize": sessionize_sql(gap_minutes=30),
         "events_top_users": """
             SELECT user_id, count(*) AS n_events,
                    round(sum(value), 2) AS total_value,

@@ -63,8 +63,10 @@ def _normalize(df: DataFrame) -> DataFrame:
     from pyspark.sql import types as T
 
     if "ts" in df.columns and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer `div`, not `/`: float division of an ~1.7e18 ns epoch loses
+        # sub-µs precision (double mantissa ≈ 9e15) and drifts vs engines
+        # that truncate exactly
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

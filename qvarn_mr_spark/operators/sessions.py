@@ -1,0 +1,85 @@
+"""Event-time operators: gap-based sessionization and tumbling windows.
+
+The reference has no event-time semantics at all (SURVEY §2.7 T10 — "late
+data is just the next notification"); these are the standard extensions a
+stream/event table needs. Both have exact batch forms (SQL-expressible, so
+DuckDB-oracle-checkable) and streaming twins in
+``qvarn_mr_spark.streaming.stateful``.
+
+Scale: sessionize is one shuffle (by user) + two window passes over sorted
+partitions; the tumbling window is a plain hash aggregate. Skewed users
+(bots with millions of events) are the known hazard — AQE skew handling
+covers the join case; for the window pass, a pathological single-user
+partition would need a two-level (user, day) pre-split, noted inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30,
+               user_col: str = "user_id", ts_col: str = "ts",
+               id_col: str = "event_id") -> DataFrame:
+    """Gap-based sessions: a new session starts when the time since the
+    user's previous event exceeds ``gap_minutes``.
+
+    Classic two-window formulation: lag → new-session flag → running sum =
+    session index; then one aggregate per (user, session). Both window
+    passes share the same (user) partitioning and (ts, id) ordering, so
+    Catalyst plans ONE shuffle + one sort for all of it.
+
+    Returns ``(user_id, session_idx, n_events, session_start, session_end,
+    duration_s)`` with timestamps formatted as strings for engine-portable
+    comparison.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    w = (Window.partitionBy(user_col).orderBy(ts_col, id_col))
+    us = F.unix_micros(F.col(ts_col))
+    prev = F.lag(us).over(w)
+    new_sess = F.when(prev.isNull() | ((us - prev) > gap_us), 1).otherwise(0)
+    with_idx = events.withColumn(
+        "session_idx",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return (with_idx.groupBy(user_col, "session_idx")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.date_format(F.min(ts_col), fmt).alias("session_start"),
+                 F.date_format(F.max(ts_col), fmt).alias("session_end"),
+                 # floor, not cast: double→int casts truncate in Spark but
+                 # round in other engines — floor is unambiguous in both
+                 F.floor((F.unix_micros(F.max(ts_col))
+                          - F.unix_micros(F.min(ts_col))) / 1_000_000.0)
+                 .cast("long").alias("duration_s")))
+
+
+def sessionize_sql(gap_minutes: int = 30, table: str = "events") -> str:
+    """DuckDB oracle twin of :func:`sessionize` (generated here so the gap
+    constant can never drift between the two)."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap_us}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM {table}
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+indexed AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(floor((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0)
+            AS BIGINT) AS duration_s
+FROM indexed
+GROUP BY 1, 2
+"""

@@ -1,0 +1,127 @@
+"""Streaming event-time operators: watermarked windows and custom state.
+
+The streaming twins of ``operators/sessions.py`` (SURVEY §2.7 T10 — absent
+in the reference, standard on Spark):
+
+- :func:`windowed_counts` — tumbling event-time windows with a watermark:
+  late events inside the watermark still update their window; beyond it the
+  state is dropped (bounded memory at any scale).
+- :func:`sessionize_stream` — gap sessions as a *custom stateful operator*
+  via ``applyInPandasWithState``: per-user state carries the open session
+  across micro-batches; a processing-time timeout flushes sessions whose
+  gap elapsed between batches. This is the pattern for any operator Spark's
+  built-ins can't express (SURVEY §2.7 T5's "true rolling state" variant of
+  the reference's full-group recompute).
+
+State scale: both operators shuffle by key once per batch; state size is
+O(open windows) / O(active users), not O(events) — the property that lets a
+100 TB/day stream run on fixed executor memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def windowed_counts(stream: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours",
+                    ts_col: str = "ts") -> DataFrame:
+    """Tumbling-window counts/sums per event_type with late-data handling."""
+    return (stream
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(ts_col, window).alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.date_format("win.start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("hour"), "event_type", "n_events", "sum_value"))
+
+
+SESSION_STATE_SCHEMA = "start long, last long, n long"
+SESSION_OUT_SCHEMA = ("user_id long, session_start long, session_end long, "
+                      "n_events long")
+
+
+def _session_fn(gap_us: int):
+    """Build the per-group state-update function for gap sessions.
+
+    State = (start, last, n) of the open session in epoch-µs. Data batch:
+    sort the group's events, extend or cut sessions on gap, emit every
+    CLOSED session, keep the open one in state with an **event-time**
+    timeout at last+gap — when the watermark passes it, the session flushes
+    even if the user goes silent. Event-time (not processing-time) timers
+    are what make the operator replayable: a backfill run over a year of
+    history fires the same timers in event order instead of waiting
+    wall-clock gaps."""
+
+    def update(key: tuple, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        closed: list[tuple[int, int, int]] = []
+        if state.hasTimedOut:
+            if state.exists:
+                s, last, n = state.get
+                closed.append((s, last, n))
+                state.remove()
+        else:
+            ts_all: list[int] = []
+            for pdf in pdfs:
+                # timestamp col arrives as datetime64[ns] → exact µs
+                ts_all.extend(int(t) for t in
+                              pdf["ts"].astype("int64") // 1000)
+            ts_all.sort()
+            if state.exists:
+                cur_start, cur_last, cur_n = state.get
+            else:
+                cur_start = cur_last = cur_n = None
+            for t in ts_all:
+                if cur_start is None:
+                    cur_start, cur_last, cur_n = t, t, 1
+                elif t - cur_last > gap_us:
+                    closed.append((cur_start, cur_last, cur_n))
+                    cur_start, cur_last, cur_n = t, t, 1
+                else:
+                    cur_last, cur_n = t, cur_n + 1
+            if cur_start is not None:
+                deadline_ms = (cur_last + gap_us) // 1000
+                wm_ms = state.getCurrentWatermarkMs()
+                if deadline_ms <= wm_ms:
+                    # gap already elapsed in event time — close immediately
+                    closed.append((cur_start, cur_last, cur_n))
+                    if state.exists:
+                        state.remove()
+                else:
+                    state.update((cur_start, cur_last, cur_n))
+                    state.setTimeoutTimestamp(deadline_ms)
+        if closed:
+            yield pd.DataFrame({
+                "user_id": [user_id] * len(closed),
+                "session_start": [c[0] for c in closed],
+                "session_end": [c[1] for c in closed],
+                "n_events": [c[2] for c in closed]})
+
+    return update
+
+
+def sessionize_stream(stream: DataFrame, gap_minutes: int = 30,
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      watermark: str = "0 seconds") -> DataFrame:
+    """Gap-based sessionization as a custom stateful streaming operator.
+
+    ``watermark`` is the allowed event lateness; sessions close either by a
+    newer in-gap-exceeding event or by the watermark passing last+gap."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    prepared = (stream.withWatermark(ts_col, watermark)
+                .select(F.col(user_col).cast("long").alias("user_id"),
+                        F.col(ts_col).alias("ts")))
+    return (prepared.groupBy("user_id").applyInPandasWithState(
+        _session_fn(gap_us),
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout))

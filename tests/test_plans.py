@@ -1,0 +1,90 @@
+"""Plan-shape regression tests — the 100 TB contract (SURVEY §4).
+
+Correctness tests prove the small-scale answer; these prove the *plan* is
+the one that survives a 1000-executor cluster: filters reach the parquet
+scan, projections prune the read schema, dimension joins broadcast, top-k
+never globally sorts, and aggregation is partial+final.
+"""
+
+import pytest
+
+import __spark_entry__ as entry
+from qvarn_mr_spark.plans import (
+    assert_broadcast_join,
+    assert_columns_pruned,
+    assert_filter_pushed,
+    assert_max_shuffles,
+    assert_no_shuffle_join,
+    assert_partial_aggregation,
+    assert_top_k,
+)
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    def run(name):
+        return entry.queries()[name](spark, sf_dir)
+    return run
+
+
+def test_search_pushes_down_and_prunes(q):
+    df = q("search_exact_ci")
+    # only the shown columns + the filter column are read (4 of 5)
+    assert_columns_pruned(df, "customer.parquet", 4)
+    assert_filter_pushed(df, "customer.parquet", "IsNotNull(c_mktsegment)")
+
+
+def test_q1_scan_shape(q):
+    df = q("q1_pricing")
+    assert_filter_pushed(df, "lineitem.parquet", "LessThanOrEqual(l_shipdate")
+    assert_columns_pruned(df, "lineitem.parquet", 7)   # 7 of 11 columns
+    assert_partial_aggregation(df)
+    assert_max_shuffles(df, 1)                          # one agg shuffle only
+
+
+def test_q3_broadcasts_and_takeordered(q):
+    df = q("q3_topk_revenue")
+    assert_broadcast_join(df, 2)       # orders + customer build sides
+    assert_no_shuffle_join(df)
+    assert_top_k(df)
+    assert_filter_pushed(df, "orders.parquet", "LessThan(o_orderdate")
+    assert_filter_pushed(df, "lineitem.parquet", "GreaterThan(l_shipdate")
+    assert_columns_pruned(df, "customer.parquet", 2)
+
+
+def test_q5_star_join_all_broadcast(q):
+    df = q("q5_region_revenue")
+    assert_broadcast_join(df, 3)       # supplier, customer, nation(+region)
+    assert_no_shuffle_join(df)         # the fact table is never shuffled
+    assert_max_shuffles(df, 1)         # only the final groupBy
+
+
+def test_mr_pipeline_single_shuffle(q):
+    # map stage is narrow; reduce is one partial+final hash aggregate
+    df = q("mr_sum")
+    assert_partial_aggregation(df)
+    assert_max_shuffles(df, 1)
+
+
+def test_mr_join_aggregates_before_join(q):
+    from qvarn_mr_spark.plans import explain_str
+    df = q("mr_join")
+    txt = explain_str(df, "formatted")
+    # per-type last-writer aggregation must happen BEFORE the N-way join —
+    # max_by partials prove the pre-join dedup that keeps join inputs 1 row/key
+    assert "partial_max_by" in txt
+
+
+def test_topk_queries_never_global_sort(q):
+    assert_top_k(q("events_top_users"))
+
+
+def test_knn_broadcasts_queries(q):
+    # query side broadcast: the corpus is never shuffled for scoring
+    assert_broadcast_join(q("knn_bruteforce"), 1)
+
+
+def test_dedup_exact_partial_agg(q):
+    df = q("dedup_exact")
+    assert_partial_aggregation(df)
+    assert_max_shuffles(df, 1)

@@ -1,0 +1,94 @@
+"""Streaming event-time operators: watermarked windows match their batch
+twin; applyInPandasWithState sessionization carries state across batches."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from qvarn_mr_spark.catalog import load_tables
+from qvarn_mr_spark.streaming import sessionize_stream, windowed_counts
+
+EV_DDL = ("event_id long, ts timestamp, user_id long, event_type string, "
+          "value double, props string")
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """The driver's events table rewritten as a streamable parquet dir
+    (ts already converted ns→timestamp)."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    load_tables(spark, sf_dir, tables=("events",))["events"] \
+        .coalesce(2).write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_windowed_counts_stream_matches_batch(spark, events_dir, tmp_path):
+    stream = spark.readStream.schema(EV_DDL).parquet(events_dir)
+    got = []
+    q = (windowed_counts(stream, window="1 hour", watermark="2 hours")
+         .writeStream.outputMode("complete")
+         .foreachBatch(lambda b, _: got.extend(b.collect()) if not b.isEmpty() else None)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    batch = spark.read.schema(EV_DDL).parquet(events_dir)
+    expected = {tuple(r) for r in windowed_counts(batch).collect()}
+    assert {tuple(r) for r in got} == expected
+    assert len(got) > 100
+
+
+def test_sessionize_stream_state_across_batches(spark, tmp_path):
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    ck = str(tmp_path / "ck")
+
+    def emit(name, rows):
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"tmp_{name}"))
+        # move files into the feed dir so the file source sees one new file
+        import glob
+        import shutil
+        for i, f in enumerate(glob.glob(str(tmp_path / f"tmp_{name}" / "*.parquet"))):
+            shutil.move(f, str(feed / f"{name}-{i}.parquet"))
+
+    def run(collected):
+        stream = spark.readStream.schema("user_id long, ts timestamp") \
+            .parquet(str(feed))
+        q = (sessionize_stream(stream, gap_minutes=30)
+             .writeStream.outputMode("append")
+             .foreachBatch(lambda b, _: collected.extend(b.collect()))
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    from datetime import datetime
+
+    def T(hhmm):
+        return datetime.fromisoformat(f"2024-01-01 {hhmm}:00")
+
+    def key(rows):
+        return {(r["user_id"], r["n_events"],
+                 r["session_start"] // 1_000_000 % 86400 // 60) for r in rows}
+
+    emit("b1", [(1, T("10:00")), (1, T("10:10")),
+                (1, T("11:30")),       # gap > 30 min → 2nd session
+                (2, T("10:00"))])
+    got1 = []
+    run(got1)
+    # user 1's first session closes by gap; user 2's closes by event-time
+    # timer (watermark reaches 11:30 > 10:00+gap). user 1's 11:30 session
+    # stays open in state.
+    assert key(got1) == {(1, 2, 600), (2, 1, 600)}   # starts at minute 600
+
+    # next batch: user 1 continues within gap (11:40); user 2 starts anew
+    emit("b2", [(1, T("11:40")), (2, T("12:00"))])
+    got2 = []
+    run(got2)
+    assert got2 == []                 # everything still open
+
+    # third batch: user 1 exceeds gap → the session merged ACROSS b1/b2
+    # closes with start 11:30 (minute 690) and 2 events
+    emit("b3", [(1, T("12:30"))])
+    got3 = []
+    run(got3)
+    assert key(got3) == {(1, 2, 690)}
