@@ -162,9 +162,16 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def minhash_candidates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """LSH candidate pairs: documents agreeing on ≥1 band.
 
-    Bucket self-join per band position — the LSH trick: only rows in the same
-    (band_pos, signature) bucket ever meet, so candidate generation is
-    O(bucket collisions), never O(n²). Returns ``(a_id, b_id, n_bands)``.
+    Group signatures into (band_pos, signature) buckets and expand each
+    bucket's pairs in place (sorted ``collect_list`` → nested ``transform``
+    → ``explode``) — the LSH trick: only same-bucket rows ever pair, so
+    candidate generation is O(bucket collisions), never O(n²). Grouping
+    beats a bucket self-join by computing the signature subtree once
+    instead of twice. Returns ``(a_id, b_id, n_bands)``.
+
+    Skew note: a degenerate bucket of m docs expands m²/2 pairs inside one
+    row — with honest hash functions m stays tiny; a corpus with massive
+    exact-dup clusters should run :func:`exact_dedup` first.
     """
     sigs = minhash_signatures(df, id_col, text_col)
     melted = sigs.select(
@@ -173,14 +180,17 @@ def minhash_candidates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                                for b in range(MINHASH_BANDS)]))
         .alias("band_pos", "sig"),
     )
-    a = melted.select(F.col("doc_id").alias("a_id"), "band_pos", "sig")
-    b = melted.select(F.col("doc_id").alias("b_id"), "band_pos", "sig")
-    return (
-        a.join(b, ["band_pos", "sig"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("n_bands"))
-    )
+    buckets = (melted.groupBy("band_pos", "sig")
+               .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+               .filter(F.size("ids") > 1))
+    pairs = buckets.select(F.explode(F.flatten(F.transform(
+        F.col("ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+            lambda y: F.struct(x.alias("a_id"), y.alias("b_id")))))).alias("p"))
+    return (pairs.select("p.a_id", "p.b_id")
+            .groupBy("a_id", "b_id")
+            .agg(F.count(F.lit(1)).alias("n_bands")))
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
