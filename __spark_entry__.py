@@ -167,6 +167,57 @@ def q_mr_wordcount(spark, sf_dir):
     return eng.reduce_table("wc")
 
 
+def q_mr_median_pandas(spark, sf_dir):
+    """U1/A5 escape hatch: arbitrary-Python grouped reduce via
+    ``applyInPandas`` (Arrow-batched) — median is not decomposable, the
+    exact case the reference's opaque reduce handlers served."""
+    import numpy as np
+    import pandas as pd
+
+    from qvarn_mr_spark.operators.mapreduce import reduce_pandas
+
+    def med(key, pdf):
+        return pd.DataFrame({"_mr_key": [key[0]],
+                             "median_price":
+                             [round(float(np.median(pdf["_mr_value"])), 4)]})
+
+    eng = _engine(spark, sf_dir, {
+        "med__map": {"orders": map_item("o_orderpriority", "o_totalprice")},
+        "med": {"med__map": reduce_pandas(
+            med, "_mr_key string, median_price double")},
+    }, "orders")
+    return eng.reduce_table("med")
+
+
+def q_except_unused_parts(spark, sf_dir):
+    """U2 set ops: EXCEPT DISTINCT — parts with no shipment in 2001H2."""
+    t = _t(spark, sf_dir, "part", "lineitem")
+    parts = t["part"].select("p_partkey")
+    used = (t["lineitem"].filter(F.col("l_shipdate") >= F.lit("2001-06-01"))
+            .select(F.col("l_partkey").alias("p_partkey")))
+    return parts.subtract(used)
+
+
+def q_intersect_nations(spark, sf_dir):
+    """U2 set ops: INTERSECT — nations with both customers and suppliers."""
+    t = _t(spark, sf_dir, "customer", "supplier")
+    cn = t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+    sn = t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+    return cn.intersect(sn)
+
+
+def q6_selective_sum(spark, sf_dir):
+    """TPC-H Q6 shape: pure filter + global aggregate — every predicate must
+    reach the parquet scan (row-group skipping does the work at 100 TB)."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return (li.filter((F.col("l_shipdate") >= F.lit("1994-01-01"))
+                      & (F.col("l_shipdate") < F.lit("1995-01-01"))
+                      & (F.col("l_discount").between(0.05, 0.07))
+                      & (F.col("l_quantity") < 24))
+            .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")),
+                         2).alias("revenue")))
+
+
 def q_window_latest(spark, sf_dir):
     """W1 newest-row-per-key (the reference's per-key newest-wins dedup,
     processor.py:181-189)."""
@@ -360,6 +411,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mr_dict_map": q_mr_dict_map,
         "mr_join": q_mr_join,
         "mr_wordcount": q_mr_wordcount,
+        "mr_median_pandas": q_mr_median_pandas,
+        "except_unused_parts": q_except_unused_parts,
+        "intersect_nations": q_intersect_nations,
+        "q6_selective_sum": q6_selective_sum,
         "window_latest": q_window_latest,
         "agg_rollup": q_agg_rollup,
         "q1_pricing": q1_pricing,
@@ -437,6 +492,29 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
                     AS tok FROM documents)
             WHERE tok != '' GROUP BY 1
+        """,
+        "mr_median_pandas": """
+            SELECT o_orderpriority AS _mr_key,
+                   round(median(o_totalprice), 4) AS median_price
+            FROM orders GROUP BY 1
+        """,
+        "except_unused_parts": """
+            SELECT p_partkey FROM part
+            EXCEPT
+            SELECT l_partkey FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '2001-06-01 00:00:00'
+        """,
+        "intersect_nations": """
+            SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT SELECT s_nationkey FROM supplier
+        """,
+        "q6_selective_sum": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
         """,
         "window_latest": """
             SELECT o_custkey, o_orderkey,
