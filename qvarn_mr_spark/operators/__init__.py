@@ -8,6 +8,8 @@ from qvarn_mr_spark.operators.mapreduce import (
     reduce_pandas,
 )
 from qvarn_mr_spark.operators.incremental import IncrementalEngine, ParquetStateStore
+from qvarn_mr_spark.operators.sessions import sessionize
+from qvarn_mr_spark.operators.skew import salted_join, topk_per_key
 
 __all__ = [
     "ViewEngine",
@@ -19,4 +21,7 @@ __all__ = [
     "reduce_pandas",
     "IncrementalEngine",
     "ParquetStateStore",
+    "sessionize",
+    "salted_join",
+    "topk_per_key",
 ]

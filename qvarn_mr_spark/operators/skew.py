@@ -1,0 +1,76 @@
+"""Skew-handling operators for heavy-hitter keys.
+
+At 100 TB the failure mode isn't logic — it's one reducer holding a key
+with 10⁹ rows. Spark already covers two cases for free: map-side partial
+aggregation (decomposable aggs never concentrate raw rows) and AQE skew-join
+splitting (enabled in session.py, sort-merge joins only). What remains, and
+what this module provides:
+
+- :func:`salted_join` — broadcast-free equi-join where the build side is
+  small-ish but the probe side has heavy-hitter keys and AQE can't help
+  (e.g. the chosen plan is a shuffled hash join, or a streaming foreachBatch
+  where AQE is off). Probe rows get a deterministic salt; build rows are
+  replicated ``salt`` ways; the hot key's rows spread over ``salt``
+  reducers.
+- :func:`topk_per_key` — per-key top-k without a single-partition window:
+  the naive ``row_number() OVER (PARTITION BY key)`` sends ALL rows of the
+  hottest key to one task. Two-phase form: local top-k per (key, salt),
+  then top-k over the ≤ salt·k survivors — the heavy key's work spreads
+  over ``salt`` tasks and the final pass touches a bounded row count.
+
+Both are pure DataFrame compositions (no UDFs) and deterministic: salts
+come from hashing stable columns, never ``rand()`` (retries must not
+reshuffle rows between salts mid-job).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _salt_of(cols: list[str], n: int) -> Column:
+    """Deterministic salt in [0, n): hash of stable columns. Using data
+    columns (not rand) keeps task retries idempotent."""
+    return F.pmod(F.hash(*[F.col(c) for c in cols]), F.lit(n))
+
+
+def salted_join(probe: DataFrame, build: DataFrame, key: str,
+                salt: int = 16, salt_cols: list[str] | None = None,
+                how: str = "inner") -> DataFrame:
+    """Equi-join with the probe side's hot keys spread over ``salt``
+    reducers.
+
+    ``build`` is replicated ``salt`` ways (explode of a literal range) —
+    its shuffle volume multiplies by ``salt``, so use this when
+    |build| ≪ |probe| but build is too big to broadcast outright.
+    ``salt_cols`` picks the probe columns hashed for the salt (defaults to
+    all non-key columns, falling back to the key itself)."""
+    salt_cols = salt_cols or [c for c in probe.columns if c != key] or [key]
+    p = probe.withColumn("_salt", _salt_of(salt_cols, salt))
+    b = build.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    out = p.join(b, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
+def topk_per_key(df: DataFrame, key_cols: list[str], order_col: str,
+                 k: int, salt: int = 16,
+                 tiebreak: list[str] | None = None) -> DataFrame:
+    """Top-k rows per key by ``order_col`` (descending), skew-safe.
+
+    Phase 1: rank within (key, salt) — the hot key's rows split across
+    ``salt`` tasks; keep each shard's top k. Phase 2: rank the ≤ salt·k
+    survivors per key. Output equals the naive single-window form (given a
+    deterministic ``tiebreak``), with an added ``rn`` rank column."""
+    tiebreak = tiebreak or []
+    order = [F.desc(order_col)] + [F.asc(c) for c in tiebreak]
+    shard_cols = tiebreak or [order_col]
+    salted = df.withColumn("_salt", _salt_of(shard_cols, salt))
+    w1 = Window.partitionBy(*key_cols, "_salt").orderBy(*order)
+    local = (salted.withColumn("_lrn", F.row_number().over(w1))
+             .filter(F.col("_lrn") <= k))
+    w2 = Window.partitionBy(*key_cols).orderBy(*order)
+    return (local.withColumn("rn", F.row_number().over(w2))
+            .filter(F.col("rn") <= k)
+            .drop("_salt", "_lrn"))

@@ -2,5 +2,11 @@
 change-notification emission, CDC feeds (SURVEY §2.1)."""
 
 from qvarn_mr_spark.sources.resource_store import ResourceStore, RevisionConflict
+from qvarn_mr_spark.sources.writers import (
+    read_partitioned,
+    write_bucketed,
+    write_partitioned,
+)
 
-__all__ = ["ResourceStore", "RevisionConflict"]
+__all__ = ["ResourceStore", "RevisionConflict", "read_partitioned",
+           "write_bucketed", "write_partitioned"]
