@@ -1,0 +1,95 @@
+"""Property-based tests (hypothesis) — beyond the reference's test strategy
+(SURVEY §5: "no property-based/randomized testing").
+
+Each property checks a Spark operator against an independent pure-Python
+model on randomized inputs: the search surface vs a naive row filter, and
+the dedup primitives vs set arithmetic.
+"""
+
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from qvarn_mr_spark.functions import dedup
+from qvarn_mr_spark.query import search
+
+WORDS = ["spark", "table", "row", "key", "value", "scan", "merge", "the", "a"]
+texts = st.lists(st.sampled_from(WORDS), min_size=0, max_size=12).map(" ".join)
+names = st.text(alphabet="abcXYZ ", min_size=0, max_size=8)
+
+
+def _tokens(s):
+    return [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+
+
+def _shingles(s, k=3):
+    t = _tokens(s)
+    return {" ".join(t[i:i + k]) for i in range(len(t) - k + 1)}
+
+
+@pytest.fixture(scope="module")
+def mk_df(spark):
+    def make(rows, schema):
+        return spark.createDataFrame(rows, schema)
+    return make
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(names, min_size=1, max_size=6), names)
+def test_search_exact_matches_python_model(mk_df, vals, needle):
+    df = mk_df([(i, v) for i, v in enumerate(vals)], "id long, name string")
+    got = sorted(r["id"] for r in search(df, name=needle).collect())
+    want = sorted(i for i, v in enumerate(vals)
+                  if v.lower() == needle.lower())
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(texts, min_size=1, max_size=5))
+def test_shingle_table_matches_python_model(mk_df, docs):
+    df = mk_df(list(enumerate(docs)), "doc_id long, text string")
+    got = {}
+    for r in dedup.shingle_table(df, "doc_id", "text").collect():
+        got.setdefault(r["doc_id"], set()).add(r["shingle"])
+    want = {i: _shingles(d) for i, d in enumerate(docs) if _shingles(d)}
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(texts, min_size=2, max_size=5))
+def test_jaccard_matches_set_arithmetic(mk_df, docs):
+    df = mk_df(list(enumerate(docs)), "doc_id long, text string")
+    got = {(r["a_id"], r["b_id"]): (r["n_common"], r["jaccard"])
+           for r in dedup.ngram_jaccard_pairs(df, "doc_id", "text",
+                                              min_common=1).collect()}
+    sh = {i: _shingles(d) for i, d in enumerate(docs)}
+    for a in sh:
+        for b in sh:
+            if a < b and sh[a] and sh[b]:
+                common = len(sh[a] & sh[b])
+                if common >= 1:
+                    n, j = got[(a, b)]
+                    assert n == common
+                    assert j == round(common / len(sh[a] | sh[b]), 6)
+                else:
+                    assert (a, b) not in got
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(texts, min_size=1, max_size=4))
+def test_simhash_is_permutation_invariant(mk_df, docs):
+    df = mk_df(list(enumerate(docs)), "doc_id long, text string")
+    base = {r["doc_id"]: r["simhash"]
+            for r in dedup.simhash(df, "doc_id", "text").collect()}
+    shuffled = [" ".join(reversed(d.split())) for d in docs]
+    df2 = mk_df(list(enumerate(shuffled)), "doc_id long, text string")
+    perm = {r["doc_id"]: r["simhash"]
+            for r in dedup.simhash(df2, "doc_id", "text").collect()}
+    # token-set semantics: word order never changes the signature
+    assert base == perm

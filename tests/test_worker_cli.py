@@ -1,0 +1,52 @@
+"""Worker CLI end-to-end — the reference's qvarnmr-worker drain-and-exit
+flow (/root/reference/tests/scripts/test_worker.py) through
+``qvarn_mr_spark.worker.main``."""
+
+import json
+import sys
+import textwrap
+
+from qvarn_mr_spark import worker
+
+
+def test_worker_resync_and_drain(spark, sf_dir, tmp_path, capsys):
+    # a handlers-config module, imported by dotted path like the reference
+    mod_dir = tmp_path / "mods"
+    mod_dir.mkdir()
+    (mod_dir / "myviews.py").write_text(textwrap.dedent("""
+        from pyspark.sql import functions as F
+        from qvarn_mr_spark.operators import map_item, reduce_agg
+        CONFIG = {
+            "ev__map": {"events": map_item("event_type", "value")},
+            "value_by_type": {"ev__map": reduce_agg(
+                {"total": lambda c: F.round(F.sum(c), 2)})},
+        }
+        ID_COLS = {"events": "event_id"}
+    """))
+    sys.path.insert(0, str(mod_dir))
+    try:
+        feed = tmp_path / "feed"
+        feed.mkdir()
+        # one pending notification referencing a real event id
+        (feed / "n1.json").write_text(json.dumps(
+            {"resource_type": "events", "resource_change": "updated",
+             "resource_id": "0", "seq": 1}) + "\n")
+        worker.main([
+            "--handlers", "myviews:CONFIG",
+            "--tables", sf_dir,
+            "--state", str(tmp_path / "state"),
+            "--feed", str(feed),
+        ])
+    finally:
+        sys.path.remove(str(mod_dir))
+
+    out = capsys.readouterr().out
+    assert "resynced: ev__map, value_by_type" in out
+    assert "feed drained" in out
+
+    # the view materialized and covers every event type
+    from qvarn_mr_spark.operators import ParquetStateStore
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+    rows = {r["_mr_key"]: r["total"]
+            for r in store.read("value_by_type").collect()}
+    assert len(rows) == 5 and all(v > 0 for v in rows.values())
