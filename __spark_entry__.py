@@ -390,6 +390,20 @@ def q_centroid_by_label(spark, sf_dir):
     return similarity.centroid_by_label(emb, "label", "embedding")
 
 
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: binary media → Arrow-batched mapInPandas feature
+    extraction (deterministic fake codec — the real decode is stubbed, the
+    Spark-side schema/batching/partitioning is real). No SQL oracle: binary
+    payload ops aren't SQL-expressible — driver records rows-only."""
+    from qvarn_mr_spark.functions import multimodal
+    media = multimodal.synthetic_media(spark, n=64)
+    feats = multimodal.extract_features(media, decoder=multimodal.fake_decode)
+    return feats.select("media_id", F.col("meta.kind").alias("kind"),
+                        F.round(F.aggregate(F.col("feature"), F.lit(0.0),
+                                            lambda a, x: a + x), 6)
+                        .alias("feature_sum"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -432,6 +446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn,
         "ivf_assign": q_ivf_assign,
         "centroid_by_label": q_centroid_by_label,
+        "multimodal_features": q_multimodal_features,
     }
 
 

@@ -125,6 +125,53 @@ class ResourceStore:
         self._emit(resource_type, "updated", [rid])
         return new_rev
 
+    # -- subresources --------------------------------------------------------
+    #
+    # Reference: a secondary prototype attached to a resource, fetched and
+    # updated separately (`/persons/<id>/private` —
+    # ``/root/reference/qvarnmr/clients/qvarn.py:111-127``,
+    # ``testing/realqvarn.py:39-94``). Updating a subresource regenerates the
+    # parent's revision and emits ``updated`` on the parent, which is what
+    # drives derived views that consume subresource fields.
+
+    def _sub_table(self, resource_type: str, sub: str) -> str:
+        return f"{resource_type}__sub__{sub}"
+
+    def put_subresource(self, resource_type: str, rid: str, sub: str,
+                        doc: dict, revision: str | None = None) -> str:
+        """Upsert the ``sub`` document of resource ``rid``; bumps the parent
+        revision (optimistic check as in :meth:`update`) and emits
+        ``updated`` for the parent."""
+        table = self._sub_table(resource_type, sub)
+        row = {**doc, "id": rid}
+        if self._store.exists(table):
+            others = self._store.read(table).filter(F.col("id") != rid)
+            merged = others.unionByName(self.spark.createDataFrame([row]),
+                                        allowMissingColumns=True)
+        else:
+            merged = self.spark.createDataFrame([row])
+        self._store.overwrite(table, merged)
+        # reuse update() for the revision bump + notification; parent fields
+        # unchanged
+        parent = self.get(resource_type, rid)
+        if parent is None:
+            raise KeyError(f"{resource_type}/{rid} not found")
+        parent.pop("revision", None)
+        return self.update(resource_type, rid, parent, revision=revision)
+
+    def get_subresource(self, resource_type: str, rid: str,
+                        sub: str) -> dict | None:
+        table = self._sub_table(resource_type, sub)
+        if not self._store.exists(table):
+            return None
+        rows = self._store.read(table).filter(F.col("id") == rid).collect()
+        return rows[0].asDict() if rows else None
+
+    def subresource_table(self, resource_type: str, sub: str) -> DataFrame:
+        """The whole subresource collection keyed by parent id — join input
+        for views that need parent+sub fields."""
+        return self._store.read(self._sub_table(resource_type, sub))
+
     def delete_many(self, resource_type: str, ids: list[str]) -> None:
         """S8 delete, emits ``deleted``."""
         remaining = self.table(resource_type).filter(~F.col("id").isin(ids))

@@ -92,6 +92,22 @@ def test_revision_conflict(loop):
     assert rstore.get("source", rid)["value"] == 4
 
 
+def test_subresources(loop):
+    rstore, _, _ = loop
+    rid = rstore.create("source", {"key": 1, "value": 1})
+    rev0 = rstore.get("source", rid)["revision"]
+    rstore.put_subresource("source", rid, "private", {"secret": "s3"})
+    assert rstore.get_subresource("source", rid, "private")["secret"] == "s3"
+    # parent revision bumped, parent fields intact
+    parent = rstore.get("source", rid)
+    assert parent["revision"] != rev0 and parent["value"] == 1
+    # upsert replaces, and the collection joins by parent id
+    rstore.put_subresource("source", rid, "private", {"secret": "s4"})
+    assert rstore.get_subresource("source", rid, "private")["secret"] == "s4"
+    assert rstore.subresource_table("source", "private").count() == 1
+    assert rstore.get_subresource("source", rid, "nothere") is None
+
+
 def test_dead_letter_on_missing_resource(spark, tmp_path, loop):
     rstore, inc, sm = loop
     rstore.create("source", {"key": 1, "value": 1})
