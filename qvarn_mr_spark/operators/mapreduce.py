@@ -157,13 +157,23 @@ class ConfigError(ValueError):
     pass
 
 
-def validate_config(config: dict) -> None:
-    """Enforce the reference's handler-config invariants
+def validate_config(config: dict, strict: bool = True) -> None:
+    """Validate a handler config.
+
+    ``strict=True`` (compat mode) enforces the reference's invariants
     (``validation.py:6-94``, tests ``tests/test_validation.py``):
 
     - every target's handlers are single-typed (all map or all reduce)
     - a reduce target has exactly one source
     - a reduce source must itself be a map target defined in the config
+      (⇒ pipeline depth is exactly map→reduce)
+
+    ``strict=False`` (extended mode) keeps single-typedness and the
+    one-source-per-reduce rule but lets ANY handler read a derived target —
+    map-over-reduce, reduce-of-reduce, arbitrary DAG depth. Spark composes
+    DataFrame stages freely; the reference's depth limit exists only
+    because its engine routes one notification at a time. Cycles are
+    rejected (a view DAG must be a DAG).
     """
     map_targets = set()
     for target, sources in config.items():
@@ -181,8 +191,29 @@ def validate_config(config: dict) -> None:
             if len(specs) != 1:
                 raise ConfigError(f"{target}: reduce target must have exactly one source")
             src = specs[0][0]
-            if src not in map_targets:
+            if strict and src not in map_targets:
                 raise ConfigError(f"{target}: reduce source {src!r} is not a map target")
+            if not strict and src not in config:
+                raise ConfigError(f"{target}: reduce source {src!r} is not a config target")
+    if not strict:
+        _check_acyclic(config)
+
+
+def _check_acyclic(config: dict) -> None:
+    state: dict[str, int] = {}   # 0=visiting, 1=done
+
+    def visit(t: str) -> None:
+        if state.get(t) == 1 or t not in config:
+            return
+        if state.get(t) == 0:
+            raise ConfigError(f"cycle through target {t!r}")
+        state[t] = 0
+        for src in config[t]:
+            visit(src)
+        state[t] = 1
+
+    for t in config:
+        visit(t)
 
 
 # ---------------------------------------------------------------------------
@@ -206,13 +237,29 @@ class ViewEngine:
     catalog: Catalog
     config: dict
     id_cols: dict[str, str] = dc_field(default_factory=dict)
+    strict: bool = True
 
     def __post_init__(self):
-        validate_config(self.config)
+        validate_config(self.config, strict=self.strict)
         self._map_cache: dict[str, DataFrame] = {}
 
     def _id_col(self, source: str) -> str:
+        if source in self.config:
+            # derived targets key by _mr_key (extended-mode DAG input)
+            return self.id_cols.get(source, "_mr_key")
         return self.id_cols.get(source, "id")
+
+    def _resolve(self, source: str) -> DataFrame:
+        """A map handler's input: a catalog collection, or (extended mode)
+        any derived target computed recursively — the DataFrame DAG simply
+        deepens; Catalyst sees one composed plan, so filters/projections
+        still push through the whole pipeline."""
+        if source in self.config:
+            first = next(iter(self.config[source].values()))
+            if isinstance(first, REDUCE_SPECS):
+                return self.reduce_table(source)
+            return self.map_table(source)
+        return self.catalog.get(source)
 
     # -- map stage ----------------------------------------------------------
 
@@ -223,7 +270,7 @@ class ViewEngine:
         Narrow (no-shuffle) select; the optional explode is the flatMap /
         generator-handler form (``func.py:40-43``).
         """
-        df = src_df if src_df is not None else self.catalog.get(source)
+        df = src_df if src_df is not None else self._resolve(source)
         if spec.where is not None:
             df = df.filter(spec.where if not isinstance(spec.where, str)
                            else F.expr(spec.where))
@@ -279,8 +326,9 @@ class ViewEngine:
         natural semantics of ``groupBy().agg()``.
         """
         ((source, spec),) = self.config[target].items()
-        mdf = map_df if map_df is not None else self.map_table(source)
-        mdf = mdf.filter(~F.col("_mr_deleted"))
+        mdf = map_df if map_df is not None else self._resolve(source)
+        if "_mr_deleted" in mdf.columns:
+            mdf = mdf.filter(~F.col("_mr_deleted"))
         if isinstance(spec, AggReduceSpec):
             return self._reduce_agg(mdf, spec)
         if isinstance(spec, JoinReduceSpec):

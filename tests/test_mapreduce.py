@@ -189,3 +189,47 @@ def test_validation_rules(spark):
         validate_config({"t": {"nonmap": reduce_count()}})
     # valid config passes
     validate_config({"m": {"s": map_item("k")}, "t": {"m": reduce_count()}})
+
+
+def test_extended_dag_reduce_of_reduce(spark, sf_dir):
+    """Extended (non-strict) mode: map over a derived reduce target —
+    arbitrary DAG depth the reference forbids (validation.py) but Spark
+    composes freely. Pipeline: orders/customer counts → distribution of
+    customers per order-count."""
+    from qvarn_mr_spark.catalog import Catalog, load_tables
+    from qvarn_mr_spark.operators.mapreduce import ConfigError
+
+    cat = Catalog(spark, tables=load_tables(spark, sf_dir, tables=("orders",)))
+    cfg = {
+        "opc__map": {"orders": map_item("o_custkey")},
+        "opc": {"opc__map": reduce_count()},
+        "dist__map": {"opc": map_item("_mr_value")},
+        "dist": {"dist__map": reduce_count()},
+    }
+    # reduce-of-reduce is what strict (compat) mode rejects; extended allows
+    ror = {"m": {"s": map_item("k")}, "r1": {"m": reduce_count()},
+           "r2": {"r1": reduce_count()}}
+    with pytest.raises(ConfigError):
+        validate_config(ror)
+    validate_config(ror, strict=False)
+
+    eng = ViewEngine(cat, cfg, id_cols={"orders": "o_orderkey"}, strict=False)
+    got = {int(r["_mr_key"]): r["_mr_value"]
+           for r in eng.reduce_table("dist").collect()}
+    orders = cat.get("orders")
+    opc = orders.groupBy("o_custkey").count()
+    want = {r["count"]: r["n"] for r in
+            opc.groupBy("count").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want
+
+
+def test_extended_dag_rejects_cycles(spark):
+    from qvarn_mr_spark.catalog import Catalog
+    from qvarn_mr_spark.operators.mapreduce import ConfigError, validate_config
+
+    cfg = {
+        "a": {"b": map_item("x")},
+        "b": {"a": map_item("y")},
+    }
+    with pytest.raises(ConfigError, match="cycle"):
+        validate_config(cfg, strict=False)
