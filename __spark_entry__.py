@@ -385,6 +385,22 @@ def q_ivf_assign(spark, sf_dir):
                                  F.col("vec_id") % 100 == 0)
 
 
+def q_embedding_nn(spark, sf_dir):
+    """Embedding near-dup primitive: every vector's nearest neighbor."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.nearest_neighbor(emb, "vec_id", "embedding")
+
+
+def q_ivf_probe_search(spark, sf_dir):
+    """IVF ANN query path: route query → nearest centroid → rank within the
+    probed cluster only (scan 1/nlist of the corpus)."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.ivf_probe_search(
+        emb, "vec_id", "embedding",
+        centroid_filter=F.col("vec_id") % 100 == 0,
+        query_filter=F.col("vec_id") < 4, k=3)
+
+
 def q_centroid_by_label(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")["embeddings"]
     return similarity.centroid_by_label(emb, "label", "embedding")
@@ -445,6 +461,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "knn_bruteforce": q_knn,
         "ivf_assign": q_ivf_assign,
+        "embedding_nn": q_embedding_nn,
+        "ivf_probe_search": q_ivf_probe_search,
         "centroid_by_label": q_centroid_by_label,
         "multimodal_features": q_multimodal_features,
     }
@@ -609,5 +627,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash": oracle.simhash_sql(),
         "knn_bruteforce": oracle.knn_bruteforce_sql("vec_id < 8", k=3),
         "ivf_assign": oracle.ivf_assign_sql("vec_id % 100 = 0"),
+        "embedding_nn": oracle.nearest_neighbor_sql(),
+        "ivf_probe_search": oracle.ivf_probe_search_sql(
+            "vec_id % 100 = 0", "vec_id < 4", k=3),
         "centroid_by_label": oracle.centroid_by_label_agg_sql(),
     }

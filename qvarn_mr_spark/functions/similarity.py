@@ -91,6 +91,53 @@ def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
             .filter(F.col("rn") == 1).drop("rn"))
 
 
+def nearest_neighbor(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Every vector's single nearest neighbor (cosine) — the embedding
+    near-dup primitive: a pair whose similarity exceeds a threshold is a
+    candidate duplicate; emitting the argmax instead of thresholded pairs
+    keeps the result non-degenerate on corpora with no near-dups.
+
+    Brute-force all-pairs — correct baseline; at corpus scale the same
+    output comes from :func:`ivf_assign` + per-cluster search."""
+    return knn_bruteforce(df, id_col, vec_col, F.lit(True), k=1)
+
+
+def ivf_probe_search(df: DataFrame, id_col: str, vec_col: str,
+                     centroid_filter: Column, query_filter: Column,
+                     k: int = 3) -> DataFrame:
+    """ANN query path: route each query to its nearest centroid, then rank
+    only vectors assigned to that cluster — the scan touches 1/nlist of the
+    corpus (the IVF payoff; recall < 1 when the true neighbor lives in a
+    different cluster, the standard trade).
+
+    Returns ``(q_id, n_id, cos_sim, rn)`` like :func:`knn_bruteforce` but
+    computed against the probed cluster only.
+    """
+    assign = ivf_assign(df, id_col, vec_col, centroid_filter) \
+        .select(F.col("vec_id"), F.col("cluster_id"))
+    q_assign = (assign.join(df.filter(query_filter).select(
+        F.col(id_col).alias("vec_id")), "vec_id", "left_semi")
+        .select(F.col("vec_id").alias("q_id"),
+                F.col("cluster_id").alias("q_cluster")))
+    vecs = df.select(F.col(id_col).alias("n_id"),
+                     _as_double(df, vec_col).alias("n_vec"))
+    cluster_members = assign.select(F.col("vec_id").alias("n_id"),
+                                    "cluster_id")
+    qv = df.select(F.col(id_col).alias("q_id"),
+                   _as_double(df, vec_col).alias("q_vec"))
+    scored = (F.broadcast(q_assign).join(qv, "q_id")
+              .join(cluster_members,
+                    F.col("q_cluster") == cluster_members["cluster_id"])
+              .join(vecs, "n_id")
+              .filter(F.col("q_id") != F.col("n_id"))
+              .select("q_id", "n_id",
+                      F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6)
+                      .alias("cos_sim")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k))
+
+
 def centroid_by_label(df: DataFrame, label_col: str, vec_col: str) -> DataFrame:
     """Mean embedding per label, exploded to ``(label, pos, avg_val)`` rows.
 

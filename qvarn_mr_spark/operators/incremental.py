@@ -155,6 +155,17 @@ class IncrementalEngine:
     engine: ViewEngine
     store: ParquetStateStore
 
+    def __post_init__(self):
+        if not self.engine.strict:
+            # The incremental application below is specialized to the
+            # reference's two-level map→reduce shape (map targets first,
+            # then reduce over dirty keys). Deeper DAGs recompute via
+            # resync-style full rebuilds; incremental maintenance for them
+            # would need per-edge dirty propagation in topological order.
+            raise ValueError(
+                "IncrementalEngine requires a strict (map→reduce) config; "
+                "extended DAG configs are batch/resync-only")
+
     @property
     def catalog(self) -> Catalog:
         return self.engine.catalog

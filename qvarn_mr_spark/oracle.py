@@ -266,6 +266,44 @@ SELECT vec_id, cluster_id, cos_sim FROM ranked WHERE rn = 1
 """
 
 
+def nearest_neighbor_sql(table: str = "embeddings") -> str:
+    return knn_bruteforce_sql("TRUE", k=1, table=table)
+
+
+def ivf_probe_search_sql(centroid_pred: str, query_pred: str, k: int = 3,
+                         table: str = "embeddings") -> str:
+    cos = _COS.format(a="qv.e", b="nv.e")
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM {table}),
+cent AS (SELECT vec_id AS cluster_id, e FROM e WHERE {centroid_pred}),
+ascored AS (
+  SELECT v.vec_id, c.cluster_id,
+         round({_COS.format(a="v.e", b="c.e")}, 6) AS cos_sim
+  FROM e v, cent c
+),
+assign AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos_sim DESC, cluster_id ASC) AS rn
+    FROM ascored) WHERE rn = 1
+),
+q AS (SELECT a.vec_id AS q_id, a.cluster_id AS q_cluster
+      FROM assign a WHERE a.vec_id IN (SELECT vec_id FROM e WHERE {query_pred})),
+scored AS (
+  SELECT q.q_id, m.vec_id AS n_id, round({cos}, 6) AS cos_sim
+  FROM q
+  JOIN e qv ON qv.vec_id = q.q_id
+  JOIN assign m ON m.cluster_id = q.q_cluster
+  JOIN e nv ON nv.vec_id = m.vec_id
+  WHERE q.q_id != m.vec_id
+)
+SELECT q_id, n_id, cos_sim, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos_sim DESC, n_id ASC) AS rn
+  FROM scored) WHERE rn <= {k}
+"""
+
+
 def centroid_by_label_sql(table: str = "embeddings") -> str:
     return f"""
 SELECT label,
