@@ -23,7 +23,8 @@ from pyspark.sql import functions as F
 LANG_MARKERS = {
     "en": ("the", "and", "of", "to", "is", "in", "that", "it"),
     "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit"),
-    "fr": ("le", "la", "les", "et", "est", "une", "que", "pour"),
+    "fr": ("le", "les", "et", "est", "une", "que", "pour", "dans"),
+    "es": ("el", "los", "de", "y", "en", "un", "por", "para"),
 }
 
 EN_STOPWORDS = LANG_MARKERS["en"] + ("a", "for", "on", "with", "as", "was")

@@ -131,3 +131,59 @@ def test_store_versioning(spark, tmp_path):
     store.overwrite("t", spark.createDataFrame([Row(a=2)]))
     assert store.version("t") == 2
     assert [r["a"] for r in store.read("t").collect()] == [2]
+
+
+def test_incremental_join_view_lifecycle(spark, tmp_path):
+    """The flagship entity-join view maintained incrementally: create both
+    sides, update one, delete one — each CDC batch recomputes only the dirty
+    key groups (reference join view e2e, tests/test_mapreduce.py:115-195)."""
+    from qvarn_mr_spark.operators import reduce_join
+
+    cat = Catalog(spark)
+
+    def set_tables(orgs, reports):
+        cat.register("orgs", spark.createDataFrame(
+            orgs, "id string, type string, revision string, country string"))
+        cat.register("reports", spark.createDataFrame(
+            reports, "id string, type string, revision string, org string, seq long"))
+
+    set_tables([("o1", "org", "r", "fi")],
+               [("r1", "report", "r", "o1", 1)])
+    eng = ViewEngine(cat, {
+        "m": {"orgs": map_item("id"), "reports": map_item("org")},
+        "v": {"m": reduce_join(
+            {"orgs": {"country": "country"}, "reports": {"report_id": "id"}},
+            order_by={"reports": "seq"})},
+    })
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+    inc = IncrementalEngine(eng, store)
+
+    inc.apply_changes(notifications(spark, [
+        ("orgs", "created", "o1"), ("reports", "created", "r1")]))
+    got = {r["_mr_key"]: (r["country"], r["report_id"])
+           for r in inc.read("v").collect()}
+    assert got == {"o1": ("fi", "r1")}
+
+    # second report arrives → last-writer (highest seq) wins
+    set_tables([("o1", "org", "r", "fi")],
+               [("r1", "report", "r", "o1", 1),
+                ("r2", "report", "r", "o1", 2)])
+    inc.apply_changes(notifications(spark, [("reports", "created", "r2")]))
+    got = {r["_mr_key"]: (r["country"], r["report_id"])
+           for r in inc.read("v").collect()}
+    assert got == {"o1": ("fi", "r2")}
+
+    # newest report deleted → falls back to r1
+    set_tables([("o1", "org", "r", "fi")],
+               [("r1", "report", "r", "o1", 1)])
+    inc.apply_changes(notifications(spark, [("reports", "deleted", "r2")]))
+    got = {r["_mr_key"]: (r["country"], r["report_id"])
+           for r in inc.read("v").collect()}
+    assert got == {"o1": ("fi", "r1")}
+
+    # org deleted → group survives on the remaining report (outer semantics)
+    set_tables([], [("r1", "report", "r", "o1", 1)])
+    inc.apply_changes(notifications(spark, [("orgs", "deleted", "o1")]))
+    got = {r["_mr_key"]: (r["country"], r["report_id"])
+           for r in inc.read("v").collect()}
+    assert got == {"o1": (None, "r1")}
