@@ -348,6 +348,26 @@ def q_text_profile(spark, sf_dir):
         text.fingerprint(c).alias("fp"))
 
 
+def q_text_subword_tokens(spark, sf_dir):
+    """Token counting both ways: whitespace words and the GPT-2-style
+    pretokenizer (BPE upper bound) — the LLM-budget estimator."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return docs.select("doc_id",
+                       text.token_count(F.col("text")).alias("ws_tokens"),
+                       text.subword_count(F.col("text")).alias("subword_tokens"))
+
+
+def q_events_json_stats(spark, sf_dir):
+    """Semi-structured ops: extract a field from the JSON props column and
+    aggregate — the engine's JSON-document heritage surface."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.withColumn("k", k).groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("k"), 6).alias("avg_k"),
+                 F.max("k").alias("max_k")))
+
+
 def q_dedup_exact(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")["documents"]
     return dedup.exact_dedup(docs, "doc_id", "text")
@@ -454,6 +474,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_top_users": q_events_top_users,
         "text_profile": q_text_profile,
+        "text_subword_tokens": q_text_subword_tokens,
+        "events_json_stats": q_events_json_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "minhash_signatures": q_minhash_signatures,
@@ -620,6 +642,19 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY total_value DESC, user_id LIMIT 20
         """,
         "text_profile": oracle.text_profile_sql(),
+        "text_subword_tokens": f"""
+            SELECT doc_id,
+                   {oracle.token_count_sql('text')} AS ws_tokens,
+                   {oracle.subword_count_sql('text')} AS subword_tokens
+            FROM documents
+        """,
+        "events_json_stats": """
+            SELECT event_type, count(*) AS n,
+                   round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 6)
+                     AS avg_k,
+                   max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+            FROM events GROUP BY 1
+        """,
         "dedup_exact": oracle.exact_dedup_sql(),
         "dedup_jaccard": oracle.ngram_jaccard_sql(),
         "minhash_signatures": oracle.minhash_signatures_sql(),

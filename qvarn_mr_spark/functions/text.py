@@ -42,6 +42,21 @@ def token_count(col: Column | str) -> Column:
         F.size(F.split(trimmed, r"\s+"))).cast("long")
 
 
+#: GPT-2-style pretokenizer split: contraction suffixes, letter runs, digit
+#: runs, punctuation runs (each optionally space-prefixed). Unicode classes
+#: (\p{L}/\p{N}) parse identically in Java regex and RE2, so the DuckDB
+#: oracle counts the same matches.
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def subword_count(col: Column | str) -> Column:
+    """BPE-ish token count: matches of the GPT-2 pretokenizer split — the
+    cheap upper-bound estimate of LLM token usage (real BPE merges only
+    reduce the count within each pretoken)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_SPLIT_RE), 0)).cast("long")
+
+
 def char_count(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.length(c).cast("long")

@@ -56,6 +56,12 @@ def marker_hits_sql(norm: str, words) -> str:
     return "(" + " + ".join(count_occ_sql(norm, w) for w in words) + ")"
 
 
+def subword_count_sql(c: str) -> str:
+    from qvarn_mr_spark.functions.text import BPE_SPLIT_RE
+    pat = BPE_SPLIT_RE.replace("'", "''")
+    return f"CAST(len(regexp_extract_all({c}, '{pat}')) AS BIGINT)"
+
+
 def token_count_sql(c: str) -> str:
     return (f"CASE WHEN trim({c}) = '' THEN 0 ELSE "
             f"len(string_split_regex(trim({c}), '\\s+')) END")
