@@ -169,3 +169,21 @@ def test_frame_sample_shapes(spark):
     for dur, mid in videos.items():
         assert len(by_media[mid]) == math.ceil(dur / 500)
     assert all(len(r["frame"]) == 16 for r in rows)
+
+
+# -- approximate aggregates (SURVEY §2.4 A10 extension) ----------------------
+
+def test_approx_aggregates_within_tolerance(spark, sf_dir):
+    """approx_count_distinct (HLL) and approx_percentile bound error vs the
+    exact forms — the constant-memory path for 100 TB cardinalities where
+    exact distinct counting would shuffle every value."""
+    from qvarn_mr_spark.catalog import load_tables
+    li = load_tables(spark, sf_dir, tables=("lineitem",))["lineitem"]
+    row = li.agg(
+        F.countDistinct("l_suppkey").alias("exact_d"),
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_d"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("ap50"),
+    ).collect()[0]
+    assert abs(row["approx_d"] - row["exact_d"]) / row["exact_d"] < 0.1
+    assert abs(row["ap50"] - row["exact_p50"]) / row["exact_p50"] < 0.05
