@@ -46,6 +46,10 @@ def load_tables(
     # (events.parquet stores TIMESTAMP(NANOS) which Spark's reader rejects);
     # it is runtime-settable, so set it here rather than only at build time.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Likewise ship this package to executor workers for sessions we didn't
+    # build (UDF closures reference package functions by module path).
+    from qvarn_mr_spark.session import ship_package
+    ship_package(spark)
     out = {}
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")

@@ -74,6 +74,8 @@ def extract_features(df: DataFrame, payload_col: str = "payload",
     Python boundary is paid once per batch, not per row. Output keeps
     ``media_id`` + ``meta`` and adds a FEATURE_DIM-dim unit-normalized
     vector (deterministic for the fake decoder)."""
+    from qvarn_mr_spark.session import ship_package
+    ship_package(df.sparkSession)
     out_ddl = (f"media_id long, meta struct<{MEDIA_META_DDL}>, "
                f"feature array<double>")
 
@@ -100,6 +102,8 @@ def frame_sample(df: DataFrame, every_ms: int = 500,
     impl decodes with av/ffmpeg); the Spark plumbing is the real pattern:
     one input row fans out to duration/every_ms rows inside ``mapInPandas``,
     which keeps the fan-out distributed and memory-bounded per batch."""
+    from qvarn_mr_spark.session import ship_package
+    ship_package(df.sparkSession)
     out_ddl = "media_id long, frame_ts_ms long, frame binary"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -15,6 +15,33 @@ import os
 from pyspark.sql import SparkSession
 
 
+def ship_package(spark: SparkSession) -> None:
+    """Make ``qvarn_mr_spark`` importable on executor Python workers.
+
+    cloudpickle serializes module-level functions BY REFERENCE, so any
+    closure touching this package (mapInPandas decoders, pandas reducers)
+    needs the package on the workers' import path. ``addPyFile`` distributes
+    a zip at runtime — it works on sessions we didn't build (the test
+    driver's, a cluster's) where env-var PYTHONPATH fixes are too late.
+    Idempotent per session."""
+    import tempfile
+    import zipfile
+
+    if spark.conf.get("spark.qvarn_mr.shipped", None) == "true":
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(tempfile.gettempdir(), "qvarn_mr_spark_pyfiles.zip")
+    with zipfile.ZipFile(zip_path, "w") as z:
+        for root, _, files in os.walk(pkg_dir):
+            for fname in files:
+                if fname.endswith(".py"):
+                    full = os.path.join(root, fname)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    spark.conf.set("spark.qvarn_mr.shipped", "true")
+
+
 def get_spark(
     app_name: str = "qvarn-mr-spark",
     master: str | None = None,
