@@ -297,6 +297,42 @@ def q5_region_revenue(spark, sf_dir):
             .agg(F.round(F.sum(_rev()), 2).alias("revenue")))
 
 
+def q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape via the SQL surface: correlated scalar subquery —
+    Catalyst decorrelates it into an aggregate + join (no per-row
+    re-execution, unlike the reference's per-record lookups)."""
+    t = _t(spark, sf_dir, "lineitem", "part")
+    t["lineitem"].createOrReplaceTempView("lineitem_v")
+    t["part"].createOrReplaceTempView("part_v")
+    return spark.sql("""
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem_v JOIN part_v ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#17'
+          AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem_v l2
+                            WHERE l2.l_partkey = part_v.p_partkey)
+    """)
+
+
+def q18_big_orders(spark, sf_dir):
+    """TPC-H Q18 shape via the SQL surface: IN-subquery over a grouped
+    HAVING + top-k."""
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    t["customer"].createOrReplaceTempView("customer_v")
+    t["orders"].createOrReplaceTempView("orders_v")
+    t["lineitem"].createOrReplaceTempView("lineitem_v")
+    return spark.sql("""
+        SELECT c_custkey, o_orderkey, o_totalprice,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM customer_v JOIN orders_v ON c_custkey = o_custkey
+        JOIN lineitem_v ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem_v
+            GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+        GROUP BY c_custkey, o_orderkey, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """)
+
+
 def q_events_hourly(spark, sf_dir):
     """T10 extension: event-time tumbling-window aggregation (batch form of
     the streaming windowed agg)."""
@@ -470,6 +506,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing": q1_pricing,
         "q3_topk_revenue": q3_topk_revenue,
         "q5_region_revenue": q5_region_revenue,
+        "q17_small_qty_revenue": q17_small_qty_revenue,
+        "q18_big_orders": q18_big_orders,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_top_users": q_events_top_users,
@@ -626,6 +664,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             WHERE lower(r_name) = 'asia'
             GROUP BY 1
+        """,
+        "q17_small_qty_revenue": """
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#17'
+              AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                                WHERE l2.l_partkey = part.p_partkey)
+        """,
+        "q18_big_orders": """
+            SELECT c_custkey, o_orderkey, o_totalprice,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM customer JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE o_orderkey IN (
+                SELECT l_orderkey FROM lineitem
+                GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+            GROUP BY c_custkey, o_orderkey, o_totalprice
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
         """,
         "events_hourly": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
