@@ -93,3 +93,69 @@ def test_simhash_is_permutation_invariant(mk_df, docs):
             for r in dedup.simhash(df2, "doc_id", "text").collect()}
     # token-set semantics: word order never changes the signature
     assert base == perm
+
+
+# -- the IVM contract: incremental ≡ recompute -------------------------------
+
+ops_strategy = st.lists(
+    st.tuples(st.sampled_from(["upsert", "delete"]),
+              st.integers(0, 5),                      # resource id
+              st.integers(1, 3),                      # key
+              st.integers(0, 9)),                     # value
+    min_size=1, max_size=8)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(ops_strategy, min_size=1, max_size=3))
+def test_incremental_equals_full_recompute(spark, tmp_path_factory, batches):
+    """THE invariant of incremental view maintenance (reference
+    processor.py): applying any sequence of CDC batches must leave exactly
+    the state a from-scratch recompute of the final sources produces."""
+    from pyspark.sql import functions as F
+
+    from qvarn_mr_spark.catalog import Catalog
+    from qvarn_mr_spark.operators import (
+        IncrementalEngine, ParquetStateStore, ViewEngine,
+        map_item, reduce_agg,
+    )
+    from qvarn_mr_spark.operators.incremental import notifications
+
+    cat = Catalog(spark)
+    live: dict[int, tuple[int, int]] = {}
+
+    def sync_table():
+        rows = [(str(i), "source", "r", k, v) for i, (k, v) in live.items()]
+        cat.register("source", spark.createDataFrame(
+            rows, "id string, type string, revision string, key long, value long"))
+
+    eng = ViewEngine(cat, {
+        "m": {"source": map_item("key", "value")},
+        "v": {"m": reduce_agg(F.sum)},
+    })
+    store = ParquetStateStore(
+        spark, str(tmp_path_factory.mktemp("ivm_prop")))
+    inc = IncrementalEngine(eng, store)
+
+    for batch in batches:
+        notes = []
+        for op, rid, k, val in batch:
+            if op == "upsert":
+                change = "updated" if rid in live else "created"
+                live[rid] = (k, val)
+                notes.append(("source", change, str(rid)))
+            elif rid in live:
+                del live[rid]
+                notes.append(("source", "deleted", str(rid)))
+        sync_table()
+        if notes:
+            inc.apply_changes(notifications(spark, notes))
+
+    if store.exists("v"):
+        got = {r["_mr_key"]: r["_mr_value"] for r in inc.read("v").collect()}
+    else:
+        got = {}   # no notification was ever applied → no state, rightly
+    want: dict[str, int] = {}
+    for k, v in live.values():
+        want[str(k)] = want.get(str(k), 0) + v
+    assert got == want
