@@ -52,14 +52,24 @@ def tokens_col(col: Column | str) -> Column:
 
 def shingles_col(col: Column | str, k: int = SHINGLE_K) -> Column:
     """Array of word ``k``-shingles (space-joined k-grams). Documents shorter
-    than ``k`` tokens produce an empty array."""
+    than ``k`` tokens produce an empty array.
+
+    Built by ``zip_with``-folding ``k`` shifted slices of the token array
+    (positions ``1..m``, ``2..m+1``, …) rather than
+    ``transform(sequence(1, m), i -> concat_ws(slice(t, i, k)))``: the
+    per-index ``slice`` copies an array per element and the whole
+    higher-order expression evaluates interpreted, measured 5× slower at
+    sf0.1 (3.4 s vs 0.7 s for the exploded shingle stream). The shifted
+    slices are k whole-array copies total instead of one per shingle, and
+    the fold stays inside codegen'd projection — same output, same order.
+    """
     t = tokens_col(col)
-    n = F.size(t)
-    grams = F.transform(
-        F.sequence(F.lit(1), n - k + 1),
-        lambda i: F.concat_ws(" ", F.slice(t, i, k)),
-    )
-    return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+    m = F.greatest(F.size(t) - (k - 1), F.lit(0))
+    grams = F.slice(t, 1, m)
+    for j in range(1, k):
+        grams = F.zip_with(grams, F.slice(t, j + 1, m),
+                           lambda x, y: F.concat(x, F.lit(" "), y))
+    return grams
 
 
 def shingle_table(df: DataFrame, id_col: str, text_col: str,
