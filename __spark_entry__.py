@@ -364,6 +364,74 @@ def q_events_top_users(spark, sf_dir):
             .limit(20))
 
 
+def q_events_asof(spark, sf_dir):
+    """As-of (temporal nearest) join — each click matched to the same
+    user's latest at-or-before purchase. operators/asof.py union-window
+    formulation: ONE shuffle of |L|+|R| rows, no range-join explosion;
+    ties on (user, ts) broken deterministically by max purchase id.
+    Reference has no temporal joins (SURVEY §2.3); oracle is DuckDB's
+    native ASOF LEFT JOIN over a (user, ts)-deduped right side."""
+    from qvarn_mr_spark.operators.asof import asof_join
+    ev = _t(spark, sf_dir, "events")["events"]
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts",
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("value").alias("purchase_value")))
+    j = asof_join(clicks, purchases, on=["user_id"],
+                  payload={"purchase_id": "purchase_id",
+                           "purchase_value": "purchase_value"},
+                  tiebreak=["purchase_id"])
+    return j.select(F.col("event_id").alias("click_id"), "user_id",
+                    F.unix_micros("ts").alias("click_us"),
+                    "purchase_id", "purchase_value")
+
+
+def q_topk_per_key(spark, sf_dir):
+    """Skew-safe two-phase per-key top-k (operators/skew.py): local top-k
+    per (key, salt) shard, then rank the bounded survivor set — the hot
+    key's work spreads over `salt` tasks instead of one window partition.
+    Top-3 events per event_type by value."""
+    from qvarn_mr_spark.operators.skew import topk_per_key
+    ev = _t(spark, sf_dir, "events")["events"]
+    out = topk_per_key(ev.select("event_type", "event_id", "value"),
+                       ["event_type"], "value", k=3, tiebreak=["event_id"])
+    return out.select("event_type", F.col("rn").cast("long").alias("rn"),
+                      "event_id", "value")
+
+
+def q4_late_orders(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS-correlated subquery = left-semi join with a
+    non-equi conjunct (l_shipdate > o_orderdate + 60 days). The 1996 date
+    window is a pushed-down scan filter on orders."""
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    o, l = t["orders"], t["lineitem"]
+    o = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    cond = ((l["l_orderkey"] == o["o_orderkey"])
+            & (l["l_shipdate"] > o["o_orderdate"]
+               + F.expr("INTERVAL 60 DAYS")))
+    return (o.join(l, cond, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders")))
+
+
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: fact⋈broadcast-dim + conditional-aggregate ratio
+    (share of revenue from PROMO parts, by ship month)."""
+    t = _t(spark, sf_dir, "lineitem", "part")
+    l, p = t["lineitem"], t["part"]
+    promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0.0))
+    return (l.join(F.broadcast(p.select("p_partkey", "p_type")),
+                   l["l_partkey"] == p["p_partkey"])
+            .groupBy(F.date_format(F.date_trunc("month", "l_shipdate"),
+                                   "yyyy-MM").alias("month"))
+            .agg(F.round(100 * F.sum(promo) / F.sum(_rev()), 3)
+                 .alias("promo_pct")))
+
+
 # ---------------------------------------------------------------------------
 # text analysis / dedup / similarity (LLM-pipeline extensions)
 # ---------------------------------------------------------------------------
@@ -422,6 +490,18 @@ def q_minhash_signatures(spark, sf_dir):
 def q_minhash_candidates(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")["documents"]
     return dedup.minhash_candidates(docs, "doc_id", "text")
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """End of the dedup pipeline: LSH candidate pairs → connected
+    components (pointer-doubling min-label propagation) → one cluster_id
+    per near-dup document. Iterative fixpoint — not single-statement-SQL
+    expressible, so no oracle entry (driver records rows-only); the
+    algorithm is differentially tested against sequential union-find in
+    tests/test_functions.py."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    pairs = dedup.minhash_candidates(docs, "doc_id", "text")
+    return dedup.dup_clusters(pairs, "a_id", "b_id")
 
 
 def q_simhash(spark, sf_dir):
@@ -511,6 +591,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_top_users": q_events_top_users,
+        "events_asof": q_events_asof,
+        "topk_per_key": q_topk_per_key,
+        "q4_late_orders": q4_late_orders,
+        "q14_promo_revenue": q14_promo_revenue,
         "text_profile": q_text_profile,
         "text_subword_tokens": q_text_subword_tokens,
         "events_json_stats": q_events_json_stats,
@@ -519,6 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_candidates": q_minhash_candidates,
         "simhash": q_simhash,
+        "dedup_clusters": q_dedup_clusters,
         "knn_bruteforce": q_knn,
         "ivf_assign": q_ivf_assign,
         "embedding_nn": q_embedding_nn,
@@ -690,6 +775,52 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "events_sessionize": sessionize_sql(gap_minutes=30),
+        "events_asof": """
+            WITH clicks AS (
+              SELECT event_id AS click_id, user_id, ts
+              FROM events WHERE event_type = 'click'
+            ),
+            purchases AS (
+              SELECT user_id, ts, max(event_id) AS purchase_id,
+                     arg_max(value, event_id) AS purchase_value
+              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+            )
+            SELECT c.click_id, c.user_id, epoch_us(c.ts) AS click_us,
+                   p.purchase_id, p.purchase_value
+            FROM clicks c ASOF LEFT JOIN purchases p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "topk_per_key": """
+            WITH ranked AS (
+              SELECT event_type, event_id, value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY value DESC, event_id) AS rn
+              FROM events)
+            SELECT event_type, rn, event_id, value
+            FROM ranked WHERE rn <= 3
+        """,
+        "q4_late_orders": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate
+                                               + INTERVAL 60 DAY)
+            GROUP BY 1
+        """,
+        "q14_promo_revenue": """
+            SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m')
+                     AS month,
+                   round(100 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 3)
+                     AS promo_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1
+        """,
         "events_top_users": """
             SELECT user_id, count(*) AS n_events,
                    round(sum(value), 2) AS total_value,

@@ -32,10 +32,13 @@ BENCH_QUERIES = (
     "window_latest",
     "agg_rollup",
     "events_hourly",
+    "events_asof",
+    "topk_per_key",
     "text_profile",
     "dedup_exact",
     "dedup_jaccard",
     "minhash_candidates",
+    "dedup_clusters",
     "simhash",
     "knn_bruteforce",
     "ivf_assign",

@@ -187,3 +187,36 @@ def test_approx_aggregates_within_tolerance(spark, sf_dir):
     ).collect()[0]
     assert abs(row["approx_d"] - row["exact_d"]) / row["exact_d"] < 0.1
     assert abs(row["ap50"] - row["exact_p50"]) / row["exact_p50"] < 0.05
+
+
+def test_dup_clusters_equals_union_find(spark):
+    """dup_clusters (distributed pointer-doubling CC) must produce exactly
+    the components a sequential union-find yields on the same edges."""
+    import random
+
+    from qvarn_mr_spark.functions.dedup import dup_clusters
+
+    rng = random.Random(13)
+    edges = {(rng.randrange(60), rng.randrange(60)) for _ in range(50)}
+    edges = [(u, v) for u, v in edges if u != v]
+    # include a long path to exercise multi-round convergence
+    edges += [(100 + i, 101 + i) for i in range(12)]
+    df = spark.createDataFrame(edges, ["a_id", "b_id"])
+    got = {r["node"]: r["cluster_id"]
+           for r in dup_clusters(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    want = {x: find(x) for x in parent}
+    assert got == want
