@@ -492,6 +492,22 @@ def q_minhash_candidates(spark, sf_dir):
     return dedup.minhash_candidates(docs, "doc_id", "text")
 
 
+def q_doc_split_sample(spark, sf_dir):
+    """Consistent hash sampling + train/val/test split assignment
+    (functions/sampling.py): membership is a pure function of doc_id — no
+    RNG, stable under retries/reruns/corpus growth, narrow projection (no
+    shuffle) inside whole-stage codegen. Reports the per-(source, split)
+    doc counts and how many fall in an independent 25% hash sample."""
+    from qvarn_mr_spark.functions import sampling as smp
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    d = smp.assign_split(docs, "doc_id", w)
+    picked = smp.hash_unit("doc_id", "samp") < F.lit(0.25)
+    return (d.groupBy("source", "split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.count(F.when(picked, 1)).alias("n_sampled")))
+
+
 def q_dedup_clusters(spark, sf_dir):
     """End of the dedup pipeline: LSH candidate pairs → connected
     components (pointer-doubling min-label propagation) → one cluster_id
@@ -604,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_candidates": q_minhash_candidates,
         "simhash": q_simhash,
         "dedup_clusters": q_dedup_clusters,
+        "doc_split_sample": q_doc_split_sample,
         "knn_bruteforce": q_knn,
         "ivf_assign": q_ivf_assign,
         "embedding_nn": q_embedding_nn,
@@ -611,6 +628,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_by_label": q_centroid_by_label,
         "multimodal_features": q_multimodal_features,
     }
+
+
+def _doc_split_sample_sql() -> str:
+    """Oracle twin of q_doc_split_sample, generated from the same weight
+    constants + hash expression builders (functions/sampling.py) so the
+    two sides cannot drift."""
+    from qvarn_mr_spark.functions.sampling import (assign_split_sql,
+                                                   sample_unit_sql)
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    return f"""
+        SELECT source,
+               {assign_split_sql('doc_id', w)} AS split,
+               count(*) AS n_docs,
+               count(CASE WHEN {sample_unit_sql('doc_id', 'samp')} < 0.25
+                          THEN 1 END) AS n_sampled
+        FROM documents GROUP BY 1, 2
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -847,6 +881,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": oracle.minhash_signatures_sql(),
         "minhash_candidates": oracle.minhash_candidates_sql(),
         "simhash": oracle.simhash_sql(),
+        "doc_split_sample": _doc_split_sample_sql(),
         "knn_bruteforce": oracle.knn_bruteforce_sql("vec_id < 8", k=3),
         "ivf_assign": oracle.ivf_assign_sql("vec_id % 100 = 0"),
         "embedding_nn": oracle.nearest_neighbor_sql(),

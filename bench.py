@@ -35,6 +35,7 @@ BENCH_QUERIES = (
     "events_asof",
     "topk_per_key",
     "text_profile",
+    "doc_split_sample",
     "dedup_exact",
     "dedup_jaccard",
     "minhash_candidates",

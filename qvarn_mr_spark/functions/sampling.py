@@ -1,0 +1,123 @@
+"""Deterministic sampling & split assignment for training-data pipelines.
+
+A 100 TB corpus pipeline cannot use RNG sampling (``rand()``): retried tasks
+would resample differently (breaking exactly-once semantics), reruns would
+produce different corpora, and train/val/test membership must be stable as
+the corpus grows. The standard remedy is **consistent hash sampling**: a
+document's fate is a pure function of its id — ``u = h(salt || id) ∈ [0,1)``
+— so membership is reproducible across runs, engines, and data layouts, and
+independent samples are obtained by changing the salt.
+
+Everything here is a narrow per-row projection (no shuffle, no UDF — plain
+``md5``/``substring``/``locate`` expressions inside whole-stage codegen),
+so it composes freely with scans and pushes through partition pruning.
+The hash is md5 hex decoded by position-in-digit-string, the same portable
+primitive as functions/dedup.py — which is what makes the DuckDB oracle
+twins below possible (``sample_unit_sql`` is generated from the SAME
+constants, so Spark and oracle can never drift).
+
+The reference has no sampling surface at all; this is part of the
+LLM-pipeline extension set (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from qvarn_mr_spark.functions.dedup import HEX_DIGITS
+
+#: Number of leading md5 hex digits used for the unit-interval hash.
+#: 8 nibbles = 32 bits — plenty for fraction resolution, exact in a double.
+UNIT_NIBBLES = 8
+UNIT_DENOM = 16 ** UNIT_NIBBLES  # 2^32
+
+
+def hash_unit(col: str, salt: str) -> Column:
+    """Deterministic ``double`` in [0, 1): first 8 md5 hex nibbles of
+    ``salt || '|' || value``, decoded by position in the hex-digit string
+    (portable: the oracle twin uses DuckDB ``strpos`` identically).
+    Different salts give independent hashes of the same id. Takes a column
+    NAME (the md5 is inlined per nibble; codegen CSE collapses the eight
+    copies into one evaluation)."""
+    if not isinstance(col, str):
+        raise TypeError("hash_unit needs a column name")
+    val = None
+    for j in range(UNIT_NIBBLES):
+        # bigint: nibble * 16^7 overflows int32 (ANSI mode throws)
+        nib = F.expr(
+            f"cast(locate(substring(md5(concat_ws('|', '{salt}', "
+            f"cast({col} as string))), {j + 1}, 1), "
+            f"'{HEX_DIGITS}') - 1 as bigint)")
+        term = nib * (16 ** (UNIT_NIBBLES - 1 - j))
+        val = term if val is None else val + term
+    return val / F.lit(float(UNIT_DENOM))
+
+
+def sample_unit_sql(col: str, salt: str) -> str:
+    """DuckDB twin of :func:`hash_unit` — generated from the same
+    constants so both sides move together."""
+    terms = " + ".join(
+        f"(strpos('{HEX_DIGITS}', substring(md5(concat('{salt}', '|', "
+        f"CAST({col} AS VARCHAR))), {j + 1}, 1)) - 1) "
+        f"* {16 ** (UNIT_NIBBLES - 1 - j)}"
+        for j in range(UNIT_NIBBLES))
+    return f"(({terms}) / {float(UNIT_DENOM)})"
+
+
+def deterministic_sample(df: DataFrame, id_col: str, fraction: float,
+                         salt: str = "sample") -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by consistent hash of ``id_col``.
+    Stable under reruns, retries, repartitioning, and corpus growth
+    (a kept id stays kept); narrow (no shuffle)."""
+    return df.filter(hash_unit(id_col, salt) < F.lit(float(fraction)))
+
+
+def assign_split(df: DataFrame, id_col: str, weights: dict[str, float],
+                 salt: str = "split",
+                 out_col: str = "split") -> DataFrame:
+    """Add a ``split`` column ('train'/'val'/'test'/…) by consistent hash:
+    cumulative-weight thresholds over ``hash_unit``. Weights must sum to
+    ~1; insertion order fixes the interval layout (dicts are ordered)."""
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    u = hash_unit(id_col, salt)
+    expr, acc = None, 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = u < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (F.lit(names[-1]) if expr is None
+            else expr.otherwise(names[-1]))
+    return df.withColumn(out_col, expr)
+
+
+def assign_split_sql(id_col: str, weights: dict[str, float],
+                     salt: str = "split") -> str:
+    """DuckDB CASE twin of :func:`assign_split` (same cumulative layout)."""
+    u = sample_unit_sql(id_col, salt)
+    acc, whens = 0.0, []
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        whens.append(f"WHEN {u} < {acc} THEN '{name}'")
+    return f"CASE {' '.join(whens)} ELSE '{names[-1]}' END"
+
+
+def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
+                      fractions: dict[str, float], default: float = 0.0,
+                      salt: str = "strata") -> DataFrame:
+    """Per-stratum consistent sampling (e.g. downweight a crawl source,
+    keep all of a curated one): each stratum value gets its own keep
+    fraction; unlisted strata get ``default``. The mixture-weighting
+    primitive of corpus construction — still a narrow projection."""
+    thr = None
+    for value, frac in fractions.items():
+        cond = F.col(strata_col) == F.lit(value)
+        thr = (F.when(cond, float(frac)) if thr is None
+               else thr.when(cond, float(frac)))
+    thr = F.lit(float(default)) if thr is None else thr.otherwise(
+        float(default))
+    return df.filter(hash_unit(id_col, salt) < thr)

@@ -1,0 +1,75 @@
+"""Consistent hash sampling: determinism, proportions, split layout,
+stratified mixture weighting — and the no-shuffle plan shape."""
+
+from pyspark.sql import functions as F
+
+from qvarn_mr_spark.functions.sampling import (assign_split,
+                                               deterministic_sample,
+                                               hash_unit, stratified_sample)
+
+
+def _ids(spark, n=4000):
+    return spark.range(n).withColumnRenamed("id", "doc_id")
+
+
+def test_sample_deterministic_and_stable_under_growth(spark):
+    df = _ids(spark)
+    a = {r["doc_id"] for r in
+         deterministic_sample(df, "doc_id", 0.3).collect()}
+    b = {r["doc_id"] for r in
+         deterministic_sample(df, "doc_id", 0.3).collect()}
+    assert a == b  # rerun ⇒ identical membership
+    # corpus growth: sampling a superset keeps every previously-kept id
+    big = _ids(spark, 8000)
+    c = {r["doc_id"] for r in
+         deterministic_sample(big, "doc_id", 0.3).collect()}
+    assert a <= c
+    # and a kept id is NEVER dropped by a larger fraction
+    d = {r["doc_id"] for r in
+         deterministic_sample(df, "doc_id", 0.5).collect()}
+    assert a <= d
+
+
+def test_sample_fraction_approx(spark):
+    n = deterministic_sample(_ids(spark), "doc_id", 0.25).count()
+    assert 0.2 < n / 4000 < 0.3
+
+
+def test_salts_independent(spark):
+    df = _ids(spark)
+    a = {r["doc_id"] for r in
+         deterministic_sample(df, "doc_id", 0.5, salt="a").collect()}
+    b = {r["doc_id"] for r in
+         deterministic_sample(df, "doc_id", 0.5, salt="b").collect()}
+    overlap = len(a & b) / 4000
+    assert 0.15 < overlap < 0.35  # ≈ 0.25 if independent
+
+
+def test_split_partitions_everything_once(spark):
+    df = _ids(spark)
+    out = assign_split(df, "doc_id", {"train": 0.8, "val": 0.1,
+                                      "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 4000  # exhaustive, no overlap by CASE
+    assert 0.75 < counts["train"] / 4000 < 0.85
+    assert 0.05 < counts["val"] / 4000 < 0.15
+    assert 0.05 < counts["test"] / 4000 < 0.15
+
+
+def test_stratified_fractions(spark):
+    df = _ids(spark).withColumn(
+        "src", F.when(F.col("doc_id") % 2 == 0, "keep_all")
+                .otherwise("downweight"))
+    out = stratified_sample(df, "doc_id", "src",
+                            {"keep_all": 1.0, "downweight": 0.2})
+    counts = {r["src"]: r["n"] for r in
+              out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert counts["keep_all"] == 2000  # fraction 1.0 keeps everything
+    assert 0.12 < counts["downweight"] / 2000 < 0.28
+
+
+def test_sampling_is_narrow_no_shuffle(spark):
+    plan = (deterministic_sample(_ids(spark), "doc_id", 0.3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan  # pure per-row filter, no shuffle
