@@ -364,6 +364,43 @@ def q_events_top_users(spark, sf_dir):
             .limit(20))
 
 
+def q_events_running(spark, sf_dir):
+    """W2 analytic window frames: per-user running total and 5-row moving
+    average over event time. One shuffle on user_id; both frames share the
+    same partitioning+ordering so Catalyst plans a single Window node."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+    # floor(x*100+0.5)/100, not round(x, 2): engines disagree on how
+    # round() treats doubles sitting at a .005 boundary (moving averages
+    # of 2-decimal inputs hit those constantly); the floor form is pure
+    # double arithmetic, identical everywhere
+    def r2(c):
+        return F.floor(c * 100 + F.lit(0.5)) / 100
+
+    return (ev.select(
+        "user_id", "event_id",
+        r2(F.sum("value").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+         .alias("running_value"),
+        r2(F.avg("value").over(w.rowsBetween(-4, 0)))
+         .alias("moving_avg5")))
+
+
+def q_price_quantiles(spark, sf_dir):
+    """Exact percentiles (linear interpolation) per group — Spark
+    `percentile` ≡ DuckDB `quantile_cont`. The exact form sorts within
+    groups; at scale swap for `approx_percentile` (t-digest, one pass,
+    mergeable partials) — tolerance-tested in tests/test_mapreduce.py."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return (o.groupBy("o_orderpriority")
+            .agg(F.round(F.expr("percentile(o_totalprice, 0.5)"), 2)
+                 .alias("median_price"),
+                 F.round(F.expr("percentile(o_totalprice, 0.9)"), 2)
+                 .alias("p90_price")))
+
+
 def q_events_asof(spark, sf_dir):
     """As-of (temporal nearest) join — each click matched to the same
     user's latest at-or-before purchase. operators/asof.py union-window
@@ -607,6 +644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_top_users": q_events_top_users,
+        "events_running": q_events_running,
+        "price_quantiles": q_price_quantiles,
         "events_asof": q_events_asof,
         "topk_per_key": q_topk_per_key,
         "q4_late_orders": q4_late_orders,
@@ -809,6 +848,26 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "events_sessionize": sessionize_sql(gap_minutes=30),
+        "events_running": """
+            SELECT user_id, event_id,
+                   floor(sum(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) * 100 + 0.5) / 100
+                     AS running_value,
+                   floor(avg(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                       * 100 + 0.5) / 100 AS moving_avg5
+            FROM events
+        """,
+        "price_quantiles": """
+            SELECT o_orderpriority,
+                   round(quantile_cont(o_totalprice, 0.5), 2)
+                     AS median_price,
+                   round(quantile_cont(o_totalprice, 0.9), 2)
+                     AS p90_price
+            FROM orders GROUP BY 1
+        """,
         "events_asof": """
             WITH clicks AS (
               SELECT event_id AS click_id, user_id, ts
