@@ -425,6 +425,26 @@ def q_events_asof(spark, sf_dir):
                     "purchase_id", "purchase_value")
 
 
+def q_events_error_window(spark, sf_dir):
+    """Range (interval-containment) join — operators/ranges.py bucketed
+    form: count each user's events falling inside a 10-minute window
+    after any of their error events. Buckets turn the BETWEEN predicate
+    into an equi-join on (user, time-bucket); the exact bounds are a
+    post-filter, so no per-key nested loop. Oracle is the naive EXISTS
+    BETWEEN formulation."""
+    from qvarn_mr_spark.operators.ranges import range_semi_join
+    ev = _t(spark, sf_dir, "events")["events"]
+    errs = (ev.filter(F.col("event_type") == "error")
+            .select("user_id", F.col("ts").alias("w_start"),
+                    (F.col("ts") + F.expr("INTERVAL 10 MINUTES"))
+                    .alias("w_end")))
+    flagged = range_semi_join(ev, errs, ["user_id"], "ts",
+                              "w_start", "w_end", left_id="event_id",
+                              bucket_s=600)
+    return (flagged.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_flagged")))
+
+
 def q_topk_per_key(spark, sf_dir):
     """Skew-safe two-phase per-key top-k (operators/skew.py): local top-k
     per (key, salt) shard, then rank the bounded survivor set — the hot
@@ -647,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_running": q_events_running,
         "price_quantiles": q_price_quantiles,
         "events_asof": q_events_asof,
+        "events_error_window": q_events_error_window,
         "topk_per_key": q_topk_per_key,
         "q4_late_orders": q4_late_orders,
         "q14_promo_revenue": q14_promo_revenue,
@@ -882,6 +903,16 @@ def oracle_sql() -> dict[str, str]:
                    p.purchase_id, p.purchase_value
             FROM clicks c ASOF LEFT JOIN purchases p
               ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "events_error_window": """
+            SELECT e.user_id, count(*) AS n_flagged
+            FROM events e
+            WHERE EXISTS (SELECT 1 FROM events r
+                          WHERE r.event_type = 'error'
+                            AND r.user_id = e.user_id
+                            AND e.ts >= r.ts
+                            AND e.ts <= r.ts + INTERVAL 10 MINUTE)
+            GROUP BY 1
         """,
         "topk_per_key": """
             WITH ranked AS (

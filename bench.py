@@ -33,6 +33,7 @@ BENCH_QUERIES = (
     "agg_rollup",
     "events_hourly",
     "events_asof",
+    "events_error_window",
     "topk_per_key",
     "text_profile",
     "doc_split_sample",
