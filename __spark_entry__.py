@@ -497,16 +497,7 @@ def q_text_profile(spark, sf_dir):
     """Language-ID, quality scoring, token counting, fingerprinting — all
     JVM-side Column expressions (functions/text.py), zero UDFs."""
     docs = _t(spark, sf_dir, "documents")["documents"]
-    c = F.col("text")
-    return docs.select(
-        "doc_id",
-        text.token_count(c).alias("n_tokens"),
-        text.char_count(c).alias("n_chars_calc"),
-        text.lang_guess(c).alias("lang_guess"),
-        F.round(text.punct_ratio(c), 6).alias("punct_ratio"),
-        F.round(text.stopword_ratio(c), 6).alias("stopword_ratio"),
-        text.quality_score(c).alias("quality"),
-        text.fingerprint(c).alias("fp"))
+    return text.profile_frame(docs, "text", ("doc_id",))
 
 
 def q_text_subword_tokens(spark, sf_dir):

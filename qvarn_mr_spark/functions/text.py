@@ -147,6 +147,92 @@ def quality_score(col: Column | str) -> Column:
     return F.round((len_score + sw_score + p_score) / 3, 6)
 
 
+def profile_frame(df, text_col: str = "text", id_cols=("doc_id",)):
+    """Full document profile (tokens/chars/lang/punct/stopword/quality/fp) as
+    a *staged* projection pipeline.
+
+    Why not one ``select`` of the per-column helpers above? Each helper inlines
+    ``_normalized_for_words`` (lower + regexp_replace + concat) into every
+    marker count; ``lang_guess`` (4 langs x 8 markers), ``stopword_ratio``
+    (14 markers) and ``quality_score`` multiply that into hundreds of copies
+    in a single projection — past Janino's 64 KB method limit, so whole-stage
+    codegen fails to compile and the whole projection silently runs
+    interpreted (~10x slower and worse with every marker added).
+
+    Staging fixes it structurally:
+
+    * stage 1 materializes the normalized text ONCE (``_norm``),
+    * stage 2 computes each per-language marker sum, token count and raw
+      punctuation ratio against the ``_norm``/text *column references*,
+    * stage 3 reduces those scores to the best-language scalar,
+    * stage 4 assembles the output row from cheap column refs only.
+
+    Catalyst's CollapseProject deliberately refuses to merge projections when
+    doing so would duplicate non-cheap expressions referenced more than once
+    (SPARK-36718), so the stages survive optimization, the generated code
+    computes each subexpression exactly once into a local, and every stage
+    stays inside one WholeStageCodegen span. Semantics are bit-identical to
+    the per-column helpers (same oracle SQL in oracle.py).
+
+    Reference: the ref engine has no text ops at all (SURVEY.md §2.6) — this
+    is LLM-pipeline surface; profile shape mirrors qvarnmr handlers' ad-hoc
+    per-resource derivations (qvarnmr/handlers.py generic value extraction).
+    """
+    ids = list(id_cols)
+    c = F.col(text_col)
+
+    # stage 1: normalize once
+    st1 = df.select(*ids, c.alias("_text"),
+                    _normalized_for_words(c).alias("_norm"))
+
+    def _hits_on(norm: Column, words) -> Column:
+        total = None
+        for w in words:
+            h = _count_occurrences(norm, w)
+            total = h if total is None else total + h
+        return total
+
+    norm, txt = F.col("_norm"), F.col("_text")
+    # stage 2: per-language scores + shared scalars (all against column refs)
+    st2 = st1.select(
+        *ids, "_text", "_norm",
+        *[_hits_on(norm, words).alias(f"_h_{lang}")
+          for lang, words in LANG_MARKERS.items()],
+        _hits_on(norm, EN_STOPWORDS).alias("_h_stop"),
+        token_count(txt).alias("_toks"),
+        punct_ratio(txt).alias("_punct"),
+    )
+
+    # stage 3: best-language score (referenced 5x downstream — keep it a col)
+    st3 = st2.withColumn(
+        "_best", F.greatest(*[F.col(f"_h_{lang}") for lang in LANG_MARKERS]))
+
+    # stage 4: assemble outputs from cheap refs; mirror the helper semantics
+    lang = F.lit("und")
+    for lg in reversed(list(LANG_MARKERS)):
+        lang = F.when(F.col(f"_h_{lg}") == F.col("_best"),
+                      F.lit(lg)).otherwise(lang)
+    lang = F.when(F.col("_best") <= 0, F.lit("und")).otherwise(lang)
+
+    toks = F.col("_toks")
+    sw = F.when(toks == 0, F.lit(0.0)).otherwise(
+        F.least(F.col("_h_stop").cast("double") / toks, F.lit(1.0)))
+    p = F.col("_punct")
+    len_score = F.least(toks.cast("double") / F.lit(100.0), F.lit(1.0))
+    sw_score = F.least(sw * 4, F.lit(1.0))
+    p_score = F.when(p > 0.2, F.lit(0.0)).otherwise(1.0 - p * 5)
+
+    return st3.select(
+        *ids,
+        toks.alias("n_tokens"),
+        F.length("_text").cast("long").alias("n_chars_calc"),
+        lang.alias("lang_guess"),
+        F.round(p, 6).alias("punct_ratio"),
+        F.round(sw, 6).alias("stopword_ratio"),
+        F.round((len_score + sw_score + p_score) / 3, 6).alias("quality"),
+        F.md5(F.trim(F.col("_norm"))).alias("fp"))
+
+
 def fingerprint(col: Column | str) -> Column:
     """Document fingerprint: md5 over the word-normalized text (lowercased,
     punctuation stripped, whitespace collapsed). Two documents differing only

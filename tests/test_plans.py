@@ -88,3 +88,22 @@ def test_dedup_exact_partial_agg(q):
     df = q("dedup_exact")
     assert_partial_aggregation(df)
     assert_max_shuffles(df, 1)
+
+
+def test_text_profile_codegen_compiles(q, spark):
+    """The staged profile_frame must stay compilable: with codegen fallback
+    disabled, a Janino failure (the round-1 regression: hundreds of inlined
+    _normalized_for_words copies blowing the 64 KB method limit) raises
+    instead of silently running interpreted."""
+    prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        df = q("text_profile")
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", prev)
+    # the staging must survive Catalyst: normalized text is materialized
+    # exactly once (one regexp_replace in the whole physical plan)
+    from qvarn_mr_spark.plans import explain_str
+    txt = explain_str(df, "formatted")
+    assert txt.count("regexp_replace(lower(") == 1
