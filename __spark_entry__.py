@@ -591,6 +591,16 @@ def q_embedding_nn(spark, sf_dir):
     return similarity.nearest_neighbor(emb, "vec_id", "embedding")
 
 
+def q_embedding_nn_ivf(spark, sf_dir):
+    """Global nearest-neighbor via IVF routing — the near-dup operator that
+    replaces the all-pairs baseline at corpus scale (probes ⋈ members on
+    cluster_id, pair volume ~nprobe·n²/nlist, no crossJoin of the corpus)."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.nearest_neighbor_ivf(
+        emb, "vec_id", "embedding",
+        centroid_filter=F.col("vec_id") % 50 == 0, nprobe=2)
+
+
 def q_ivf_probe_search(spark, sf_dir):
     """IVF ANN query path: route query → nearest centroid → rank within the
     probed cluster only (scan 1/nlist of the corpus)."""
@@ -675,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn,
         "ivf_assign": q_ivf_assign,
         "embedding_nn": q_embedding_nn,
+        "embedding_nn_ivf": q_embedding_nn_ivf,
         "ivf_probe_search": q_ivf_probe_search,
         "centroid_by_label": q_centroid_by_label,
         "multimodal_features": q_multimodal_features,
@@ -966,6 +977,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_bruteforce": oracle.knn_bruteforce_sql("vec_id < 8", k=3),
         "ivf_assign": oracle.ivf_assign_sql("vec_id % 100 = 0"),
         "embedding_nn": oracle.nearest_neighbor_sql(),
+        "embedding_nn_ivf": oracle.nearest_neighbor_ivf_sql(
+            "vec_id % 50 = 0", nprobe=2),
         "ivf_probe_search": oracle.ivf_probe_search_sql(
             "vec_id % 100 = 0", "vec_id < 4", k=3),
         "centroid_by_label": oracle.centroid_by_label_agg_sql(),

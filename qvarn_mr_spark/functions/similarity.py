@@ -66,16 +66,16 @@ def knn_bruteforce(df: DataFrame, id_col: str, vec_col: str,
             .filter(F.col("rn") <= k))
 
 
-def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
-               centroid_filter: Column) -> DataFrame:
-    """IVF cluster assignment: nearest centroid by cosine.
+def ivf_assign_topn(df: DataFrame, id_col: str, vec_col: str,
+                    centroid_filter: Column, nprobe: int = 1) -> DataFrame:
+    """IVF routing: each vector's ``nprobe`` nearest centroids by cosine.
 
-    ``centroid_filter`` picks the centroid rows out of ``df`` (a real system
-    would take k-means centroids; any deterministic representative set gives
-    the same plan shape). Broadcast centroids × corpus → windowed argmax.
-    Returns ``(vec_id, cluster_id, cos_sim)`` — at scale this column becomes
-    the corpus table's partition key, so an ANN probe scans only
-    ``nprobe``/``nlist`` of the data.
+    Broadcast centroids × corpus (narrow per-vector scoring, one fused JVM
+    dot product per centroid) → windowed top-n. Returns
+    ``(vec_id, cluster_id, cos_sim, rn)`` with rn 1..nprobe; rn=1 is the
+    vector's home cluster, rn>1 are the probe clusters a search visits to
+    recover neighbors that fell across a Voronoi boundary. Ranking uses the
+    *rounded* similarity with cluster-id tiebreak (engine-reproducible).
     """
     cent = df.filter(centroid_filter).select(
         F.col(id_col).alias("cluster_id"),
@@ -88,7 +88,22 @@ def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"),
                                              F.asc("cluster_id"))
     return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1).drop("rn"))
+            .filter(F.col("rn") <= nprobe))
+
+
+def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
+               centroid_filter: Column) -> DataFrame:
+    """IVF cluster assignment: nearest centroid by cosine.
+
+    ``centroid_filter`` picks the centroid rows out of ``df`` (a real system
+    would take k-means centroids; any deterministic representative set gives
+    the same plan shape). Broadcast centroids × corpus → windowed argmax.
+    Returns ``(vec_id, cluster_id, cos_sim)`` — at scale this column becomes
+    the corpus table's partition key, so an ANN probe scans only
+    ``nprobe``/``nlist`` of the data.
+    """
+    return ivf_assign_topn(df, id_col, vec_col, centroid_filter,
+                           nprobe=1).drop("rn")
 
 
 def nearest_neighbor(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -97,9 +112,57 @@ def nearest_neighbor(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     candidate duplicate; emitting the argmax instead of thresholded pairs
     keeps the result non-degenerate on corpora with no near-dups.
 
-    Brute-force all-pairs — correct baseline; at corpus scale the same
-    output comes from :func:`ivf_assign` + per-cluster search."""
+    Brute-force all-pairs — the *correctness baseline only*: it broadcasts
+    the whole corpus and scores n² pairs. The operator a pipeline should
+    call at scale is :func:`nearest_neighbor_ivf`, which routes every vector
+    through IVF clusters and scores only within-bucket candidates."""
     return knn_bruteforce(df, id_col, vec_col, F.lit(True), k=1)
+
+
+def nearest_neighbor_ivf(df: DataFrame, id_col: str, vec_col: str,
+                         centroid_filter: Column,
+                         nprobe: int = 2) -> DataFrame:
+    """Every vector's nearest neighbor via IVF routing — the global near-dup
+    operator that survives corpus scale.
+
+    Shape (no all-pairs anywhere):
+
+    1. one broadcast-centroid assignment pass scores every vector against
+       the nlist centroids and keeps its top-``nprobe`` clusters
+       (:func:`ivf_assign_topn`);
+    2. rn=1 defines cluster *membership*, rn≤nprobe defines the clusters a
+       vector *probes*;
+    3. candidates = probes ⋈ members on ``cluster_id`` — a bucketed
+       equi-join whose pair volume is Σ_c |c|·|probers(c)| ≈
+       nprobe·n²/nlist, tunable via nlist, never the n² cross join;
+    4. vectors are fetched back by id (equi shuffle joins — skinny candidate
+       rows, vectors move once) and the argmax per query is kept.
+
+    Recall < 1 when a true neighbor lives outside every probed cluster —
+    the standard IVF trade; ``nprobe=nlist`` degenerates to exact
+    brute-force coverage (tested differentially). Returns
+    ``(q_id, n_id, cos_sim, rn)``, rn always 1, same shape as
+    :func:`nearest_neighbor`.
+    """
+    assign = ivf_assign_topn(df, id_col, vec_col, centroid_filter,
+                             nprobe=nprobe)
+    probes = assign.select(F.col("vec_id").alias("q_id"), "cluster_id")
+    members = assign.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("n_id"), "cluster_id")
+    cand = (probes.join(members, "cluster_id")
+            .filter(F.col("q_id") != F.col("n_id"))
+            .select("q_id", "n_id"))
+    qv = df.select(F.col(id_col).alias("q_id"),
+                   _as_double(df, vec_col).alias("q_vec"))
+    nv = df.select(F.col(id_col).alias("n_id"),
+                   _as_double(df, vec_col).alias("n_vec"))
+    scored = (cand.join(qv, "q_id").join(nv, "n_id")
+              .select("q_id", "n_id",
+                      F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6)
+                      .alias("cos_sim")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1))
 
 
 def ivf_probe_search(df: DataFrame, id_col: str, vec_col: str,

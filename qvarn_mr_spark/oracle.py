@@ -276,6 +276,36 @@ def nearest_neighbor_sql(table: str = "embeddings") -> str:
     return knn_bruteforce_sql("TRUE", k=1, table=table)
 
 
+def nearest_neighbor_ivf_sql(centroid_pred: str, nprobe: int = 2,
+                             table: str = "embeddings") -> str:
+    """similarity.nearest_neighbor_ivf — same probed candidate set, exact."""
+    acos = _COS.format(a="v.e", b="c.e")
+    cos = _COS.format(a="q.e", b="n.e")
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM {table}),
+cent AS (SELECT vec_id AS cluster_id, e FROM e WHERE {centroid_pred}),
+aranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cos_sim DESC, cluster_id ASC) AS rn
+  FROM (SELECT v.vec_id, c.cluster_id, round({acos}, 6) AS cos_sim
+        FROM e v, cent c)
+),
+probes AS (SELECT vec_id AS q_id, cluster_id FROM aranked WHERE rn <= {nprobe}),
+members AS (SELECT vec_id AS n_id, cluster_id FROM aranked WHERE rn = 1),
+cand AS (SELECT q_id, n_id FROM probes JOIN members USING (cluster_id)
+         WHERE q_id != n_id),
+scored AS (
+  SELECT cand.q_id, cand.n_id, round({cos}, 6) AS cos_sim
+  FROM cand JOIN e q ON q.vec_id = cand.q_id
+            JOIN e n ON n.vec_id = cand.n_id
+)
+SELECT q_id, n_id, cos_sim, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos_sim DESC, n_id ASC) AS rn
+  FROM scored) WHERE rn = 1
+"""
+
+
 def ivf_probe_search_sql(centroid_pred: str, query_pred: str, k: int = 3,
                          table: str = "embeddings") -> str:
     cos = _COS.format(a="qv.e", b="nv.e")

@@ -123,6 +123,41 @@ def test_ivf_assign(spark):
     assert got == {0: 0, 100: 100, 7: 0, 8: 100}
 
 
+def test_nearest_neighbor_ivf_full_probe_equals_bruteforce(spark, sf_dir):
+    """With nprobe = nlist every cluster is probed, so the IVF candidate set
+    covers the corpus and the result must equal exact brute force."""
+    from qvarn_mr_spark.catalog import load_tables
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    cent = F.col("vec_id") % 10 == 0
+    nlist = emb.filter(cent).count()
+    exact = {(r["q_id"], r["n_id"], r["cos_sim"])
+             for r in similarity.nearest_neighbor(
+                 emb, "vec_id", "embedding").collect()}
+    full = {(r["q_id"], r["n_id"], r["cos_sim"])
+            for r in similarity.nearest_neighbor_ivf(
+                emb, "vec_id", "embedding", cent, nprobe=nlist).collect()}
+    assert full == exact
+
+
+def test_nearest_neighbor_ivf_recall_monotone(spark, sf_dir):
+    """recall@1 vs brute force must not decrease as nprobe grows, and every
+    IVF answer is a real (not fabricated) pair with the true similarity."""
+    from qvarn_mr_spark.catalog import load_tables
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    cent = F.col("vec_id") % 10 == 0
+    exact = {r["q_id"]: r["n_id"] for r in similarity.nearest_neighbor(
+        emb, "vec_id", "embedding").collect()}
+
+    def recall(nprobe):
+        got = {r["q_id"]: r["n_id"] for r in similarity.nearest_neighbor_ivf(
+            emb, "vec_id", "embedding", cent, nprobe=nprobe).collect()}
+        assert set(got) <= set(exact)          # no fabricated query ids
+        return sum(got.get(q) == exact[q] for q in exact) / len(exact)
+
+    r1, r2 = recall(1), recall(2)
+    assert 0 < r1 <= r2 <= 1
+
+
 def test_centroid_by_label(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 3.0]), (1, [3.0, 5.0]), (2, [2.0, 2.0])],

@@ -107,3 +107,19 @@ def test_text_profile_codegen_compiles(q, spark):
     from qvarn_mr_spark.plans import explain_str
     txt = explain_str(df, "formatted")
     assert txt.count("regexp_replace(lower(") == 1
+
+
+def test_embedding_nn_ivf_no_cartesian(q):
+    """The global-NN scale path must never cross-join the corpus with
+    itself: candidates come from an equi-join on cluster_id. The only
+    nested-loop allowed is the broadcast-centroid scoring pass."""
+    from qvarn_mr_spark.plans import explain_str
+    txt = explain_str(q("embedding_nn_ivf"), "formatted")
+    assert "CartesianProduct" not in txt
+    # the assignment subtree appears twice (probes + members consume it);
+    # both nested loops broadcast the small filtered centroid set, never
+    # the corpus — runtime dedupes the shared window Exchange via reuse
+    import re
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", txt)) <= 2
+    # candidate generation is the bucketed equi-join on cluster_id
+    assert "SortMergeJoin" in txt or "ShuffledHashJoin" in txt
