@@ -7,7 +7,11 @@ from qvarn_mr_spark.operators.mapreduce import (
     reduce_join,
     reduce_pandas,
 )
-from qvarn_mr_spark.operators.incremental import IncrementalEngine, ParquetStateStore
+from qvarn_mr_spark.operators.incremental import (
+    BucketedParquetStateStore,
+    IncrementalEngine,
+    ParquetStateStore,
+)
 from qvarn_mr_spark.operators.sessions import sessionize
 from qvarn_mr_spark.operators.skew import salted_join, topk_per_key
 
@@ -20,6 +24,7 @@ __all__ = [
     "reduce_join",
     "reduce_pandas",
     "IncrementalEngine",
+    "BucketedParquetStateStore",
     "ParquetStateStore",
     "sessionize",
     "salted_join",

@@ -71,9 +71,15 @@ class ParquetStateStore:
     structural.
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, retain: int = 2):
+        """``retain`` controls snapshot GC depth. NOTE the read hazard:
+        ``read()`` returns a lazy DataFrame pinned to a version directory —
+        a caller holding one across ``retain`` subsequent ``overwrite()``
+        calls of the same table gets FileNotFound at action time. Raise
+        ``retain`` if external readers hold snapshots across batches."""
         self.spark = spark
         self.root = root
+        self.retain = retain
         os.makedirs(root, exist_ok=True)
 
     def _dir(self, table: str) -> str:
@@ -98,22 +104,29 @@ class ParquetStateStore:
             raise KeyError(f"no state for table {table!r}")
         return self.spark.read.parquet(os.path.join(self._dir(table), f"v{v}"))
 
-    def overwrite(self, table: str, df: DataFrame) -> None:
+    def overwrite(self, table: str, df: DataFrame,
+                  dirty_keys: DataFrame | None = None) -> None:
+        """Commit a new snapshot. ``dirty_keys`` (the keys this batch may
+        have touched) is a hint for stores that can commit less than the
+        full table; this base store ignores it and rewrites everything."""
         v = (self.version(table) or 0) + 1
         path = os.path.join(self._dir(table), f"v{v}")
         df.write.mode("overwrite").parquet(path)
+        self._commit(table, v)
+
+    def _commit(self, table: str, v: int) -> None:
         tmp = self._pointer(table) + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(v))
         os.replace(tmp, self._pointer(table))
         self._gc(table, keep=v)
 
-    def _gc(self, table: str, keep: int, retain: int = 2) -> None:
-        """Drop snapshot dirs older than ``retain`` versions back."""
+    def _gc(self, table: str, keep: int) -> None:
+        """Drop snapshot dirs older than ``self.retain`` versions back."""
         d = self._dir(table)
         for name in os.listdir(d):
             if name.startswith("v") and name[1:].isdigit():
-                if int(name[1:]) <= keep - retain:
+                if int(name[1:]) <= keep - self.retain:
                     shutil.rmtree(os.path.join(d, name), ignore_errors=True)
 
     # -- handler-version metadata (reference qvarnmr_handlers state,
@@ -136,6 +149,109 @@ class ParquetStateStore:
         with open(tmp, "w") as f:
             json.dump(meta, f)
         os.replace(tmp, self._meta_path())
+
+
+class BucketedParquetStateStore(ParquetStateStore):
+    """State store whose commit cost is O(dirty buckets), not O(|table|).
+
+    Snapshots are hash-partitioned on the view key into ``buckets`` buckets
+    (``pmod(hash(key), B)``); each version directory holds parquet data only
+    for the buckets that changed, plus a ``_MANIFEST.json`` mapping every
+    bucket to the version directory that owns its current files. Untouched
+    buckets keep pointing at the files an earlier version wrote — those
+    files are never rewritten, so a 1k-row dirty batch against a huge map
+    table commits a handful of bucket files instead of the whole snapshot.
+
+    This is the same metadata-over-immutable-files design Delta/Iceberg use
+    for MERGE (docstring of :class:`ParquetStateStore`); it makes the
+    engine's O(delta) claim demonstrable on plain parquet. The per-commit
+    driver work is one ≤B-row collect of dirty bucket ids — metadata-sized,
+    independent of table size.
+
+    Tables lacking ``key_col`` (e.g. dead-letter queues) fall back to the
+    plain full-rewrite path and carry no manifest.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, retain: int = 2,
+                 buckets: int = 16, key_col: str = "_mr_key"):
+        super().__init__(spark, root, retain=retain)
+        self.buckets = buckets
+        self.key_col = key_col
+
+    def _bucket_expr(self):
+        return F.pmod(F.hash(F.col(self.key_col)), F.lit(self.buckets))
+
+    def _manifest_path(self, table: str, v: int) -> str:
+        return os.path.join(self._dir(table), f"v{v}", "_MANIFEST.json")
+
+    def _load_manifest(self, table: str, v: int) -> dict | None:
+        try:
+            with open(self._manifest_path(table, v)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def overwrite(self, table: str, df: DataFrame,
+                  dirty_keys: DataFrame | None = None) -> None:
+        if self.key_col not in df.columns:
+            return super().overwrite(table, df)
+        prev_v = self.version(table)
+        prev = self._load_manifest(table, prev_v) if prev_v is not None else None
+        v = (prev_v or 0) + 1
+        path = os.path.join(self._dir(table), f"v{v}")
+
+        if dirty_keys is None or prev is None:
+            data, dirty_buckets = df, None          # full rewrite
+        else:
+            # ≤B distinct bucket ids — a metadata-sized collect by design
+            dirty_buckets = {r[0] for r in dirty_keys.select(
+                self._bucket_expr().alias("b")).distinct().collect()}
+            data = df.filter(self._bucket_expr().isin(dirty_buckets))
+
+        (data.withColumn("_bucket", self._bucket_expr())
+             .write.mode("overwrite").partitionBy("_bucket").parquet(path))
+        written = {int(n.split("=", 1)[1]) for n in os.listdir(path)
+                   if n.startswith("_bucket=")}
+        if dirty_buckets is None:
+            buckets = {str(b): v for b in written}
+        else:
+            # untouched buckets keep their owning version; a dirty bucket
+            # that came out empty (all its keys vanished) drops out entirely
+            buckets = {b: ver for b, ver in prev["buckets"].items()
+                       if int(b) not in dirty_buckets}
+            buckets.update({str(b): v for b in written})
+        manifest = {"buckets": buckets, "schema": df.schema.json()}
+        with open(self._manifest_path(table, v), "w") as f:
+            json.dump(manifest, f)
+        self._commit(table, v)
+
+    def read(self, table: str) -> DataFrame:
+        v = self.version(table)
+        if v is None:
+            raise KeyError(f"no state for table {table!r}")
+        manifest = self._load_manifest(table, v)
+        if manifest is None:
+            return super().read(table)
+        paths = [os.path.join(self._dir(table), f"v{ver}", f"_bucket={b}")
+                 for b, ver in manifest["buckets"].items()]
+        if not paths:
+            from pyspark.sql import types as T
+            return self.spark.createDataFrame(
+                [], T.StructType.fromJson(json.loads(manifest["schema"])))
+        return self.spark.read.parquet(*paths)
+
+    def _gc(self, table: str, keep: int) -> None:
+        """Like the base GC, but never drop a version directory that still
+        owns buckets referenced by the current manifest."""
+        manifest = self._load_manifest(table, keep)
+        referenced = ({int(ver) for ver in manifest["buckets"].values()}
+                      if manifest else set())
+        d = self._dir(table)
+        for name in os.listdir(d):
+            if name.startswith("v") and name[1:].isdigit():
+                vn = int(name[1:])
+                if vn <= keep - self.retain and vn not in referenced:
+                    shutil.rmtree(os.path.join(d, name), ignore_errors=True)
 
 
 @dataclass
@@ -311,8 +427,12 @@ class IncrementalEngine:
         dirty = dirty_key_parts[0]
         for p in dirty_key_parts[1:]:
             dirty = dirty.unionByName(p)
-        self.store.overwrite(target, out)
-        self.store.overwrite(target + "__dirty", dirty.distinct())
+        dirty = dirty.distinct()
+        # every row-level difference between old and new lives under a dirty
+        # key (survivors only lose dirty-source rows; fresh/tombstoned rows
+        # carry dirty keys), so a bucketed store may commit dirty buckets only
+        self.store.overwrite(target, out, dirty_keys=dirty)
+        self.store.overwrite(target + "__dirty", dirty)
 
     def _apply_reduce(self, target: str, sources: dict) -> None:
         """T4/T5 dirty-key group recompute + A8 empty-group delete + T3 purge.
@@ -336,7 +456,7 @@ class IncrementalEngine:
             new = keep.unionByName(recomputed, allowMissingColumns=True)
         else:
             new = recomputed
-        self.store.overwrite(target, new)
+        self.store.overwrite(target, new, dirty_keys=dirty)
         # purge tombstones for keys whose reduce has now succeeded — set form
         # (no collect): drop rows matching (source_id, key) of tombstoned∩dirty
         tomb_dirty = (map_df.filter(F.col("_mr_deleted"))
@@ -344,7 +464,7 @@ class IncrementalEngine:
         purged = map_df.join(
             tomb_dirty.select("_mr_source_id", "_mr_key").distinct(),
             ["_mr_source_id", "_mr_key"], "left_anti")
-        self.store.overwrite(src, purged)
+        self.store.overwrite(src, purged, dirty_keys=dirty)
 
     def _record_dead_letters(self, target: str, source: str,
                              missing: DataFrame) -> None:

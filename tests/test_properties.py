@@ -105,19 +105,22 @@ ops_strategy = st.lists(
     min_size=1, max_size=8)
 
 
+@pytest.mark.parametrize("store_kind", ["plain", "bucketed"])
 @settings(max_examples=6, deadline=None,
           suppress_health_check=list(HealthCheck))
 @given(st.lists(ops_strategy, min_size=1, max_size=3))
-def test_incremental_equals_full_recompute(spark, tmp_path_factory, batches):
+def test_incremental_equals_full_recompute(spark, tmp_path_factory,
+                                           store_kind, batches):
     """THE invariant of incremental view maintenance (reference
     processor.py): applying any sequence of CDC batches must leave exactly
-    the state a from-scratch recompute of the final sources produces."""
+    the state a from-scratch recompute of the final sources produces —
+    for both the full-rewrite store and the dirty-bucket-commit store."""
     from pyspark.sql import functions as F
 
     from qvarn_mr_spark.catalog import Catalog
     from qvarn_mr_spark.operators import (
-        IncrementalEngine, ParquetStateStore, ViewEngine,
-        map_item, reduce_agg,
+        BucketedParquetStateStore, IncrementalEngine, ParquetStateStore,
+        ViewEngine, map_item, reduce_agg,
     )
     from qvarn_mr_spark.operators.incremental import notifications
 
@@ -133,8 +136,9 @@ def test_incremental_equals_full_recompute(spark, tmp_path_factory, batches):
         "m": {"source": map_item("key", "value")},
         "v": {"m": reduce_agg(F.sum)},
     })
-    store = ParquetStateStore(
-        spark, str(tmp_path_factory.mktemp("ivm_prop")))
+    root = str(tmp_path_factory.mktemp("ivm_prop"))
+    store = (BucketedParquetStateStore(spark, root, buckets=4)
+             if store_kind == "bucketed" else ParquetStateStore(spark, root))
     inc = IncrementalEngine(eng, store)
 
     for batch in batches:
