@@ -556,6 +556,13 @@ def q_doc_split_sample(spark, sf_dir):
                  F.count(F.when(picked, 1)).alias("n_sampled")))
 
 
+def q_simhash_candidates(spark, sf_dir):
+    """Banded-bits LSH pairing over SimHash signatures — exact for hamming
+    ≤ 3 by pigeonhole (4 bands x 4 bits), bucketed candidate generation."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return dedup.simhash_candidates(docs, "doc_id", "text")
+
+
 def q_dedup_clusters(spark, sf_dir):
     """End of the dedup pipeline: LSH candidate pairs → connected
     components (pointer-doubling min-label propagation) → one cluster_id
@@ -680,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_candidates": q_minhash_candidates,
         "simhash": q_simhash,
+        "simhash_candidates": q_simhash_candidates,
         "dedup_clusters": q_dedup_clusters,
         "doc_split_sample": q_doc_split_sample,
         "knn_bruteforce": q_knn,
@@ -973,6 +981,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": oracle.minhash_signatures_sql(),
         "minhash_candidates": oracle.minhash_candidates_sql(),
         "simhash": oracle.simhash_sql(),
+        "simhash_candidates": oracle.simhash_candidates_sql(),
         "doc_split_sample": _doc_split_sample_sql(),
         "knn_bruteforce": oracle.knn_bruteforce_sql("vec_id < 8", k=3),
         "ivf_assign": oracle.ivf_assign_sql("vec_id % 100 = 0"),

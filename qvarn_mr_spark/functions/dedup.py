@@ -41,6 +41,11 @@ MINHASH_BANDS = 4
 MINHASH_ROWS = MINHASH_N // MINHASH_BANDS
 #: SimHash signature width (bits) — 4 hex chars of md5.
 SIMHASH_BITS = 16
+#: Bands for SimHash LSH pairing: 4 bands x 4 bits over the 16-bit signature.
+#: Pigeonhole: two signatures with hamming distance ≤ SIMHASH_BANDS-1 agree
+#: on at least one whole band, so banded candidate generation is EXACT for
+#: distance ≤ 3 (the verify-after filter only removes false positives).
+SIMHASH_BANDS = 4
 HEX_DIGITS = "0123456789abcdef"
 
 
@@ -252,6 +257,75 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         term = F.when(F.col(f"v{b}") >= 0, F.lit(2 ** b)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return votes.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def simhash_candidates(df: DataFrame, id_col: str, text_col: str,
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance — banded-bits LSH.
+
+    The signature alone doesn't finish the dedup job; this operator turns it
+    into pairs without ever going n²: split each 16-bit signature into
+    ``SIMHASH_BANDS`` 4-bit bands, bucket documents by (band_pos, band
+    value), expand pairs inside each bucket (sorted ``collect_list`` →
+    nested ``transform`` → ``explode``, same shape as
+    :func:`minhash_candidates`), then verify each candidate's exact hamming
+    distance (``bit_count(xor)``) and keep ``≤ max_hamming``.
+
+    For ``max_hamming ≤ SIMHASH_BANDS - 1`` (default 3) the result is EXACT:
+    by pigeonhole a pair within that distance shares an untouched band, so
+    it lands in a common bucket — banding loses nothing, it only prunes the
+    pair space. Returns ``(a_id, b_id, hamming)``.
+
+    Scale shape: the bucket pair expansion runs over *distinct signatures*
+    (≤ 2^SIMHASH_BITS values — template-heavy corpora collapse thousands of
+    docs onto one signature, so this is orders of magnitude smaller than the
+    doc count), and the doc-level pairs come from distributed equi-joins on
+    the signature: within-signature groups (hamming 0) via a self-join,
+    cross-signature pairs via joining the signature-pair list back twice.
+    Nothing ever expands m² doc pairs inside a single bucket row.
+    """
+    band_width = SIMHASH_BITS // SIMHASH_BANDS
+    sigs = simhash(df, id_col, text_col)
+
+    distinct_sigs = sigs.select("simhash").distinct()
+    bands = distinct_sigs.select(
+        "simhash",
+        F.posexplode(F.array(*[
+            (F.floor(F.col("simhash") / F.lit(2 ** (band_width * b)))
+             % (2 ** band_width)).cast("long")
+            for b in range(SIMHASH_BANDS)])).alias("band_pos", "bv"))
+    buckets = (bands.groupBy("band_pos", "bv")
+               .agg(F.sort_array(F.collect_list("simhash")).alias("ss"))
+               .filter(F.size("ss") > 1))
+    sig_pairs = (buckets.select(F.explode(F.flatten(F.transform(
+        F.col("ss"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ss"), i + 2, F.size(F.col("ss"))),
+            lambda y: F.struct(
+                x.alias("sig_a"), y.alias("sig_b"),
+                F.bit_count(x.bitwiseXOR(y))
+                .cast("long").alias("hamming")))))).alias("p"))
+        .select("p.sig_a", "p.sig_b", "p.hamming")
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct())
+
+    # hamming 0: all doc pairs within one signature group
+    sa = sigs.select(F.col("doc_id").alias("a_id"), "simhash")
+    sb = sigs.select(F.col("doc_id").alias("b_id"), "simhash")
+    within = (sa.join(sb, "simhash")
+              .filter(F.col("a_id") < F.col("b_id"))
+              .select("a_id", "b_id", F.lit(0).cast("long").alias("hamming")))
+
+    # hamming ≥ 1: expand each surviving signature pair to its doc pairs
+    da = sigs.select(F.col("doc_id").alias("id_a"),
+                     F.col("simhash").alias("sig_a"))
+    db = sigs.select(F.col("doc_id").alias("id_b"),
+                     F.col("simhash").alias("sig_b"))
+    cross = (sig_pairs.join(da, "sig_a").join(db, "sig_b")
+             .select(F.least("id_a", "id_b").alias("a_id"),
+                     F.greatest("id_a", "id_b").alias("b_id"),
+                     "hamming"))
+    return within.unionByName(cross)
 
 
 def dup_clusters(pairs: DataFrame, a: str = "a_id", b: str = "b_id",

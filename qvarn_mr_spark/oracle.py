@@ -227,6 +227,34 @@ SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes
 """
 
 
+def simhash_candidates_sql(max_hamming: int = 3,
+                           table: str = "documents") -> str:
+    """dedup.simhash_candidates — banded candidates + bit_count(xor) verify.
+
+    The SQL self-joins band rows (the oracle needn't be bucketed, only
+    set-identical: agreeing on ≥1 band ⇔ appearing in a common bucket)."""
+    from qvarn_mr_spark.functions.dedup import SIMHASH_BANDS, SIMHASH_BITS
+    bw = SIMHASH_BITS // SIMHASH_BANDS
+    bands = ", ".join(
+        f"CAST(floor(simhash / {2 ** (bw * b)}) AS BIGINT) % {2 ** bw}"
+        for b in range(SIMHASH_BANDS))
+    return f"""
+WITH sig AS ({simhash_sql(table)}),
+bands AS (
+  SELECT doc_id, simhash, generate_subscripts(bv, 1) - 1 AS band_pos,
+         unnest(bv) AS bv
+  FROM (SELECT doc_id, simhash, [{bands}] AS bv FROM sig)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band_pos = b.band_pos AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, hamming FROM cand WHERE hamming <= {max_hamming}
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity.py twins
 # ---------------------------------------------------------------------------

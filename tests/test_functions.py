@@ -102,6 +102,24 @@ def test_simhash_near_dup_close(docs):
     assert bin(h0 ^ h1).count("1") > 0     # different docs differ
 
 
+def test_simhash_candidates_exact_vs_bruteforce(docs):
+    """Banded-bits LSH must be EXACT for hamming ≤ SIMHASH_BANDS-1: the
+    candidate set equals brute-force all-pairs bit_count(xor) ≤ 3."""
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in dedup.simhash(docs, "doc_id", "text").collect()}
+    want = set()
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ham = bin(sigs[a] ^ sigs[b]).count("1")
+            if ham <= 3:
+                want.add((a, b, ham))
+    got = {(r["a_id"], r["b_id"], r["hamming"])
+           for r in dedup.simhash_candidates(docs, "doc_id", "text").collect()}
+    assert got == want
+    assert want                              # fixture actually has near-dups
+
+
 def test_knn_bruteforce(spark):
     vecs = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])]
     df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
