@@ -42,12 +42,16 @@ def hash_unit(col: str, salt: str) -> Column:
     copies into one evaluation)."""
     if not isinstance(col, str):
         raise TypeError("hash_unit needs a column name")
+    # coalesce: concat_ws silently drops NULL elements AND their separator
+    # (md5('salt')), while the DuckDB twin's concat keeps the '|'
+    # (md5('salt|')) — a NULL id would silently break hash parity. Pin both
+    # sides to the empty string.
     val = None
     for j in range(UNIT_NIBBLES):
         # bigint: nibble * 16^7 overflows int32 (ANSI mode throws)
         nib = F.expr(
             f"cast(locate(substring(md5(concat_ws('|', '{salt}', "
-            f"cast({col} as string))), {j + 1}, 1), "
+            f"coalesce(cast({col} as string), ''))), {j + 1}, 1), "
             f"'{HEX_DIGITS}') - 1 as bigint)")
         term = nib * (16 ** (UNIT_NIBBLES - 1 - j))
         val = term if val is None else val + term
@@ -59,7 +63,7 @@ def sample_unit_sql(col: str, salt: str) -> str:
     constants so both sides move together."""
     terms = " + ".join(
         f"(strpos('{HEX_DIGITS}', substring(md5(concat('{salt}', '|', "
-        f"CAST({col} AS VARCHAR))), {j + 1}, 1)) - 1) "
+        f"COALESCE(CAST({col} AS VARCHAR), ''))), {j + 1}, 1)) - 1) "
         f"* {16 ** (UNIT_NIBBLES - 1 - j)}"
         for j in range(UNIT_NIBBLES))
     return f"(({terms}) / {float(UNIT_DENOM)})"

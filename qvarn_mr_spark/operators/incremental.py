@@ -376,11 +376,19 @@ class IncrementalEngine:
         parts = []
         dirty_key_parts = []
         for source, spec in sources.items():
+            if "seq" not in changes.columns:
+                # F.last over groupBy is nondeterministic; without an order
+                # column, "which change wins" would depend on task scheduling
+                # (delete-vs-update flips). The feed contract (reference
+                # ``last_modified`` ordering, NOTIFICATION_SCHEMA) always
+                # provides seq, so absence is a caller bug.
+                raise ValueError(
+                    "change batch lacks a 'seq' ordering column; "
+                    "last-change-wins needs a deterministic order "
+                    "(see notifications() / NOTIFICATION_SCHEMA)")
             ch = (changes.filter(F.col("resource_type") == source)
                   .groupBy("resource_id")
-                  .agg(F.max_by("resource_change", F.col("seq")).alias("change")
-                       if "seq" in changes.columns
-                       else F.last("resource_change").alias("change")))
+                  .agg(F.max_by("resource_change", F.col("seq")).alias("change")))
             upserted = ch.filter(F.col("change") != DELETED).select("resource_id")
             deleted = ch.filter(F.col("change") == DELETED).select("resource_id")
             src_df = self.catalog.get(source)

@@ -241,7 +241,6 @@ class ViewEngine:
 
     def __post_init__(self):
         validate_config(self.config, strict=self.strict)
-        self._map_cache: dict[str, DataFrame] = {}
 
     def _id_col(self, source: str) -> str:
         if source in self.config:

@@ -45,7 +45,18 @@ def salted_join(probe: DataFrame, build: DataFrame, key: str,
     its shuffle volume multiplies by ``salt``, so use this when
     |build| ≪ |probe| but build is too big to broadcast outright.
     ``salt_cols`` picks the probe columns hashed for the salt (defaults to
-    all non-key columns, falling back to the key itself)."""
+    all non-key columns, falling back to the key itself).
+
+    Only probe-preserving joins are supported: replicating the build side
+    ``salt`` ways would emit each unmatched build row once per salt value
+    under right/full/anti semantics, so those ``how`` values raise."""
+    allowed = {"inner", "left", "leftouter", "left_outer",
+               "left_semi", "leftsemi", "semi", "cross"}
+    if how.lower().replace(" ", "") not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} is not probe-preserving; the build "
+            f"side is replicated {salt}x, so right/full/anti joins would "
+            f"duplicate unmatched build rows. Allowed: {sorted(allowed)}")
     salt_cols = salt_cols or [c for c in probe.columns if c != key] or [key]
     p = probe.withColumn("_salt", _salt_of(salt_cols, salt))
     b = build.withColumn(

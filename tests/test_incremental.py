@@ -128,6 +128,16 @@ def test_multiple_changes_same_id_in_batch(setup):
     assert read_sums(inc) == {"1": 3}
 
 
+def test_seqless_change_batch_rejected(setup):
+    # F.last-without-order would be nondeterministic: require seq
+    spark, cat, inc, set_source = setup
+    seqless = spark.createDataFrame(
+        [("source", "created", "1")],
+        "resource_type string, resource_change string, resource_id string")
+    with pytest.raises(ValueError, match="seq"):
+        inc.apply_changes(seqless)
+
+
 def test_store_versioning(spark, tmp_path):
     store = ParquetStateStore(spark, str(tmp_path / "s"))
     df1 = spark.createDataFrame([Row(a=1)])

@@ -31,6 +31,13 @@ def test_salted_join_matches_plain_join(spark, events):
         sorted(map(tuple, salted.collect()))
 
 
+def test_salted_join_rejects_build_preserving_how(spark, events):
+    users = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    for how in ("right", "full", "left_anti", "full_outer"):
+        with pytest.raises(ValueError, match="probe-preserving"):
+            salted_join(events, users, "user_id", salt=8, how=how)
+
+
 def test_topk_per_key_matches_naive_window(events):
     naive_w = Window.partitionBy("event_type").orderBy(
         F.desc("value"), F.asc("event_id"))
