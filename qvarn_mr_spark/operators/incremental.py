@@ -490,6 +490,67 @@ class IncrementalEngine:
             dl = self.store.read(table).unionByName(dl).distinct()
         self.store.overwrite(table, dl)
 
+    def dead_letters(self, target: str) -> DataFrame:
+        """The not-yet-applied notifications for ``target`` (empty if none)."""
+        table = target + "__dead_letter"
+        if not self.store.exists(table):
+            return self.catalog.spark.createDataFrame(
+                [], "resource_type string, resource_id string")
+        return self.store.read(table)
+
+    def replay_dead_letters(self, target: str) -> int:
+        """Re-enqueue dead-lettered notifications whose resource has since
+        appeared in its source, removing the replayed entries from
+        ``{target}__dead_letter``. Returns the number replayed.
+
+        Lossless completion of T6/T11: the reference retries 0.25 s → 1.5 s
+        then DROPS the notification (``processor.py:282-304``); we record
+        (:meth:`_record_dead_letters`) and replay once the source catches
+        up. Entries whose resource is still missing stay queued for a later
+        replay. The dead-letter table is exceptional-case-sized, so the
+        full-table window for ``seq`` is deliberate, not a skew hazard.
+        """
+        from pyspark.sql import Window
+
+        table = target + "__dead_letter"
+        if not self.store.exists(table):
+            return 0
+        dl = self.store.read(table)
+        ready_parts = []
+        for source in self.engine.config[target]:
+            src_df = self.catalog.get(source)
+            id_col = self.engine._id_col(source)
+            mine = dl.filter(F.col("resource_type") == source)
+            ready_parts.append(mine.join(
+                src_df.select(
+                    src_df[id_col].cast("string").alias("resource_id")),
+                "resource_id", "left_semi"))
+        ready = ready_parts[0]
+        for p in ready_parts[1:]:
+            ready = ready.unionByName(p)
+        ready = ready.cache()
+        n = ready.count()
+        if n == 0:
+            ready.unpersist()
+            return 0
+        # deterministic seq: replay order within the batch is irrelevant
+        # (distinct ids, one synthetic 'updated' each), it just satisfies
+        # the feed's ordering contract
+        batch = ready.select(
+            "resource_type",
+            F.lit(UPDATED).alias("resource_change"),
+            "resource_id",
+            F.row_number().over(
+                Window.orderBy("resource_type", "resource_id"))
+            .cast("long").alias("seq"))
+        self.apply_changes(batch)
+        remaining = dl.join(
+            ready.select("resource_type", "resource_id"),
+            ["resource_type", "resource_id"], "left_anti")
+        self.store.overwrite(table, remaining)
+        ready.unpersist()
+        return n
+
     # -- convenience ----------------------------------------------------------
 
     def read(self, target: str) -> DataFrame:

@@ -128,6 +128,38 @@ def test_multiple_changes_same_id_in_batch(setup):
     assert read_sums(inc) == {"1": 3}
 
 
+def test_dead_letter_replay_converges(setup):
+    """T6/T11 lossless path: a notification that precedes its resource's
+    visibility is dead-lettered, then replayed once the source catches up —
+    the view converges to the full-recompute answer (reference drops after
+    3 retries, processor.py:282-304; we keep and replay)."""
+    spark, cat, inc, set_source = setup
+    inc.apply_changes(notifications(spark, [
+        ("source", "created", "1"),
+        ("source", "created", "2"),
+        ("source", "created", "3"),
+        ("source", "created", "4"),      # not yet visible in the source
+        ("source", "created", "ghost")]))  # never appears
+    assert read_sums(inc) == {"1": 6}
+    dl = {r["resource_id"]
+          for r in inc.dead_letters("source__map").collect()}
+    assert dl == {"4", "ghost"}
+
+    # nothing to replay yet: both ids still missing
+    assert inc.replay_dead_letters("source__map") == 0
+
+    # the source catches up with id 4
+    set_source([("1", "source", "a", 1, 1),
+                ("2", "source", "a", 1, 2),
+                ("3", "source", "a", 1, 3),
+                ("4", "source", "a", 1, 10)])
+    assert inc.replay_dead_letters("source__map") == 1
+    assert read_sums(inc) == {"1": 16}
+    dl = {r["resource_id"]
+          for r in inc.dead_letters("source__map").collect()}
+    assert dl == {"ghost"}          # still-missing entry stays queued
+
+
 def test_seqless_change_batch_rejected(setup):
     # F.last-without-order would be nondeterministic: require seq
     spark, cat, inc, set_source = setup
