@@ -242,10 +242,20 @@ class BucketedParquetStateStore(ParquetStateStore):
 
     def _gc(self, table: str, keep: int) -> None:
         """Like the base GC, but never drop a version directory that still
-        owns buckets referenced by the current manifest."""
-        manifest = self._load_manifest(table, keep)
-        referenced = ({int(ver) for ver in manifest["buckets"].values()}
-                      if manifest else set())
+        owns buckets referenced by any RETAINED manifest.
+
+        Protecting only the newest manifest is not enough: a reader pinned
+        at manifest ``keep-1`` may resolve a carried-forward bucket to a
+        version directory arbitrarily far back (a no-op commit writes no
+        files of its own), so the base store's "retain the last N dirs"
+        contract must become "retain the last N manifests *and their
+        closures*" — the same reachability rule Delta/Iceberg VACUUM uses.
+        """
+        referenced = set()
+        for v in range(max(1, keep - self.retain + 1), keep + 1):
+            manifest = self._load_manifest(table, v)
+            if manifest:
+                referenced |= {int(ver) for ver in manifest["buckets"].values()}
         d = self._dir(table)
         for name in os.listdir(d):
             if name.startswith("v") and name[1:].isdigit():
@@ -322,9 +332,9 @@ class IncrementalEngine:
         for target in reduces:
             self.resync(target)
 
-    def resync_changed(self) -> list[str]:
-        """Resync only targets whose configured handler version differs from
-        the stored one (``resync.py:77-88`` version diff)."""
+    def _changed_targets(self) -> list[str]:
+        """Targets whose configured handler version differs from the stored
+        one (``resync.py:77-88`` version diff), map targets first."""
         meta = self.store.get_handler_versions()
         changed = []
         for target, sources in self.engine.config.items():
@@ -336,9 +346,119 @@ class IncrementalEngine:
         # map targets before reduce targets, preserving config order
         changed.sort(key=lambda t: isinstance(
             next(iter(self.engine.config[t].values())), REDUCE_SPECS))
+        return changed
+
+    def resync_changed(self) -> list[str]:
+        """Resync only targets whose configured handler version differs from
+        the stored one (``resync.py:77-88`` version diff)."""
+        changed = self._changed_targets()
         for target in changed:
             self.resync(target)
         return changed
+
+    def resync_interleaved(self, drain=None, chunks: int = 8) -> list[str]:
+        """Chunked resync of version-changed targets, with live changes
+        processed between chunks.
+
+        The reference never suspends live processing for a backfill: the
+        worker interleaves notification batches between resync chunks of
+        100 ids (``scripts/worker.py:66-71``, ``resync.py:100,120``).
+        Spark form: each chunk is a hash-slice of the *current* source scan
+        (``pmod(xxhash64(id), chunks) == i``) pushed through the normal
+        notification path (:meth:`apply_changes`), so no id list is ever
+        collected to the driver and every chunk is a predicate-filtered
+        scan. ``drain()`` — typically
+        :meth:`~qvarn_mr_spark.streaming.maintainer.StreamingMaintainer.
+        run_available` — runs between chunks to apply notifications that
+        arrived while the backfill was running.
+
+        Pick ``chunks`` so one slice of source ids stays comfortably
+        broadcastable (~10M ids); the chunk count is the knob that bounds
+        both per-chunk work and live-update latency during a backfill.
+
+        Unlike the one-shot :meth:`resync` (whose atomic overwrite drops
+        them for free), the chunked path must clean up drift explicitly: a
+        final synthetic ``deleted`` batch removes map rows whose source row
+        vanished without a delete notification, so the end state equals a
+        full recompute.
+        """
+        drain = drain or (lambda: None)
+        changed = self._changed_targets()
+        for target in changed:
+            sources = self.engine.config[target]
+            first = next(iter(sources.values()))
+            if isinstance(first, REDUCE_SPECS):
+                ((src, spec),) = sources.items()
+                if not self.store.exists(src):
+                    # no stored map yet: nothing to slice — one-shot bootstrap
+                    self.resync(target)
+                else:
+                    for i in range(chunks):
+                        keys = (self.store.read(src).select("_mr_key")
+                                .distinct()
+                                .filter(F.pmod(F.xxhash64("_mr_key"),
+                                               F.lit(chunks)) == F.lit(i)))
+                        self.store.overwrite(src + "__dirty", keys)
+                        self._apply_reduce(target, sources)
+                        drain()
+                self.store.set_handler_version(target, src, spec.version)
+            else:
+                for i in range(chunks):
+                    self.apply_changes(self._resync_batch(sources, chunks, i))
+                    drain()
+                stale = self._stale_delete_batch(target, sources)
+                if not stale.isEmpty():
+                    self.apply_changes(stale)
+                for src, spec in sources.items():
+                    self.store.set_handler_version(target, src, spec.version)
+                drain()
+        return changed
+
+    def _resync_batch(self, sources: dict, chunks: int, i: int) -> DataFrame:
+        """Synthetic ``updated`` notifications for hash-slice ``i`` of each
+        source's current ids (``resync.py:15-24``, chunked per
+        ``resync.py:100``)."""
+        parts = []
+        for source in sources:
+            src_df = self.catalog.get(source)
+            id_col = self.engine._id_col(source)
+            parts.append(
+                src_df.select(
+                    F.lit(source).alias("resource_type"),
+                    F.lit(UPDATED).alias("resource_change"),
+                    src_df[id_col].cast("string").alias("resource_id"),
+                    F.lit(1).cast("long").alias("seq"))
+                .filter(F.pmod(F.xxhash64(F.col("resource_id")),
+                               F.lit(chunks)) == F.lit(i)))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _stale_delete_batch(self, target: str, sources: dict) -> DataFrame:
+        """Synthetic ``deleted`` notifications for map rows whose source row
+        no longer exists — drift that accumulated while the chunked resync
+        ran (or before it, if delete notifications were lost)."""
+        old = self.store.read(target)
+        parts = []
+        for source in sources:
+            src_df = self.catalog.get(source)
+            id_col = self.engine._id_col(source)
+            ids = src_df.select(
+                src_df[id_col].cast("string").alias("resource_id"))
+            mine = (old.filter(F.col("_mr_source_type") == source)
+                    .select(F.col("_mr_source_id").alias("resource_id"))
+                    .distinct())
+            parts.append(
+                mine.join(ids, "resource_id", "left_anti")
+                .select(F.lit(source).alias("resource_type"),
+                        F.lit(DELETED).alias("resource_change"),
+                        "resource_id",
+                        F.lit(1).cast("long").alias("seq")))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     # -- incremental application (T2-T5, A8) ---------------------------------
 

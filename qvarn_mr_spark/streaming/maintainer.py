@@ -82,6 +82,18 @@ class StreamingMaintainer:
              .start())
         q.awaitTermination()
 
+    def run_with_resync(self, chunks: int = 8) -> list[str]:
+        """The reference worker's startup sequence (``scripts/worker.py:
+        60-77``): process the live backlog, chunk-resync version-changed
+        handlers while draining newly-arrived notifications between chunks
+        (never suspending the live view for the whole backfill), then drain
+        once more. Returns the resynced targets."""
+        self.run_available()
+        changed = self.inc.resync_interleaved(drain=self.run_available,
+                                              chunks=chunks)
+        self.run_available()
+        return changed
+
     def start_forever(self, interval: str = "1 second"):
         """Continuous mode (the reference's ``--forever`` / 0.5 s poll).
         Returns the StreamingQuery; caller owns stop()."""

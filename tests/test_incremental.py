@@ -115,6 +115,55 @@ def test_resync_changed_on_version_bump(setup):
     assert read_sums(inc) == {"1": 6}
 
 
+def test_resync_interleaved_live_changes_converge(setup):
+    """Worker interleave (reference worker.py:66-71): live notifications
+    arriving between resync chunks are applied mid-backfill, and the final
+    state equals a full recompute off the final source."""
+    spark, cat, inc, set_source = setup
+    inc.resync_all()
+    assert read_sums(inc) == {"1": 6}
+
+    # bump the reduce handler → chunked reduce resync with live interleave
+    inc.engine.config["sum_target"]["source__map"] = reduce_agg(F.sum, version=2)
+    live = [[("source", "updated", "2")], [("source", "deleted", "3")]]
+    states = [[("1", "source", "a", 1, 1),
+               ("2", "source", "b", 1, 7),
+               ("3", "source", "a", 1, 3)],
+              [("1", "source", "a", 1, 1),
+               ("2", "source", "b", 1, 7)]]
+
+    def drain():
+        if live:
+            set_source(states.pop(0))
+            inc.apply_changes(notifications(spark, live.pop(0)))
+
+    changed = inc.resync_interleaved(drain=drain, chunks=2)
+    assert changed == ["sum_target"]
+    assert live == []                      # both live batches were drained
+    assert read_sums(inc) == {"1": 8}      # == full recompute of final source
+
+
+def test_resync_interleaved_map_chunks_and_drift(setup):
+    """Chunked MAP resync: each chunk is a hash-slice of current source ids
+    through the normal notification path; rows whose source vanished with
+    no delete notification are cleaned up by the final stale-delete batch,
+    so the end state equals a full recompute."""
+    spark, cat, inc, set_source = setup
+    inc.resync_all()
+    # source drifts while the map handler version is bumped: id 3 vanished
+    # WITHOUT a delete notification, id 4 appeared
+    set_source([("1", "source", "a", 1, 1),
+                ("2", "source", "a", 1, 2),
+                ("4", "source", "a", 2, 10)])
+    inc.engine.config["source__map"]["source"] = map_item(
+        "key", "value", version=2)
+    drains = []
+    changed = inc.resync_interleaved(drain=lambda: drains.append(1), chunks=3)
+    assert changed == ["source__map"]
+    assert len(drains) >= 3                # one drain per chunk at least
+    assert read_sums(inc) == {"1": 3, "2": 10}
+
+
 def test_multiple_changes_same_id_in_batch(setup):
     # created then deleted within one batch → final state wins
     spark, cat, inc, set_source = setup
