@@ -27,10 +27,12 @@ a per-key merge over time-sorted runs.
 
 Skew note (100 TB): a heavy-hitter key sorts in a single task. Unlike
 top-k, an as-of match needs the full per-key ordering, so salting can't be
-applied blindly; the scale remedy is range-bucketing time within hot keys
-and carrying the last payload across bucket boundaries (a second tiny
-pass over per-bucket tails). Not implemented until data demands it —
-noted so the judge knows the plan.
+applied blindly; the scale remedy is :func:`asof_join_bucketed` —
+range-bucket time within keys, match locally per (key, time-bucket), and
+carry the last payload across bucket boundaries via a second pass over
+per-bucket tails (one row per key×bucket — metadata-sized next to the
+data). A year of events at 1-hour buckets turns one monster sort task
+into ~9k independent tasks per hot key.
 
 Determinism: Spark windows have no implicit row order, so ties on
 (key, ts) between right rows are broken by ``tiebreak`` columns
@@ -63,6 +65,25 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     ``allow_exact_matches``  whether right.ts == left.ts may match.
     ``tiebreak``   right columns ordering ties on (key, ts) — last wins.
     """
+    l2, r2, payload = _prep_sides(left, right, on, left_ts, right_ts,
+                                  payload, direction, allow_exact_matches,
+                                  tiebreak)
+    ts_sort = F.asc("_ts") if direction == "backward" else F.desc("_ts")
+    w = (Window.partitionBy(*on)
+         .orderBy(ts_sort, F.asc("_ord"), F.asc("_tb"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    matched = (l2.unionByName(r2)
+               .withColumn("_m", F.last("_rpay", ignorenulls=True).over(w))
+               .filter(F.col("_lrow").isNotNull()))
+    return matched.select(
+        "_lrow.*",
+        *[F.col(f"_m.{a}").alias(a) for a in payload.values()])
+
+
+def _prep_sides(left, right, on, left_ts, right_ts, payload, direction,
+                allow_exact_matches, tiebreak):
+    """Tag-and-pack both sides for the union-and-window formulation:
+    (keys, _ts, _ord, _tb, _lrow, _rpay) with matching schemas."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction!r}")
     if payload is None:
@@ -102,14 +123,84 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
         F.lit(None).cast(lrow_type).alias("_lrow"),
         rpay.alias("_rpay"),
     )
+    return l2, r2, payload
 
-    ts_sort = F.asc("_ts") if direction == "backward" else F.desc("_ts")
-    w = (Window.partitionBy(*on)
-         .orderBy(ts_sort, F.asc("_ord"), F.asc("_tb"))
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    matched = (l2.unionByName(r2)
-               .withColumn("_m", F.last("_rpay", ignorenulls=True).over(w))
-               .filter(F.col("_lrow").isNotNull()))
+
+def asof_join_bucketed(left: DataFrame, right: DataFrame, on: list[str],
+                       bucket_width: float,
+                       left_ts: str = "ts", right_ts: str = "ts",
+                       payload: dict[str, str] | None = None,
+                       direction: str = "backward",
+                       allow_exact_matches: bool = True,
+                       tiebreak: list[str] | None = None) -> DataFrame:
+    """Skew-safe :func:`asof_join`: identical output, but a hot key never
+    sorts in one task.
+
+    ``bucket_width`` is in the timestamp's units (seconds for timestamps);
+    rows are range-bucketed by ``floor(ts / width)`` and the union-window
+    match runs per (key, time-bucket) — a year of one key's events at 1 h
+    buckets is ~9k independent tasks instead of one. Rows near a bucket's
+    start that need an earlier bucket's right row get it from the carry
+    pass: per (key, bucket) keep only the LAST right payload in match
+    order (one row per key×bucket — tiny next to the data), run the same
+    running-last window over that spine per key, and join the carried
+    payload back on (key, bucket).
+
+    Exactness is preserved because equal timestamps always land in the
+    same bucket, so the inclusive/exclusive side-ordering logic stays
+    entirely inside the local window; carried payloads are strictly from
+    earlier buckets, i.e. strictly earlier timestamps.
+
+    Cost: one shuffle of |L|+|R| on (key, bucket), one tiny shuffle of the
+    spine on key, one (key, bucket) join — vs one shuffle on key for the
+    plain form. Use the plain form unless keys are skewed.
+    """
+    l2, r2, payload = _prep_sides(left, right, on, left_ts, right_ts,
+                                  payload, direction, allow_exact_matches,
+                                  tiebreak)
+    if direction == "backward":
+        ts_sort = [F.asc("_ts"), F.asc("_ord"), F.asc("_tb")]
+        ts_rev = [F.desc("_ts"), F.desc("_ord"), F.desc("_tb")]
+        bkt_sort = F.asc("_bkt")
+    else:
+        ts_sort = [F.desc("_ts"), F.asc("_ord"), F.asc("_tb")]
+        ts_rev = [F.asc("_ts"), F.desc("_ord"), F.desc("_tb")]
+        bkt_sort = F.desc("_bkt")
+
+    u = (l2.unionByName(r2)
+         .withColumn("_bkt", F.floor(F.col("_ts").cast("double")
+                                     / F.lit(float(bucket_width)))))
+    wl = (Window.partitionBy(*on, "_bkt").orderBy(*ts_sort)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    u = u.withColumn("_m_local", F.last("_rpay", ignorenulls=True).over(wl))
+
+    # per-bucket tail: the right row a later bucket would inherit = the
+    # last right row of this bucket in match order (row 1 of the reverse)
+    wt = Window.partitionBy(*on, "_bkt").orderBy(*ts_rev)
+    tails = (u.filter(F.col("_rpay").isNotNull())
+             .withColumn("_rn", F.row_number().over(wt))
+             .filter(F.col("_rn") == 1)
+             .select(*on, "_bkt", F.col("_rpay").alias("_tail")))
+
+    # spine: every (key, bucket) seen on either side; carry-in = last tail
+    # among strictly earlier buckets (unbounded-preceding, -1). One row per
+    # key×bucket, so the per-key window here is metadata-sized.
+    spine = (u.select(*on, "_bkt").distinct()
+             .join(tails, [*on, "_bkt"], "left"))
+    wc = (Window.partitionBy(*on).orderBy(bkt_sort)
+          .rowsBetween(Window.unboundedPreceding, -1))
+    carry = (spine
+             .withColumn("_carry", F.last("_tail", ignorenulls=True).over(wc))
+             .select(*on, "_bkt", "_carry"))
+
+    lefts = u.filter(F.col("_lrow").isNotNull()).alias("L")
+    carry = carry.alias("C")
+    cond = F.col("L._bkt") == F.col("C._bkt")
+    for k in on:
+        # null-safe: the window form groups null keys together
+        cond = cond & F.col(f"L.{k}").eqNullSafe(F.col(f"C.{k}"))
+    matched = (lefts.join(carry, cond, "left")
+               .withColumn("_m", F.coalesce("L._m_local", "C._carry")))
     return matched.select(
         "_lrow.*",
         *[F.col(f"_m.{a}").alias(a) for a in payload.values()])

@@ -6,7 +6,7 @@ import random
 
 from pyspark.sql import functions as F
 
-from qvarn_mr_spark.operators.asof import asof_join
+from qvarn_mr_spark.operators.asof import asof_join, asof_join_bucketed
 
 
 def _mk(spark, rows, cols):
@@ -73,6 +73,47 @@ def test_differential_vs_bruteforce(spark):
     assert len(got) == len(left)
     for (k, ts, lid) in left:
         assert got[lid] == brute(k, ts), (k, ts, lid)
+
+
+def test_bucketed_differential_skewed(spark):
+    """asof_join_bucketed must equal asof_join on a skewed fixture (one
+    key carries ~half of all rows) across every direction/exactness
+    combination — including matches that cross bucket boundaries."""
+    rng = random.Random(11)
+
+    def key():
+        return 0 if rng.random() < 0.5 else rng.randrange(1, 6)
+
+    left = [(key(), rng.randrange(200), i) for i in range(300)]
+    right = [(key(), rng.randrange(200), 1000 + i) for i in range(200)]
+    ldf = _mk(spark, left, ["k", "ts", "lid"])
+    rdf = _mk(spark, right, ["k", "ts", "rid"])
+    for direction in ("backward", "forward"):
+        for exact in (True, False):
+            plain = asof_join(ldf, rdf, on=["k"], payload={"rid": "rid"},
+                              direction=direction, allow_exact_matches=exact,
+                              tiebreak=["rid"])
+            buck = asof_join_bucketed(
+                ldf, rdf, on=["k"], bucket_width=16, payload={"rid": "rid"},
+                direction=direction, allow_exact_matches=exact,
+                tiebreak=["rid"])
+            a = {r["lid"]: r["rid"] for r in plain.collect()}
+            b = {r["lid"]: r["rid"] for r in buck.collect()}
+            assert a == b, (direction, exact)
+
+
+def test_bucketed_plan_splits_hot_key(spark):
+    """The big window must partition on (key, _bkt): the hot key's sort is
+    split across time-bucket tasks instead of landing in one."""
+    ldf = _mk(spark, [("a", i, i) for i in range(40)], ["k", "ts", "lid"])
+    rdf = _mk(spark, [("a", i, 100 + i) for i in range(40)],
+              ["k", "ts", "price"])
+    out = asof_join_bucketed(ldf, rdf, on=["k"], bucket_width=8,
+                             payload={"price": "price"})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_bkt" in plan
+    for bad in ("BroadcastNestedLoop", "CartesianProduct"):
+        assert bad not in plan, plan
 
 
 def test_plan_is_single_shuffle_window(spark):
