@@ -9,6 +9,11 @@ from qvarn_mr_spark.streaming.maintainer import (
     StreamingMaintainer,
     read_change_feed,
 )
+from qvarn_mr_spark.streaming.lease import (
+    BusyWorkerError,
+    WorkerLease,
+)
 
-__all__ = ["NOTIFICATION_SCHEMA", "StreamingMaintainer", "read_change_feed",
-           "sessionize_stream", "windowed_counts"]
+__all__ = ["BusyWorkerError", "NOTIFICATION_SCHEMA", "StreamingMaintainer",
+           "WorkerLease", "read_change_feed", "sessionize_stream",
+           "windowed_counts"]

@@ -28,6 +28,11 @@ Spark re-expression (SURVEY §2.7 T1/T6):
 At cluster scale this is the standard shape: the feed directory becomes a
 Kafka topic / Delta CDF, ``foreachBatch`` stays identical, and state tables
 become Delta — nothing in the engine logic changes.
+
+Single-writer safety (T9): within one submitted application the streaming
+checkpoint lock serializes all commits; against a SECOND independently
+submitted application sharing the state dir, take :meth:`StreamingMaintainer.
+lease` (reference keep-alive/steal-after-timeout, ``listeners.py:56-153``).
 """
 
 from __future__ import annotations
@@ -81,6 +86,15 @@ class StreamingMaintainer:
              .trigger(availableNow=True)
              .start())
         q.awaitTermination()
+
+    def lease(self, interval: float = 10.0, timeout: float = 30.0):
+        """Single-writer lease over the state directory — guards against a
+        second independently submitted worker (T9). Use as
+        ``with m.lease(): m.run_with_resync()``; call ``keep_alive()``
+        from long loops."""
+        from qvarn_mr_spark.streaming.lease import WorkerLease
+        return WorkerLease(self.inc.store.root, interval=interval,
+                           timeout=timeout)
 
     def run_with_resync(self, chunks: int = 8) -> list[str]:
         """The reference worker's startup sequence (``scripts/worker.py:
