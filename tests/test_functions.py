@@ -86,6 +86,31 @@ def test_ngram_jaccard_finds_near_dup(docs):
     assert (0, 1) not in pairs
 
 
+def test_ngram_jaccard_max_df_cutoff(spark):
+    """Frequency cutoff: a boilerplate shingle present in EVERY doc (think
+    a shared header) pairs all n docs quadratically; max_df drops it before
+    the self-join, and jaccard is consistently over the filtered sets."""
+    boiler = "common header line"             # one shingle, in all docs
+    rows = [(i, f"{boiler} unique{i} text{i} only{i} here{i}")
+            for i in range(30)]
+    # two real near-dups sharing their non-boilerplate shingles
+    rows += [(100, f"{boiler} same body here now"),
+             (101, f"{boiler} same body here now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    full = dedup.ngram_jaccard_pairs(df, "doc_id", "text", min_common=1)
+    cut = dedup.ngram_jaccard_pairs(df, "doc_id", "text", min_common=1,
+                                    max_df=5)
+    n_full, n_cut = full.count(), cut.count()
+    assert n_full >= 32 * 31 // 2          # boilerplate pairs everything
+    assert n_cut == 1                      # only the real near-dup survives
+    got = cut.collect()[0]
+    assert (got["a_id"], got["b_id"]) == (100, 101)
+    # jaccard over FILTERED sets: both docs keep exactly their 4 distinct
+    # non-boilerplate-reachable shingles and share all of them ⇒ 1.0
+    assert got["jaccard"] == 1.0
+
+
 def test_minhash_lsh_finds_near_dup(docs):
     cands = dedup.minhash_candidates(docs, "doc_id", "text")
     got = {(r["a_id"], r["b_id"]): r["n_bands"] for r in cands.collect()}
