@@ -50,3 +50,48 @@ def test_worker_resync_and_drain(spark, sf_dir, tmp_path, capsys):
     rows = {r["_mr_key"]: r["total"]
             for r in store.read("value_by_type").collect()}
     assert len(rows) == 5 and all(v > 0 for v in rows.values())
+    # the single-writer lease was taken and cleanly released
+    with open(tmp_path / "state" / "_WORKER_LEASE") as f:
+        assert json.load(f)["owner"] is None
+
+
+def test_worker_ini_config(spark, sf_dir, tmp_path, capsys):
+    """Reference-shaped INI entry point (config.py:9-25, worker.py:30-33):
+    everything in the [qvarnmr] section, no flags beyond -c."""
+    mod_dir = tmp_path / "mods"
+    mod_dir.mkdir()
+    (mod_dir / "iniviews.py").write_text(textwrap.dedent("""
+        from pyspark.sql import functions as F
+        from qvarn_mr_spark.operators import map_item, reduce_count
+        CONFIG = {
+            "ev__map": {"events": map_item("event_type")},
+            "count_by_type": {"ev__map": reduce_count()},
+        }
+        ID_COLS = {"events": "event_id"}
+    """))
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    ini = tmp_path / "worker.ini"
+    ini.write_text(textwrap.dedent(f"""
+        [qvarnmr]
+        handlers = iniviews:CONFIG
+        tables = {sf_dir}
+        state = {tmp_path / 'state'}
+        feed = {feed}
+        resync_chunks = 2
+        lease_timeout = 60
+    """))
+    sys.path.insert(0, str(mod_dir))
+    try:
+        worker.main(["-c", str(ini)])
+    finally:
+        sys.path.remove(str(mod_dir))
+    out = capsys.readouterr().out
+    assert "resynced: ev__map, count_by_type" in out
+    assert "feed drained" in out
+
+    from qvarn_mr_spark.operators import ParquetStateStore
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+    total = sum(r["_mr_value"]
+                for r in store.read("count_by_type").collect())
+    assert total == spark.read.parquet(f"{sf_dir}/events.parquet").count()
