@@ -425,6 +425,31 @@ def q_events_asof(spark, sf_dir):
                     "purchase_id", "purchase_value")
 
 
+def q_events_asof_bucketed(spark, sf_dir):
+    """Skew-safe as-of join (operators/asof.py:asof_join_bucketed): same
+    click→latest-purchase semantics as events_asof, but matched per
+    (user, 1-day time bucket) with per-bucket tails carried across
+    boundaries — a hot user's events sort across many tasks instead of
+    one. Identical output by construction; the oracle is the SAME DuckDB
+    ASOF JOIN, so the driver gate proves the bucketed rewrite exact."""
+    from qvarn_mr_spark.operators.asof import asof_join_bucketed
+    ev = _t(spark, sf_dir, "events")["events"]
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts",
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("value").alias("purchase_value")))
+    j = asof_join_bucketed(clicks, purchases, on=["user_id"],
+                           bucket_width=86_400.0,
+                           payload={"purchase_id": "purchase_id",
+                                    "purchase_value": "purchase_value"},
+                           tiebreak=["purchase_id"])
+    return j.select(F.col("event_id").alias("click_id"), "user_id",
+                    F.unix_micros("ts").alias("click_us"),
+                    "purchase_id", "purchase_value")
+
+
 def q_events_error_window(spark, sf_dir):
     """Range (interval-containment) join — operators/ranges.py bucketed
     form: count each user's events falling inside a 10-minute window
@@ -677,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_running": q_events_running,
         "price_quantiles": q_price_quantiles,
         "events_asof": q_events_asof,
+        "events_asof_bucketed": q_events_asof_bucketed,
         "events_error_window": q_events_error_window,
         "topk_per_key": q_topk_per_key,
         "q4_late_orders": q4_late_orders,
@@ -717,6 +743,25 @@ def _doc_split_sample_sql() -> str:
                           THEN 1 END) AS n_sampled
         FROM documents GROUP BY 1, 2
     """
+
+
+#: Shared by events_asof and its skew-safe bucketed rewrite: identical
+#: semantics, one oracle.
+_ASOF_ORACLE = """
+    WITH clicks AS (
+      SELECT event_id AS click_id, user_id, ts
+      FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, ts, max(event_id) AS purchase_id,
+             arg_max(value, event_id) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT c.click_id, c.user_id, epoch_us(c.ts) AS click_us,
+           p.purchase_id, p.purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -901,21 +946,9 @@ def oracle_sql() -> dict[str, str]:
                      AS p90_price
             FROM orders GROUP BY 1
         """,
-        "events_asof": """
-            WITH clicks AS (
-              SELECT event_id AS click_id, user_id, ts
-              FROM events WHERE event_type = 'click'
-            ),
-            purchases AS (
-              SELECT user_id, ts, max(event_id) AS purchase_id,
-                     arg_max(value, event_id) AS purchase_value
-              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
-            )
-            SELECT c.click_id, c.user_id, epoch_us(c.ts) AS click_us,
-                   p.purchase_id, p.purchase_value
-            FROM clicks c ASOF LEFT JOIN purchases p
-              ON c.user_id = p.user_id AND c.ts >= p.ts
-        """,
+        "events_asof": _ASOF_ORACLE,
+        # the bucketed rewrite must produce IDENTICAL output — same oracle
+        "events_asof_bucketed": _ASOF_ORACLE,
         "events_error_window": """
             SELECT e.user_id, count(*) AS n_flagged
             FROM events e
