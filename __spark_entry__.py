@@ -333,6 +333,180 @@ def q18_big_orders(spark, sf_dir):
     """)
 
 
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: shipping volume between two nations. The nation
+    filter is pushed BELOW the big join — supplier/customer are pre-pruned
+    to the two nations via broadcast dimension joins, so the lineitem probe
+    carries only matching rows; the disjunctive pair filter then runs on
+    the tiny joined side. One shuffle (final aggregate)."""
+    t = _t(spark, sf_dir, "nation", "customer", "supplier", "orders",
+           "lineitem")
+    nsel = t["nation"].filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    supp = t["supplier"].join(
+        F.broadcast(nsel.select(F.col("n_nationkey").alias("s_nk"),
+                                F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("s_nk"))
+    cust = t["customer"].join(
+        F.broadcast(nsel.select(F.col("n_nationkey").alias("c_nk"),
+                                F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("c_nk"))
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    j = (li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+         .filter(((F.col("supp_nation") == "NATION_1")
+                  & (F.col("cust_nation") == "NATION_2"))
+                 | ((F.col("supp_nation") == "NATION_2")
+                    & (F.col("cust_nation") == "NATION_1"))))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").alias("l_year"))
+            .agg(F.round(F.sum(_rev()), 2).alias("revenue")))
+
+
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: NATION_3 suppliers' share of ECONOMY-part revenue to
+    ASIA customers, per order year — a conditional-aggregate ratio
+    (sum(case)/sum) computed in ONE pass, no self-join."""
+    t = _t(spark, sf_dir, "region", "nation", "customer", "supplier",
+           "orders", "lineitem", "part")
+    asia_nations = (t["nation"].join(
+        F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey"))
+    cust = t["customer"].join(F.broadcast(asia_nations),
+                              F.col("c_nationkey") == F.col("n_nationkey"),
+                              "left_semi")
+    econ = t["part"].filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    supp_nation = t["supplier"].join(
+        F.broadcast(t["nation"].select(F.col("n_nationkey").alias("s_nk"),
+                                       F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("s_nk"))
+    j = (t["lineitem"]
+         .join(F.broadcast(econ), F.col("l_partkey") == F.col("p_partkey"),
+               "left_semi")
+         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(cust.select("c_custkey")),
+               F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+         .join(F.broadcast(supp_nation.select("s_suppkey", "supp_nation")),
+               F.col("l_suppkey") == F.col("s_suppkey")))
+    rev = _rev()
+    return (j.groupBy(F.year("o_orderdate").alias("o_year"))
+            .agg(F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", rev)
+                      .otherwise(F.lit(0.0))) / F.sum(rev), 6)
+                .alias("mkt_share")))
+
+
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: top 20 customers by revenue lost to returns in one
+    quarter. Plan: pushed date filter on orders, returnflag filter on
+    lineitem, broadcast customer+nation, TakeOrderedAndProject (never a
+    global sort)."""
+    t = _t(spark, sf_dir, "nation", "customer", "orders", "lineitem")
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp")))
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    j = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(t["customer"]),
+               F.col("o_custkey") == F.col("c_custkey"))
+         .join(F.broadcast(t["nation"]),
+               F.col("c_nationkey") == F.col("n_nationkey")))
+    # DECIMAL revenue: prices/discounts are cent-exact, so decimal products
+    # sum exactly and order-independently — the double-sum form produced
+    # cross-engine half-cent flakes on this query's tight top-20 ordering
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)")
+              - F.col("l_discount").cast("decimal(18,2)")))
+    return (j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+            .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+            .limit(20))
+
+
+def q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of orders-per-customer INCLUDING
+    zero-order customers — the left outer join the reference cannot
+    express (its joins are all key-equality inner). Two aggregates, the
+    second over |customers| rows."""
+    t = _t(spark, sf_dir, "customer", "orders")
+    per_cust = (t["customer"].join(
+        t["orders"].select("o_custkey", "o_orderkey"),
+        F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape via the SQL surface: revenue view + scalar-subquery
+    max — Catalyst plans the max as a one-row broadcast against the reused
+    view aggregate, not a re-scan per row."""
+    t = _t(spark, sf_dir, "supplier", "lineitem")
+    t["supplier"].createOrReplaceTempView("supplier_v")
+    t["lineitem"].createOrReplaceTempView("lineitem_v")
+    return spark.sql("""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS total_revenue
+            FROM lineitem_v
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier_v JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """)
+
+
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning both
+    join sides (brand/size from part, quantity from lineitem). The
+    brand∪size union of the disjuncts prunes part BEFORE the broadcast
+    join; the exact disjunction evaluates post-join inside codegen."""
+    t = _t(spark, sf_dir, "part", "lineitem")
+    part = t["part"].filter(
+        F.col("p_brand").isin("Brand#12", "Brand#13", "Brand#14")
+        & (F.col("p_size") >= 1))
+    j = t["lineitem"].join(F.broadcast(part),
+                           F.col("l_partkey") == F.col("p_partkey"))
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_size") <= 5)
+         & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#13") & (F.col("p_size") <= 10)
+           & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#14") & (F.col("p_size") <= 15)
+           & q.between(20, 30)))
+    return j.filter(cond).agg(
+        F.round(F.sum(_rev()), 2).alias("revenue"))
+
+
+def q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: customers in five nations with above-average
+    positive balances and no orders in the final year — scalar aggregate
+    subquery (one-row broadcast) + anti join on a date-filtered order set
+    (every customer in this corpus has SOME order, so the classic
+    no-orders-ever form would be vacuous), grouped per nation."""
+    t = _t(spark, sf_dir, "customer", "orders")
+    pool = t["customer"].filter(F.col("c_nationkey").isin(0, 1, 2, 3, 4))
+    avg_bal = pool.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg"))
+    recent = t["orders"].filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+    idle = (pool.join(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("_avg"))
+            .join(recent.select("o_custkey"),
+                  F.col("c_custkey") == F.col("o_custkey"), "left_anti"))
+    return (idle.groupBy(F.col("c_nationkey").alias("cntrycode"))
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 F.round(F.sum("c_acctbal"), 2).alias("totacctbal")))
+
+
 def q_events_hourly(spark, sf_dir):
     """T10 extension: event-time tumbling-window aggregation (batch form of
     the streaming windowed agg)."""
@@ -694,8 +868,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing": q1_pricing,
         "q3_topk_revenue": q3_topk_revenue,
         "q5_region_revenue": q5_region_revenue,
+        "q7_nation_volume": q7_nation_volume,
+        "q8_market_share": q8_market_share,
+        "q10_returned_items": q10_returned_items,
+        "q13_order_distribution": q13_order_distribution,
+        "q15_top_supplier": q15_top_supplier,
         "q17_small_qty_revenue": q17_small_qty_revenue,
         "q18_big_orders": q18_big_orders,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q22_idle_customers": q22_idle_customers,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_top_users": q_events_top_users,
@@ -988,6 +1169,101 @@ def oracle_sql() -> dict[str, str]:
                          / sum(l_extendedprice * (1 - l_discount)), 3)
                      AS promo_pct
             FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1
+        """,
+        "q7_nation_volume": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY 1, 2, 3
+        """,
+        "q8_market_share": """
+            SELECT year(o_orderdate) AS o_year,
+                   round(sum(CASE WHEN n1.n_name = 'NATION_3'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 6)
+                     AS mkt_share
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            JOIN region ON n2.n_regionkey = r_regionkey
+            WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+            GROUP BY 1
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                                  * (1 - CAST(l_discount AS DECIMAL(18,2)))),
+                              2) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "q13_order_distribution": """
+            WITH c_orders AS (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY 1)
+            SELECT c_count, count(*) AS custdist
+            FROM c_orders GROUP BY 1
+        """,
+        "q15_top_supplier": """
+            WITH revenue AS (
+              SELECT l_suppkey AS supplier_no,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY 1)
+            SELECT s_suppkey, s_name, total_revenue
+            FROM supplier JOIN revenue ON s_suppkey = supplier_no
+            WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q22_idle_customers": """
+            SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+                   round(sum(c_acctbal), 2) AS totacctbal
+            FROM customer c
+            WHERE c_nationkey IN (0, 1, 2, 3, 4)
+              AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0
+                                 AND c_nationkey IN (0, 1, 2, 3, 4))
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c.c_custkey
+                                AND o_orderdate >= TIMESTAMP '2001-01-01')
             GROUP BY 1
         """,
         "events_top_users": """
