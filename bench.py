@@ -27,12 +27,16 @@ BENCH_QUERIES = (
     "q1_pricing",
     "q3_topk_revenue",
     "q5_region_revenue",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q19_disjunctive_revenue",
     "mr_join",
     "mr_wordcount",
     "window_latest",
     "agg_rollup",
     "events_hourly",
     "events_asof",
+    "events_asof_bucketed",
     "events_error_window",
     "topk_per_key",
     "text_profile",

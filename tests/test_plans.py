@@ -109,6 +109,40 @@ def test_text_profile_codegen_compiles(q, spark):
     assert txt.count("regexp_replace(lower(") == 1
 
 
+def test_q7_dims_broadcast_filters_pushed(q):
+    """Q7: both nation-pruned dimension sides broadcast; the date range and
+    the two-nation IN reach the scans; one shuffle (the final agg)."""
+    df = q("q7_nation_volume")
+    assert_broadcast_join(df, 3)
+    assert_no_shuffle_join(df)
+    assert_filter_pushed(df, "lineitem.parquet",
+                         "GreaterThanOrEqual(l_shipdate")
+    assert_filter_pushed(df, "nation.parquet", "In(n_name")
+    assert_max_shuffles(df, 1)
+
+
+def test_q19_disjunction_pushed_to_both_scans(q):
+    """Q19: Catalyst must extract the OR-of-ANDs into scan-level filters on
+    BOTH sides — the quantity disjunction on lineitem, the brand IN on
+    part — and broadcast the pruned part side."""
+    df = q("q19_disjunctive_revenue")
+    assert_filter_pushed(df, "lineitem.parquet", "Or(Or(And(")
+    assert_filter_pushed(df, "part.parquet", "In(p_brand")
+    assert_broadcast_join(df, 1)
+    assert_no_shuffle_join(df)
+
+
+def test_asof_bucketed_splits_on_time_bucket(q):
+    """The skew-safe as-of join's big window must partition on
+    (key, _bkt) — the hot key is split across time buckets — and nothing
+    may plan as a nested loop."""
+    from qvarn_mr_spark.plans import explain_str
+    txt = explain_str(q("events_asof_bucketed"), "formatted")
+    assert "_bkt" in txt
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+
+
 def test_embedding_nn_ivf_no_cartesian(q):
     """The global-NN scale path must never cross-join the corpus with
     itself: candidates come from an equi-join on cluster_id. The only
