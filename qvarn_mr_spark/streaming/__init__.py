@@ -1,6 +1,7 @@
 """Structured Streaming wrappers over the incremental engine (SURVEY §2.7)."""
 
 from qvarn_mr_spark.streaming.stateful import (
+    dedup_stream,
     sessionize_stream,
     windowed_counts,
 )
@@ -15,5 +16,5 @@ from qvarn_mr_spark.streaming.lease import (
 )
 
 __all__ = ["BusyWorkerError", "NOTIFICATION_SCHEMA", "StreamingMaintainer",
-           "WorkerLease", "read_change_feed", "sessionize_stream",
-           "windowed_counts"]
+           "WorkerLease", "dedup_stream", "read_change_feed",
+           "sessionize_stream", "windowed_counts"]

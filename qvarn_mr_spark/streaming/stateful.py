@@ -12,6 +12,9 @@ in the reference, standard on Spark):
   gap elapsed between batches. This is the pattern for any operator Spark's
   built-ins can't express (SURVEY §2.7 T5's "true rolling state" variant of
   the reference's full-group recompute).
+- :func:`dedup_stream` — first-seen content dedup over an ingest stream
+  (the streaming twin of ``functions/dedup.exact_dedup``), built from
+  stock ``dropDuplicates[WithinWatermark]`` state.
 
 State scale: both operators shuffle by key once per batch; state size is
 O(open windows) / O(active users), not O(events) — the property that lets a
@@ -40,6 +43,34 @@ def windowed_counts(stream: DataFrame, window: str = "1 hour",
                  F.round(F.sum("value"), 2).alias("sum_value"))
             .select(F.date_format("win.start", "yyyy-MM-dd HH:mm:ss")
                     .alias("hour"), "event_type", "n_events", "sum_value"))
+
+
+def dedup_stream(stream: DataFrame, text_col: str = "text",
+                 watermark: str | None = None,
+                 ts_col: str | None = None) -> DataFrame:
+    """First-seen streaming dedup by content fingerprint — the streaming
+    twin of :func:`qvarn_mr_spark.functions.dedup.exact_dedup`.
+
+    Composition of built-ins, not custom state (the brief's preference
+    order): a fingerprint projection (md5 of normalized text — the same
+    expression the batch operator and its DuckDB oracle use) feeds
+    streaming ``dropDuplicates``, whose state store keeps ONE entry per
+    distinct fingerprint. With ``watermark``+``ts_col`` it becomes
+    ``dropDuplicatesWithinWatermark`` — state is TTL'd by event time, the
+    bounded-memory form a 100 TB/day ingest needs (docs whose duplicate
+    arrives later than the watermark are re-emitted; exactness within it).
+
+    Emits each surviving row unchanged plus its ``fp`` column, so a
+    downstream sink can still group/count duplicates per fingerprint."""
+    from qvarn_mr_spark.functions.text import fingerprint
+
+    out = stream.withColumn("fp", fingerprint(F.col(text_col)))
+    if watermark is not None:
+        if ts_col is None:
+            raise ValueError("watermark requires ts_col")
+        return (out.withWatermark(ts_col, watermark)
+                .dropDuplicatesWithinWatermark(["fp"]))
+    return out.dropDuplicates(["fp"])
 
 
 SESSION_STATE_SCHEMA = "start long, last long, n long"

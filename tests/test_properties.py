@@ -163,3 +163,34 @@ def test_incremental_equals_full_recompute(spark, tmp_path_factory,
     for k, v in live.values():
         want[str(k)] = want.get(str(k), 0) + v
     assert got == want
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.data())
+def test_asof_bucketed_equals_plain(mk_df, data):
+    """asof_join_bucketed ≡ asof_join for ANY bucket width, data layout,
+    direction and exactness — including widths that put everything in one
+    bucket or every row in its own."""
+    from qvarn_mr_spark.operators.asof import asof_join, asof_join_bucketed
+
+    keys = st.integers(0, 2)
+    ts = st.integers(0, 40)
+    left = data.draw(st.lists(st.tuples(keys, ts), min_size=1, max_size=25))
+    right = data.draw(st.lists(st.tuples(keys, ts), min_size=0, max_size=25))
+    width = data.draw(st.sampled_from([1, 3, 7, 100]))
+    direction = data.draw(st.sampled_from(["backward", "forward"]))
+    exact = data.draw(st.booleans())
+
+    ldf = mk_df([(k, t, i) for i, (k, t) in enumerate(left)],
+                "k long, ts long, lid long")
+    rdf = mk_df([(k, t, 1000 + i) for i, (k, t) in enumerate(right)],
+                "k long, ts long, rid long")
+    kwargs = dict(on=["k"], payload={"rid": "rid"}, direction=direction,
+                  allow_exact_matches=exact, tiebreak=["rid"])
+    plain = {r["lid"]: r["rid"]
+             for r in asof_join(ldf, rdf, **kwargs).collect()}
+    buck = {r["lid"]: r["rid"]
+            for r in asof_join_bucketed(ldf, rdf, bucket_width=width,
+                                        **kwargs).collect()}
+    assert plain == buck

@@ -5,7 +5,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from qvarn_mr_spark.catalog import load_tables
-from qvarn_mr_spark.streaming import sessionize_stream, windowed_counts
+from qvarn_mr_spark.streaming import (dedup_stream, sessionize_stream,
+                                      windowed_counts)
 
 EV_DDL = ("event_id long, ts timestamp, user_id long, event_type string, "
           "value double, props string")
@@ -92,3 +93,57 @@ def test_sessionize_stream_state_across_batches(spark, tmp_path):
     got3 = []
     run(got3)
     assert key(got3) == {(1, 2, 690)}
+
+
+def test_dedup_stream_first_seen_across_batches(spark, tmp_path):
+    """Streaming exact dedup: state persists across micro-batches — a
+    duplicate arriving in a later batch is dropped; survivors are exactly
+    one doc per distinct content fingerprint (the batch exact_dedup
+    group set)."""
+    import glob
+    import shutil
+
+    feed = tmp_path / "docs"
+    feed.mkdir()
+    ck = str(tmp_path / "ck")
+    DDL = "doc_id long, text string"
+
+    def emit(name, rows):
+        df = spark.createDataFrame(rows, DDL)
+        df.coalesce(1).write.mode("overwrite") \
+            .parquet(str(tmp_path / f"tmp_{name}"))
+        for i, f in enumerate(
+                glob.glob(str(tmp_path / f"tmp_{name}" / "*.parquet"))):
+            shutil.move(f, str(feed / f"{name}-{i}.parquet"))
+
+    def run(collected):
+        stream = spark.readStream.schema(DDL).parquet(str(feed))
+        q = (dedup_stream(stream, text_col="text")
+             .writeStream.outputMode("append")
+             .foreachBatch(lambda b, _: collected.extend(b.collect()))
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    emit("b1", [(1, "the quick brown fox"),
+                (2, "THE  QUICK  BROWN  FOX"),   # dup after normalization
+                (3, "something else")])
+    got1 = []
+    run(got1)
+    assert {r["doc_id"] for r in got1} in ({1, 3}, {2, 3})  # one per fp
+
+    # cross-batch duplicate dropped by state; new content passes
+    emit("b2", [(4, "the quick brown fox"),
+                (5, "brand new text")])
+    got2 = []
+    run(got2)
+    assert {r["doc_id"] for r in got2} == {5}
+
+    # survivors == one per distinct fingerprint of everything fed
+    from qvarn_mr_spark.functions.dedup import exact_dedup
+    batch = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "THE  QUICK  BROWN  FOX"),
+         (3, "something else"), (4, "the quick brown fox"),
+         (5, "brand new text")], DDL)
+    n_groups = exact_dedup(batch, "doc_id", "text").count()
+    assert len(got1) + len(got2) == n_groups == 3
