@@ -97,13 +97,32 @@ def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
 
     ``centroid_filter`` picks the centroid rows out of ``df`` (a real system
     would take k-means centroids; any deterministic representative set gives
-    the same plan shape). Broadcast centroids × corpus → windowed argmax.
-    Returns ``(vec_id, cluster_id, cos_sim)`` — at scale this column becomes
+    the same plan shape). Broadcast centroids × corpus → argmax. Returns
+    ``(vec_id, cluster_id, cos_sim)`` — at scale this column becomes
     the corpus table's partition key, so an ANN probe scans only
     ``nprobe``/``nlist`` of the data.
+
+    The argmax is a ``min_by`` hash aggregate, NOT the topn window:
+    partial aggregation collapses the n×nlist scored stream map-side, so
+    the shuffle carries one row per vector instead of nlist — and no sort.
+    (``min_by`` over ``(-cos_sim, cluster_id)`` = highest similarity,
+    smallest cluster id on ties — identical ordering to the window form,
+    without assuming cluster ids are numeric.)
     """
-    return ivf_assign_topn(df, id_col, vec_col, centroid_filter,
-                           nprobe=1).drop("rn")
+    cent = df.filter(centroid_filter).select(
+        F.col(id_col).alias("cluster_id"),
+        _as_double(df, vec_col).alias("c_vec"))
+    v = df.select(F.col(id_col).alias("vec_id"),
+                  _as_double(df, vec_col).alias("v_vec"))
+    scored = v.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cluster_id",
+        F.round(cosine(F.col("v_vec"), F.col("c_vec")), 6).alias("cos_sim"))
+    return (scored.groupBy("vec_id")
+            .agg(F.min_by(
+                F.struct(F.col("cluster_id"), F.col("cos_sim")),
+                F.struct((-F.col("cos_sim")).alias("neg_sim"),
+                         F.col("cluster_id"))).alias("_best"))
+            .select("vec_id", "_best.cluster_id", "_best.cos_sim"))
 
 
 def nearest_neighbor(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
