@@ -170,13 +170,20 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 def _minhash_cols() -> list[Column]:
-    """``min(md5('i|' || shingle))`` per hash function i — min over hex
-    strings is a valid MinHash (uniform order-preserving hash), and is
-    bit-reproducible in any engine with md5."""
-    return [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(MINHASH_N)
-    ]
+    """Hash function i = 8-hex-char slice i%4 of ``md5(seed_{i//4} ||
+    shingle)`` — min over hex strings is a valid MinHash (uniform
+    order-preserving 32-bit hash), bit-reproducible in any engine with
+    md5. Slicing four independent hashes out of each digest means
+    ``MINHASH_N/4`` md5 evaluations per shingle instead of ``MINHASH_N``
+    (codegen CSE shares the digest across the four min-aggregates) —
+    measured ~4x less hashing work at sf0.1 with identical LSH behavior."""
+    cols = []
+    for i in range(MINHASH_N):
+        seed = chr(ord("a") + i // 4)
+        digest = F.md5(F.concat(F.lit(f"{seed}|"), F.col("shingle")))
+        cols.append(F.min(F.substring(digest, 1 + 8 * (i % 4), 8))
+                    .alias(f"h{i}"))
+    return cols
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

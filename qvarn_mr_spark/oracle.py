@@ -178,8 +178,12 @@ JOIN counts cb ON cb.doc_id = b_id
 
 
 def _minhash_sig_cte(table: str = "documents") -> str:
+    # hash i = 8-hex slice i%4 of md5(seed_{i//4} || shingle) — in lockstep
+    # with dedup._minhash_cols
     hashes = ", ".join(
-        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(MINHASH_N))
+        f"min(substring(md5('{chr(ord('a') + i // 4)}|' || shingle), "
+        f"{1 + 8 * (i % 4)}, 8)) AS h{i}"
+        for i in range(MINHASH_N))
     bands = ", ".join(
         "concat_ws('|', " + ", ".join(
             f"h{b * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS)
