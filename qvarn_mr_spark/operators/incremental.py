@@ -566,16 +566,35 @@ class IncrementalEngine:
         """T4/T5 dirty-key group recompute + A8 empty-group delete + T3 purge.
 
         new_reduce = old_reduce (keys not dirty)
-                   ∪ recompute(map ⋉ dirty_keys)        — dropped groups
+                   ∪ recompute(map ⋉ ready dirty_keys)  — dropped groups
                                                            simply emit no row
         Then purge tombstoned map rows of the dirty keys (two-phase done —
         ``processor.py:406-409``).
+
+        **Version barrier (T7)**: a dirty key whose live map rows mix
+        handler versions — possible mid-:meth:`resync_interleaved`, when a
+        later chunk hasn't re-mapped the key's other rows yet — is
+        POSTPONED, keeping its old reduce value, exactly the reference's
+        half-synced skip (``processor.py:360-371``, conformance
+        ``tests/test_processor.py:160-232``). The chunk that re-maps the
+        key's last old row marks it dirty again and it reduces then; an
+        aborted resync leaves the stored handler version unchanged, so the
+        next startup resync finishes the job.
         """
         ((src, spec),) = sources.items()
         if not self.store.exists(src + "__dirty"):
             return
         dirty = self.store.read(src + "__dirty")
         map_df = self.store.read(src)
+        ver_map = F.create_map(*[
+            x for st, mspec in self.engine.config[src].items()
+            for x in (F.lit(st), F.lit(mspec.version))])
+        stale_keys = (map_df.join(F.broadcast(dirty), "_mr_key", "left_semi")
+                      .filter(~F.col("_mr_deleted") & (
+                          F.col("_mr_version")
+                          != ver_map[F.col("_mr_source_type")]))
+                      .select("_mr_key").distinct())
+        dirty = dirty.join(F.broadcast(stale_keys), "_mr_key", "left_anti")
         dirty_map = map_df.join(F.broadcast(dirty), "_mr_key", "left_semi")
         recomputed = self.engine.reduce_table(target, dirty_map)
         if self.store.exists(target):

@@ -164,6 +164,38 @@ def test_resync_interleaved_map_chunks_and_drift(setup):
     assert read_sums(inc) == {"1": 3, "2": 10}
 
 
+def test_version_barrier_postpones_half_synced_keys(setup):
+    """Reference conformance (test_processor.py:160-232): while a map
+    handler upgrade is mid-backfill, a key whose live map rows mix handler
+    versions keeps its OLD reduce value — the reduce is postponed until
+    every row of the key is re-mapped. Observed through a chunked resync:
+    at every chunk boundary the reduce shows either the complete old value
+    or the complete new value, never a mix."""
+    from pyspark.sql import functions as F2
+    from qvarn_mr_spark.operators import map_expr
+
+    spark, cat, inc, set_source = setup
+    # one key, several rows — rows hash into different resync chunks
+    set_source([(str(i), "source", "a", 1, i) for i in range(1, 7)])
+    inc.resync_all()
+    old_val = 1 + 2 + 3 + 4 + 5 + 6
+    assert read_sums(inc) == {"1": old_val}
+
+    # handler upgrade: value doubles
+    inc.engine.config["source__map"]["source"] = map_expr(
+        "key", F2.col("value") * 2, version=2)
+    new_val = old_val * 2
+    seen = []
+
+    def drain():
+        seen.append(read_sums(inc).get("1"))
+
+    inc.resync_interleaved(drain=drain, chunks=4)
+    assert read_sums(inc) == {"1": new_val}
+    assert set(seen) <= {old_val, new_val}, seen   # never a mixed value
+    assert old_val in seen                          # postponement observed
+
+
 def test_multiple_changes_same_id_in_batch(setup):
     # created then deleted within one batch → final state wins
     spark, cat, inc, set_source = setup
