@@ -507,6 +507,187 @@ def q22_idle_customers(spark, sf_dir):
                  F.round(F.sum("c_acctbal"), 2).alias("totacctbal")))
 
 
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (adapted: this corpus has no partsupp, so the
+    lineitem history is the part↔supplier bridge, and unit price proxies
+    supply cost): for every LARGE part, the EUROPE supplier with the
+    lowest average unit price. The min-per-group is computed once and the
+    winner picked by a rank — the same decorrelated plan Catalyst builds
+    for the classic correlated-min subquery, but with a deterministic
+    suppkey tie-break that a bare `= (SELECT min …)` lacks."""
+    t = _t(spark, sf_dir, "region", "nation", "supplier", "part", "lineitem")
+    europe_supp = (t["supplier"]
+                   .join(F.broadcast(t["nation"]),
+                         F.col("s_nationkey") == F.col("n_nationkey"))
+                   .join(F.broadcast(
+                       t["region"].filter(F.col("r_name") == "EUROPE")),
+                       F.col("n_regionkey") == F.col("r_regionkey"))
+                   .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    parts = t["part"].filter(F.col("p_type") == "LARGE") \
+                     .select("p_partkey", "p_name")
+    offers = (t["lineitem"]
+              .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+              .join(F.broadcast(europe_supp),
+                    F.col("l_suppkey") == F.col("s_suppkey"))
+              .groupBy("p_partkey", "p_name", "s_suppkey", "s_name",
+                       "s_acctbal", "n_name")
+              .agg(F.round(F.avg(F.col("l_extendedprice")
+                                 / F.col("l_quantity")), 4)
+                   .alias("unit_cost")))
+    w = Window.partitionBy("p_partkey").orderBy("unit_cost", "s_suppkey")
+    return (offers.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).drop("rn")
+            .orderBy(F.desc("s_acctbal"), F.asc("p_partkey"))
+            .limit(100))
+
+
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (adapted: no supplycost column — the cost proxy is
+    10% of p_retailprice per unit): profit on 'red' parts by supplier
+    nation × order year. Five-table join where every dimension side is
+    broadcast; lineitem is the only shuffled input (the orders join)."""
+    t = _t(spark, sf_dir, "nation", "supplier", "part", "orders", "lineitem")
+    reds = (t["part"].filter(F.col("p_name").startswith("red"))
+            .select("p_partkey", "p_retailprice"))
+    supp = (t["supplier"].join(
+        F.broadcast(t["nation"].select(F.col("n_nationkey").alias("s_nk"),
+                                       F.col("n_name"))),
+        F.col("s_nationkey") == F.col("s_nk"))
+        .select("s_suppkey", "n_name"))
+    amount = (_rev() - F.lit(0.1) * F.col("p_retailprice")
+              * F.col("l_quantity"))
+    return (t["lineitem"]
+            .join(F.broadcast(reds), F.col("l_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").alias("o_year"))
+            .agg(F.round(F.sum(amount), 2).alias("sum_profit")))
+
+
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape (adapted to the lineitem bridge): per-part shipped
+    value from NATION_1 suppliers, keeping parts whose value exceeds
+    0.1% of the total — a HAVING against a scalar aggregate subquery.
+    The scalar side is a one-row broadcast; the grouped side reuses the
+    same pre-filtered base, so the base is computed once per branch with
+    identical pushed filters (supplier semi-join under the agg)."""
+    t = _t(spark, sf_dir, "nation", "supplier", "lineitem")
+    n1_supp = (t["supplier"].join(
+        F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_1")),
+        F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey"))
+    base = (t["lineitem"]
+            .join(F.broadcast(n1_supp),
+                  F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+            .select("l_partkey", _rev().alias("v")))
+    threshold = base.agg((F.sum("v") * 0.001).alias("_thr"))
+    return (base.groupBy("l_partkey")
+            .agg(F.sum("v").alias("_raw"))
+            .join(F.broadcast(threshold))
+            .filter(F.col("_raw") > F.col("_thr"))
+            .select("l_partkey", F.round("_raw", 2).alias("value")))
+
+
+def q12_priority_lines(spark, sf_dir):
+    """TPC-H Q12 shape (adapted: no shipmode/receiptdate columns — the
+    mode split becomes the linestatus split): per linestatus, how many
+    1996-shipped lines belong to high- vs low-priority orders. One big
+    join + conditional-sum aggregate (the CASE runs inside codegen; no
+    second pass)."""
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count")))
+
+
+def q16_supplier_variety(spark, sf_dir):
+    """TPC-H Q16 shape (adapted: lineitem is the part↔supplier bridge;
+    'complaint' suppliers are the negative-balance ones): distinct
+    supplier count per (p_brand, p_type, p_size) excluding one brand and
+    excluded suppliers — NOT IN realized as a broadcast anti join, the
+    distinct inside the aggregate (two-phase partial distinct), never a
+    pre-join .distinct() shuffle."""
+    t = _t(spark, sf_dir, "supplier", "part", "lineitem")
+    excluded = t["supplier"].filter(F.col("s_acctbal") < 0) \
+                            .select("s_suppkey")
+    parts = (t["part"].filter(F.col("p_brand") != "Brand#45")
+             .select("p_partkey", "p_brand", "p_type", "p_size"))
+    return (t["lineitem"].select("l_partkey", "l_suppkey")
+            .join(F.broadcast(excluded),
+                  F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+            .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+def q20_heavy_shippers(spark, sf_dir):
+    """TPC-H Q20 shape: nested semi-join reduction — NATION_2 suppliers
+    who shipped over 40 units of some 'red' part during 1996. The part
+    filter semi-joins into lineitem, the grouped threshold reduces to a
+    supplier id set, and that set semi-joins into supplier: each step
+    only narrows, nothing is replicated."""
+    t = _t(spark, sf_dir, "nation", "supplier", "part", "lineitem")
+    reds = t["part"].filter(F.col("p_name").startswith("red")) \
+                    .select("p_partkey")
+    shippers = (t["lineitem"]
+                .filter((F.col("l_shipdate")
+                         >= F.lit("1996-01-01").cast("timestamp"))
+                        & (F.col("l_shipdate")
+                           < F.lit("1997-01-01").cast("timestamp")))
+                .join(F.broadcast(reds),
+                      F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+                .groupBy("l_suppkey", "l_partkey")
+                .agg(F.sum("l_quantity").alias("qty"))
+                .filter(F.col("qty") > 40)
+                .select("l_suppkey"))
+    return (t["supplier"]
+            .join(F.broadcast(t["nation"].filter(
+                F.col("n_name") == "NATION_2")),
+                F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(shippers, F.col("s_suppkey") == F.col("l_suppkey"),
+                  "left_semi")
+            .select("s_suppkey", "s_name", "s_acctbal"))
+
+
+def q21_sole_returners(spark, sf_dir):
+    """TPC-H Q21 shape (adapted: the late-delivery predicate becomes the
+    returned-line flag): NATION_1 suppliers who were the ONLY supplier
+    with a returned line in a finished multi-supplier order. Via the SQL
+    surface: a correlated EXISTS plus a correlated NOT EXISTS, which
+    Catalyst decorrelates into one semi and one anti join on l_orderkey
+    — no per-row subquery re-execution (unlike the reference, which
+    would issue per-record lookups: qvarnmr/processor.py:119-165)."""
+    t = _t(spark, sf_dir, "nation", "supplier", "orders", "lineitem")
+    t["supplier"].createOrReplaceTempView("supplier_v")
+    t["orders"].createOrReplaceTempView("orders_v")
+    t["lineitem"].createOrReplaceTempView("lineitem_v")
+    t["nation"].createOrReplaceTempView("nation_v")
+    return spark.sql("""
+        SELECT s_name, count(*) AS numwait
+        FROM supplier_v
+        JOIN lineitem_v l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders_v ON o_orderkey = l1.l_orderkey
+        JOIN nation_v ON s_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND n_name = 'NATION_1'
+          AND EXISTS (SELECT 1 FROM lineitem_v l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem_v l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name LIMIT 100
+    """)
+
+
 def q_events_hourly(spark, sf_dir):
     """T10 extension: event-time tumbling-window aggregation (batch form of
     the streaming windowed agg)."""
@@ -866,16 +1047,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_latest": q_window_latest,
         "agg_rollup": q_agg_rollup,
         "q1_pricing": q1_pricing,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
         "q3_topk_revenue": q3_topk_revenue,
         "q5_region_revenue": q5_region_revenue,
         "q7_nation_volume": q7_nation_volume,
         "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
         "q10_returned_items": q10_returned_items,
+        "q11_important_parts": q11_important_parts,
+        "q12_priority_lines": q12_priority_lines,
         "q13_order_distribution": q13_order_distribution,
         "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_variety": q16_supplier_variety,
         "q17_small_qty_revenue": q17_small_qty_revenue,
         "q18_big_orders": q18_big_orders,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q20_heavy_shippers": q20_heavy_shippers,
+        "q21_sole_returners": q21_sole_returners,
         "q22_idle_customers": q22_idle_customers,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
@@ -1265,6 +1453,102 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c.c_custkey
                                 AND o_orderdate >= TIMESTAMP '2001-01-01')
             GROUP BY 1
+        """,
+        "q2_min_cost_supplier": """
+            WITH offers AS (
+              SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+                     round(avg(l_extendedprice / l_quantity), 4) AS unit_cost
+              FROM lineitem
+              JOIN part ON p_partkey = l_partkey
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN nation ON n_nationkey = s_nationkey
+              JOIN region ON r_regionkey = n_regionkey
+              WHERE p_type = 'LARGE' AND r_name = 'EUROPE'
+              GROUP BY 1, 2, 3, 4, 5, 6)
+            SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+                   unit_cost
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY p_partkey
+                    ORDER BY unit_cost, s_suppkey) AS rn FROM offers)
+            WHERE rn = 1
+            ORDER BY s_acctbal DESC, p_partkey LIMIT 100
+        """,
+        "q9_product_profit": """
+            SELECT n_name AS nation,
+                   year(o_orderdate) AS o_year,
+                   round(sum(l_extendedprice * (1 - l_discount)
+                             - 0.1 * p_retailprice * l_quantity), 2)
+                     AS sum_profit
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            JOIN orders ON o_orderkey = l_orderkey
+            WHERE starts_with(p_name, 'red')
+            GROUP BY 1, 2
+        """,
+        "q11_important_parts": """
+            WITH base AS (
+              SELECT l_partkey, l_extendedprice * (1 - l_discount) AS v
+              FROM lineitem
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN nation ON n_nationkey = s_nationkey
+              WHERE n_name = 'NATION_1')
+            SELECT l_partkey, round(sum(v), 2) AS value
+            FROM base GROUP BY 1
+            HAVING sum(v) > (SELECT sum(v) * 0.001 FROM base)
+        """,
+        "q12_priority_lines": """
+            SELECT l_linestatus,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1
+        """,
+        "q16_supplier_variety": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand != 'Brand#45'
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+        """,
+        "q20_heavy_shippers": """
+            SELECT s_suppkey, s_name, s_acctbal
+            FROM supplier
+            JOIN nation ON n_nationkey = s_nationkey
+            WHERE n_name = 'NATION_2'
+              AND s_suppkey IN (
+                SELECT l_suppkey FROM lineitem
+                WHERE l_partkey IN (SELECT p_partkey FROM part
+                                    WHERE starts_with(p_name, 'red'))
+                  AND l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-01-01'
+                GROUP BY l_suppkey, l_partkey
+                HAVING sum(l_quantity) > 40)
+        """,
+        "q21_sole_returners": """
+            SELECT s_name, count(*) AS numwait
+            FROM supplier
+            JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+            JOIN orders ON o_orderkey = l1.l_orderkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+              AND n_name = 'NATION_1'
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_returnflag = 'R')
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name LIMIT 100
         """,
         "events_top_users": """
             SELECT user_id, count(*) AS n_events,
