@@ -25,11 +25,15 @@ from qvarn_mr_spark.session import get_spark
 #: operator (dedup/similarity/text) — the ops whose scale behavior matters.
 BENCH_QUERIES = (
     "q1_pricing",
+    "q2_min_cost_supplier",
     "q3_topk_revenue",
     "q5_region_revenue",
     "q7_nation_volume",
+    "q9_product_profit",
     "q10_returned_items",
+    "q16_supplier_variety",
     "q19_disjunctive_revenue",
+    "q21_sole_returners",
     "mr_join",
     "mr_wordcount",
     "window_latest",

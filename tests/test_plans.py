@@ -157,3 +157,87 @@ def test_embedding_nn_ivf_no_cartesian(q):
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", txt)) <= 2
     # candidate generation is the bucketed equi-join on cluster_id
     assert "SortMergeJoin" in txt or "ShuffledHashJoin" in txt
+
+
+def test_q2_argmin_per_group_shape(q):
+    """Q2: the part/region filters reach the scans, every dimension is
+    broadcast (lineitem is never the build side), the winner is picked by
+    rank — at most the offers agg + the window repartition shuffle."""
+    df = q("q2_min_cost_supplier")
+    assert_filter_pushed(df, "part.parquet", "EqualTo(p_type,LARGE)")
+    assert_filter_pushed(df, "region.parquet", "EqualTo(r_name,EUROPE)")
+    assert_columns_pruned(df, "lineitem.parquet", 4)
+    assert_broadcast_join(df, 2)
+    assert_no_shuffle_join(df)
+    assert_max_shuffles(df, 2)
+    assert_top_k(df)
+
+
+def test_q9_single_shuffle_profit(q):
+    """Q9: the 'red' prefix filter is pushed into the part scan, lineitem
+    reads only the 6 needed columns of 11, and the five-table join needs
+    exactly one shuffle (the final nation×year aggregate)."""
+    df = q("q9_product_profit")
+    assert_filter_pushed(df, "part.parquet", "StringStartsWith(p_name,red)")
+    assert_columns_pruned(df, "lineitem.parquet", 6)
+    assert_no_shuffle_join(df)
+    assert_partial_aggregation(df)
+    assert_max_shuffles(df, 1)
+
+
+def test_q11_scalar_threshold_broadcast(q):
+    """Q11: the HAVING threshold is a one-row broadcast (never a shuffle
+    join); the nation filter is pushed down on both reuses of the base."""
+    df = q("q11_important_parts")
+    assert_filter_pushed(df, "nation.parquet", "EqualTo(n_name,NATION_1)")
+    assert_no_shuffle_join(df)
+    assert_partial_aggregation(df)
+    assert_max_shuffles(df, 2)      # grouped agg + scalar agg
+
+
+def test_q12_conditional_agg_one_pass(q):
+    """Q12: the date range reaches the lineitem scan (3 of 11 columns
+    read) and both CASE counters come out of ONE partial+final aggregate —
+    no second join pass per counter."""
+    df = q("q12_priority_lines")
+    assert_filter_pushed(df, "lineitem.parquet",
+                         "GreaterThanOrEqual(l_shipdate")
+    assert_columns_pruned(df, "lineitem.parquet", 3)
+    assert_partial_aggregation(df)
+    assert_max_shuffles(df, 1)
+
+
+def test_q16_distinct_inside_aggregate(q):
+    """Q16: the NOT IN complaint set is a broadcast anti join and the
+    distinct-supplier count is a two-phase aggregate (partial distinct),
+    never a pre-join .distinct() shuffle of the bridge."""
+    df = q("q16_supplier_variety")
+    assert_filter_pushed(df, "supplier.parquet", "LessThan(s_acctbal,0.0)")
+    assert_filter_pushed(df, "part.parquet", "Not(EqualTo(p_brand,Brand#45))")
+    assert_no_shuffle_join(df)
+    assert_max_shuffles(df, 2)      # partial-distinct + final agg
+
+
+def test_q20_semi_join_chain_narrows(q):
+    """Q20: every step narrows — part prefix and nation filters pushed,
+    the part set semi-joined (broadcast) into lineitem, one grouped
+    threshold shuffle, and the supplier probe never shuffles."""
+    df = q("q20_heavy_shippers")
+    assert_filter_pushed(df, "part.parquet", "StringStartsWith(p_name,red)")
+    assert_filter_pushed(df, "nation.parquet", "EqualTo(n_name,NATION_2)")
+    assert_filter_pushed(df, "lineitem.parquet",
+                         "GreaterThanOrEqual(l_shipdate")
+    assert_no_shuffle_join(df)
+    assert_max_shuffles(df, 1)
+
+
+def test_q21_exists_decorrelated_no_loops(q):
+    """Q21: both correlated subqueries must decorrelate into joins — no
+    per-row nested-loop re-execution of lineitem, and the top-k is a
+    TakeOrderedAndProject, never a global sort."""
+    from qvarn_mr_spark.plans import explain_str
+    df = q("q21_sole_returners")
+    txt = explain_str(df, "formatted")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert_top_k(df)
