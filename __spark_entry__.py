@@ -990,6 +990,18 @@ def q_embedding_nn_ivf(spark, sf_dir):
         centroid_filter=F.col("vec_id") % 50 == 0, nprobe=2)
 
 
+def q_embedding_near_dup_lsh(spark, sf_dir):
+    """Embedding-cosine near-dup via banded random-hyperplane LSH — the
+    centroid-free bucketed route: 16 sign bits in 4 bands, candidates from
+    band-bucket equi-joins, exact cosine verify at the end. The 0.4
+    threshold is calibrated to this corpus (max NN cosine ≈ 0.51 — random
+    synthetic vectors have no true near-dups, so a production-strength 0.9
+    cut would be vacuous here)."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.hyperplane_near_dup(
+        emb, "vec_id", "embedding", threshold=0.4)
+
+
 def q_ivf_probe_search(spark, sf_dir):
     """IVF ANN query path: route query → nearest centroid → rank within the
     probed cluster only (scan 1/nlist of the corpus)."""
@@ -1091,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign": q_ivf_assign,
         "embedding_nn": q_embedding_nn,
         "embedding_nn_ivf": q_embedding_nn_ivf,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "ivf_probe_search": q_ivf_probe_search,
         "centroid_by_label": q_centroid_by_label,
         "multimodal_features": q_multimodal_features,
@@ -1583,6 +1596,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_nn": oracle.nearest_neighbor_sql(),
         "embedding_nn_ivf": oracle.nearest_neighbor_ivf_sql(
             "vec_id % 50 = 0", nprobe=2),
+        "embedding_near_dup_lsh": oracle.hyperplane_near_dup_sql(
+            threshold=0.4),
         "ivf_probe_search": oracle.ivf_probe_search_sql(
             "vec_id % 100 = 0", "vec_id < 4", k=3),
         "centroid_by_label": oracle.centroid_by_label_agg_sql(),

@@ -51,6 +51,7 @@ BENCH_QUERIES = (
     "dedup_clusters",
     "simhash",
     "knn_bruteforce",
+    "embedding_near_dup_lsh",
     "ivf_assign",
     "centroid_by_label",
 )

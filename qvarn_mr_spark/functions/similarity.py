@@ -220,6 +220,108 @@ def ivf_probe_search(df: DataFrame, id_col: str, vec_col: str,
             .filter(F.col("rn") <= k))
 
 
+#: Random-hyperplane LSH defaults: 16 sign bits in 4 bands of 4 — a pair
+#: must agree on all 4 bits of some band to become a candidate.
+HYPERPLANES = 16
+HYPERPLANE_BANDS = 4
+
+
+def hyperplane_weights(planes: int = HYPERPLANES, dim: int = 64,
+                       seed: str = "hp") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane normals, md5-derived.
+
+    Components are uniform in [-1, 1], rounded to 6 decimals so the same
+    constants round-trip exactly through a SQL literal — the DuckDB oracle
+    regenerates them from this very function (``oracle.py``), so the two
+    engines cannot drift. No RNG state: reproducible across runs, sessions
+    and engines (the same no-seed-state rule as functions/sampling.py).
+    """
+    import hashlib
+    out = []
+    for p in range(planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()
+            u = int(h[:8], 16) / 0xFFFFFFFF
+            row.append(round(u * 2.0 - 1.0, 6))
+        out.append(row)
+    return out
+
+
+def hyperplane_signatures(df: DataFrame, id_col: str, vec_col: str,
+                          planes: int = HYPERPLANES, dim: int = 64,
+                          seed: str = "hp") -> DataFrame:
+    """Cosine-LSH signature: bit p = sign(wₚ·x) over ``planes`` fixed
+    random hyperplanes. P(bit agrees) = 1 − θ/π, so vectors at a small
+    angle share most bits — the cosine analogue of MinHash-for-Jaccard.
+
+    One narrow projection, JVM-side: each bit is a fused
+    ``zip_with``/``aggregate`` dot product against a literal weight array;
+    no shuffle, no Python. The dot is rounded to 6 decimals before the
+    sign test so the bit is reproducible across engines (same guard as
+    every other cross-engine float compare in this package).
+
+    Returns ``(vec_id, hp_sig)`` with the signature packed into a long.
+    """
+    weights = hyperplane_weights(planes, dim, seed)
+    v = _as_double(df, vec_col)
+    sig = F.lit(0).cast("long")
+    for p, row in enumerate(weights):
+        w = F.array(*[F.lit(c) for c in row])
+        bit = F.when(F.round(dot(v, w), 6) > 0, F.lit(2 ** p)) \
+               .otherwise(F.lit(0)).cast("long")
+        sig = sig + bit
+    return df.select(F.col(id_col).alias("vec_id"), sig.alias("hp_sig"))
+
+
+def hyperplane_near_dup(df: DataFrame, id_col: str, vec_col: str,
+                        threshold: float = 0.9,
+                        planes: int = HYPERPLANES,
+                        bands: int = HYPERPLANE_BANDS,
+                        dim: int = 64, seed: str = "hp") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via banded hyperplane LSH —
+    the fully bucketed third route to cosine near-dup (brute force is the
+    baseline, IVF the routed path; this one needs no centroid set at all).
+
+    Shape (never n²):
+
+    1. one narrow pass computes every vector's ``planes``-bit signature;
+    2. the signature splits into ``bands`` bucket keys; candidates are the
+       pairs sharing a (band_pos, band_value) bucket — a distributed
+       equi-join on the bucket key, pair volume Σ|bucket|²;
+    3. each candidate is verified EXACTLY (cosine against both vectors,
+       fetched by id) and kept only at ``cos_sim >= threshold``.
+
+    Precision is exact (step 3); recall is the standard LSH trade —
+    a qualifying pair is missed iff every band has a flipped bit, with
+    P(miss) = (1 − (1 − θ/π)^(planes/bands))^bands, vanishing as θ → 0;
+    identical vectors are always found (tested). Returns
+    ``(a_id, b_id, cos_sim)``.
+    """
+    sigs = hyperplane_signatures(df, id_col, vec_col, planes, dim, seed)
+    band_width = planes // bands
+    band_rows = sigs.select(
+        "vec_id",
+        F.posexplode(F.array(*[
+            (F.floor(F.col("hp_sig") / F.lit(2 ** (band_width * b)))
+             % (2 ** band_width)).cast("long")
+            for b in range(bands)])).alias("band_pos", "bv"))
+    a = band_rows.select(F.col("vec_id").alias("a_id"), "band_pos", "bv")
+    b = band_rows.select(F.col("vec_id").alias("b_id"), "band_pos", "bv")
+    cand = (a.join(b, ["band_pos", "bv"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id").distinct())
+    av = df.select(F.col(id_col).alias("a_id"),
+                   _as_double(df, vec_col).alias("a_vec"))
+    bv = df.select(F.col(id_col).alias("b_id"),
+                   _as_double(df, vec_col).alias("b_vec"))
+    return (cand.join(av, "a_id").join(bv, "b_id")
+            .select("a_id", "b_id",
+                    F.round(cosine(F.col("a_vec"), F.col("b_vec")), 6)
+                    .alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold))
+
+
 def centroid_by_label(df: DataFrame, label_col: str, vec_col: str) -> DataFrame:
     """Mean embedding per label, exploded to ``(label, pos, avg_val)`` rows.
 

@@ -395,3 +395,48 @@ SELECT label, pos, round(avg(val), 6) AS avg_val
 FROM ({centroid_by_label_sql(table)})
 GROUP BY 1, 2
 """
+
+
+def _hyperplane_sig_expr(vec: str, planes: int, dim: int, seed: str) -> str:
+    """Signature expression twin of similarity.hyperplane_signatures —
+    the weight constants come from the SAME helper, so the engines cannot
+    drift."""
+    from qvarn_mr_spark.functions.similarity import hyperplane_weights
+    weights = hyperplane_weights(planes, dim, seed)
+    bits = []
+    for p, row in enumerate(weights):
+        arr = "[" + ", ".join(repr(c) for c in row) + "]"
+        bits.append(f"CASE WHEN round(list_dot_product({vec}, {arr}), 6) > 0 "
+                    f"THEN {2 ** p} ELSE 0 END")
+    return "(" + " + ".join(bits) + ")"
+
+
+def hyperplane_near_dup_sql(threshold: float = 0.9, planes: int = 16,
+                            bands: int = 4, dim: int = 64, seed: str = "hp",
+                            table: str = "embeddings") -> str:
+    from qvarn_mr_spark.functions.similarity import hyperplane_weights  # noqa: F401
+    band_width = planes // bands
+    sig = _hyperplane_sig_expr("e", planes, dim, seed)
+    band_exprs = ", ".join(
+        f"(CAST(floor(hp_sig / {2 ** (band_width * b)}) AS BIGINT) "
+        f"% {2 ** band_width})"
+        for b in range(bands))
+    cos = _COS.format(a="av.e", b="bv.e")
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM {table}),
+sigs AS (SELECT vec_id, {sig} AS hp_sig FROM e),
+bands AS (
+  SELECT vec_id, band_pos, bv
+  FROM (SELECT vec_id, unnest([{band_exprs}]) AS bv,
+               generate_subscripts([{band_exprs}], 1) AS band_pos
+        FROM sigs)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band_pos = b.band_pos AND a.bv = b.bv AND a.vec_id < b.vec_id
+)
+SELECT a_id, b_id, round({cos}, 6) AS cos_sim
+FROM cand JOIN e av ON av.vec_id = a_id JOIN e bv ON bv.vec_id = b_id
+WHERE round({cos}, 6) >= {threshold}
+"""

@@ -298,3 +298,51 @@ def test_dup_clusters_equals_union_find(spark):
             parent[max(ru, rv)] = min(ru, rv)
     want = {x: find(x) for x in parent}
     assert got == want
+
+
+def test_hyperplane_identical_vectors_always_found(spark):
+    """Identical vectors share every sign bit, hence every band — LSH
+    recall is exactly 1 for true duplicates, at any threshold."""
+    import hashlib
+    def vec(seed):
+        out = []
+        for d in range(64):
+            h = hashlib.md5(f"{seed}:{d}".encode()).hexdigest()
+            out.append(int(h[:8], 16) / 0xFFFFFFFF - 0.5)
+        return out
+    rows = []
+    for i in range(20):
+        v = vec(i)
+        rows.append((i, v))
+        rows.append((1000 + i, v))          # exact duplicate partner
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.hyperplane_near_dup(df, "vec_id", "embedding",
+                                         threshold=0.99)
+    pairs = {(r["a_id"], r["b_id"]) for r in out.collect()}
+    assert {(i, 1000 + i) for i in range(20)} <= pairs
+
+
+def test_hyperplane_precision_exact_vs_bruteforce(spark, sf_dir):
+    """Every emitted pair must be a REAL pair at the true similarity
+    (precision 1 — the verify step is exact); emitted pairs are a subset
+    of the brute-force thresholded pairs (recall <= 1, the LSH trade)."""
+    from qvarn_mr_spark.catalog import load_tables
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    got = {(r["a_id"], r["b_id"]): r["cos_sim"]
+           for r in similarity.hyperplane_near_dup(
+               emb, "vec_id", "embedding", threshold=0.4).collect()}
+    assert got                                  # non-degenerate at 0.4
+    v = emb.select(F.col("vec_id").alias("a_id"),
+                   F.col("embedding").cast("array<double>").alias("a_vec"))
+    w = emb.select(F.col("vec_id").alias("b_id"),
+                   F.col("embedding").cast("array<double>").alias("b_vec"))
+    brute = {(r["a_id"], r["b_id"]): r["cos_sim"] for r in
+             v.join(w, F.col("a_id") < F.col("b_id"))
+             .select("a_id", "b_id",
+                     F.round(similarity.cosine(F.col("a_vec"),
+                                               F.col("b_vec")), 6)
+                     .alias("cos_sim"))
+             .filter(F.col("cos_sim") >= 0.4).collect()}
+    for pair, sim in got.items():
+        assert pair in brute and brute[pair] == sim
+    assert set(got) <= set(brute)

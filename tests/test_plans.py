@@ -241,3 +241,14 @@ def test_q21_exists_decorrelated_no_loops(q):
     assert "CartesianProduct" not in txt
     assert "BroadcastNestedLoopJoin" not in txt
     assert_top_k(df)
+
+
+def test_hyperplane_near_dup_bucketed_no_cartesian(q):
+    """Cosine-LSH near-dup: candidates must come from the band-bucket
+    equi-join — no cross join of the corpus anywhere, and the signature
+    pass is a narrow projection (no shuffle below the candidate join)."""
+    from qvarn_mr_spark.plans import explain_str
+    df = q("embedding_near_dup_lsh")
+    txt = explain_str(df, "formatted")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
