@@ -889,6 +889,13 @@ def q_text_subword_tokens(spark, sf_dir):
                        text.subword_count(F.col("text")).alias("subword_tokens"))
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms — explode → two hash aggs →
+    term equi-join → per-doc top-k window; no UDF, no pair expansion."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return text.tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
 def q_events_json_stats(spark, sf_dir):
     """Semi-structured ops: extract a field from the JSON props column and
     aggregate — the engine's JSON-document heritage surface."""
@@ -1090,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue": q14_promo_revenue,
         "text_profile": q_text_profile,
         "text_subword_tokens": q_text_subword_tokens,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "events_json_stats": q_events_json_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -1577,6 +1585,7 @@ def oracle_sql() -> dict[str, str]:
                    {oracle.subword_count_sql('text')} AS subword_tokens
             FROM documents
         """,
+        "tfidf_top_terms": oracle.tfidf_top_terms_sql(k=3),
         "events_json_stats": """
             SELECT event_type, count(*) AS n,
                    round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 6)

@@ -44,6 +44,7 @@ BENCH_QUERIES = (
     "events_error_window",
     "topk_per_key",
     "text_profile",
+    "tfidf_top_terms",
     "doc_split_sample",
     "dedup_exact",
     "dedup_jaccard",

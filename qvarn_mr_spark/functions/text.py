@@ -240,3 +240,46 @@ def fingerprint(col: Column | str) -> Column:
     for exact-after-normalization dedup."""
     c = F.col(col) if isinstance(col, str) else col
     return F.md5(F.trim(_normalized_for_words(c)))
+
+
+def tfidf_top_terms(df, id_col: str = "doc_id", text_col: str = "text",
+                    k: int = 3):
+    """Per-document top-``k`` terms by smoothed TF-IDF — the standard
+    keyword/fingerprint projection a training-data pipeline runs to tag or
+    filter documents.
+
+    tf(t, d) = occurrences of ``t`` in ``d`` (tokens: lowered, split on
+    non-alphanumerics — the same tokenizer as the wordcount/shingle ops);
+    idf(t) = ln((N + 1) / (df(t) + 1)) + 1 (smoothed so corpus-wide terms
+    still score > 0); score rounded to 6 decimals before ranking with a
+    term tiebreak, so the top-k is reproducible across engines.
+
+    Scale shape: one explode (narrow) feeding two hash aggregates —
+    (doc, term) tf and term df, both shuffled on the term-bearing key with
+    map-side partials — a broadcast of the one-row corpus count, an
+    equi-join tf ⋈ df on term, and a per-doc top-k window. No collect, no
+    UDF, no pair expansion; vocabulary and corpus size only ever appear as
+    group-by cardinalities. Returns ``(doc_id, term, score, rn)``.
+    """
+    from pyspark.sql import Window
+    from qvarn_mr_spark.functions.dedup import tokens_col
+
+    toks = df.select(F.col(id_col).alias("doc_id"),
+                     F.explode(tokens_col(text_col)).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # df(t) = |{d : tf(t,d) > 0}| — one row per (doc, term) already exists
+    # in tf, so document frequency is a count over tf, NOT a second explode
+    # + distinct over the raw token stream (halves the exploded volume and
+    # drops a whole shuffle)
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (tf.join(dfreq, "term")
+              .join(F.broadcast(n_docs))
+              .select("doc_id", "term",
+                      F.round(F.col("tf")
+                              * (F.log((F.col("n_docs") + 1)
+                                       / (F.col("df_t") + 1)) + 1), 6)
+                      .alias("score")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k))

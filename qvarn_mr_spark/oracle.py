@@ -440,3 +440,29 @@ SELECT a_id, b_id, round({cos}, 6) AS cos_sim
 FROM cand JOIN e av ON av.vec_id = a_id JOIN e bv ON bv.vec_id = b_id
 WHERE round({cos}, 6) >= {threshold}
 """
+
+
+def tfidf_top_terms_sql(k: int = 3, table: str = "documents") -> str:
+    """Twin of text.tfidf_top_terms — same tokenizer (TOKEN_RE), same
+    smoothed idf, same round-before-rank."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(text), '{TOKEN_RE}'),
+           x -> x != '')) AS term
+  FROM {table}
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM {table}),
+scored AS (
+  SELECT doc_id, term,
+         round(tf * (ln((n_docs + 1.0) / (df_t + 1.0)) + 1), 6) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, score, rn
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term ASC) AS rn
+      FROM scored)
+WHERE rn <= {k}
+"""

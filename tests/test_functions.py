@@ -346,3 +346,18 @@ def test_hyperplane_precision_exact_vs_bruteforce(spark, sf_dir):
     for pair, sim in got.items():
         assert pair in brute and brute[pair] == sim
     assert set(got) <= set(brute)
+
+
+def test_tfidf_top_terms_ranks_rare_terms_higher(spark):
+    docs = [(1, "apple banana apple"),       # apple tf=2 but appears in 2 docs
+            (2, "apple cherry"),             # cherry unique to doc 2
+            (3, "durian durian durian")]     # durian unique, tf=3
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = text.tfidf_top_terms(df, "doc_id", "text", k=2)
+    top = {r["doc_id"]: r["term"] for r in out.filter(F.col("rn") == 1).collect()}
+    # rare terms beat common ones: cherry (df=1) outranks apple (df=2) in
+    # doc 2; durian dominates doc 3; apple tf=2 wins doc 1 over banana only
+    # if banana (df=1, tf=1) scores lower — ln(4/2)+1 = 1.69 * 2 = 3.39 vs
+    # ln(4/2)... banana: (ln(4/2)+1)*1 = 1.69; apple: (ln(4/3)+1)*2 = 2.58
+    assert top == {1: "apple", 2: "cherry", 3: "durian"}
+    assert out.filter(F.col("rn") > 2).count() == 0
