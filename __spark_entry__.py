@@ -997,6 +997,15 @@ def q_embedding_nn_ivf(spark, sf_dir):
         centroid_filter=F.col("vec_id") % 50 == 0, nprobe=2)
 
 
+def q_knn_arrow(spark, sf_dir):
+    """Arrow/BLAS twin of knn_bruteforce — one matmul per Arrow batch,
+    local exact top-k per partition, global top-k window. Same oracle as
+    the JVM variant (differentially tested equal)."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.knn_bruteforce_arrow(
+        emb, "vec_id", "embedding", F.col("vec_id") < 8, k=3)
+
+
 def q_embedding_near_dup_lsh(spark, sf_dir):
     """Embedding-cosine near-dup via banded random-hyperplane LSH — the
     centroid-free bucketed route: 16 sign bits in 4 bands, candidates from
@@ -1108,6 +1117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "doc_split_sample": q_doc_split_sample,
         "knn_bruteforce": q_knn,
+        "knn_bruteforce_arrow": q_knn_arrow,
         "ivf_assign": q_ivf_assign,
         "embedding_nn": q_embedding_nn,
         "embedding_nn_ivf": q_embedding_nn_ivf,
@@ -1601,6 +1611,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_candidates": oracle.simhash_candidates_sql(),
         "doc_split_sample": _doc_split_sample_sql(),
         "knn_bruteforce": oracle.knn_bruteforce_sql("vec_id < 8", k=3),
+        "knn_bruteforce_arrow": oracle.knn_bruteforce_sql("vec_id < 8", k=3),
         "ivf_assign": oracle.ivf_assign_sql("vec_id % 100 = 0"),
         "embedding_nn": oracle.nearest_neighbor_sql(),
         "embedding_nn_ivf": oracle.nearest_neighbor_ivf_sql(

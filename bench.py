@@ -52,6 +52,7 @@ BENCH_QUERIES = (
     "dedup_clusters",
     "simhash",
     "knn_bruteforce",
+    "knn_bruteforce_arrow",
     "embedding_near_dup_lsh",
     "ivf_assign",
     "centroid_by_label",

@@ -335,3 +335,67 @@ def centroid_by_label(df: DataFrame, label_col: str, vec_col: str) -> DataFrame:
         .groupBy("label", "pos")
         .agg(F.round(F.avg("val"), 6).alias("avg_val"))
     )
+
+
+def knn_bruteforce_arrow(df: DataFrame, id_col: str, vec_col: str,
+                         query_filter: Column, k: int = 3) -> DataFrame:
+    """Arrow-vectorized twin of :func:`knn_bruteforce` — identical results
+    (differentially tested), computed as one BLAS matmul per Arrow batch
+    instead of a per-pair ``zip_with`` fold.
+
+    The query set is small by the same contract that lets
+    :func:`knn_bruteforce` broadcast it; here it ships to executors as a
+    normalized numpy matrix inside the UDF closure. Each ``mapInPandas``
+    batch stacks its corpus vectors into a matrix, scores ALL batch×query
+    pairs in one ``C @ Q.T``, and emits only its local top-k rows per
+    query — the shuffle then carries ≤ k·|Q| rows per partition into the
+    exact global top-k window. This is the hot-path shape for wide
+    embedding corpora: per-pair expression evaluation (JVM fold) is
+    O(dim) interpreted steps per pair, the matmul is one vectorized BLAS
+    call per batch, typically 10-100× less CPU at equal output.
+
+    Determinism: similarities round to 6 decimals BEFORE both the local
+    and the global top-k (n_id tiebreak), so partition boundaries cannot
+    change the result and the DuckDB oracle of the plain variant applies
+    verbatim. Returns ``(q_id, n_id, cos_sim, rn)``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = df.filter(query_filter).select(
+        F.col(id_col).cast("long"), _as_double(df, vec_col)).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.array([r[1] for r in q_rows], dtype=np.float64)
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    out_schema = "q_id long, n_id long, cos_sim double"
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf["_nid"].to_numpy(dtype=np.int64)
+            cm = np.stack(pdf["_nvec"].to_numpy())
+            cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = np.round(cm @ qm.T, 6)          # |batch| × |Q|
+            parts = []
+            for j, qid in enumerate(q_ids):
+                col = sims[:, j]
+                mask = ids != qid                  # self-match excluded
+                cand_ids, cand_sims = ids[mask], col[mask]
+                if len(cand_ids) > k:
+                    # local exact top-k: order by (-sim, n_id), same rule
+                    # as the global window
+                    order = np.lexsort((cand_ids, -cand_sims))[:k]
+                else:
+                    order = np.lexsort((cand_ids, -cand_sims))
+                parts.append(pd.DataFrame({
+                    "q_id": qid, "n_id": cand_ids[order],
+                    "cos_sim": cand_sims[order]}))
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    corpus = df.select(F.col(id_col).cast("long").alias("_nid"),
+                       _as_double(df, vec_col).alias("_nvec"))
+    local = corpus.mapInPandas(score, out_schema)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (local.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k))

@@ -361,3 +361,19 @@ def test_tfidf_top_terms_ranks_rare_terms_higher(spark):
     # ln(4/2)... banana: (ln(4/2)+1)*1 = 1.69; apple: (ln(4/3)+1)*2 = 2.58
     assert top == {1: "apple", 2: "cherry", 3: "durian"}
     assert out.filter(F.col("rn") > 2).count() == 0
+
+
+def test_knn_arrow_equals_jvm_bruteforce(spark, sf_dir):
+    """The Arrow/BLAS path must reproduce the JVM fold exactly — same
+    pairs, same rounded similarities, same ranks (round-before-rank makes
+    partitioning invisible)."""
+    from qvarn_mr_spark.catalog import load_tables
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    flt = F.col("vec_id") < 8
+    jvm = {(r["q_id"], r["n_id"], r["cos_sim"], r["rn"])
+           for r in similarity.knn_bruteforce(
+               emb, "vec_id", "embedding", flt, k=3).collect()}
+    arrow = {(r["q_id"], r["n_id"], r["cos_sim"], r["rn"])
+             for r in similarity.knn_bruteforce_arrow(
+                 emb, "vec_id", "embedding", flt, k=3).collect()}
+    assert arrow == jvm
