@@ -1008,7 +1008,7 @@ def q_knn_arrow(spark, sf_dir):
 
 def q_embedding_near_dup_lsh(spark, sf_dir):
     """Embedding-cosine near-dup via banded random-hyperplane LSH — the
-    centroid-free bucketed route: 16 sign bits in 4 bands, candidates from
+    centroid-free bucketed route: 32 sign bits in 4 8-bit bands, candidates from
     band-bucket equi-joins, exact cosine verify at the end. The 0.4
     threshold is calibrated to this corpus (max NN cosine ≈ 0.51 — random
     synthetic vectors have no true near-dups, so a production-strength 0.9

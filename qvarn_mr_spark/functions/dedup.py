@@ -412,3 +412,71 @@ def dup_clusters(pairs: DataFrame, a: str = "a_id", b: str = "b_id",
         if stable:
             break
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def dedup_corpus(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 jaccard_threshold: float = 0.5,
+                 max_df: int | None = None) -> DataFrame:
+    """End-to-end corpus deduplication — the single composed call a
+    training-data pipeline makes, instead of wiring the primitives by hand:
+
+    1. **exact** — fingerprint groupBy collapses byte-identical (after
+       normalization) docs onto the smallest id (:func:`exact_dedup`
+       semantics). Running this FIRST also protects the LSH buckets from
+       the m² blow-up of massive identical clusters (the skew note on
+       :func:`minhash_candidates`).
+    2. **near-dup candidates** — MinHash-LSH banding over the exact
+       survivors only (:func:`minhash_candidates`).
+    3. **verify** — exact shingle-Jaccard computed for candidate pairs
+       only (the intersection join expands each pair by its shingle count,
+       never the corpus), kept at ``jaccard >= jaccard_threshold``.
+    4. **cluster** — connected components over the verified edge list
+       (:func:`dup_clusters`), canonical = smallest id in the component.
+
+    Returns one row per input doc: ``(doc_id, canonical_id,
+    is_canonical)`` — ``filter(is_canonical)`` is the deduplicated corpus,
+    the rest maps every dropped doc to its surviving representative.
+    Iterative fixpoint inside ⇒ rows-only for the SQL oracle; semantics
+    are pytest-verified against a hand-built duplicate corpus.
+    """
+    from qvarn_mr_spark.functions.text import fingerprint
+
+    fp = df.select(F.col(id_col).alias("doc_id"),
+                   fingerprint(F.col(text_col)).alias("fp"))
+    exact = fp.groupBy("fp").agg(F.min("doc_id").alias("keeper_id"))
+    doc2keeper = fp.join(exact, "fp").select("doc_id", "keeper_id")
+    keepers = df.join(
+        doc2keeper.filter(F.col("doc_id") == F.col("keeper_id"))
+        .select("doc_id"),
+        F.col(id_col) == F.col("doc_id"), "left_semi")
+
+    cand = minhash_candidates(keepers, id_col, text_col) \
+        .select("a_id", "b_id")
+    sh = shingle_table(keepers, id_col, text_col)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("a_id"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("b_id"), "shingle")
+    inter = (cand.join(sa, "a_id").join(sb, ["b_id", "shingle"])
+             .groupBy("a_id", "b_id")
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    ca = counts.select(F.col("doc_id").alias("a_id"),
+                       F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("b_id"),
+                       F.col("n_sh").alias("n_b"))
+    edges = (inter.join(F.broadcast(ca), "a_id")
+             .join(F.broadcast(cb), "b_id")
+             .filter(F.col("n_common")
+                     / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+                     >= jaccard_threshold)
+             .select("a_id", "b_id"))
+
+    clusters = dup_clusters(edges)   # (node, cluster_id), keepers only
+    keeper_canon = doc2keeper.join(
+        clusters, doc2keeper["keeper_id"] == clusters["node"], "left") \
+        .select("doc_id",
+                F.coalesce(F.col("cluster_id"), F.col("keeper_id"))
+                .alias("canonical_id"))
+    return keeper_canon.select(
+        "doc_id", "canonical_id",
+        (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"))

@@ -411,7 +411,7 @@ def _hyperplane_sig_expr(vec: str, planes: int, dim: int, seed: str) -> str:
     return "(" + " + ".join(bits) + ")"
 
 
-def hyperplane_near_dup_sql(threshold: float = 0.9, planes: int = 16,
+def hyperplane_near_dup_sql(threshold: float = 0.9, planes: int = 32,
                             bands: int = 4, dim: int = 64, seed: str = "hp",
                             table: str = "embeddings") -> str:
     from qvarn_mr_spark.functions.similarity import hyperplane_weights  # noqa: F401
