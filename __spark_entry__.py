@@ -929,6 +929,17 @@ def q_minhash_candidates(spark, sf_dir):
     return dedup.minhash_candidates(docs, "doc_id", "text")
 
 
+def q_dedup_corpus(spark, sf_dir):
+    """The composed dedup pipeline a training-data job actually calls:
+    exact fingerprint collapse → MinHash-LSH candidates over survivors →
+    exact shingle-Jaccard verify → connected components → canonical pick.
+    Rows-only (iterative CC fixpoint inside); semantics pytest-verified
+    on a hand-built duplicate corpus."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return dedup.dedup_corpus(docs, "doc_id", "text",
+                              jaccard_threshold=0.5)
+
+
 def q_doc_split_sample(spark, sf_dir):
     """Consistent hash sampling + train/val/test split assignment
     (functions/sampling.py): membership is a pure function of doc_id — no
@@ -1115,6 +1126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_candidates": q_simhash_candidates,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_corpus": q_dedup_corpus,
         "doc_split_sample": q_doc_split_sample,
         "knn_bruteforce": q_knn,
         "knn_bruteforce_arrow": q_knn_arrow,

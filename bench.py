@@ -50,6 +50,7 @@ BENCH_QUERIES = (
     "dedup_jaccard",
     "minhash_candidates",
     "dedup_clusters",
+    "dedup_corpus",
     "simhash",
     "knn_bruteforce",
     "knn_bruteforce_arrow",

@@ -448,8 +448,8 @@ def dedup_corpus(df: DataFrame, id_col: str = "doc_id",
     doc2keeper = fp.join(exact, "fp").select("doc_id", "keeper_id")
     keepers = df.join(
         doc2keeper.filter(F.col("doc_id") == F.col("keeper_id"))
-        .select("doc_id"),
-        F.col(id_col) == F.col("doc_id"), "left_semi")
+        .select(F.col("doc_id").alias("_keep_id")),
+        F.col(id_col) == F.col("_keep_id"), "left_semi")
 
     cand = minhash_candidates(keepers, id_col, text_col) \
         .select("a_id", "b_id")

@@ -377,3 +377,28 @@ def test_knn_arrow_equals_jvm_bruteforce(spark, sf_dir):
              for r in similarity.knn_bruteforce_arrow(
                  emb, "vec_id", "embedding", flt, k=3).collect()}
     assert arrow == jvm
+
+
+def test_dedup_corpus_end_to_end(spark):
+    """The composed pipeline: exact dups collapse, near-dups cluster,
+    canonical = smallest id, unique docs survive as their own canonical."""
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    near = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest today")   # 1-word edit
+    docs = [
+        (1, base), (2, base),            # exact duplicates
+        (3, near),                       # near-dup of 1/2
+        (4, "completely different text about spark query engines and "
+            "distributed columnar shuffles at large scale"),
+        (5, "Short unique doc."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: (r["canonical_id"], r["is_canonical"])
+           for r in dedup.dedup_corpus(df, jaccard_threshold=0.5).collect()}
+    assert len(out) == 5                      # one row per input doc
+    assert out[1] == (1, True)
+    assert out[2] == (1, False)               # exact dup of 1
+    assert out[3] == (1, False)               # near dup clusters to min id
+    assert out[4] == (4, True)
+    assert out[5] == (5, True)
