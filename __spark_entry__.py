@@ -534,11 +534,19 @@ def q2_min_cost_supplier(spark, sf_dir):
               .agg(F.round(F.avg(F.col("l_extendedprice")
                                  / F.col("l_quantity")), 4)
                    .alias("unit_cost")))
-    w = Window.partitionBy("p_partkey").orderBy("unit_cost", "s_suppkey")
-    return (offers.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1).drop("rn")
-            .orderBy(F.desc("s_acctbal"), F.asc("p_partkey"))
-            .limit(100))
+    # argmin per part as a min_by hash aggregate, not a window: partial
+    # aggregation collapses per-part offers map-side and nothing sorts
+    # (same rationale as similarity.ivf_assign); ordering semantics are
+    # identical to the row_number form (unit_cost, then suppkey on ties)
+    best = (offers.groupBy("p_partkey")
+            .agg(F.min_by(
+                F.struct("p_name", "s_suppkey", "s_name", "s_acctbal",
+                         "n_name", "unit_cost"),
+                F.struct("unit_cost", "s_suppkey")).alias("_best"))
+            .select("p_partkey", "_best.p_name", "_best.s_suppkey",
+                    "_best.s_name", "_best.s_acctbal", "_best.n_name",
+                    "_best.unit_cost"))
+    return best.orderBy(F.desc("s_acctbal"), F.asc("p_partkey")).limit(100)
 
 
 def q9_product_profit(spark, sf_dir):
