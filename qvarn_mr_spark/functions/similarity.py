@@ -383,13 +383,18 @@ def knn_bruteforce_arrow(df: DataFrame, id_col: str, vec_col: str,
     q_rows = df.filter(query_filter).select(
         F.col(id_col).cast("long"), _as_double(df, vec_col)).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    qm = np.array([r[1] for r in q_rows], dtype=np.float64)
-    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    if q_rows:
+        qm = np.array([r[1] for r in q_rows], dtype=np.float64)
+        qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    else:                    # empty query set → empty result, not a crash
+        qm = np.zeros((0, 1))
 
     out_schema = "q_id long, n_id long, cos_sim double"
 
     def score(batches):
         for pdf in batches:
+            if len(pdf) == 0 or len(q_ids) == 0:
+                continue
             ids = pdf["_nid"].to_numpy(dtype=np.int64)
             cm = np.stack(pdf["_nvec"].to_numpy())
             cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)

@@ -402,3 +402,11 @@ def test_dedup_corpus_end_to_end(spark):
     assert out[3] == (1, False)               # near dup clusters to min id
     assert out[4] == (4, True)
     assert out[5] == (5, True)
+
+
+def test_knn_arrow_empty_query_set(spark):
+    vecs = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = similarity.knn_bruteforce_arrow(df, "vec_id", "embedding",
+                                          F.col("vec_id") > 100, k=3)
+    assert out.count() == 0
