@@ -147,3 +147,33 @@ def test_dedup_stream_first_seen_across_batches(spark, tmp_path):
          (5, "brand new text")], DDL)
     n_groups = exact_dedup(batch, "doc_id", "text").count()
     assert len(got1) + len(got2) == n_groups == 3
+
+
+def test_stream_static_broadcast_enrichment(spark, events_dir, tmp_path):
+    """Stream–static join: a micro-batch stream enriched against a static
+    broadcast dimension (the standard fact-stream + dim-table pipeline
+    shape) aggregates identically to its batch twin. The static side is
+    planned as a broadcast per micro-batch — no stream-side shuffle."""
+    dim = spark.range(0, 10000).select(
+        F.col("id").alias("user_id"),
+        (F.col("id") % 5).alias("cohort"))
+
+    def enriched_counts(df):
+        return (df.join(F.broadcast(dim), "user_id")
+                .groupBy("cohort")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.round(F.sum("value"), 2).alias("total")))
+
+    stream = spark.readStream.schema(EV_DDL).parquet(events_dir)
+    got = []
+    q = (enriched_counts(stream)
+         .writeStream.outputMode("complete")
+         .foreachBatch(lambda b, _: got.clear() or got.extend(b.collect()))
+         .option("checkpointLocation", str(tmp_path / "ck_enrich"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    batch = spark.read.schema(EV_DDL).parquet(events_dir)
+    expected = {tuple(r) for r in enriched_counts(batch).collect()}
+    assert {tuple(r) for r in got} == expected
+    assert len(got) == 5
