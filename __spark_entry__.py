@@ -240,6 +240,29 @@ def q_agg_rollup(spark, sf_dir):
                  F.round(F.sum("l_quantity"), 2).alias("sum_qty")))
 
 
+def q_agg_cube(spark, sf_dir):
+    """A10 extensions: full CUBE grouping sets (every subset combination,
+    incl. both one-dimension margins rollup lacks) in one pass — Spark
+    expands the sets inside a single Expand + hash aggregate, no
+    per-subset re-scan."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_price")))
+
+
+def q_events_pivot(spark, sf_dir):
+    """Pivot (long→wide): per-user-cohort event counts spread across one
+    column per event type. The pivot values are declared up front, so the
+    plan is ONE conditional-sum aggregate — no second pass to discover
+    columns, no per-type scan."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    return (ev.groupBy((F.col("user_id") % 10).alias("cohort"))
+            .pivot("event_type",
+                   ["click", "view", "purchase", "signup", "error"])
+            .agg(F.count(F.lit(1))))
+
+
 # ---------------------------------------------------------------------------
 # analytics headliners (bench queries)
 # ---------------------------------------------------------------------------
@@ -1093,6 +1116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_selective_sum": q6_selective_sum,
         "window_latest": q_window_latest,
         "agg_rollup": q_agg_rollup,
+        "agg_cube": q_agg_cube,
+        "events_pivot": q_events_pivot,
         "q1_pricing": q1_pricing,
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q3_topk_revenue": q3_topk_revenue,
@@ -1279,6 +1304,22 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT l_suppkey) AS n_supp,
                    round(sum(l_quantity), 2) AS sum_qty
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "agg_cube": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+                   round(sum(l_extendedprice), 2) AS sum_price
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "events_pivot": """
+            SELECT user_id % 10 AS cohort,
+                   count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+                   count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+                   count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                     AS purchase,
+                   count(CASE WHEN event_type = 'signup' THEN 1 END)
+                     AS signup,
+                   count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+            FROM events GROUP BY 1
         """,
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,
