@@ -30,6 +30,7 @@ from qvarn_mr_spark.operators.mapreduce import (
     reduce_join,
 )
 from qvarn_mr_spark.query import search
+from qvarn_mr_spark.timeutil import ts_lit, ts_us
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -374,8 +375,8 @@ def q7_nation_volume(spark, sf_dir):
                                 F.col("n_name").alias("cust_nation"))),
         F.col("c_nationkey") == F.col("c_nk"))
     li = t["lineitem"].filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+        (F.col("l_shipdate") >= ts_lit("1996-01-01"))
+        & (F.col("l_shipdate") < ts_lit("1998-01-01")))
     j = (li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
          .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
          .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
@@ -429,8 +430,8 @@ def q10_returned_items(spark, sf_dir):
     global sort)."""
     t = _t(spark, sf_dir, "nation", "customer", "orders", "lineitem")
     orders = t["orders"].filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp")))
+        (F.col("o_orderdate") >= ts_lit("1996-01-01"))
+        & (F.col("o_orderdate") < ts_lit("1996-04-01")))
     li = t["lineitem"].filter(F.col("l_returnflag") == "R")
     j = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
          .join(F.broadcast(t["customer"]),
@@ -520,7 +521,7 @@ def q22_idle_customers(spark, sf_dir):
     avg_bal = pool.filter(F.col("c_acctbal") > 0).agg(
         F.avg("c_acctbal").alias("_avg"))
     recent = t["orders"].filter(
-        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        F.col("o_orderdate") >= ts_lit("2001-01-01"))
     idle = (pool.join(F.broadcast(avg_bal))
             .filter(F.col("c_acctbal") > F.col("_avg"))
             .join(recent.select("o_custkey"),
@@ -628,8 +629,8 @@ def q12_priority_lines(spark, sf_dir):
     second pass)."""
     t = _t(spark, sf_dir, "orders", "lineitem")
     li = t["lineitem"].filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+        (F.col("l_shipdate") >= ts_lit("1996-01-01"))
+        & (F.col("l_shipdate") < ts_lit("1997-01-01")))
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
             .groupBy("l_linestatus")
@@ -668,9 +669,9 @@ def q20_heavy_shippers(spark, sf_dir):
                     .select("p_partkey")
     shippers = (t["lineitem"]
                 .filter((F.col("l_shipdate")
-                         >= F.lit("1996-01-01").cast("timestamp"))
+                         >= ts_lit("1996-01-01"))
                         & (F.col("l_shipdate")
-                           < F.lit("1997-01-01").cast("timestamp")))
+                           < ts_lit("1997-01-01")))
                 .join(F.broadcast(reds),
                       F.col("l_partkey") == F.col("p_partkey"), "left_semi")
                 .groupBy("l_suppkey", "l_partkey")
@@ -807,7 +808,7 @@ def q_events_asof(spark, sf_dir):
                            "purchase_value": "purchase_value"},
                   tiebreak=["purchase_id"])
     return j.select(F.col("event_id").alias("click_id"), "user_id",
-                    F.unix_micros("ts").alias("click_us"),
+                    ts_us("ts").alias("click_us"),
                     "purchase_id", "purchase_value")
 
 
@@ -832,7 +833,7 @@ def q_events_asof_bucketed(spark, sf_dir):
                                     "purchase_value": "purchase_value"},
                            tiebreak=["purchase_id"])
     return j.select(F.col("event_id").alias("click_id"), "user_id",
-                    F.unix_micros("ts").alias("click_us"),
+                    ts_us("ts").alias("click_us"),
                     "purchase_id", "purchase_value")
 
 
@@ -876,8 +877,8 @@ def q4_late_orders(spark, sf_dir):
     t = _t(spark, sf_dir, "orders", "lineitem")
     o, l = t["orders"], t["lineitem"]
     o = o.filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+        (F.col("o_orderdate") >= ts_lit("1996-01-01"))
+        & (F.col("o_orderdate") < ts_lit("1997-01-01")))
     cond = ((l["l_orderkey"] == o["o_orderkey"])
             & (l["l_shipdate"] > o["o_orderdate"]
                + F.expr("INTERVAL 60 DAYS")))

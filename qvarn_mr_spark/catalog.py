@@ -69,8 +69,14 @@ def _normalize(df: DataFrame) -> DataFrame:
     if "ts" in df.columns and isinstance(df.schema["ts"].dataType, T.LongType):
         # integer `div`, not `/`: float division of an ~1.7e18 ns epoch loses
         # sub-µs precision (double mantissa ≈ 9e15) and drifts vs engines
-        # that truncate exactly
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # that truncate exactly. Target TIMESTAMP_NTZ (UTC wall clock), the
+        # same type current testdata reads natively, so downstream operators
+        # see one timestamp type under any session timezone.
+        df = df.withColumn(
+            "ts",
+            F.timestamp_add(
+                "MICROSECOND", F.expr("ts div 1000"),
+                F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")))
     return df
 
 

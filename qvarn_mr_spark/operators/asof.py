@@ -46,6 +46,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from qvarn_mr_spark.timeutil import ts_us
+
 
 def asof_join(left: DataFrame, right: DataFrame, on: list[str],
               left_ts: str = "ts", right_ts: str = "ts",
@@ -167,9 +169,15 @@ def asof_join_bucketed(left: DataFrame, right: DataFrame, on: list[str],
         ts_rev = [F.asc("_ts"), F.desc("_ord"), F.desc("_tb")]
         bkt_sort = F.desc("_bkt")
 
-    u = (l2.unionByName(r2)
-         .withColumn("_bkt", F.floor(F.col("_ts").cast("double")
-                                     / F.lit(float(bucket_width)))))
+    u = l2.unionByName(r2)
+    # timestamps bucket on tz-free epoch seconds (TIMESTAMP_NTZ can't cast
+    # to double, and going through a tz-typed cast would move bucket edges
+    # under non-UTC sessions); numeric ts columns bucket on their raw value
+    if dict(u.dtypes)["_ts"].startswith(("timestamp", "date")):
+        secs = ts_us("_ts") / F.lit(1_000_000.0)
+    else:
+        secs = F.col("_ts").cast("double")
+    u = u.withColumn("_bkt", F.floor(secs / F.lit(float(bucket_width))))
     wl = (Window.partitionBy(*on, "_bkt").orderBy(*ts_sort)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     u = u.withColumn("_m_local", F.last("_rpay", ignorenulls=True).over(wl))

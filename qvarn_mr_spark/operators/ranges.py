@@ -31,9 +31,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from qvarn_mr_spark.timeutil import ts_us
+
 
 def _us(c: Column) -> Column:
-    return F.unix_micros(c)
+    # tz-free: works on TIMESTAMP_NTZ (the testdata type), TIMESTAMP, DATE
+    return ts_us(c)
 
 
 def range_join(left: DataFrame, right: DataFrame, on: list[str],

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from qvarn_mr_spark.timeutil import ts_us
+
 
 def sessionize(events: DataFrame, gap_minutes: int = 30,
                user_col: str = "user_id", ts_col: str = "ts",
@@ -36,7 +38,7 @@ def sessionize(events: DataFrame, gap_minutes: int = 30,
     """
     gap_us = gap_minutes * 60 * 1_000_000
     w = (Window.partitionBy(user_col).orderBy(ts_col, id_col))
-    us = F.unix_micros(F.col(ts_col))
+    us = ts_us(ts_col)
     prev = F.lag(us).over(w)
     new_sess = F.when(prev.isNull() | ((us - prev) > gap_us), 1).otherwise(0)
     with_idx = events.withColumn(
@@ -50,8 +52,8 @@ def sessionize(events: DataFrame, gap_minutes: int = 30,
                  F.date_format(F.max(ts_col), fmt).alias("session_end"),
                  # floor, not cast: double→int casts truncate in Spark but
                  # round in other engines — floor is unambiguous in both
-                 F.floor((F.unix_micros(F.max(ts_col))
-                          - F.unix_micros(F.min(ts_col))) / 1_000_000.0)
+                 F.floor((ts_us(F.max(ts_col))
+                          - ts_us(F.min(ts_col))) / 1_000_000.0)
                  .cast("long").alias("duration_s")))
 
 
