@@ -1,0 +1,89 @@
+"""Session-timezone independence of temporal operators.
+
+Regression guard for the round-2 failure class: the testdata stores
+timestamps as parquet TIMESTAMP ``isAdjustedToUTC=0`` (→ TIMESTAMP_NTZ),
+and any operator that routes epoch math or date-window literals through
+tz-typed casts silently moves rows near window/bucket edges when
+``spark.sql.session.timeZone`` is not UTC (the shift differs across DST
+boundaries). Every temporal operator must produce byte-identical results
+under any session timezone — that is what makes the DuckDB naive-TIMESTAMP
+oracle comparison sound no matter how the driver configures its session.
+
+``spark.sql.session.timeZone`` is runtime-settable, so we flip it around
+each collect and compare sorted rows.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+# America/New_York has DST transitions inside the data's date ranges, and
+# a non-zero base offset — the worst case for wall-clock re-interpretation.
+ALT_TZ = "America/New_York"
+
+# Every queries() entry that touches a timestamp column or literal.
+TEMPORAL_QUERIES = [
+    "events_sessionize",
+    "events_hourly",
+    "events_asof",
+    "events_asof_bucketed",
+    "events_error_window",
+    "events_running",
+    "events_top_users",
+    "window_latest",
+    "q4_late_orders",
+    "q12_priority_lines",
+    "q14_promo_revenue",
+    "q20_heavy_shippers",
+]
+
+
+def _rows(spark, name, tz):
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", tz)
+    try:
+        df = entry.queries()[name](spark, SF)
+        cols = sorted(df.columns)
+        return sorted(
+            tuple(r) for r in df.select(*cols).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
+@pytest.mark.parametrize("name", TEMPORAL_QUERIES)
+def test_query_is_session_timezone_independent(spark, name):
+    utc = _rows(spark, name, "UTC")
+    alt = _rows(spark, name, ALT_TZ)
+    assert utc == alt, f"{name} drifts under session tz {ALT_TZ}"
+    # q20's per-supplier quantity threshold has no qualifying rows at the
+    # tiny sf; the tz-equality above is still meaningful on its inputs.
+    if name != "q20_heavy_shippers":
+        assert len(utc) > 0, f"{name} returned no rows at {SF}"
+
+
+def test_ts_us_matches_duckdb_epoch_semantics(spark):
+    """ts_us on an NTZ value equals DuckDB epoch_us on the same naive
+    timestamp — the invariant the oracle comparison rests on."""
+    import duckdb
+
+    from qvarn_mr_spark.timeutil import ts_lit, ts_us
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", ALT_TZ)
+    try:
+        wall = "1996-07-01 02:03:04.500000"
+        got = (
+            spark.range(1)
+            .select(ts_us(ts_lit(wall)).alias("us"))
+            .collect()[0]["us"]
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    want = duckdb.sql(f"select epoch_us(TIMESTAMP '{wall}')").fetchone()[0]
+    assert got == want
