@@ -399,6 +399,10 @@ class IncrementalEngine:
                                 .filter(F.pmod(F.xxhash64("_mr_key"),
                                                F.lit(chunks)) == F.lit(i)))
                         self.store.overwrite(src + "__dirty", keys)
+                        # mark every slice key as touched: this dirty set
+                        # didn't come from _apply_map, so the __fresh delta
+                        # on disk is stale — force full-group recompute
+                        self.store.overwrite(src + "__touched", keys)
                         self._apply_reduce(target, sources)
                         drain()
                 self.store.set_handler_version(target, src, spec.version)
@@ -495,6 +499,8 @@ class IncrementalEngine:
         old = self.store.read(target) if self.store.exists(target) else None
         parts = []
         dirty_key_parts = []
+        fresh_parts = []
+        touched_parts = []
         for source, spec in sources.items():
             if "seq" not in changes.columns:
                 # F.last over groupBy is nondeterministic; without an order
@@ -546,9 +552,11 @@ class IncrementalEngine:
                     mine["_mr_source_id"] == all_dirty["resource_id"],
                     "left_semi").select("_mr_key")
                 dirty_key_parts += [touched, fresh.select("_mr_key")]
+                touched_parts.append(touched)
             else:
                 parts.append(fresh)
                 dirty_key_parts.append(fresh.select("_mr_key"))
+            fresh_parts.append(fresh)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
@@ -561,6 +569,19 @@ class IncrementalEngine:
         # carry dirty keys), so a bucketed store may commit dirty buckets only
         self.store.overwrite(target, out, dirty_keys=dirty)
         self.store.overwrite(target + "__dirty", dirty)
+        # For the algebraic reduce path (_apply_reduce): this batch's freshly
+        # mapped rows (the insert delta), and the keys that LOST old rows
+        # (update/delete — only these need a full-group recompute). Both are
+        # batch-delta-sized writes, independent of table size.
+        fresh_all = fresh_parts[0]
+        for p in fresh_parts[1:]:
+            fresh_all = fresh_all.unionByName(p, allowMissingColumns=True)
+        touched = touched_parts[0] if touched_parts else \
+            dirty.limit(0)
+        for p in touched_parts[1:]:
+            touched = touched.unionByName(p)
+        self.store.overwrite(target + "__fresh", fresh_all)
+        self.store.overwrite(target + "__touched", touched.distinct())
 
     def _apply_reduce(self, target: str, sources: dict) -> None:
         """T4/T5 dirty-key group recompute + A8 empty-group delete + T3 purge.
@@ -595,14 +616,44 @@ class IncrementalEngine:
                           != ver_map[F.col("_mr_source_type")]))
                       .select("_mr_key").distinct())
         dirty = dirty.join(F.broadcast(stale_keys), "_mr_key", "left_anti")
-        dirty_map = map_df.join(F.broadcast(dirty), "_mr_key", "left_semi")
+        old = self.store.read(target) if self.store.exists(target) else None
+
+        # Algebraic IVM (beyond the reference's always-full-group recompute,
+        # processor.py:192-227): when the spec declares a merge for EVERY
+        # output alias, insert-only dirty keys — keys that gained rows this
+        # batch but lost none (the dominant case for append-heavy feeds) —
+        # are maintained as merge(old_value, reduce(delta rows)). Work is
+        # O(batch delta), not O(Σ dirty groups): a hot key with 10⁸ map rows
+        # costs the same to maintain as one with 10. Keys that lost rows
+        # (update/delete, in __touched) still recompute their whole group,
+        # which is what keeps non-invertible merges (min/max) exact.
+        merges = getattr(spec, "merge", None)
+        merged = None
+        if (merges and set(merges) == set(spec.aggs) and old is not None
+                and self.store.exists(src + "__fresh")
+                and self.store.exists(src + "__touched")):
+            touched = self.store.read(src + "__touched")
+            merge_keys = dirty.join(F.broadcast(touched), "_mr_key", "left_anti")
+            recompute_keys = dirty.join(F.broadcast(touched), "_mr_key",
+                                        "left_semi")
+            fresh = self.store.read(src + "__fresh")
+            delta = self.engine.reduce_table(
+                target,
+                fresh.join(F.broadcast(merge_keys), "_mr_key", "left_semi"))
+            merged = self._merge_reduce(old, delta, merge_keys, merges)
+        else:
+            recompute_keys = dirty
+
+        dirty_map = map_df.join(F.broadcast(recompute_keys), "_mr_key",
+                                "left_semi")
         recomputed = self.engine.reduce_table(target, dirty_map)
-        if self.store.exists(target):
-            old = self.store.read(target)
+        if old is not None:
             keep = old.join(F.broadcast(dirty), "_mr_key", "left_anti")
             new = keep.unionByName(recomputed, allowMissingColumns=True)
         else:
             new = recomputed
+        if merged is not None:
+            new = new.unionByName(merged, allowMissingColumns=True)
         self.store.overwrite(target, new, dirty_keys=dirty)
         # purge tombstones for keys whose reduce has now succeeded — set form
         # (no collect): drop rows matching (source_id, key) of tombstoned∩dirty
@@ -612,6 +663,34 @@ class IncrementalEngine:
             tomb_dirty.select("_mr_source_id", "_mr_key").distinct(),
             ["_mr_source_id", "_mr_key"], "left_anti")
         self.store.overwrite(src, purged, dirty_keys=dirty)
+
+    def _merge_reduce(self, old: DataFrame, delta: DataFrame,
+                      merge_keys: DataFrame, merges: dict) -> DataFrame:
+        """Combine stored reduce values with delta aggregates per merge key.
+
+        Full-outer on ``_mr_key``: a key new to the view takes the delta
+        value alone, an existing key merges. Presence flags (not value
+        nullness) decide which side exists, so legitimately-NULL aggregate
+        values merge correctly. ``merge_keys`` is batch-sized, so the
+        old-side semi-join broadcasts and the outer join is delta×delta.
+        """
+        o = (old.join(F.broadcast(merge_keys), "_mr_key", "left_semi")
+             .select("_mr_key",
+                     *[F.col(a).alias(f"__old_{a}") for a in merges])
+             .withColumn("__has_old", F.lit(True)))
+        d = (delta
+             .select("_mr_key",
+                     *[F.col(a).alias(f"__new_{a}") for a in merges])
+             .withColumn("__has_new", F.lit(True)))
+        j = o.join(d, "_mr_key", "full_outer")
+        cols = [F.col("_mr_key")]
+        for a, fn in merges.items():
+            cols.append(
+                F.when(F.col("__has_old").isNull(), F.col(f"__new_{a}"))
+                 .when(F.col("__has_new").isNull(), F.col(f"__old_{a}"))
+                 .otherwise(fn(F.col(f"__old_{a}"), F.col(f"__new_{a}")))
+                 .alias(a))
+        return j.select(*cols)
 
     def _record_dead_letters(self, target: str, source: str,
                              missing: DataFrame) -> None:

@@ -94,17 +94,50 @@ class AggReduceSpec:
     version: int
     aggs: dict[str, Callable[[Column], Column] | Column]
     input: str | Column = "_mr_value"
+    #: Optional algebraic merge functions ``{alias: (old, delta) -> merged}``.
+    #: When every output alias has one, the incremental engine maintains
+    #: INSERT-ONLY dirty keys as ``merge(old_value, reduce(delta_rows))``
+    #: instead of re-aggregating the whole key group — O(delta) work even
+    #: when a hot key's group holds millions of rows. Keys that lost rows
+    #: (update/delete) always fall back to full-group recompute, which keeps
+    #: non-invertible merges (min/max/…) sound: a merge is only ever asked
+    #: to COMBINE two partial aggregates, never to retract one.
+    merge: dict[str, Callable[[Column, Column], Column]] | None = None
+
+
+def MERGE_ADD(old: Column, delta: Column) -> Column:
+    """Merge for sums/counts: partial aggregates combine by addition."""
+    return old + delta
+
+
+def MERGE_MIN(old: Column, delta: Column) -> Column:
+    return F.least(old, delta)
+
+
+def MERGE_MAX(old: Column, delta: Column) -> Column:
+    return F.greatest(old, delta)
 
 
 def reduce_count(version: int = 1, alias: str = "_mr_value") -> AggReduceSpec:
-    """``count`` reduce helper (``func.py:46-47``)."""
-    return AggReduceSpec(version=version, aggs={alias: lambda c: F.count(F.lit(1))})
+    """``count`` reduce helper (``func.py:46-47``). Counts combine by
+    addition, so the algebraic insert-only merge path is always on."""
+    return AggReduceSpec(version=version,
+                         aggs={alias: lambda c: F.count(F.lit(1))},
+                         merge={alias: lambda old, delta: old + delta})
 
 
-def reduce_agg(aggs, input: str | Column = "_mr_value", version: int = 1) -> AggReduceSpec:
+def reduce_agg(aggs, input: str | Column = "_mr_value", version: int = 1,
+               merge=None) -> AggReduceSpec:
+    """Aggregate reduce. Pass ``merge={alias: fn}`` (``MERGE_ADD`` /
+    ``MERGE_MIN`` / ``MERGE_MAX`` or any ``(old, delta) -> Column``) to let
+    the incremental engine combine old values with insert-only deltas
+    instead of rescanning whole key groups; every alias must have a merge
+    for the algebraic path to engage."""
     if not isinstance(aggs, dict):
         aggs = {"_mr_value": aggs}
-    return AggReduceSpec(version=version, aggs=aggs, input=input)
+    if merge is not None and not isinstance(merge, dict):
+        merge = {alias: merge for alias in aggs}
+    return AggReduceSpec(version=version, aggs=aggs, input=input, merge=merge)
 
 
 @dataclass(frozen=True)
