@@ -740,6 +740,18 @@ def q_events_sessionize(spark, sf_dir):
     return sessionize(ev, gap_minutes=30)
 
 
+def q_events_sessionize_bucketed(spark, sf_dir):
+    """Skew-safe sessionization (operators/sessions.py:sessionize_bucketed):
+    same gap semantics as events_sessionize but computed per (user, 6-hour
+    bucket) with boundary sessions stitched through a metadata-sized spine
+    — a hot user's events sort across many tasks instead of one. The
+    oracle is the SAME DuckDB session SQL as the plain form, so the driver
+    gate proves the bucketed rewrite exact."""
+    from qvarn_mr_spark.operators.sessions import sessionize_bucketed
+    ev = _t(spark, sf_dir, "events")["events"]
+    return sessionize_bucketed(ev, gap_minutes=30, bucket_hours=6)
+
+
 def q_events_top_users(spark, sf_dir):
     """K1 top-k over grouped aggregation with distinct count."""
     ev = _t(spark, sf_dir, "events")["events"]
@@ -1140,6 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_customers": q22_idle_customers,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
+        "events_sessionize_bucketed": q_events_sessionize_bucketed,
         "events_top_users": q_events_top_users,
         "events_running": q_events_running,
         "price_quantiles": q_price_quantiles,
@@ -1388,6 +1401,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "events_sessionize": sessionize_sql(gap_minutes=30),
+        "events_sessionize_bucketed": sessionize_sql(gap_minutes=30),
         "events_running": """
             SELECT user_id, event_id,
                    floor(sum(value) OVER (

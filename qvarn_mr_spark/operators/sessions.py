@@ -57,6 +57,90 @@ def sessionize(events: DataFrame, gap_minutes: int = 30,
                  .cast("long").alias("duration_s")))
 
 
+def sessionize_bucketed(events: DataFrame, gap_minutes: int = 30,
+                        bucket_hours: int = 24,
+                        user_col: str = "user_id", ts_col: str = "ts",
+                        id_col: str = "event_id") -> DataFrame:
+    """Skew-safe :func:`sessionize`: identical output, but a hot user's
+    events never sort in one task.
+
+    The plain form's hazard (noted in :func:`sessionize`) is the per-user
+    window — one bot with 10⁸ events is one monster sort task. Same remedy
+    as :func:`~qvarn_mr_spark.operators.asof.asof_join_bucketed`: work per
+    (user, time-bucket), then stitch across bucket boundaries via a
+    metadata-sized spine.
+
+    1. shuffle on (user, bucket); LOCAL lag/gap window per bucket gives
+       each event a bucket-local session index;
+    2. spine = one row per (user, bucket): first/last event time and local
+       session count — per-user window over the spine decides whether a
+       bucket's first session continues the previous non-empty bucket's
+       last session (boundary gap ≤ threshold) and assigns each bucket a
+       cumulative global session offset;
+    3. join the offset back on (user, bucket) and aggregate per global
+       session id — a plain hash aggregate, partial-combined map-side, no
+       per-user sort anywhere.
+
+    Exactness: events with equal timestamps land in the same bucket
+    ordering, boundary merges use exactly the same gap predicate as the
+    local flag, and a chain of single-session buckets keeps collapsing
+    because a merged bucket contributes ``n_local - 1`` new sessions to
+    the running offset. Differential-tested against :func:`sessionize`
+    (including a 50%-of-rows hot user) and oracle-checked against the same
+    DuckDB SQL as the plain form.
+
+    Pick ``bucket_hours`` ≫ the session gap (default 24 h vs 30 min) so
+    boundary stitches stay rare and buckets stay much larger than
+    sessions; the bucket count is the parallelism knob for hot users.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    bucket_us = bucket_hours * 3600 * 1_000_000
+    us = ts_us(ts_col)
+    ev = events.withColumn("_us", us).withColumn(
+        "_bkt", F.floor(F.col("_us") / F.lit(bucket_us)))
+
+    wl = Window.partitionBy(user_col, "_bkt").orderBy(ts_col, id_col)
+    prev = F.lag("_us").over(wl)
+    local_new = F.when(
+        prev.isNull() | ((F.col("_us") - prev) > gap_us), 1).otherwise(0)
+    ev = ev.withColumn(
+        "_lidx",
+        F.sum(local_new).over(
+            wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+
+    # spine: one row per (user, bucket) — metadata-sized next to the data
+    spine = (ev.groupBy(user_col, "_bkt")
+             .agg(F.min("_us").alias("_first_us"),
+                  F.max("_us").alias("_last_us"),
+                  F.max("_lidx").alias("_nloc")))
+    ws = Window.partitionBy(user_col).orderBy("_bkt")
+    prev_last = F.lag("_last_us").over(ws)
+    merged = F.when(prev_last.isNotNull()
+                    & ((F.col("_first_us") - prev_last) <= gap_us),
+                    1).otherwise(0)
+    spine = spine.withColumn("_merged", merged).withColumn(
+        "_cum",
+        F.sum(F.col("_nloc") - F.col("_merged")).over(
+            ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    spine = spine.select(
+        user_col, "_bkt", "_merged",
+        F.lag("_cum", 1, 0).over(ws).alias("_base"))
+
+    stitched = ev.join(spine.select(user_col, "_bkt", "_base", "_merged"),
+                       [user_col, "_bkt"])
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return (stitched
+            .withColumn("session_idx",
+                        F.col("_base") + F.col("_lidx") - F.col("_merged"))
+            .groupBy(user_col, "session_idx")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.date_format(F.min(ts_col), fmt).alias("session_start"),
+                 F.date_format(F.max(ts_col), fmt).alias("session_end"),
+                 F.floor((ts_us(F.max(ts_col))
+                          - ts_us(F.min(ts_col))) / 1_000_000.0)
+                 .cast("long").alias("duration_s")))
+
+
 def sessionize_sql(gap_minutes: int = 30, table: str = "events") -> str:
     """DuckDB oracle twin of :func:`sessionize` (generated here so the gap
     constant can never drift between the two)."""
