@@ -1088,6 +1088,22 @@ def q_centroid_by_label(spark, sf_dir):
     return similarity.centroid_by_label(emb, "label", "embedding")
 
 
+def q_events_distinct_users_hll(spark, sf_dir):
+    """Mergeable-sketch distinct rollup (functions/sketches.py): per-day
+    DataSketches HLL sketches of user_id, union-merged up to event_type —
+    the pre-aggregation pattern that answers 100 TB distinct queries from
+    kilobytes of sketch state. No SQL oracle: DuckDB's approx_count_distinct
+    is a different estimator — driver records rows-only; merge-exactness
+    and error bounds are pinned in tests/test_sketches.py."""
+    from qvarn_mr_spark.functions import sketches
+    ev = _t(spark, sf_dir, "events")["events"]
+    daily = sketches.hll_rollup(
+        ev.withColumn("day", F.to_date("ts")), ["day", "event_type"],
+        "user_id")
+    return (sketches.hll_merge(daily, ["event_type"])
+            .orderBy("event_type"))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: binary media → Arrow-batched mapInPandas feature
     extraction (deterministic fake codec — the real decode is stubbed, the
@@ -1184,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_probe_search": q_ivf_probe_search,
         "centroid_by_label": q_centroid_by_label,
         "multimodal_features": q_multimodal_features,
+        "events_distinct_users_hll": q_events_distinct_users_hll,
     }
 
 

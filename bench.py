@@ -57,6 +57,8 @@ BENCH_QUERIES = (
     "embedding_near_dup_lsh",
     "ivf_assign",
     "centroid_by_label",
+    "events_sessionize_bucketed",
+    "events_distinct_users_hll",
 )
 
 
