@@ -1104,6 +1104,35 @@ def q_events_distinct_users_hll(spark, sf_dir):
             .orderBy("event_type"))
 
 
+def q_events_user_funnel_theta(spark, sf_dir):
+    """Theta-sketch funnel (functions/sketches.py): distinct users per
+    segment plus union/intersection/difference between the click and
+    purchase segments — the set-algebra question HLL can't answer. At the
+    driver's cardinality the sketches hold the full hash sample (< k=4096),
+    so every estimate is EXACT and the DuckDB INTERSECT/EXCEPT oracle
+    hash-matches; at production cardinality the same plan degrades to
+    bounded-error estimates over kilobytes of state."""
+    from qvarn_mr_spark.functions import sketches
+    ev = _t(spark, sf_dir, "events")["events"]
+    per_seg = sketches.theta_rollup(ev, ["event_type"], "user_id")
+    return sketches.theta_overlap(per_seg, "event_type",
+                                  "click", "purchase")
+
+
+def q_price_quantiles_kll(spark, sf_dir):
+    """Mergeable KLL quantiles: per-day sketches of lineitem prices merged
+    to one summary, p10/p50/p90 read from the merged sketch. No SQL
+    oracle: KLL compaction is sketch-internal — driver records rows-only;
+    the distribution-free rank-error bound is pinned in
+    tests/test_theta_kll.py."""
+    from qvarn_mr_spark.functions import sketches
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    daily = sketches.kll_rollup(
+        li.withColumn("day", F.to_date("l_shipdate")),
+        ["day"], "l_extendedprice")
+    return sketches.kll_quantiles(daily, [], [0.1, 0.5, 0.9])
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: binary media → Arrow-batched mapInPandas feature
     extraction (deterministic fake codec — the real decode is stubbed, the
@@ -1201,6 +1230,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_by_label": q_centroid_by_label,
         "multimodal_features": q_multimodal_features,
         "events_distinct_users_hll": q_events_distinct_users_hll,
+        "events_user_funnel_theta": q_events_user_funnel_theta,
+        "price_quantiles_kll": q_price_quantiles_kll,
     }
 
 
@@ -1438,6 +1469,21 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(o_totalprice, 0.9), 2)
                      AS p90_price
             FROM orders GROUP BY 1
+        """,
+        "events_user_funnel_theta": """
+            WITH a AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'click'),
+                 b AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'purchase')
+            SELECT (SELECT count(*) FROM a) AS n_a,
+                   (SELECT count(*) FROM b) AS n_b,
+                   (SELECT count(*) FROM (SELECT * FROM a UNION
+                                          SELECT * FROM b)) AS n_union,
+                   (SELECT count(*) FROM (SELECT * FROM a INTERSECT
+                                          SELECT * FROM b))
+                     AS n_intersection,
+                   (SELECT count(*) FROM (SELECT * FROM a EXCEPT
+                                          SELECT * FROM b)) AS n_a_only
         """,
         "events_asof": _ASOF_ORACLE,
         # the bucketed rewrite must produce IDENTICAL output — same oracle
