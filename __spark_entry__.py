@@ -1133,6 +1133,20 @@ def q_price_quantiles_kll(spark, sf_dir):
     return sketches.kll_quantiles(daily, [], [0.1, 0.5, 0.9])
 
 
+def q_corpus_prepare(spark, sf_dir):
+    """The composed training-data pass (functions/pipeline.py): profile →
+    quality/token filter → exact+LSH dedup onto canonicals → consistent
+    split. Rows-only (the CC fixpoint inside dedup is iterative); each
+    constituent is separately oracle-checked (text_profile, dedup_exact,
+    minhash_candidates, doc_split_sample) and the composition semantics
+    are pinned in tests/test_pipeline.py."""
+    from qvarn_mr_spark.functions.pipeline import corpus_prepare
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return (corpus_prepare(docs, "doc_id", "text", min_quality=0.0,
+                           min_tokens=2)
+            .orderBy("doc_id"))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: binary media → Arrow-batched mapInPandas feature
     extraction (deterministic fake codec — the real decode is stubbed, the
@@ -1232,6 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_distinct_users_hll": q_events_distinct_users_hll,
         "events_user_funnel_theta": q_events_user_funnel_theta,
         "price_quantiles_kll": q_price_quantiles_kll,
+        "corpus_prepare": q_corpus_prepare,
     }
 
 

@@ -59,6 +59,7 @@ BENCH_QUERIES = (
     "centroid_by_label",
     "events_sessionize_bucketed",
     "events_distinct_users_hll",
+    "corpus_prepare",
 )
 
 

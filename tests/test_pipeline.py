@@ -1,0 +1,74 @@
+"""corpus_prepare: the composed profile→filter→dedup→split pass."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from qvarn_mr_spark.catalog import load_tables
+from qvarn_mr_spark.functions.pipeline import corpus_prepare, corpus_stats
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_tables(spark, sf_dir, tables=("documents",))["documents"]
+
+
+def test_prepare_on_testdata_is_deterministic_and_consistent(spark, docs):
+    a = corpus_prepare(docs, "doc_id", "text", min_quality=0.0,
+                       min_tokens=1)
+    b = corpus_prepare(docs, "doc_id", "text", min_quality=0.0,
+                       min_tokens=1)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb and len(ra) > 0
+    # survivors are a subset of the input, each id once
+    ids = [r[0] for r in ra]
+    assert len(ids) == len(set(ids))
+    n_in = docs.count()
+    assert len(ids) <= n_in
+    # every row carries a split from the declared set
+    cols = a.columns
+    splits = {r[cols.index("split")] for r in ra}
+    assert splits <= {"train", "val", "test"}
+    # gate accounting adds up: canonical docs + absorbed duplicates can
+    # never exceed the input
+    st = corpus_stats(docs, a).collect()
+    total_kept = sum(r["n_docs"] for r in st)
+    total_absorbed = sum(r["n_absorbed"] for r in st)
+    assert total_kept == len(ids)
+    assert total_kept + total_absorbed <= n_in
+    assert all(r["n_input"] == n_in for r in st)
+
+
+def test_prepare_collapses_near_duplicates(spark):
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the quiet green forest before the sun sets")
+    rows = [
+        (1, base),
+        (2, base),                                   # exact dup of 1
+        (3, base.replace("quiet", "silent")),        # near dup of 1
+        (4, "completely different text about spark shuffles and "
+            "partitions and the cost of wide transformations at scale"),
+        (5, "tiny"),                                 # fails min_tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = corpus_prepare(docs, "doc_id", "text", min_quality=0.0,
+                         min_tokens=5, jaccard_threshold=0.5)
+    got = {r["doc_id"]: r["n_duplicates"] for r in out.collect()}
+    # doc 1 is canonical (smallest id) absorbing 2 and 3; 4 unique; 5 gone
+    assert set(got) == {1, 4}
+    assert got[1] == 2
+    assert got[4] == 0
+
+
+def test_prepare_filters_are_applied_before_dedup(spark):
+    """A low-quality near-duplicate must not influence clustering (the
+    filter gates the dedup input, not just the output)."""
+    base = ("one sentence that is long enough to pass the token floor "
+            "and repeated across documents for duplication purposes here")
+    docs = spark.createDataFrame(
+        [(1, base), (2, "zz zz zz zz zz !!!! ???? @@@@ %%%% ^^^^ &&&&")],
+        "doc_id long, text string")
+    out = corpus_prepare(docs, "doc_id", "text", min_quality=0.35,
+                         min_tokens=5)
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == {1}
