@@ -252,3 +252,32 @@ def test_hyperplane_near_dup_bucketed_no_cartesian(q):
     txt = explain_str(df, "formatted")
     assert "CartesianProduct" not in txt
     assert "BroadcastNestedLoopJoin" not in txt
+
+
+def test_sessionize_bucketed_windows_on_time_bucket(q):
+    """The skew-safe sessionize's event-scale window must partition on
+    (user, _bkt) — a hot user's history is split across buckets; only the
+    metadata-sized spine may window on user alone."""
+    from qvarn_mr_spark.plans import explain_str
+    txt = explain_str(q("events_sessionize_bucketed"), "formatted")
+    assert "_bkt" in txt
+    assert "CartesianProduct" not in txt
+
+
+def test_hll_rollup_partial_aggregates(q):
+    """Sketch aggregation must partial-combine map-side like any hash
+    aggregate (sketches merge associatively), and the day→type re-merge
+    adds one more exchange at most: sketch rollups never reshuffle raw
+    rows twice."""
+    df = q("events_distinct_users_hll")
+    assert_partial_aggregation(df)
+    # day-level rollup + type-level merge + final orderBy range exchange
+    assert_max_shuffles(df, 3)
+
+
+def test_theta_funnel_tiny_join(q):
+    """The funnel's cross join is 1 row x 1 row (two merged sketches) —
+    never a data-scale Cartesian: both sides must be aggregates."""
+    from qvarn_mr_spark.plans import explain_str
+    txt = explain_str(q("events_user_funnel_theta"), "formatted")
+    assert txt.count("HashAggregate") >= 2
