@@ -282,15 +282,14 @@ class IncrementalEngine:
     store: ParquetStateStore
 
     def __post_init__(self):
-        if not self.engine.strict:
-            # The incremental application below is specialized to the
-            # reference's two-level map→reduce shape (map targets first,
-            # then reduce over dirty keys). Deeper DAGs recompute via
-            # resync-style full rebuilds; incremental maintenance for them
-            # would need per-edge dirty propagation in topological order.
-            raise ValueError(
-                "IncrementalEngine requires a strict (map→reduce) config; "
-                "extended DAG configs are batch/resync-only")
+        # Strict (reference-shape) configs apply as map targets then reduce
+        # targets; extended DAGs (map-over-derived, reduce-of-reduce,
+        # arbitrary acyclic depth) apply in topological order with per-edge
+        # dirty propagation: each derived target's changed-key set becomes a
+        # synthetic notification batch for its consumers (see
+        # :meth:`_derived_changes`). The reference cannot do this at all —
+        # its engine routes one external notification at a time.
+        pass
 
     @property
     def catalog(self) -> Catalog:
@@ -311,8 +310,10 @@ class IncrementalEngine:
         first = next(iter(sources.values()))
         if isinstance(first, REDUCE_SPECS):
             ((src, spec),) = sources.items()
+            # stored snapshot if present; else batch-recompute the source
+            # (_resolve dispatches map vs reduce for deep DAGs)
             map_df = self.store.read(src) if self.store.exists(src) \
-                else self.engine.map_table(src)
+                else self.engine._resolve(src)
             self.store.overwrite(target, self.engine.reduce_table(target, map_df))
             self.store.set_handler_version(target, src, spec.version)
         else:
@@ -321,15 +322,10 @@ class IncrementalEngine:
                 self.store.set_handler_version(target, src, spec.version)
 
     def resync_all(self) -> None:
-        """Rebuild map targets first, then the reduce targets over them —
-        the reference's startup resync loop (``scripts/worker.py:66-71``)."""
-        reduces = []
-        for target, sources in self.engine.config.items():
-            if isinstance(next(iter(sources.values())), REDUCE_SPECS):
-                reduces.append(target)
-            else:
-                self.resync(target)
-        for target in reduces:
+        """Rebuild every target in dependency order — the reference's
+        startup resync loop (``scripts/worker.py:66-71``); topological
+        order generalizes its map-then-reduce pass to deep DAGs."""
+        for target in self._topo_targets():
             self.resync(target)
 
     def _changed_targets(self) -> list[str]:
@@ -343,9 +339,10 @@ class IncrementalEngine:
                         not self.store.exists(target):
                     changed.append(target)
                     break
-        # map targets before reduce targets, preserving config order
-        changed.sort(key=lambda t: isinstance(
-            next(iter(self.engine.config[t].values())), REDUCE_SPECS))
+        # dependency order (maps-before-reduces in the strict shape,
+        # full topological order for deep DAGs)
+        pos = {t: i for i, t in enumerate(self._topo_targets())}
+        changed.sort(key=pos.__getitem__)
         return changed
 
     def resync_changed(self) -> list[str]:
@@ -406,6 +403,13 @@ class IncrementalEngine:
                         self._apply_reduce(target, sources)
                         drain()
                 self.store.set_handler_version(target, src, spec.version)
+            elif any(s in self.engine.config for s in sources):
+                # map-over-derived: its input is a stored table this same
+                # resync pass rebuilds, so chunk-slicing the catalog makes
+                # no sense — one-shot rebuild after upstream finished
+                # (topo order of _changed_targets guarantees that)
+                self.resync(target)
+                drain()
             else:
                 for i in range(chunks):
                     self.apply_changes(self._resync_batch(sources, chunks, i))
@@ -470,20 +474,84 @@ class IncrementalEngine:
         """Apply one CDC micro-batch to every derived table it touches.
 
         This is the batch form of ``MapReduceEngine.process_changes``
-        (``processor.py:426-434``): map targets first (upsert + tombstone),
-        then reduce targets over the dirty keys, then tombstone purge.
+        (``processor.py:426-434``), generalized to any acyclic config:
+        targets apply in topological order, and a map target whose source
+        is itself a derived target consumes a SYNTHETIC change batch built
+        from that target's just-committed dirty keys — per-edge dirty
+        propagation, so a 5-level pipeline stays O(delta) end to end. For
+        strict (reference-shape) configs the topo order degenerates to
+        "map targets first, then reduce targets", identical to before.
         """
         # final change per resource id — replay-order equivalent (see class doc)
         changes = changes.cache()
-        for target, sources in self.engine.config.items():
+        for target in self._topo_targets():
+            sources = self.engine.config[target]
             if isinstance(next(iter(sources.values())), REDUCE_SPECS):
-                continue
-            self._apply_map(target, sources, changes)
-        for target, sources in self.engine.config.items():
-            if not isinstance(next(iter(sources.values())), REDUCE_SPECS):
-                continue
-            self._apply_reduce(target, sources)
+                self._apply_reduce(target, sources)
+            else:
+                eff = changes
+                for src in sources:
+                    if src in self.engine.config:
+                        synth = self._derived_changes(src)
+                        if synth is not None:
+                            eff = eff.unionByName(synth)
+                self._apply_map(target, sources, eff)
         changes.unpersist()
+
+    def _topo_targets(self) -> list[str]:
+        """Config targets in dependency order (sources before consumers),
+        stable w.r.t. config insertion order among independents."""
+        config = self.engine.config
+        out: list[str] = []
+        state: dict[str, int] = {}
+
+        def visit(t: str) -> None:
+            if t not in config or state.get(t) == 1:
+                return
+            state[t] = 0
+            for src in config[t]:
+                visit(src)
+            state[t] = 1
+            out.append(t)
+
+        for t in config:
+            visit(t)
+        return out
+
+    def _derived_changes(self, source: str) -> DataFrame | None:
+        """Synthetic notifications for a DERIVED source: its last-committed
+        dirty keys become ``updated`` (key still live in the stored table)
+        or ``deleted`` (key vanished — empty-group elimination upstream).
+        Dirty sets are rewritten by every batch for every target, so this
+        never replays a previous batch's keys."""
+        if not self.store.exists(source + "__dirty"):
+            return None
+        dirty = self.store.read(source + "__dirty") \
+            .select(F.col("_mr_key").cast("string").alias("resource_id"))
+        cur = self.store.read(source)
+        if "_mr_deleted" in cur.columns:
+            cur = cur.filter(~F.col("_mr_deleted"))
+        live = cur.select(F.col("_mr_key").cast("string")
+                          .alias("resource_id")).distinct()
+        flagged = dirty.join(
+            live.withColumn("_live", F.lit(True)), "resource_id", "left")
+        return flagged.select(
+            F.lit(source).alias("resource_type"),
+            F.when(F.col("_live").isNotNull(), F.lit(UPDATED))
+             .otherwise(F.lit(DELETED)).alias("resource_change"),
+            "resource_id",
+            F.lit(1).cast("long").alias("seq"))
+
+    def _source_df(self, source: str) -> DataFrame:
+        """A map stage's input rows: catalog collection, or the STORED
+        snapshot of a derived target (live rows only — tombstones are
+        bookkeeping for the owning reduce, not data)."""
+        if source in self.engine.config:
+            df = self.store.read(source)
+            if "_mr_deleted" in df.columns:
+                df = df.filter(~F.col("_mr_deleted"))
+            return df
+        return self.catalog.get(source)
 
     def _apply_map(self, target: str, sources: dict, changes: DataFrame) -> None:
         """T2 upsert + T3 tombstone for one map target.
@@ -517,7 +585,7 @@ class IncrementalEngine:
                   .agg(F.max_by("resource_change", F.col("seq")).alias("change")))
             upserted = ch.filter(F.col("change") != DELETED).select("resource_id")
             deleted = ch.filter(F.col("change") == DELETED).select("resource_id")
-            src_df = self.catalog.get(source)
+            src_df = self._source_df(source)
             id_col = self.engine._id_col(source)
             # T11/T6 dead-letter: an upsert notification whose resource is
             # absent from the source (the reference's not-yet-replicated 404,
@@ -607,15 +675,21 @@ class IncrementalEngine:
             return
         dirty = self.store.read(src + "__dirty")
         map_df = self.store.read(src)
-        ver_map = F.create_map(*[
-            x for st, mspec in self.engine.config[src].items()
-            for x in (F.lit(st), F.lit(mspec.version))])
-        stale_keys = (map_df.join(F.broadcast(dirty), "_mr_key", "left_semi")
-                      .filter(~F.col("_mr_deleted") & (
-                          F.col("_mr_version")
-                          != ver_map[F.col("_mr_source_type")]))
-                      .select("_mr_key").distinct())
-        dirty = dirty.join(F.broadcast(stale_keys), "_mr_key", "left_anti")
+        # version-barrier postponement applies to map-table sources; a
+        # reduce-of-reduce source has no per-row handler versions (its
+        # atomic overwrite IS the barrier)
+        if "_mr_version" in map_df.columns:
+            ver_map = F.create_map(*[
+                x for st, mspec in self.engine.config[src].items()
+                for x in (F.lit(st), F.lit(mspec.version))])
+            stale_keys = (map_df
+                          .join(F.broadcast(dirty), "_mr_key", "left_semi")
+                          .filter(~F.col("_mr_deleted") & (
+                              F.col("_mr_version")
+                              != ver_map[F.col("_mr_source_type")]))
+                          .select("_mr_key").distinct())
+            dirty = dirty.join(F.broadcast(stale_keys), "_mr_key",
+                               "left_anti")
         old = self.store.read(target) if self.store.exists(target) else None
 
         # Algebraic IVM (beyond the reference's always-full-group recompute,
@@ -655,14 +729,20 @@ class IncrementalEngine:
         if merged is not None:
             new = new.unionByName(merged, allowMissingColumns=True)
         self.store.overwrite(target, new, dirty_keys=dirty)
-        # purge tombstones for keys whose reduce has now succeeded — set form
-        # (no collect): drop rows matching (source_id, key) of tombstoned∩dirty
-        tomb_dirty = (map_df.filter(F.col("_mr_deleted"))
-                      .join(F.broadcast(dirty), "_mr_key", "left_semi"))
-        purged = map_df.join(
-            tomb_dirty.select("_mr_source_id", "_mr_key").distinct(),
-            ["_mr_source_id", "_mr_key"], "left_anti")
-        self.store.overwrite(src, purged, dirty_keys=dirty)
+        # publish this reduce's changed keys for downstream consumers
+        # (extended DAGs: a map-over-this-reduce turns them into synthetic
+        # notifications via _derived_changes)
+        self.store.overwrite(target + "__dirty", dirty)
+        if "_mr_deleted" in map_df.columns:
+            # purge tombstones for keys whose reduce has now succeeded —
+            # set form (no collect): drop rows matching (source_id, key)
+            # of tombstoned∩dirty
+            tomb_dirty = (map_df.filter(F.col("_mr_deleted"))
+                          .join(F.broadcast(dirty), "_mr_key", "left_semi"))
+            purged = map_df.join(
+                tomb_dirty.select("_mr_source_id", "_mr_key").distinct(),
+                ["_mr_source_id", "_mr_key"], "left_anti")
+            self.store.overwrite(src, purged, dirty_keys=dirty)
 
     def _merge_reduce(self, old: DataFrame, delta: DataFrame,
                       merge_keys: DataFrame, merges: dict) -> DataFrame:
@@ -736,7 +816,7 @@ class IncrementalEngine:
         dl = self.store.read(table)
         ready_parts = []
         for source in self.engine.config[target]:
-            src_df = self.catalog.get(source)
+            src_df = self._source_df(source)
             id_col = self.engine._id_col(source)
             mine = dl.filter(F.col("resource_type") == source)
             ready_parts.append(mine.join(
