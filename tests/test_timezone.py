@@ -29,6 +29,12 @@ ALT_TZ = "America/New_York"
 # Every queries() entry that touches a timestamp column or literal.
 TEMPORAL_QUERIES = [
     "events_sessionize",
+    "events_sessionize_bucketed",
+    "events_distinct_users_hll",
+    # price_quantiles_kll is excluded: KLL compaction is randomized, so
+    # even two same-timezone runs differ within the rank-error bound —
+    # exact equality is the wrong contract (tests/test_theta_kll.py pins
+    # the right one)
     "events_hourly",
     "events_asof",
     "events_asof_bucketed",
