@@ -740,6 +740,38 @@ def q_events_sessionize(spark, sf_dir):
     return sessionize(ev, gap_minutes=30)
 
 
+def q_events_ntile_quartiles(spark, sf_dir):
+    """W2 ranked-distribution window: ntile(4) per event_type over a TOTAL
+    order (value, event_id — the tiebreak makes bucket assignment engine-
+    portable), aggregated to quartile boundaries. The window partitions by
+    event_type, so no global single-partition sort."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (ev.withColumn("quartile", F.ntile(4).over(w))
+            .groupBy("event_type", "quartile")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.min("value"), 2).alias("lo"),
+                 F.round(F.max("value"), 2).alias("hi")))
+
+
+def q_events_value_deltas(spark, sf_dir):
+    """W2 lead/lag window: per-user step-to-step value change over event
+    time, aggregated per user (count of steps, total absolute movement).
+    Same (user) partitioning + (ts, event_id) ordering as events_running,
+    so the Window and the aggregate pipeline into one shuffle."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    delta = F.col("value") - F.lag("value").over(w)
+    return (ev.withColumn("_d", delta)
+            .filter(F.col("_d").isNotNull())
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_steps"),
+                 F.round(F.sum(F.abs(F.col("_d"))), 2)
+                 .alias("total_movement")))
+
+
 def q_events_sessionize_bucketed(spark, sf_dir):
     """Skew-safe sessionization (operators/sessions.py:sessionize_bucketed):
     same gap semantics as events_sessionize but computed per (user, 6-hour
@@ -1212,6 +1244,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_sessionize_bucketed": q_events_sessionize_bucketed,
+        "events_ntile_quartiles": q_events_ntile_quartiles,
+        "events_value_deltas": q_events_value_deltas,
         "events_top_users": q_events_top_users,
         "events_running": q_events_running,
         "price_quantiles": q_price_quantiles,
@@ -1484,6 +1518,27 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(o_totalprice, 0.9), 2)
                      AS p90_price
             FROM orders GROUP BY 1
+        """,
+        "events_ntile_quartiles": """
+            SELECT event_type, quartile, count(*) AS n,
+                   round(min(value), 2) AS lo, round(max(value), 2) AS hi
+            FROM (SELECT event_type, value,
+                         ntile(4) OVER (PARTITION BY event_type
+                                        ORDER BY value, event_id)
+                           AS quartile
+                  FROM events)
+            GROUP BY 1, 2
+        """,
+        "events_value_deltas": """
+            SELECT user_id, count(*) AS n_steps,
+                   round(sum(abs(d)), 2) AS total_movement
+            FROM (SELECT user_id,
+                         value - lag(value) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id)
+                           AS d
+                  FROM events)
+            WHERE d IS NOT NULL
+            GROUP BY 1
         """,
         "events_user_funnel_theta": """
             WITH a AS (SELECT DISTINCT user_id FROM events
