@@ -116,3 +116,42 @@ def test_dead_letter_on_missing_resource(spark, tmp_path, loop):
     dl = inc.read("source__map__dead_letter").collect()
     assert [(r["resource_type"], r["resource_id"]) for r in dl] == \
         [("source", "ghost-id")]
+
+
+def test_stream_maintains_deep_dag(spark, tmp_path):
+    """The streaming loop drives an extended (depth-4) config: CRUD →
+    feed → per-user counts → count-of-counts histogram, all maintained by
+    synthetic dirty-key propagation inside each micro-batch."""
+    from qvarn_mr_spark.operators import map_item, reduce_count
+
+    rstore = ResourceStore(spark, str(tmp_path / "store"),
+                           feed_dir=str(tmp_path / "feed"))
+    cat = StoreCatalog(spark, rstore, {"orders"})
+    eng = ViewEngine(cat, {
+        "orders__map": {"orders": map_item("custkey")},
+        "per_user": {"orders__map": reduce_count()},
+        "hist__map": {"per_user": map_item("_mr_value")},
+        "hist": {"hist__map": reduce_count()},
+    }, strict=False)
+    inc = IncrementalEngine(eng, ParquetStateStore(
+        spark, str(tmp_path / "state")))
+    sm = StreamingMaintainer(inc, feed_dir=str(tmp_path / "feed"),
+                             checkpoint_dir=str(tmp_path / "ckpt"))
+
+    def hist():
+        return {r["_mr_key"]: r["_mr_value"]
+                for r in inc.read("hist").collect()}
+
+    ids = rstore.create_many("orders", [
+        {"custkey": 1}, {"custkey": 1}, {"custkey": 2}])
+    sm.run_available()
+    assert hist() == {"2": 1, "1": 1}
+
+    rstore.delete("orders", ids[1])     # user 1 drops to one order
+    sm.run_available()
+    assert hist() == {"1": 2}
+
+    rstore.delete("orders", ids[0])
+    rstore.delete("orders", ids[2])
+    sm.run_available()
+    assert hist() == {}
