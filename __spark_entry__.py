@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from qvarn_mr_spark import oracle
 from qvarn_mr_spark.catalog import Catalog, load_tables
-from qvarn_mr_spark.functions import dedup, similarity, text
+from qvarn_mr_spark.functions import dedup, sampling, similarity, text
 from qvarn_mr_spark.operators.sessions import sessionize_sql
 from qvarn_mr_spark.operators.mapreduce import (
     ViewEngine,
@@ -1032,6 +1032,23 @@ def q_doc_split_sample(spark, sf_dir):
                  F.count(F.when(picked, 1)).alias("n_sampled")))
 
 
+#: Mixture weights for q_doc_stratified_mix — shared by the Spark query
+#: and the generated oracle so the two cannot drift.
+_STRATA_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.1}
+
+
+def q_doc_stratified_mix(spark, sf_dir):
+    """Stratified mixture weighting (functions/sampling.py): keep all of a
+    curated source, half of another, a tenth of a third, drop the rest —
+    consistent-hash membership, so the mixture is stable under reruns and
+    corpus growth. Narrow projection; counts per surviving source."""
+    from qvarn_mr_spark.functions import sampling as smp
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    kept = smp.stratified_sample(docs, "doc_id", "source",
+                                 _STRATA_FRACTIONS, default=0.0)
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 def q_simhash_candidates(spark, sf_dir):
     """Banded-bits LSH pairing over SimHash signatures — exact for hamming
     ≤ 3 by pigeonhole (4 bands x 4 bits), bucketed candidate generation."""
@@ -1268,6 +1285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_corpus": q_dedup_corpus,
         "doc_split_sample": q_doc_split_sample,
+        "doc_stratified_mix": q_doc_stratified_mix,
         "knn_bruteforce": q_knn,
         "knn_bruteforce_arrow": q_knn_arrow,
         "ivf_assign": q_ivf_assign,
@@ -1819,6 +1837,11 @@ def oracle_sql() -> dict[str, str]:
         "simhash": oracle.simhash_sql(),
         "simhash_candidates": oracle.simhash_candidates_sql(),
         "doc_split_sample": _doc_split_sample_sql(),
+        "doc_stratified_mix": (
+            "SELECT source, count(*) AS n_docs FROM documents WHERE "
+            + sampling.stratified_sample_sql("doc_id", "source",
+                                             _STRATA_FRACTIONS)
+            + " GROUP BY 1"),
         "knn_bruteforce": oracle.knn_bruteforce_sql("vec_id < 8", k=3),
         "knn_bruteforce_arrow": oracle.knn_bruteforce_sql("vec_id < 8", k=3),
         "ivf_assign": oracle.ivf_assign_sql("vec_id % 100 = 0"),

@@ -110,6 +110,19 @@ def assign_split_sql(id_col: str, weights: dict[str, float],
     return f"CASE {' '.join(whens)} ELSE '{names[-1]}' END"
 
 
+def stratified_sample_sql(id_col: str, strata_col: str,
+                          fractions: dict[str, float],
+                          default: float = 0.0,
+                          salt: str = "strata") -> str:
+    """DuckDB WHERE-clause twin of :func:`stratified_sample` (same
+    thresholds, same hash, same salt — generated from one dict so the two
+    engines cannot drift)."""
+    u = sample_unit_sql(id_col, salt)
+    whens = " ".join(f"WHEN '{v}' THEN {float(f)}"
+                     for v, f in fractions.items())
+    return f"{u} < (CASE {strata_col} {whens} ELSE {float(default)} END)"
+
+
 def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
                       fractions: dict[str, float], default: float = 0.0,
                       salt: str = "strata") -> DataFrame:
