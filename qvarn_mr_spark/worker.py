@@ -92,6 +92,12 @@ def main(argv: list[str] | None = None) -> None:
                    help="hash-slice count for interleaved resync")
     p.add_argument("--no-lease", action="store_true",
                    help="skip the single-writer state-dir lease")
+    p.add_argument("--state-buckets", type=int, default=None,
+                   help="bucket count for the O(dirty-bucket)-commit state "
+                        "store (0/absent = plain full-snapshot store)")
+    p.add_argument("--extended-dag", action="store_true", default=None,
+                   help="admit extended (deep DAG) view configs, maintained "
+                        "via topological dirty propagation")
     args = p.parse_args(argv)
 
     cfg = load_config(args.config) if args.config else {}
@@ -114,6 +120,7 @@ def main(argv: list[str] | None = None) -> None:
 
     from qvarn_mr_spark.catalog import Catalog
     from qvarn_mr_spark.operators import (
+        BucketedParquetStateStore,
         IncrementalEngine,
         ParquetStateStore,
         ViewEngine,
@@ -124,8 +131,18 @@ def main(argv: list[str] | None = None) -> None:
     spark = get_spark("qvarn-mr-worker")
     config, id_cols = import_handlers(handlers)
     cat = Catalog.from_dir(spark, tables)
-    inc = IncrementalEngine(ViewEngine(cat, config, id_cols=id_cols),
-                            ParquetStateStore(spark, state))
+    # state_buckets > 0 selects the O(dirty-bucket)-commit store (manifest
+    # over immutable bucket files); 0 = plain full-snapshot store. strict =
+    # false admits extended DAG configs (map-over-reduce etc.), maintained
+    # via topological dirty propagation.
+    state_buckets = int(opt("state_buckets", 0) or 0)
+    extended = args.extended_dag if args.extended_dag is not None else \
+        str(cfg.get("extended_dag", "")).lower() in ("1", "true", "yes", "on")
+    strict = not extended
+    store = (BucketedParquetStateStore(spark, state, buckets=state_buckets)
+             if state_buckets > 0 else ParquetStateStore(spark, state))
+    inc = IncrementalEngine(
+        ViewEngine(cat, config, id_cols=id_cols, strict=strict), store)
     sm = StreamingMaintainer(inc, feed,
                              args.checkpoint or f"{state}/_checkpoint")
     lease = None if args.no_lease else sm.lease(lease_interval, lease_timeout)

@@ -95,3 +95,53 @@ def test_worker_ini_config(spark, sf_dir, tmp_path, capsys):
     total = sum(r["_mr_value"]
                 for r in store.read("count_by_type").collect())
     assert total == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+
+def test_worker_bucketed_store_and_extended_dag(spark, sf_dir, tmp_path,
+                                                capsys):
+    """--state-buckets selects the O(dirty-bucket)-commit store and
+    --extended-dag admits a depth-4 config; the worker bootstraps it in
+    topological order and the histogram equals a hand recompute."""
+    mod_dir = tmp_path / "mods"
+    mod_dir.mkdir()
+    (mod_dir / "deepviews.py").write_text(textwrap.dedent("""
+        from qvarn_mr_spark.operators import map_item, reduce_count
+        CONFIG = {
+            "ev__map": {"events": map_item("user_id")},
+            "per_user": {"ev__map": reduce_count()},
+            "hist__map": {"per_user": map_item("_mr_value")},
+            "hist": {"hist__map": reduce_count()},
+        }
+        ID_COLS = {"events": "event_id"}
+    """))
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    sys.path.insert(0, str(mod_dir))
+    try:
+        worker.main([
+            "--handlers", "deepviews:CONFIG",
+            "--tables", sf_dir,
+            "--state", str(tmp_path / "state"),
+            "--feed", str(feed),
+            "--state-buckets", "8",
+            "--extended-dag",
+            "--no-lease",
+        ])
+    finally:
+        sys.path.remove(str(mod_dir))
+    out = capsys.readouterr().out
+    assert "resynced:" in out
+
+    from pyspark.sql import functions as F
+
+    from qvarn_mr_spark.operators import BucketedParquetStateStore
+    store = BucketedParquetStateStore(spark, str(tmp_path / "state"),
+                                      buckets=8)
+    got = {r["_mr_key"]: r["_mr_value"]
+           for r in store.read("hist").collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    want = {str(r["n"]): r["c"] for r in
+            per_user.groupBy("n").agg(F.count(F.lit(1)).alias("c"))
+            .collect()}
+    assert got == want
