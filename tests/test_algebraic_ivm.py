@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from qvarn_mr_spark.catalog import Catalog
 from qvarn_mr_spark.operators import (
+    BucketedParquetStateStore,
     IncrementalEngine,
     ParquetStateStore,
     ViewEngine,
@@ -27,7 +28,16 @@ from qvarn_mr_spark.operators.mapreduce import MERGE_ADD, MERGE_MAX, MERGE_MIN
 from qvarn_mr_spark.operators.incremental import notifications
 
 
-def _mk(spark, tmp_path, rows):
+@pytest.fixture(params=["plain", "bucketed"])
+def mk_store(request):
+    def mk(spark, root):
+        if request.param == "bucketed":
+            return BucketedParquetStateStore(spark, root, buckets=8)
+        return ParquetStateStore(spark, root)
+    return mk
+
+
+def _mk(spark, tmp_path, rows, mk_store=None):
     cat = Catalog(spark)
 
     def set_source(rs):
@@ -45,7 +55,9 @@ def _mk(spark, tmp_path, rows):
             merge={"s": MERGE_ADD, "n": MERGE_ADD,
                    "mn": MERGE_MIN, "mx": MERGE_MAX})},
     }, id_cols={"source": "id"})
-    inc = IncrementalEngine(eng, ParquetStateStore(spark, str(tmp_path / "s")))
+    store = (mk_store(spark, str(tmp_path / "s")) if mk_store
+             else ParquetStateStore(spark, str(tmp_path / "s")))
+    inc = IncrementalEngine(eng, store)
     return cat, inc, set_source
 
 
@@ -64,9 +76,9 @@ def _expected(rows):
     return out
 
 
-def test_merge_lifecycle_matches_recompute(spark, tmp_path):
+def test_merge_lifecycle_matches_recompute(spark, tmp_path, mk_store):
     rows = [("1", 1, 10), ("2", 1, 20), ("3", 2, 5)]
-    cat, inc, set_source = _mk(spark, tmp_path, rows)
+    cat, inc, set_source = _mk(spark, tmp_path, rows, mk_store)
     inc.apply_changes(notifications(spark, [
         ("source", "created", "1"), ("source", "created", "2"),
         ("source", "created", "3")]))
