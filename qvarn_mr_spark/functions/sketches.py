@@ -138,6 +138,19 @@ def theta_overlap(sketches: DataFrame, segment_col: str, seg_a: str,
     )
 
 
+def theta_merge(sketches: DataFrame, group_cols: list[str],
+                sketch_col: str = "theta",
+                out_col: str = "distinct_est") -> DataFrame:
+    """Re-aggregate stored theta sketches to a coarser grouping (union
+    semantics) and estimate — the theta analogue of :func:`hll_merge`,
+    for when the stored rollup must also serve ∩/∖ queries."""
+    merged = F.theta_union_agg(F.col(sketch_col)).alias("_m")
+    g = (sketches.groupBy(*group_cols).agg(merged) if group_cols
+         else sketches.agg(merged))
+    return g.select(
+        *group_cols, F.theta_sketch_estimate(F.col("_m")).alias(out_col))
+
+
 # ---------------------------------------------------------------------------
 # KLL sketches — mergeable quantiles
 # ---------------------------------------------------------------------------

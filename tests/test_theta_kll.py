@@ -53,3 +53,17 @@ def test_kll_group_rollup_schema(spark, events):
         {r["event_type"] for r in events.select("event_type")
          .distinct().collect()}
     assert all(r["q_0_5"] is not None for r in rows)
+
+
+def test_theta_rollup_merge_equals_single_pass(spark, events):
+    """Union-merging per-day theta sketches == sketching all rows at once
+    (exact below k, like the HLL twin)."""
+    daily = sketches.theta_rollup(
+        events.withColumn("day", F.to_date("ts")),
+        ["day", "event_type"], "user_id")
+    rolled = {r["event_type"]: r["distinct_est"] for r in
+              sketches.theta_merge(daily, ["event_type"]).collect()}
+    exact = {r["event_type"]: r["n"] for r in
+             events.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert rolled == exact
