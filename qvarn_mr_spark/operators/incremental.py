@@ -330,20 +330,35 @@ class IncrementalEngine:
 
     def _changed_targets(self) -> list[str]:
         """Targets whose configured handler version differs from the stored
-        one (``resync.py:77-88`` version diff), map targets first."""
+        one (``resync.py:77-88`` version diff), PLUS every transitive
+        consumer of such a target: a re-mapped table changes its reduces'
+        inputs even though their own handler versions are untouched. The
+        reference gets this for free by walking every resynced id through
+        the notification path (``resync.py:100``, re-reducing dirty keys);
+        the one-shot overwrite here must expand the closure explicitly —
+        without it a map-handler upgrade leaves downstream views silently
+        stale."""
         meta = self.store.get_handler_versions()
-        changed = []
+        changed = set()
         for target, sources in self.engine.config.items():
             for src, spec in sources.items():
                 if meta.get(f"{target}\x00{src}") != spec.version or \
                         not self.store.exists(target):
-                    changed.append(target)
+                    changed.add(target)
                     break
+        # downstream closure over config edges, to a fixpoint
+        grew = True
+        while grew:
+            grew = False
+            for target, sources in self.engine.config.items():
+                if target not in changed and \
+                        any(s in changed for s in sources):
+                    changed.add(target)
+                    grew = True
         # dependency order (maps-before-reduces in the strict shape,
         # full topological order for deep DAGs)
         pos = {t: i for i, t in enumerate(self._topo_targets())}
-        changed.sort(key=pos.__getitem__)
-        return changed
+        return sorted(changed, key=pos.__getitem__)
 
     def resync_changed(self) -> list[str]:
         """Resync only targets whose configured handler version differs from

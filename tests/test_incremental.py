@@ -159,7 +159,8 @@ def test_resync_interleaved_map_chunks_and_drift(setup):
         "key", "value", version=2)
     drains = []
     changed = inc.resync_interleaved(drain=lambda: drains.append(1), chunks=3)
-    assert changed == ["source__map"]
+    # the consumer closure includes the reduce: its inputs were re-mapped
+    assert changed == ["source__map", "sum_target"]
     assert len(drains) >= 3                # one drain per chunk at least
     assert read_sums(inc) == {"1": 3, "2": 10}
 
@@ -388,3 +389,20 @@ def test_bucketed_store_rewrites_only_dirty_buckets(spark, tmp_path):
     for _id, _t, _r, k, v in rows:
         want[str(k)] = want.get(str(k), 0) + v
     assert got == want
+
+
+def test_map_version_bump_refreshes_downstream_reduce(setup):
+    """A map-handler upgrade must transitively resync its consumers: the
+    reference re-walks every id through the notification path (re-reducing
+    dirty keys); the one-shot overwrite expands the consumer closure
+    instead. Without it the reduce view silently keeps pre-upgrade
+    values."""
+    spark, cat, inc, set_source = setup
+    inc.resync_all()
+    assert read_sums(inc) == {"1": 6}
+    # handler change: the map now doubles values
+    inc.engine.config["source__map"]["source"] = map_item(
+        "key", F.col("value") * 2, version=2)
+    changed = inc.resync_changed()
+    assert changed == ["source__map", "sum_target"]
+    assert read_sums(inc) == {"1": 12}
