@@ -1221,57 +1221,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Order matters: the driver's correctness gate samples the FIRST 50
+    entries. The LLM-data-pipeline operators (dedup / similarity / text /
+    sketches — never driver-checked through r3) lead, followed by
+    q12_priority_lines (red in r3, oracle fixed this round) and the
+    mid-tier operators; the thrice-driver-green search/mr basics and the
+    TPC-H family take the tail (all remain locally oracle-checked by
+    tools/check_oracle.py)."""
     return {
-        "search_exact_ci": q_search_exact_ci,
-        "search_range_sort_limit": q_search_range_sort_limit,
-        "search_like": q_search_like,
-        "mr_count": q_mr_count,
-        "mr_sum": q_mr_sum,
-        "mr_minmax": q_mr_minmax,
-        "mr_dict_map": q_mr_dict_map,
-        "mr_join": q_mr_join,
-        "mr_wordcount": q_mr_wordcount,
-        "mr_median_pandas": q_mr_median_pandas,
-        "except_unused_parts": q_except_unused_parts,
-        "intersect_nations": q_intersect_nations,
-        "q6_selective_sum": q6_selective_sum,
-        "window_latest": q_window_latest,
-        "agg_rollup": q_agg_rollup,
-        "agg_cube": q_agg_cube,
-        "events_pivot": q_events_pivot,
-        "q1_pricing": q1_pricing,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q3_topk_revenue": q3_topk_revenue,
-        "q5_region_revenue": q5_region_revenue,
-        "q7_nation_volume": q7_nation_volume,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "q10_returned_items": q10_returned_items,
-        "q11_important_parts": q11_important_parts,
-        "q12_priority_lines": q12_priority_lines,
-        "q13_order_distribution": q13_order_distribution,
-        "q15_top_supplier": q15_top_supplier,
-        "q16_supplier_variety": q16_supplier_variety,
-        "q17_small_qty_revenue": q17_small_qty_revenue,
-        "q18_big_orders": q18_big_orders,
-        "q19_disjunctive_revenue": q19_disjunctive_revenue,
-        "q20_heavy_shippers": q20_heavy_shippers,
-        "q21_sole_returners": q21_sole_returners,
-        "q22_idle_customers": q22_idle_customers,
-        "events_hourly": q_events_hourly,
-        "events_sessionize": q_events_sessionize,
-        "events_sessionize_bucketed": q_events_sessionize_bucketed,
-        "events_ntile_quartiles": q_events_ntile_quartiles,
-        "events_value_deltas": q_events_value_deltas,
-        "events_top_users": q_events_top_users,
-        "events_running": q_events_running,
-        "price_quantiles": q_price_quantiles,
-        "events_asof": q_events_asof,
-        "events_asof_bucketed": q_events_asof_bucketed,
-        "events_error_window": q_events_error_window,
-        "topk_per_key": q_topk_per_key,
-        "q4_late_orders": q4_late_orders,
-        "q14_promo_revenue": q14_promo_revenue,
+        # --- LLM-pipeline block (27) ---
         "text_profile": q_text_profile,
         "text_subword_tokens": q_text_subword_tokens,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -1299,6 +1257,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_funnel_theta": q_events_user_funnel_theta,
         "price_quantiles_kll": q_price_quantiles_kll,
         "corpus_prepare": q_corpus_prepare,
+        # --- red in r03 (oracle int-width fixed this round) ---
+        "q12_priority_lines": q12_priority_lines,
+        # --- mid-tier operators (22) — complete the 50-query window ---
+        "mr_dict_map": q_mr_dict_map,
+        "mr_join": q_mr_join,
+        "mr_wordcount": q_mr_wordcount,
+        "mr_median_pandas": q_mr_median_pandas,
+        "except_unused_parts": q_except_unused_parts,
+        "intersect_nations": q_intersect_nations,
+        "window_latest": q_window_latest,
+        "agg_rollup": q_agg_rollup,
+        "agg_cube": q_agg_cube,
+        "events_pivot": q_events_pivot,
+        "events_hourly": q_events_hourly,
+        "events_sessionize": q_events_sessionize,
+        "events_sessionize_bucketed": q_events_sessionize_bucketed,
+        "events_ntile_quartiles": q_events_ntile_quartiles,
+        "events_value_deltas": q_events_value_deltas,
+        "events_top_users": q_events_top_users,
+        "events_running": q_events_running,
+        "price_quantiles": q_price_quantiles,
+        "events_asof": q_events_asof,
+        "events_asof_bucketed": q_events_asof_bucketed,
+        "events_error_window": q_events_error_window,
+        "topk_per_key": q_topk_per_key,
+        # --- tail: thrice-driver-green basics + TPC-H family ---
+        "search_exact_ci": q_search_exact_ci,
+        "search_range_sort_limit": q_search_range_sort_limit,
+        "search_like": q_search_like,
+        "mr_count": q_mr_count,
+        "mr_sum": q_mr_sum,
+        "mr_minmax": q_mr_minmax,
+        "q1_pricing": q1_pricing,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q3_topk_revenue": q3_topk_revenue,
+        "q4_late_orders": q4_late_orders,
+        "q5_region_revenue": q5_region_revenue,
+        "q6_selective_sum": q6_selective_sum,
+        "q7_nation_volume": q7_nation_volume,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q10_returned_items": q10_returned_items,
+        "q11_important_parts": q11_important_parts,
+        "q13_order_distribution": q13_order_distribution,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_variety": q16_supplier_variety,
+        "q17_small_qty_revenue": q17_small_qty_revenue,
+        "q18_big_orders": q18_big_orders,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q20_heavy_shippers": q20_heavy_shippers,
+        "q21_sole_returners": q21_sole_returners,
+        "q22_idle_customers": q22_idle_customers,
     }
 
 
@@ -1757,11 +1768,14 @@ def oracle_sql() -> dict[str, str]:
             HAVING sum(v) > (SELECT sum(v) * 0.001 FROM base)
         """,
         "q12_priority_lines": """
+            -- count(CASE...) not sum(CASE...): DuckDB types sum over int
+            -- literals as HUGEINT (int128), whose value-hash differs from
+            -- Spark's bigint even when the values are equal.
             SELECT l_linestatus,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS high_line_count,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 0 ELSE 1 END) AS low_line_count
+                   count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                              THEN 1 END) AS high_line_count,
+                   count(*) - count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                    THEN 1 END) AS low_line_count
             FROM lineitem JOIN orders ON o_orderkey = l_orderkey
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1997-01-01'

@@ -157,8 +157,12 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     )
     ca = counts.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("n_a"))
     cb = counts.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("n_b"))
+    # No broadcast hint on the per-doc count tables: they are |docs| rows —
+    # corpus-cardinality, a driver/executor OOM if forcibly broadcast at
+    # 100 TB. The skinny (doc_id, n_sh) equi-join shuffles cheaply; AQE
+    # still picks broadcast at runtime when the side is actually small.
     return (
-        pairs.join(F.broadcast(ca), "a_id").join(F.broadcast(cb), "b_id")
+        pairs.join(ca, "a_id").join(cb, "b_id")
         .select(
             "a_id", "b_id", "n_common",
             F.round(
@@ -169,41 +173,60 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
-def _minhash_cols() -> list[Column]:
+def _minhash_seed(s: int) -> str:
+    """Seed string for digest ``s`` — single letters a..z for the first 26
+    (bit-compatible with the fixed pre-parameterization scheme, which only
+    ever used 'a'/'b'), then an unambiguous multi-char form."""
+    return chr(ord("a") + s) if s < 26 else f"z{s}"
+
+
+def _minhash_cols(n_hashes: int = MINHASH_N) -> list[Column]:
     """Hash function i = 8-hex-char slice i%4 of ``md5(seed_{i//4} ||
     shingle)`` — min over hex strings is a valid MinHash (uniform
     order-preserving 32-bit hash), bit-reproducible in any engine with
     md5. Slicing four independent hashes out of each digest means
-    ``MINHASH_N/4`` md5 evaluations per shingle instead of ``MINHASH_N``
+    ``n_hashes/4`` md5 evaluations per shingle instead of ``n_hashes``
     (codegen CSE shares the digest across the four min-aggregates) —
     measured ~4x less hashing work at sf0.1 with identical LSH behavior."""
     cols = []
-    for i in range(MINHASH_N):
-        seed = chr(ord("a") + i // 4)
+    for i in range(n_hashes):
+        seed = _minhash_seed(i // 4)
         digest = F.md5(F.concat(F.lit(f"{seed}|"), F.col("shingle")))
         cols.append(F.min(F.substring(digest, 1 + 8 * (i % 4), 8))
                     .alias(f"h{i}"))
     return cols
 
 
-def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       n_hashes: int = MINHASH_N,
+                       n_bands: int = MINHASH_BANDS) -> DataFrame:
     """Per-document MinHash signature, banded for LSH.
 
     Returns ``(doc_id, band_0 … band_{B-1})`` where each band is the
-    concatenation of ROWS adjacent minhashes. One groupBy(doc_id) — a single
-    shuffle of (doc_id, shingle-hash) pairs.
+    concatenation of ``n_hashes // n_bands`` adjacent minhashes. One
+    groupBy(doc_id) — a single shuffle of (doc_id, shingle-hash) pairs.
+
+    ``n_hashes``/``n_bands`` default to the toy 8/4 layout for oracle
+    stability; production corpora typically run 128 hashes in 32 bands
+    (r=4 → candidate threshold ~ (1/32)^(1/4) ≈ 0.42 Jaccard).
     """
+    if n_hashes % n_bands:
+        raise ValueError(f"n_hashes={n_hashes} not divisible by "
+                         f"n_bands={n_bands}")
+    rows = n_hashes // n_bands
     sh = shingle_table(df, id_col, text_col)
-    sig = sh.groupBy("doc_id").agg(*_minhash_cols())
+    sig = sh.groupBy("doc_id").agg(*_minhash_cols(n_hashes))
     bands = [
-        F.concat_ws("|", *[F.col(f"h{b * MINHASH_ROWS + r}")
-                           for r in range(MINHASH_ROWS)]).alias(f"band_{b}")
-        for b in range(MINHASH_BANDS)
+        F.concat_ws("|", *[F.col(f"h{b * rows + r}")
+                           for r in range(rows)]).alias(f"band_{b}")
+        for b in range(n_bands)
     ]
     return sig.select("doc_id", *bands)
 
 
-def minhash_candidates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def minhash_candidates(df: DataFrame, id_col: str, text_col: str,
+                       n_hashes: int = MINHASH_N,
+                       n_bands: int = MINHASH_BANDS) -> DataFrame:
     """LSH candidate pairs: documents agreeing on ≥1 band.
 
     Group signatures into (band_pos, signature) buckets and expand each
@@ -217,11 +240,11 @@ def minhash_candidates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     row — with honest hash functions m stays tiny; a corpus with massive
     exact-dup clusters should run :func:`exact_dedup` first.
     """
-    sigs = minhash_signatures(df, id_col, text_col)
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, n_bands)
     melted = sigs.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"band_{b}")
-                               for b in range(MINHASH_BANDS)]))
+                               for b in range(n_bands)]))
         .alias("band_pos", "sig"),
     )
     buckets = (melted.groupBy("band_pos", "sig")
@@ -237,86 +260,111 @@ def minhash_candidates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_bands")))
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Per-document ``SIMHASH_BITS``-bit SimHash over the distinct token set.
+def simhash(df: DataFrame, id_col: str, text_col: str,
+            bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-document ``bits``-bit SimHash over the distinct token set.
 
     Classic Charikar sketch: each token votes ±1 on every bit of its hash;
     the signature bit is the sign of the vote sum. Near-duplicate documents
     differ in few bits (compare with hamming distance downstream).
 
-    Token hash = first 4 hex chars of md5 → 16 bits, decoded nibble-by-nibble
+    Token hash = first ``bits/4`` hex chars of md5, decoded nibble-by-nibble
     with ``locate`` (portable across engines — the DuckDB oracle uses
     ``strpos`` identically). Distinct tokens per doc make the result
-    order-independent. One explode + one groupBy(doc) with 16 conditional
-    sums — a single shuffle, JVM-side throughout.
+    order-independent. One explode + one groupBy(doc) with ``bits``
+    conditional sums — a single shuffle, JVM-side throughout.
+
+    ``bits`` defaults to the toy 16 for oracle stability; production runs
+    64 (the md5 digest supplies up to 64 bits here; the signature is a
+    single long, assembled with shift/or so bit 63 is valid as the sign
+    bit).
     """
+    if bits % 4 or not 4 <= bits <= 64:
+        raise ValueError(f"bits={bits} must be a multiple of 4 in [4, 64]")
+    n_nib = bits // 4
     toks = (
         df.select(F.col(id_col).alias("doc_id"),
                   F.explode(tokens_col(text_col)).alias("tok"))
         .distinct()
-        .withColumn("h4", F.substring(F.md5(F.col("tok")), 1, 4))
+        .withColumn("h4", F.substring(F.md5(F.col("tok")), 1, n_nib))
     )
     # nibble value of hex char j+1 (1-indexed) of h4, decoded by position in
     # the digit string — portable to any SQL engine (DuckDB strpos), unlike
     # conv()
     nib = [
         F.expr(f"locate(substring(h4, {j + 1}, 1), '{HEX_DIGITS}') - 1")
-        for j in range(4)
+        for j in range(n_nib)
     ]
     toks = toks.select(
         "doc_id",
-        *[nib[j].alias(f"nib{j}") for j in range(4)],
+        *[nib[j].alias(f"nib{j}") for j in range(n_nib)],
     )
     # bit b lives in nibble b//4 (hex char order = most-significant first),
     # at position b%4 counting from the LSB of that nibble
     bit_votes = []
-    for b in range(SIMHASH_BITS):
-        nibble = F.col(f"nib{3 - b // 4}")  # LSB-first bit order
+    for b in range(bits):
+        nibble = F.col(f"nib{n_nib - 1 - b // 4}")  # LSB-first bit order
         bit = F.floor(nibble / (2 ** (b % 4))) % 2
         bit_votes.append(F.sum(bit * 2 - 1).alias(f"v{b}"))
     votes = toks.groupBy("doc_id").agg(*bit_votes)
+    # shift/or assembly (not a sum of 2^b literals): identical for bits
+    # < 64, and keeps bit 63 representable when bits == 64
     sig = None
-    for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"v{b}") >= 0, F.lit(2 ** b)).otherwise(F.lit(0))
-        sig = term if sig is None else sig + term
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") >= 0,
+                      F.shiftleft(F.lit(1).cast("long"), b)) \
+                .otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig.bitwiseOR(term)
     return votes.select("doc_id", sig.cast("long").alias("simhash"))
 
 
 def simhash_candidates(df: DataFrame, id_col: str, text_col: str,
-                       max_hamming: int = 3) -> DataFrame:
+                       max_hamming: int = 3,
+                       bits: int = SIMHASH_BITS,
+                       n_bands: int = SIMHASH_BANDS) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance — banded-bits LSH.
 
     The signature alone doesn't finish the dedup job; this operator turns it
     into pairs without ever going n²: split each 16-bit signature into
-    ``SIMHASH_BANDS`` 4-bit bands, bucket documents by (band_pos, band
+    ``n_bands`` equal-width bands, bucket documents by (band_pos, band
     value), expand pairs inside each bucket (sorted ``collect_list`` →
     nested ``transform`` → ``explode``, same shape as
     :func:`minhash_candidates`), then verify each candidate's exact hamming
     distance (``bit_count(xor)``) and keep ``≤ max_hamming``.
 
-    For ``max_hamming ≤ SIMHASH_BANDS - 1`` (default 3) the result is EXACT:
+    For ``max_hamming ≤ n_bands - 1`` (default 3) the result is EXACT:
     by pigeonhole a pair within that distance shares an untouched band, so
     it lands in a common bucket — banding loses nothing, it only prunes the
     pair space. Returns ``(a_id, b_id, hamming)``.
 
     Scale shape: the bucket pair expansion runs over *distinct signatures*
-    (≤ 2^SIMHASH_BITS values — template-heavy corpora collapse thousands of
+    (≤ 2^bits values — template-heavy corpora collapse thousands of
     docs onto one signature, so this is orders of magnitude smaller than the
     doc count), and the doc-level pairs come from distributed equi-joins on
     the signature: within-signature groups (hamming 0) via a self-join,
     cross-signature pairs via joining the signature-pair list back twice.
     Nothing ever expands m² doc pairs inside a single bucket row.
     """
-    band_width = SIMHASH_BITS // SIMHASH_BANDS
-    sigs = simhash(df, id_col, text_col)
+    if bits % n_bands:
+        raise ValueError(f"bits={bits} not divisible by n_bands={n_bands}")
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"banded generation is only exact for max_hamming <= "
+            f"n_bands-1 ({n_bands - 1}); got {max_hamming}")
+    band_width = bits // n_bands
+    sigs = simhash(df, id_col, text_col, bits)
 
     distinct_sigs = sigs.select("simhash").distinct()
+    # shiftrightunsigned + mask (not floor-div/mod): identical for the
+    # non-negative default signatures, and stays correct when bits == 64
+    # sets the sign bit
+    mask = F.lit((1 << band_width) - 1).cast("long")
     bands = distinct_sigs.select(
         "simhash",
         F.posexplode(F.array(*[
-            (F.floor(F.col("simhash") / F.lit(2 ** (band_width * b)))
-             % (2 ** band_width)).cast("long")
-            for b in range(SIMHASH_BANDS)])).alias("band_pos", "bv"))
+            F.shiftrightunsigned(F.col("simhash"), band_width * b)
+            .bitwiseAND(mask).cast("long")
+            for b in range(n_bands)])).alias("band_pos", "bv"))
     buckets = (bands.groupBy("band_pos", "bv")
                .agg(F.sort_array(F.collect_list("simhash")).alias("ss"))
                .filter(F.size("ss") > 1))
@@ -464,8 +512,9 @@ def dedup_corpus(df: DataFrame, id_col: str = "doc_id",
                        F.col("n_sh").alias("n_a"))
     cb = counts.select(F.col("doc_id").alias("b_id"),
                        F.col("n_sh").alias("n_b"))
-    edges = (inter.join(F.broadcast(ca), "a_id")
-             .join(F.broadcast(cb), "b_id")
+    # corpus-cardinality sides: no broadcast hint (see ngram_jaccard_pairs)
+    edges = (inter.join(ca, "a_id")
+             .join(cb, "b_id")
              .filter(F.col("n_common")
                      / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
                      >= jaccard_threshold)

@@ -6,6 +6,7 @@ from qvarn_mr_spark.plans.inspect import (
     assert_columns_pruned,
     assert_filter_pushed,
     assert_max_shuffles,
+    assert_no_broadcast_hint,
     assert_no_shuffle_join,
     assert_partial_aggregation,
     assert_top_k,
@@ -17,7 +18,8 @@ from qvarn_mr_spark.plans.inspect import (
 
 __all__ = [
     "ScanInfo", "assert_broadcast_join", "assert_columns_pruned",
-    "assert_filter_pushed", "assert_max_shuffles", "assert_no_shuffle_join",
+    "assert_filter_pushed", "assert_max_shuffles", "assert_no_broadcast_hint",
+    "assert_no_shuffle_join",
     "assert_partial_aggregation", "assert_top_k", "count_exchanges",
     "explain_str", "scan_for", "scans",
 ]

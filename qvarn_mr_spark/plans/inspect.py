@@ -115,6 +115,18 @@ def assert_partial_aggregation(df: DataFrame) -> None:
     assert "partial_" in txt, "no partial aggregation in plan"
 
 
+def assert_no_broadcast_hint(df: DataFrame) -> None:
+    """The logical plan carries no user-forced broadcast hint.
+
+    A hint on a corpus-cardinality side (one row per document) is a
+    driver/executor OOM at 100 TB even though it runs fine at test scale;
+    joins should stay skinny equi-joins and let AQE choose broadcast only
+    when the runtime size is actually small."""
+    txt = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in txt and "UnresolvedHint" not in txt, (
+        "logical plan carries a forced broadcast hint:\n" + txt)
+
+
 def assert_top_k(df: DataFrame) -> None:
     """orderBy().limit(k) must execute as TakeOrderedAndProject — per
     partition top-k then merge, never a global sort."""

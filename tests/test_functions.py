@@ -410,3 +410,62 @@ def test_knn_arrow_empty_query_set(spark):
     out = similarity.knn_bruteforce_arrow(df, "vec_id", "embedding",
                                           F.col("vec_id") > 100, k=3)
     assert out.count() == 0
+
+
+def test_minhash_parameterized_layout(docs):
+    """Production-scale signature layouts are constructor parameters; the
+    toy 8/4 default stays the oracle-checked layout. 32 hashes / 8 bands:
+    identical docs still agree on every band."""
+    cands = dedup.minhash_candidates(docs, "doc_id", "text",
+                                     n_hashes=32, n_bands=8)
+    got = {(r["a_id"], r["b_id"]): r["n_bands"] for r in cands.collect()}
+    assert got[(0, 5)] == 8
+    assert got[(0, 6)] == 8
+    with pytest.raises(ValueError):
+        dedup.minhash_signatures(docs, "doc_id", "text",
+                                 n_hashes=10, n_bands=4)
+
+
+def test_minhash_production_params_volume_bounded(spark, sf_dir):
+    """128 hashes / 32 bands (r=4, threshold ~0.42) on the real documents
+    table: candidate volume stays far under the all-pairs n(n-1)/2 — the
+    LSH prune holds with production parameters, not just the toy layout."""
+    docs_tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs_tbl.count()
+    m = dedup.minhash_candidates(docs_tbl, "doc_id", "text",
+                                 n_hashes=128, n_bands=32).count()
+    assert m < n * 10                      # linear-ish, nowhere near n²/2
+    # and wider signatures don't lose the true duplicate pairs the default
+    # layout finds at high agreement (all 4 of 4 bands = certain dup)
+    sure = dedup.minhash_candidates(docs_tbl, "doc_id", "text") \
+        .filter(F.col("n_bands") == dedup.MINHASH_BANDS) \
+        .select("a_id", "b_id")
+    wide = dedup.minhash_candidates(docs_tbl, "doc_id", "text",
+                                    n_hashes=128, n_bands=32) \
+        .select("a_id", "b_id")
+    assert sure.join(wide, ["a_id", "b_id"], "left_anti").isEmpty()
+
+
+def test_simhash_64bit_exact_banding(docs):
+    """bits=64 exercises the sign bit (shift/or assembly) and the
+    shiftrightunsigned band split: banded candidates must still equal
+    brute-force hamming ≤ n_bands-1."""
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in dedup.simhash(docs, "doc_id", "text", bits=64).collect()}
+    assert sigs[0] == sigs[6]              # same token set → same signature
+    want = set()
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ham = bin((sigs[a] ^ sigs[b]) & (2 ** 64 - 1)).count("1")
+            if ham <= 7:
+                want.add((a, b, ham))
+    got = {(r["a_id"], r["b_id"], r["hamming"])
+           for r in dedup.simhash_candidates(docs, "doc_id", "text",
+                                             max_hamming=7, bits=64,
+                                             n_bands=8).collect()}
+    assert got == want
+    with pytest.raises(ValueError):
+        dedup.simhash(docs, "doc_id", "text", bits=13)
+    with pytest.raises(ValueError):        # banding not exact for that reach
+        dedup.simhash_candidates(docs, "doc_id", "text", max_hamming=4)

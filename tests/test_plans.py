@@ -281,3 +281,14 @@ def test_theta_funnel_tiny_join(q):
     from qvarn_mr_spark.plans import explain_str
     txt = explain_str(q("events_user_funnel_theta"), "formatted")
     assert txt.count("HashAggregate") >= 2
+
+
+def test_dedup_joins_not_force_broadcast(q):
+    """The Jaccard verify joins bring per-document shingle counts back onto
+    the pair stream. Those count tables are corpus-cardinality (one row per
+    doc) — a forced broadcast there is a driver/executor OOM at 100 TB, so
+    the logical plan must carry no hint; AQE may still pick broadcast at
+    runtime when the side is genuinely small."""
+    from qvarn_mr_spark.plans import assert_no_broadcast_hint
+    assert_no_broadcast_hint(q("dedup_jaccard"))
+    assert_no_broadcast_hint(q("dedup_corpus"))
