@@ -120,21 +120,31 @@ def theta_overlap(sketches: DataFrame, segment_col: str, seg_a: str,
     The two single-row sides cross-join (1×1 — no data motion) and all
     five estimates come from the same pair of sketches. At < k distinct
     values per side the numbers are exact; beyond, standard theta error.
+
+    Always returns exactly one row: each side is reduced with
+    ``theta_union_agg`` (one row even when the segment has no sketch —
+    NULL state), and a missing side reports zero counts instead of
+    silently dropping the result (the empty-crossJoin hazard).
     """
     a = (sketches.filter(F.col(segment_col) == seg_a)
-         .select(F.col(sketch_col).alias("_a")))
+         .agg(F.theta_union_agg(F.col(sketch_col)).alias("_a")))
     b = (sketches.filter(F.col(segment_col) == seg_b)
-         .select(F.col(sketch_col).alias("_b")))
+         .agg(F.theta_union_agg(F.col(sketch_col)).alias("_b")))
+    _a, _b = F.col("_a"), F.col("_b")
+    zero = F.lit(0).cast("long")
+    est = F.theta_sketch_estimate
     return a.crossJoin(b).select(
-        F.theta_sketch_estimate(F.col("_a")).alias("n_a"),
-        F.theta_sketch_estimate(F.col("_b")).alias("n_b"),
-        F.theta_sketch_estimate(
-            F.theta_union(F.col("_a"), F.col("_b"))).alias("n_union"),
-        F.theta_sketch_estimate(
-            F.theta_intersection(F.col("_a"), F.col("_b")))
-        .alias("n_intersection"),
-        F.theta_sketch_estimate(
-            F.theta_difference(F.col("_a"), F.col("_b"))).alias("n_a_only"),
+        F.coalesce(est(_a), zero).alias("n_a"),
+        F.coalesce(est(_b), zero).alias("n_b"),
+        F.when(_a.isNull(), F.coalesce(est(_b), zero))
+         .when(_b.isNull(), est(_a))
+         .otherwise(est(F.theta_union(_a, _b))).alias("n_union"),
+        F.when(_a.isNull() | _b.isNull(), zero)
+         .otherwise(est(F.theta_intersection(_a, _b)))
+         .alias("n_intersection"),
+        F.when(_a.isNull(), zero)
+         .when(_b.isNull(), est(_a))
+         .otherwise(est(F.theta_difference(_a, _b))).alias("n_a_only"),
     )
 
 

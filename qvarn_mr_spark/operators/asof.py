@@ -174,7 +174,7 @@ def asof_join_bucketed(left: DataFrame, right: DataFrame, on: list[str],
     # to double, and going through a tz-typed cast would move bucket edges
     # under non-UTC sessions); numeric ts columns bucket on their raw value
     if dict(u.dtypes)["_ts"].startswith(("timestamp", "date")):
-        secs = ts_us("_ts") / F.lit(1_000_000.0)
+        secs = ts_us("_ts", dict(u.dtypes)["_ts"]) / F.lit(1_000_000.0)
     else:
         secs = F.col("_ts").cast("double")
     u = u.withColumn("_bkt", F.floor(secs / F.lit(float(bucket_width))))

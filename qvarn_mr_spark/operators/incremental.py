@@ -317,7 +317,16 @@ class IncrementalEngine:
             self.store.overwrite(target, self.engine.reduce_table(target, map_df))
             self.store.set_handler_version(target, src, spec.version)
         else:
-            self.store.overwrite(target, self.engine.map_table(target))
+            # map-over-derived sources read the STORED upstream snapshot,
+            # not a catalog recompute (same preference as the reduce branch
+            # above and the incremental path): if the stored upstream lags
+            # the catalog (pending dead letters, undrained feed), a catalog
+            # rebuild would transiently diverge from the stored parent level
+            overrides = {src: self.store.read(src) for src in sources
+                         if src in self.engine.config
+                         and self.store.exists(src)}
+            self.store.overwrite(
+                target, self.engine.map_table(target, overrides or None))
             for src, spec in sources.items():
                 self.store.set_handler_version(target, src, spec.version)
 

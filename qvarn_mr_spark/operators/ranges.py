@@ -34,9 +34,10 @@ from pyspark.sql import functions as F
 from qvarn_mr_spark.timeutil import ts_us
 
 
-def _us(c: Column) -> Column:
-    # tz-free: works on TIMESTAMP_NTZ (the testdata type), TIMESTAMP, DATE
-    return ts_us(c)
+def _us(df: DataFrame, name: str) -> Column:
+    # type-aware: unix_micros for tz-aware TIMESTAMP (DST-exact),
+    # NTZ wall-clock diff for TIMESTAMP_NTZ (the testdata type) / DATE
+    return ts_us(F.col(name), dict(df.dtypes).get(name))
 
 
 def range_join(left: DataFrame, right: DataFrame, on: list[str],
@@ -60,8 +61,8 @@ def range_join(left: DataFrame, right: DataFrame, on: list[str],
     w_us = F.lit(int(bucket_s) * 1_000_000)
     r = right.select(
         *[F.col(k) for k in on],
-        _us(F.col(right_start)).alias("_s"),
-        _us(F.col(right_end)).alias("_e"),
+        _us(right, right_start).alias("_s"),
+        _us(right, right_end).alias("_e"),
         *[F.col(c).alias(a) for c, a in payload.items()],
     ).filter(F.col("_s") <= F.col("_e")).withColumn(
         "_b",
@@ -69,7 +70,7 @@ def range_join(left: DataFrame, right: DataFrame, on: list[str],
         # wrong for pre-1970 (negative-epoch) timestamps
         F.explode(F.sequence(F.floor(F.col("_s") / w_us),
                              F.floor(F.col("_e") / w_us))))
-    l = left.withColumn("_p", _us(F.col(left_point))).withColumn(
+    l = left.withColumn("_p", _us(left, left_point)).withColumn(
         "_b", F.floor(F.col("_p") / w_us))
     out = (l.join(r, on + ["_b"])
            .filter((F.col("_p") >= F.col("_s"))

@@ -38,7 +38,8 @@ def sessionize(events: DataFrame, gap_minutes: int = 30,
     """
     gap_us = gap_minutes * 60 * 1_000_000
     w = (Window.partitionBy(user_col).orderBy(ts_col, id_col))
-    us = ts_us(ts_col)
+    ts_dt = dict(events.dtypes).get(ts_col)
+    us = ts_us(ts_col, ts_dt)
     prev = F.lag(us).over(w)
     new_sess = F.when(prev.isNull() | ((us - prev) > gap_us), 1).otherwise(0)
     with_idx = events.withColumn(
@@ -52,8 +53,8 @@ def sessionize(events: DataFrame, gap_minutes: int = 30,
                  F.date_format(F.max(ts_col), fmt).alias("session_end"),
                  # floor, not cast: double→int casts truncate in Spark but
                  # round in other engines — floor is unambiguous in both
-                 F.floor((ts_us(F.max(ts_col))
-                          - ts_us(F.min(ts_col))) / 1_000_000.0)
+                 F.floor((ts_us(F.max(ts_col), ts_dt)
+                          - ts_us(F.min(ts_col), ts_dt)) / 1_000_000.0)
                  .cast("long").alias("duration_s")))
 
 
@@ -95,7 +96,8 @@ def sessionize_bucketed(events: DataFrame, gap_minutes: int = 30,
     """
     gap_us = gap_minutes * 60 * 1_000_000
     bucket_us = bucket_hours * 3600 * 1_000_000
-    us = ts_us(ts_col)
+    ts_dt = dict(events.dtypes).get(ts_col)
+    us = ts_us(ts_col, ts_dt)
     ev = events.withColumn("_us", us).withColumn(
         "_bkt", F.floor(F.col("_us") / F.lit(bucket_us)))
 
@@ -136,8 +138,8 @@ def sessionize_bucketed(events: DataFrame, gap_minutes: int = 30,
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.date_format(F.min(ts_col), fmt).alias("session_start"),
                  F.date_format(F.max(ts_col), fmt).alias("session_end"),
-                 F.floor((ts_us(F.max(ts_col))
-                          - ts_us(F.min(ts_col))) / 1_000_000.0)
+                 F.floor((ts_us(F.max(ts_col), ts_dt)
+                          - ts_us(F.min(ts_col), ts_dt)) / 1_000_000.0)
                  .cast("long").alias("duration_s")))
 
 

@@ -90,7 +90,7 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> Column:
     numeric = []
     for c in cols:
         dt = dict(df.dtypes)[c]
-        numeric.append(ts_us(c) if dt.startswith(("timestamp", "date"))
+        numeric.append(ts_us(c, dt) if dt.startswith(("timestamp", "date"))
                        else F.col(c).cast("double"))
     bounds = df.agg(*[f(n).alias(f"{a}{i}")
                       for i, n in enumerate(numeric)
@@ -98,13 +98,21 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> Column:
     top = (1 << bits) - 1
     z = F.lit(0).cast("long")
     for j, n in enumerate(numeric):
-        lo = float(bounds[f"lo{j}"])
-        span = float(bounds[f"hi{j}"]) - lo
+        # min/max come back None when df is empty or the column is all
+        # NULL — no meaningful curve position; degenerate to span 0 (the
+        # column contributes constant bits) instead of TypeError, so a
+        # write that a plain .parquet() would handle still succeeds
+        lo = bounds[f"lo{j}"]
+        hi = bounds[f"hi{j}"]
+        lo = float(lo) if lo is not None else 0.0
+        span = (float(hi) - lo) if hi is not None else 0.0
         scaled = (F.least(
             F.lit(top),
             F.floor((n.cast("double") - F.lit(lo))
                     / F.lit(span if span > 0 else 1.0) * F.lit(top + 0.0))
         ).cast("long"))
+        # NULL cell → curve position 0, keeping the whole key non-null
+        scaled = F.coalesce(scaled, F.lit(0).cast("long"))
         for i in range(bits):
             bit = F.shiftright(scaled, i).bitwiseAND(F.lit(1))
             z = z.bitwiseOR(F.shiftleft(bit, i * len(cols) + j))

@@ -26,15 +26,27 @@ from pyspark.sql import functions as F
 _EPOCH_NTZ = "1970-01-01 00:00:00"
 
 
-def ts_us(c: Column | str) -> Column:
-    """Microseconds since the *wall-clock* epoch, timezone-free.
+def ts_us(c: Column | str, dtype: str | None = None) -> Column:
+    """Microseconds since the epoch as a long.
 
-    Accepts TIMESTAMP_NTZ, TIMESTAMP, or DATE columns: everything is cast
-    to NTZ first (a no-op for NTZ and DATE; for TIMESTAMP the session-tz
-    wall clock is used, which keeps *differences* exact). Equivalent to
-    DuckDB ``epoch_us(ts)`` on naive timestamps.
+    ``dtype`` is the column's Spark type string when the caller knows it
+    (one entry of ``df.dtypes``). Type decides the exact path:
+
+    * tz-aware ``timestamp`` → ``F.unix_micros`` — true instant
+      microseconds, exact under any session timezone (an NTZ cast here
+      would go through the session-tz wall clock, where a DST transition
+      shifts *differences* by the offset change — e.g. a 30-min gap
+      reading as -30 or +90 min);
+    * ``timestamp_ntz`` / ``date`` (and no-hint default) → wall-clock
+      diff against the NTZ epoch, byte-identical regardless of
+      ``spark.sql.session.timeZone`` and equivalent to DuckDB
+      ``epoch_us(ts)`` on naive timestamps. (``unix_micros`` rejects NTZ
+      outright, so the hint never changes NTZ behavior — it only
+      upgrades tz-aware inputs from "DST-hazardous" to exact.)
     """
     col = F.col(c) if isinstance(c, str) else c
+    if dtype == "timestamp":
+        return F.unix_micros(col)
     return F.timestamp_diff(
         "MICROSECOND",
         F.lit(_EPOCH_NTZ).cast("timestamp_ntz"),

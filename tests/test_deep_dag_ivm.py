@@ -128,3 +128,30 @@ def test_deep_dag_resync_bootstrap(spark, tmp_path):
     set_source(rows)
     inc.apply_changes(notifications(spark, [("orders", "created", "e")]))
     assert _hist(inc) == _expected(rows) == {"2": 2, "1": 1}
+
+
+def test_map_resync_prefers_stored_upstream_snapshot(spark, tmp_path):
+    """Resync of a map-over-derived target must rebuild from the STORED
+    upstream snapshot (like the reduce branch and the incremental path),
+    not batch-recompute the upstream from the catalog: when the feed has
+    undrained changes, a catalog recompute would transiently jump the
+    downstream ahead of its stored parent level."""
+    cat, eng, inc, set_source = _setup(spark, tmp_path)
+    rows = [("o1", 1), ("o2", 1), ("o3", 2)]
+    set_source(rows)
+    inc.apply_changes(notifications(spark, [
+        ("orders", "created", "o1"), ("orders", "created", "o2"),
+        ("orders", "created", "o3")]))
+
+    # the catalog advances but the o9 notification is NOT yet drained:
+    # stored per_user (users 1, 2) lags the catalog (users 1, 2, 9)
+    set_source(rows + [("o9", 9)])
+    inc.resync("hist__map")
+    ids = {r["_mr_source_id"] for r in inc.read("hist__map").collect()}
+    assert ids == {"1", "2"}, "resync leaked catalog state past the store"
+
+    # after draining, a resync sees the new user through the store
+    inc.apply_changes(notifications(spark, [("orders", "created", "o9")]))
+    inc.resync("hist__map")
+    ids = {r["_mr_source_id"] for r in inc.read("hist__map").collect()}
+    assert ids == {"1", "2", "9"}

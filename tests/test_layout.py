@@ -162,3 +162,19 @@ def test_zorder_handles_timestamps(spark, sf_dir):
     z = zorder_key(ev, ["user_id", "ts"], bits=8)
     got = ev.select(z.alias("z")).agg(F.countDistinct("z")).first()[0]
     assert got > 1
+
+
+def test_zorder_degenerate_inputs(spark, tmp_path):
+    """Empty frame / all-NULL z-column: min-max bounds come back None —
+    the write must degrade to an unclustered-but-valid write, not raise."""
+    from qvarn_mr_spark.sources.writers import write_zordered
+
+    empty = spark.range(0).select(F.col("id").alias("x"),
+                                  F.col("id").alias("y"))
+    write_zordered(empty, str(tmp_path / "e"), ["x", "y"], num_files=1)
+    assert spark.read.parquet(str(tmp_path / "e")).count() == 0
+
+    nulls = spark.range(5).select(
+        F.col("id").alias("x"), F.lit(None).cast("double").alias("y"))
+    write_zordered(nulls, str(tmp_path / "n"), ["x", "y"], num_files=1)
+    assert spark.read.parquet(str(tmp_path / "n")).count() == 5

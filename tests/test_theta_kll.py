@@ -67,3 +67,22 @@ def test_theta_rollup_merge_equals_single_pass(spark, events):
              events.groupBy("event_type")
              .agg(F.countDistinct("user_id").alias("n")).collect()}
     assert rolled == exact
+
+
+def test_theta_overlap_missing_segment_reports_zero(spark, events):
+    """A segment with no sketch row must not produce an empty result (the
+    empty-crossJoin hazard): one row always, zeros for the missing side."""
+    sk = sketches.theta_rollup(
+        events.filter(F.col("event_type") == "click"),
+        ["event_type"], "user_id")
+    out = sketches.theta_overlap(sk, "event_type", "click", "nope").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_a"] > 0
+    assert r["n_b"] == 0 and r["n_intersection"] == 0
+    assert r["n_union"] == r["n_a"] == r["n_a_only"]
+    # and the fully-empty case: both sides missing → one all-zero row
+    both = sketches.theta_overlap(sk, "event_type", "no1", "no2").collect()
+    assert len(both) == 1
+    assert all(both[0][c] == 0 for c in
+               ("n_a", "n_b", "n_union", "n_intersection", "n_a_only"))

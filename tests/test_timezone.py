@@ -93,3 +93,51 @@ def test_ts_us_matches_duckdb_epoch_semantics(spark):
         spark.conf.set("spark.sql.session.timeZone", old)
     want = duckdb.sql(f"select epoch_us(TIMESTAMP '{wall}')").fetchone()[0]
     assert got == want
+
+
+def test_ts_us_exact_for_tz_aware_across_dst(spark):
+    """For tz-aware TIMESTAMP columns ts_us must use instant micros
+    (unix_micros), not a session-tz wall-clock cast: across the US
+    spring-forward the wall-clock diff of these two instants is 90 min,
+    the true difference 30 min."""
+    from qvarn_mr_spark.timeutil import ts_us
+
+    t0, t1 = 1615703400, 1615705200     # 06:30 / 07:00 UTC, 2021-03-14
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", ALT_TZ)
+    try:
+        df = spark.range(1).select(
+            F.timestamp_seconds(F.lit(t0)).alias("a"),
+            F.timestamp_seconds(F.lit(t1)).alias("b"))
+        dt = dict(df.dtypes)["a"]
+        assert dt == "timestamp"
+        got = df.select((ts_us("b", dt) - ts_us("a", dt)).alias("d")) \
+                .collect()[0]["d"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    assert got == 1_800_000_000
+
+
+def test_sessionize_tz_aware_dst_exact(spark):
+    """sessionize on a tz-aware events frame: two events exactly one
+    30-min gap apart across the DST jump stay ONE session (the wall-clock
+    path would read the gap as 90 min and split)."""
+    from qvarn_mr_spark.operators.sessions import (sessionize,
+                                                   sessionize_bucketed)
+
+    t0, t1 = 1615703400, 1615705200
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", ALT_TZ)
+    try:
+        df = (spark.createDataFrame([(1, t0, 10), (1, t1, 11)],
+                                    "user_id long, sec long, event_id long")
+              .select("user_id", "event_id",
+                      F.timestamp_seconds(F.col("sec")).alias("ts")))
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        for fn in (sessionize, sessionize_bucketed):
+            rows = fn(df, gap_minutes=30).collect()
+            assert len(rows) == 1, f"{fn.__name__} split across DST"
+            assert rows[0]["n_events"] == 2
+            assert rows[0]["duration_s"] == 1800
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
