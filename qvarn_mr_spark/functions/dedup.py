@@ -49,6 +49,21 @@ SIMHASH_BANDS = 4
 HEX_DIGITS = "0123456789abcdef"
 
 
+def ensure_min_partitions(df: DataFrame) -> DataFrame:
+    """Spread a narrow input across the session's shuffle parallelism.
+
+    A small corpus arriving as one parquet file (one row group → one
+    split) would otherwise run every downstream per-row computation —
+    tokenize, shingle, md5 — on a single task, serializing the whole
+    candidate pipeline. Guarded: a no-op when the scan already has at
+    least ``spark.sql.shuffle.partitions`` splits (the 100 TB case), so
+    this never adds a corpus-wide shuffle at scale."""
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def tokens_col(col: Column | str) -> Column:
     """Array of normalized word tokens (no empties)."""
     c = F.col(col) if isinstance(col, str) else col
@@ -136,6 +151,13 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     the preferred O(n·sig) route at extreme scale.
     """
     sh = shingle_table(df, id_col, text_col, k)
+    # persist: four consumers read this subtree (both self-join sides +
+    # both count tables). Catalyst's ReusedExchange shared it while the
+    # count joins were hint-broadcast; with AQE choosing the strategy at
+    # runtime the stages canonicalize differently and the reuse is lost —
+    # an explicit MEMORY_AND_DISK persist pins one computation at any
+    # scale (spills gracefully; LRU-evicted when cold).
+    sh = sh.persist()
     if max_df is not None:
         # keep-list via groupBy over the same shingle-table subtree: its
         # Exchange is reused (the distinct already shuffled on shingle),
@@ -444,19 +466,18 @@ def dup_clusters(pairs: DataFrame, a: str = "a_id", b: str = "b_id",
         nbr = (edges.join(labels.select(F.col("node").alias("v"),
                                         F.col("label").alias("vlabel")), "v")
                .groupBy("u").agg(F.min("vlabel").alias("nlabel")))
-        new_labels = (labels
-                      .join(nbr, labels["node"] == nbr["u"], "left")
-                      .select("node",
-                              F.least(F.col("label"),
-                                      F.coalesce(F.col("nlabel"),
-                                                 F.col("label")))
-                              .alias("label"))
-                      .localCheckpoint(eager=True))
-        stable = (new_labels.alias("n")
-                  .join(labels.alias("o"), "node")
-                  .filter(F.col("n.label") != F.col("o.label"))
-                  .limit(1).isEmpty())
-        labels = new_labels
+        # carry a changed-flag INTO the checkpoint: the convergence probe
+        # then reads the already-materialized partitions with an
+        # early-exit limit(1) instead of costing a join job per round
+        newlab = F.least(F.col("label"),
+                         F.coalesce(F.col("nlabel"), F.col("label")))
+        flagged = (labels
+                   .join(nbr, labels["node"] == nbr["u"], "left")
+                   .select("node", newlab.alias("_new"),
+                           (newlab != F.col("label")).alias("_chg"))
+                   .localCheckpoint(eager=True))
+        stable = flagged.filter(F.col("_chg")).limit(1).isEmpty()
+        labels = flagged.select("node", F.col("_new").alias("label"))
         if stable:
             break
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
@@ -490,6 +511,7 @@ def dedup_corpus(df: DataFrame, id_col: str = "doc_id",
     """
     from qvarn_mr_spark.functions.text import fingerprint
 
+    df = ensure_min_partitions(df)
     fp = df.select(F.col(id_col).alias("doc_id"),
                    fingerprint(F.col(text_col)).alias("fp"))
     exact = fp.groupBy("fp").agg(F.min("doc_id").alias("keeper_id"))

@@ -30,13 +30,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from qvarn_mr_spark.functions.dedup import dedup_corpus
+from qvarn_mr_spark.functions.dedup import dedup_corpus, ensure_min_partitions
 from qvarn_mr_spark.functions.sampling import assign_split
-from qvarn_mr_spark.functions.text import (
-    lang_guess,
-    quality_score,
-    token_count,
-)
+from qvarn_mr_spark.functions.text import profile_frame
 
 
 def corpus_prepare(df: DataFrame, id_col: str = "doc_id",
@@ -57,14 +53,27 @@ def corpus_prepare(df: DataFrame, id_col: str = "doc_id",
     """
     if split_weights is None:
         split_weights = {"train": 0.98, "val": 0.01, "test": 0.01}
-    t = F.col(text_col)
-    profiled = df.select(
-        F.col(id_col).alias("doc_id"),
-        t.alias("_text"),
-        lang_guess(t).alias("lang"),
-        token_count(t).alias("n_tokens"),
-        F.round(quality_score(t), 6).alias("quality"),
-    )
+    # staged profile (profile_frame), NOT the per-column helpers: inlining
+    # lang_guess + quality_score into one select blows Janino's 64 KB
+    # method limit, silently dropping the whole projection out of codegen
+    # (measured ~8x slower at sf0.1); the staged form is bit-identical
+    profiled = profile_frame(
+        ensure_min_partitions(
+            df.select(F.col(id_col).alias("doc_id"),
+                      F.col(text_col).alias("text"))),
+        "text", ("doc_id",), keep_text=True
+    ).select("doc_id", "_text",
+             F.col("lang_guess").alias("lang"),
+             "n_tokens", "quality")
+    # materialize the profile ONCE, and BEFORE the gates: the dedup
+    # subtree scans the survivors many times (fingerprint, keeper
+    # semi-join, shingles, minhash) and the final join reads them again;
+    # and filtering first would let Catalyst substitute the quality/token
+    # predicates below the repartition Exchange, re-running the heavy
+    # text expressions inside the (possibly single-split) scan stage.
+    # After the checkpoint the gates are cheap column comparisons. Swap
+    # for reliable checkpoint() on a real cluster, same as dup_clusters.
+    profiled = profiled.localCheckpoint(eager=True)
     kept = profiled.filter(
         (F.col("quality") >= min_quality)
         & (F.col("n_tokens") >= min_tokens)
@@ -75,6 +84,10 @@ def corpus_prepare(df: DataFrame, id_col: str = "doc_id",
     clusters = dedup_corpus(kept.select("doc_id", F.col("_text").alias("text")),
                             "doc_id", "text",
                             jaccard_threshold=jaccard_threshold)
+    # clusters is consumed twice (sizes + canonical) and is skinny
+    # (3 columns, one row per survivor) — pin it rather than re-deriving
+    # the fingerprint join under each consumer
+    clusters = clusters.localCheckpoint(eager=True)
     sizes = (clusters.groupBy("canonical_id")
              .agg((F.count(F.lit(1)) - 1).alias("n_duplicates")))
     canonical = (clusters.filter(F.col("is_canonical"))

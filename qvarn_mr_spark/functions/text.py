@@ -147,7 +147,8 @@ def quality_score(col: Column | str) -> Column:
     return F.round((len_score + sw_score + p_score) / 3, 6)
 
 
-def profile_frame(df, text_col: str = "text", id_cols=("doc_id",)):
+def profile_frame(df, text_col: str = "text", id_cols=("doc_id",),
+                  keep_text: bool = False):
     """Full document profile (tokens/chars/lang/punct/stopword/quality/fp) as
     a *staged* projection pipeline.
 
@@ -224,6 +225,9 @@ def profile_frame(df, text_col: str = "text", id_cols=("doc_id",)):
 
     return st3.select(
         *ids,
+        # consumers that keep processing the text (corpus_prepare's dedup
+        # stage) carry it through instead of re-reading + re-joining
+        *([F.col("_text")] if keep_text else []),
         toks.alias("n_tokens"),
         F.length("_text").cast("long").alias("n_chars_calc"),
         lang.alias("lang_guess"),
