@@ -6,12 +6,15 @@ LLM-data pipeline the same idea scales up: media travels as a ``binary``
 column with a typed metadata struct, and every transform is an Arrow-batched
 ``mapInPandas`` so payloads never round-trip through driver memory.
 
-The actual codec step is STUBBED — the image/audio libraries are not in this
-container — behind ``decoder=`` hooks: pass ``fake_decode`` (deterministic,
-hash-derived, used by tests) or a real function (e.g. PIL/librosa) in
-production; the default raises ``NotImplementedError``. Everything Spark-side
-is real and tested: schema, partition-preserving batch iteration, Arrow batch
-shapes, and the feature-vector contract.
+Codec policy: formats needing external libs (PNG/JPEG/MP4) stay STUBBED
+behind ``decoder=`` hooks — pass ``fake_decode`` (deterministic, hash-derived)
+or a real function (e.g. PIL/av) in production; the default raises
+``NotImplementedError``. Formats the stdlib can decode are REAL:
+``stdlib_decode`` parses WAV (``wave`` module → raw PCM frames) and binary
+PPM/PGM (header parse → pixel raster), so one decode path runs on genuine
+media bytes end-to-end. Everything Spark-side is real and tested: schema,
+partition-preserving batch iteration, Arrow batch shapes, and the
+feature-vector contract.
 
 Scale notes: media rows are large — the partition sizing that matters is
 bytes, not rows (``spark.sql.files.maxPartitionBytes``); transforms are
@@ -22,6 +25,9 @@ the post-extract stage re-partitions freely.
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Callable, Iterator
 from typing import Any
 
@@ -64,6 +70,99 @@ def fake_decode(payload: bytes, meta: dict) -> bytes:
     """Deterministic decode stub: 'decoded' = sha256 of payload. Stands in
     for pixel/sample buffers so the pipeline shape is testable."""
     return hashlib.sha256(payload).digest()
+
+
+def synthetic_wav_bytes(n_samples: int = 1600, sample_rate: int = 16000,
+                        seed: int = 0) -> bytes:
+    """A real, spec-compliant mono 16-bit PCM WAV file (stdlib ``wave``
+    writer) with deterministic hash-derived samples — actual media bytes
+    for the decode path, no codec libs needed."""
+    rnd = hashlib.sha256(f"wav-{seed}".encode()).digest()
+    frames = b"".join(
+        struct.pack("<h", int.from_bytes(rnd[(2 * i) % 31:(2 * i) % 31 + 2],
+                                         "little") - 32768)
+        for i in range(n_samples))
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def synthetic_ppm_bytes(width: int = 8, height: int = 8,
+                        seed: int = 0) -> bytes:
+    """A real binary PPM (P6) image with deterministic hash-derived pixels."""
+    need = width * height * 3
+    rnd = hashlib.sha256(f"ppm-{seed}".encode()).digest()
+    return (f"P6\n# synthetic\n{width} {height}\n255\n".encode()
+            + (rnd * (need // len(rnd) + 1))[:need])
+
+
+def _pnm_raster(data: bytes) -> bytes:
+    """Parse a binary PPM/PGM header and return the raw raster bytes."""
+    pos = 0
+
+    def token() -> bytes:
+        nonlocal pos
+        while pos < len(data):
+            if data[pos:pos + 1].isspace():
+                pos += 1
+            elif data[pos:pos + 1] == b"#":
+                while pos < len(data) and data[pos] != 0x0A:
+                    pos += 1
+            else:
+                break
+        start = pos
+        while pos < len(data) and not data[pos:pos + 1].isspace():
+            pos += 1
+        return data[start:pos]
+
+    magic = token()
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary PGM/PPM: magic={magic!r}")
+    width, height, maxval = int(token()), int(token()), int(token())
+    pos += 1  # exactly one whitespace byte separates maxval from the raster
+    channels = 3 if magic == b"P6" else 1
+    need = width * height * channels * (1 if maxval < 256 else 2)
+    raster = data[pos:pos + need]
+    if len(raster) != need:
+        raise ValueError(f"truncated raster: want {need}, got {len(raster)}")
+    return raster
+
+
+def stdlib_decode(payload: bytes, meta: dict) -> bytes:
+    """REAL decode for stdlib-decodable formats: WAV → raw PCM frames via
+    ``wave``, binary PPM/PGM → raw pixel raster via header parse. Formats
+    needing external codec libs still raise (see ``default_decode``) —
+    this makes one end-to-end decode path genuine in this container."""
+    payload = bytes(payload)
+    fmt = (meta or {}).get("format")
+    if payload[:4] == b"RIFF" or fmt == "wav":
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            return w.readframes(w.getnframes())
+    if payload[:2] in (b"P5", b"P6") or fmt in ("ppm", "pgm"):
+        return _pnm_raster(payload)
+    return default_decode(payload, meta)
+
+
+def synthetic_media_real(spark, n: int = 32) -> DataFrame:
+    """Like :func:`synthetic_media` but every payload is genuinely decodable
+    by :func:`stdlib_decode` — alternating real WAV audio and PPM images."""
+    def row(i: int):
+        if i % 2:
+            payload = synthetic_wav_bytes(n_samples=400 + i * 8, seed=i)
+            meta = {"kind": "audio", "format": "wav", "width": None,
+                    "height": None, "sample_rate": 16000,
+                    "duration_ms": (400 + i * 8) * 1000 // 16000}
+        else:
+            w, h = 8 + i % 8, 6 + i % 6
+            payload = synthetic_ppm_bytes(w, h, seed=i)
+            meta = {"kind": "image", "format": "ppm", "width": w,
+                    "height": h, "sample_rate": None, "duration_ms": None}
+        return (i, bytearray(payload), meta)
+    return spark.createDataFrame([row(i) for i in range(n)], MEDIA_DDL)
 
 
 def extract_features(df: DataFrame, payload_col: str = "payload",

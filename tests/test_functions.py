@@ -234,6 +234,50 @@ def test_media_decode_stub_raises(spark):
         multimodal.extract_features(media).collect()
 
 
+def test_stdlib_decode_wav_and_ppm_locally():
+    """Pure-Python check: stdlib_decode really parses the container formats
+    — WAV yields the exact PCM frame bytes written, PPM the exact raster."""
+    wav = multimodal.synthetic_wav_bytes(n_samples=100, seed=3)
+    pcm = multimodal.stdlib_decode(wav, {"format": "wav"})
+    assert len(pcm) == 100 * 2           # 100 mono 16-bit samples
+    import io as _io
+    import wave as _wave
+    with _wave.open(_io.BytesIO(wav), "rb") as w:
+        assert pcm == w.readframes(w.getnframes())
+
+    ppm = multimodal.synthetic_ppm_bytes(5, 4, seed=7)
+    raster = multimodal.stdlib_decode(ppm, {"format": "ppm"})
+    assert len(raster) == 5 * 4 * 3
+    assert ppm.endswith(raster)          # raster is the file tail
+    with pytest.raises(NotImplementedError):
+        multimodal.stdlib_decode(b"\x89PNG....", {"format": "png"})
+
+
+def test_stdlib_decode_end_to_end(spark):
+    """Real media bytes (WAV audio + PPM images) decoded by the stdlib codec
+    inside extract_features' mapInPandas — the non-stubbed decode path."""
+    media = multimodal.synthetic_media_real(spark, n=10)
+    out = multimodal.extract_features(media, decoder=multimodal.stdlib_decode)
+    rows = out.collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert len(r["feature"]) == multimodal.FEATURE_DIM
+        norm = sum(v * v for v in r["feature"]) ** 0.5
+        assert norm == pytest.approx(1.0)
+    # feature really derives from the decoded buffer, not the container
+    # bytes: recompute one row's expected vector driver-side
+    import hashlib as _hashlib
+    raw = media.filter("media_id = 1").collect()[0]
+    decoded = multimodal.stdlib_decode(bytes(raw["payload"]),
+                                       raw["meta"].asDict())
+    h = _hashlib.sha256(decoded).digest()
+    vec = [h[i] / 255.0 for i in range(multimodal.FEATURE_DIM)]
+    nrm = sum(v * v for v in vec) ** 0.5
+    expect = [v / nrm for v in vec]
+    got = {r["media_id"]: r["feature"] for r in rows}[1]
+    assert got == pytest.approx(expect)
+
+
 def test_frame_sample_shapes(spark):
     media = multimodal.synthetic_media(spark, n=9)
     frames = multimodal.frame_sample(media, every_ms=500)
