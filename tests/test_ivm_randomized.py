@@ -94,6 +94,91 @@ def test_randomized_algebraic_view(spark, tmp_path):
                    read_view, expected)
 
 
+def test_randomized_streaming_deep_dag(spark, tmp_path):
+    """The same seeded CDC mix, but driven end-to-end through the
+    STREAMING maintainer (ResourceStore CRUD → notification feed →
+    foreachBatch → IncrementalEngine) over an extended DAG that contains
+    both an algebraic-merge view and a depth-4 count-of-counts chain —
+    sealing the one composition the batch-only differentials skipped."""
+    from qvarn_mr_spark.catalog import Catalog
+    from qvarn_mr_spark.sources import ResourceStore
+    from qvarn_mr_spark.streaming import StreamingMaintainer
+
+    class StoreCatalog(Catalog):
+        def __init__(self, sp, rstore):
+            super().__init__(sp)
+            self.rstore = rstore
+
+        def get(self, name):
+            if name == "source":
+                return self.rstore.table("source")
+            return super().get(name)
+
+    rstore = ResourceStore(spark, str(tmp_path / "store"),
+                           feed_dir=str(tmp_path / "feed"))
+    cat = StoreCatalog(spark, rstore)
+    config = {
+        "am": {"source": map_item("key", "value")},
+        "agg": {"am": reduce_agg(
+            {"s": lambda c: F.sum(c), "n": lambda c: F.count(F.lit(1))},
+            merge={"s": MERGE_ADD, "n": MERGE_ADD})},
+        "cm": {"source": map_item("key")},
+        "per_key": {"cm": reduce_count()},
+        "hm": {"per_key": map_item("_mr_value")},
+        "hist": {"hm": reduce_count()},
+    }
+    veng = ViewEngine(cat, config, id_cols={"source": "id"}, strict=False)
+    eng = IncrementalEngine(veng, ParquetStateStore(spark,
+                                                    str(tmp_path / "s")))
+    sm = StreamingMaintainer(eng, feed_dir=str(tmp_path / "feed"),
+                             checkpoint_dir=str(tmp_path / "ckpt"))
+
+    rng = random.Random(20260814)
+    state = {}                      # rstore id -> (key, value)
+
+    def expected_agg():
+        out = {}
+        for key, value in state.values():
+            s, n = out.get(str(key), (0, 0))
+            out[str(key)] = (s + value, n + 1)
+        return out
+
+    def expected_hist():
+        per_key = {}
+        for key, _v in state.values():
+            per_key[key] = per_key.get(key, 0) + 1
+        hist = {}
+        for n in per_key.values():
+            hist[str(n)] = hist.get(str(n), 0) + 1
+        return hist
+
+    for b in range(4):
+        for _ in range(OPS_PER_BATCH):
+            op = rng.choice(["create", "create", "update", "delete"])
+            if op == "create" or not state:
+                kv = (rng.randrange(N_KEYS), rng.randrange(-50, 50))
+                rid = rstore.create("source",
+                                    {"key": kv[0], "value": kv[1]})
+                state[rid] = kv
+            elif op == "update":
+                rid = rng.choice(sorted(state))
+                kv = (rng.randrange(N_KEYS), rng.randrange(-50, 50))
+                rstore.update("source", rid,
+                              {"key": kv[0], "value": kv[1]})
+                state[rid] = kv
+            else:
+                rid = rng.choice(sorted(state))
+                rstore.delete("source", rid)
+                del state[rid]
+        sm.run_available()
+        got_agg = {r["_mr_key"]: (r["s"], r["n"])
+                   for r in eng.read("agg").collect()}
+        assert got_agg == expected_agg(), f"agg diverged at batch {b}"
+        got_hist = {r["_mr_key"]: r["_mr_value"]
+                    for r in eng.read("hist").collect()}
+        assert got_hist == expected_hist(), f"hist diverged at batch {b}"
+
+
 def test_randomized_deep_dag(spark, tmp_path):
     config = {
         "m": {"source": map_item("key")},
