@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from qvarn_mr_spark import oracle
 from qvarn_mr_spark.catalog import Catalog, load_tables
-from qvarn_mr_spark.functions import dedup, sampling, similarity, text
+from qvarn_mr_spark.functions import dedup, quality, sampling, similarity, text
 from qvarn_mr_spark.operators.sessions import sessionize_sql
 from qvarn_mr_spark.operators.mapreduce import (
     ViewEngine,
@@ -1016,6 +1016,31 @@ def q_dedup_corpus(spark, sf_dir):
                               jaccard_threshold=0.5)
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (dup word/2-gram/3-gram fractions,
+    top-word mass) — one tokenized array per row, array higher-order
+    functions only: narrow projection, no shuffle, no UDF."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return quality.repetition_profile(docs, "doc_id", "text")
+
+
+def q_doc_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing any word
+    4-gram with the held-out eval split (doc_id % 20 == 0) — distinct
+    shingle equi-join, eval side benchmark-sized (AQE broadcasts it)."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    is_eval = (F.col("doc_id").cast("long") % 20) == 0
+    return quality.contamination(docs.filter(~is_eval),
+                                 docs.filter(is_eval), "doc_id", "text")
+
+
+def q_corpus_top_ngrams(spark, sf_dir):
+    """Corpus-wide top-20 3-grams with doc frequency — boilerplate audit:
+    explode → hash agg → per-partition partial top-N."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return quality.top_ngrams(docs, "doc_id", "text", k=3, top_n=20)
+
+
 def q_doc_split_sample(spark, sf_dir):
     """Consistent hash sampling + train/val/test split assignment
     (functions/sampling.py): membership is a pure function of doc_id — no
@@ -1242,6 +1267,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_candidates": q_simhash_candidates,
         "dedup_clusters": q_dedup_clusters,
         "dedup_corpus": q_dedup_corpus,
+        "doc_repetition": q_doc_repetition,
+        "doc_decontaminate": q_doc_decontaminate,
+        "corpus_top_ngrams": q_corpus_top_ngrams,
         "doc_split_sample": q_doc_split_sample,
         "doc_stratified_mix": q_doc_stratified_mix,
         "knn_bruteforce": q_knn,
@@ -1850,6 +1878,10 @@ def oracle_sql() -> dict[str, str]:
         "minhash_candidates": oracle.minhash_candidates_sql(),
         "simhash": oracle.simhash_sql(),
         "simhash_candidates": oracle.simhash_candidates_sql(),
+        "doc_repetition": oracle.repetition_profile_sql(),
+        "doc_decontaminate": oracle.contamination_sql(
+            "CAST(doc_id AS BIGINT) % 20 = 0", k=quality.DECONTAM_K),
+        "corpus_top_ngrams": oracle.top_ngrams_sql(k=3, top_n=20),
         "doc_split_sample": _doc_split_sample_sql(),
         "doc_stratified_mix": (
             "SELECT source, count(*) AS n_docs FROM documents WHERE "

@@ -59,6 +59,9 @@ BENCH_QUERIES = (
     "centroid_by_label",
     "events_sessionize_bucketed",
     "events_distinct_users_hll",
+    "doc_repetition",
+    "doc_decontaminate",
+    "corpus_top_ngrams",
     "corpus_prepare",
 )
 

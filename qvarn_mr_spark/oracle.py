@@ -442,6 +442,75 @@ WHERE round({cos}, 6) >= {threshold}
 """
 
 
+def _gram_list(t: str, k: int) -> str:
+    """Non-distinct word k-gram list — twin of dedup.shingles_col."""
+    if k == 1:
+        return t
+    gram = " || ' ' || ".join(f"{t}[i+{j}]" for j in range(k))
+    return f"list_transform(range(1, len({t}) - {k - 2}), i -> {gram})"
+
+
+def _dup_frac_sql(g: str) -> str:
+    """quality._dup_frac — 1 - distinct/total, 0.0 for empty docs."""
+    return (f"CASE WHEN len({g}) <= 0 THEN 0.0 ELSE "
+            f"round(1.0 - CAST(len(list_distinct({g})) AS DOUBLE) "
+            f"/ len({g}), 6) END")
+
+
+def repetition_profile_sql(table: str = "documents") -> str:
+    """quality.repetition_profile — same tokenizer, same gram builder."""
+    top = ("list_max(list_transform(list_distinct(t), "
+           "w -> len(list_filter(t, x -> x = w))))")
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '{TOKEN_RE}'),
+                     x -> x != '') AS t
+  FROM {table}
+)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       {_dup_frac_sql('t')} AS dup_word_frac,
+       {_dup_frac_sql(_gram_list('t', 2))} AS dup_2gram_frac,
+       {_dup_frac_sql(_gram_list('t', 3))} AS dup_3gram_frac,
+       CASE WHEN len(t) <= 0 THEN 0.0 ELSE
+         round(CAST({top} AS DOUBLE) / len(t), 6) END AS top_word_frac
+FROM toks
+"""
+
+
+def contamination_sql(eval_pred: str, k: int = 4,
+                      table: str = "documents") -> str:
+    """quality.contamination — distinct-shared-k-gram counts for every
+    non-eval document that overlaps the eval split."""
+    return f"""
+WITH {_shingle_cte(table, k)},
+ev AS (SELECT DISTINCT shingle FROM sh WHERE {eval_pred})
+SELECT sh.doc_id, count(*) AS n_shared
+FROM sh JOIN ev USING (shingle)
+WHERE NOT ({eval_pred})
+GROUP BY 1
+"""
+
+
+def top_ngrams_sql(k: int = SHINGLE_K, top_n: int = 20,
+                   table: str = "documents") -> str:
+    """quality.top_ngrams — corpus-wide gram frequency + doc frequency."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '{TOKEN_RE}'),
+                     x -> x != '') AS t
+  FROM {table}
+),
+grams AS (SELECT doc_id, unnest({_gram_list('t', k)}) AS shingle FROM toks)
+SELECT shingle, count(*) AS tf, count(DISTINCT doc_id) AS n_docs
+FROM grams GROUP BY 1
+ORDER BY tf DESC, shingle ASC
+LIMIT {top_n}
+"""
+
+
 def tfidf_top_terms_sql(k: int = 3, table: str = "documents") -> str:
     """Twin of text.tfidf_top_terms — same tokenizer (TOKEN_RE), same
     smoothed idf, same round-before-rank."""

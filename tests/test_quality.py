@@ -1,0 +1,99 @@
+"""quality.py — repetition signals, decontamination, n-gram stats, PII."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from qvarn_mr_spark.functions import quality
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_repetition_profile_hand_checked(spark):
+    df = _docs(spark, [
+        ("a", "x x x x"),                 # one word repeated 4x
+        ("b", "one two three four"),      # all unique
+        ("c", ""),                        # empty
+        ("d", "p q p q p q"),             # repeated 2-gram
+    ])
+    got = {r["doc_id"]: r for r in
+           quality.repetition_profile(df).collect()}
+    a = got["a"]
+    assert a["n_tokens"] == 4
+    assert a["dup_word_frac"] == pytest.approx(0.75)
+    assert a["top_word_frac"] == pytest.approx(1.0)
+    # 3 2-grams, all "x x" -> 1 distinct -> dup frac 2/3
+    assert a["dup_2gram_frac"] == pytest.approx(round(1 - 1 / 3, 6))
+    b = got["b"]
+    assert b["dup_word_frac"] == 0.0
+    assert b["dup_2gram_frac"] == 0.0
+    assert b["top_word_frac"] == pytest.approx(0.25)
+    c = got["c"]
+    assert (c["n_tokens"], c["dup_word_frac"], c["top_word_frac"]) == \
+        (0, 0.0, 0.0)
+    d = got["d"]
+    # 5 2-grams: "p q" x3, "q p" x2 -> 2 distinct -> 3/5
+    assert d["dup_2gram_frac"] == pytest.approx(0.6)
+
+
+def test_contamination_and_decontaminate(spark):
+    train = _docs(spark, [
+        ("t1", "alpha beta gamma delta epsilon"),   # shares the eval 4-gram
+        ("t2", "unrelated words only here now"),
+        ("t3", "alpha beta gamma delta zeta"),      # same shared 4-gram
+    ])
+    ev = _docs(spark, [("e1", "alpha beta gamma delta")])
+    hits = {r["doc_id"]: r["n_shared"]
+            for r in quality.contamination(train, ev, k=4).collect()}
+    assert hits == {"t1": 1, "t3": 1}
+    clean = {r["doc_id"]
+             for r in quality.decontaminate(train, ev, k=4).collect()}
+    assert clean == {"t2"}
+
+
+def test_top_ngrams_ordering(spark):
+    df = _docs(spark, [
+        ("a", "red blue red blue red"),
+        ("b", "red blue green"),
+    ])
+    rows = quality.top_ngrams(df, k=2, top_n=3).collect()
+    # "red blue": 2x in a + 1x in b = tf 3, docs 2 — must rank first
+    assert rows[0]["shingle"] == "red blue"
+    assert rows[0]["tf"] == 3 and rows[0]["n_docs"] == 2
+    tfs = [r["tf"] for r in rows]
+    assert tfs == sorted(tfs, reverse=True)
+
+
+def test_pii_profile_and_redact(spark):
+    df = spark.createDataFrame([
+        ("1", "mail bob@example.com or +1 (555) 123-4567 from 10.0.0.1"),
+        ("2", "nothing sensitive here"),
+    ], "doc_id string, text string")
+    prof = {r["doc_id"]: r for r in quality.pii_profile(df).collect()}
+    assert (prof["1"]["n_email"], prof["1"]["n_ipv4"],
+            prof["1"]["n_phone"]) == (1, 1, 1)
+    assert (prof["2"]["n_email"], prof["2"]["n_ipv4"],
+            prof["2"]["n_phone"]) == (0, 0, 0)
+    red = {r["doc_id"]: r["text"]
+           for r in quality.pii_redact(df).collect()}
+    assert "[EMAIL]" in red["1"] and "[IPV4]" in red["1"] \
+        and "[PHONE]" in red["1"]
+    assert "bob@example.com" not in red["1"]
+    assert "555" not in red["1"] and "10.0.0.1" not in red["1"]
+    assert red["2"] == "nothing sensitive here"
+    # redacted text scans clean
+    rescanned = {r["doc_id"]: r["n_email"] + r["n_ipv4"] + r["n_phone"]
+                 for r in quality.pii_profile(
+                     quality.pii_redact(df)).collect()}
+    assert rescanned == {"1": 0, "2": 0}
+
+
+def test_repetition_profile_plan_is_narrow(spark):
+    """The per-doc signals must be a single projection over the scan —
+    no Exchange, no Python eval."""
+    df = _docs(spark, [("a", "x y z")])
+    plan = quality.repetition_profile(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
