@@ -1041,6 +1041,22 @@ def q_corpus_top_ngrams(spark, sf_dir):
     return quality.top_ngrams(docs, "doc_id", "text", k=3, top_n=20)
 
 
+def q_doc_pack_sequences(spark, sf_dir):
+    """Training-sequence packing (concat-then-chunk): global token offsets
+    via the scalable two-phase cumsum (range partition → local window →
+    metadata-sized prefix join), never a single-task global window."""
+    from qvarn_mr_spark.functions.packing import pack_sequences
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return pack_sequences(docs, "doc_id", "text", window=512)
+
+
+def q_inverted_index(spark, sf_dir):
+    """Term → sorted posting list with document frequency — explode →
+    distinct pairs → one hash agg; hot-key postings cappable via max_df."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return text.inverted_index(docs, "doc_id", "text", min_df=2)
+
+
 def q_doc_split_sample(spark, sf_dir):
     """Consistent hash sampling + train/val/test split assignment
     (functions/sampling.py): membership is a pure function of doc_id — no
@@ -1270,6 +1286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "doc_decontaminate": q_doc_decontaminate,
         "corpus_top_ngrams": q_corpus_top_ngrams,
+        "doc_pack_sequences": q_doc_pack_sequences,
+        "inverted_index": q_inverted_index,
         "doc_split_sample": q_doc_split_sample,
         "doc_stratified_mix": q_doc_stratified_mix,
         "knn_bruteforce": q_knn,
@@ -1882,6 +1900,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_decontaminate": oracle.contamination_sql(
             "CAST(doc_id AS BIGINT) % 20 = 0", k=quality.DECONTAM_K),
         "corpus_top_ngrams": oracle.top_ngrams_sql(k=3, top_n=20),
+        "doc_pack_sequences": oracle.pack_sequences_sql(window=512),
+        "inverted_index": oracle.inverted_index_sql(min_df=2),
         "doc_split_sample": _doc_split_sample_sql(),
         "doc_stratified_mix": (
             "SELECT source, count(*) AS n_docs FROM documents WHERE "

@@ -62,6 +62,8 @@ BENCH_QUERIES = (
     "doc_repetition",
     "doc_decontaminate",
     "corpus_top_ngrams",
+    "doc_pack_sequences",
+    "inverted_index",
     "corpus_prepare",
 )
 

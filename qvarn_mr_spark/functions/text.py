@@ -287,3 +287,30 @@ def tfidf_top_terms(df, id_col: str = "doc_id", text_col: str = "text",
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
     return (scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k))
+
+
+def inverted_index(df, id_col: str = "doc_id", text_col: str = "text",
+                   min_df: int = 1, max_df: int | None = None):
+    """Term → posting-list table ``(term, n_docs, postings)``; postings is
+    the comma-joined sorted doc-id list.
+
+    One explode + distinct (term, doc) pairs + one hash aggregate. The
+    posting list concentrates a term's whole corpus presence into one row —
+    the classic hot-key; ``max_df`` caps it (stopword-frequency terms carry
+    no retrieval signal and all the skew). Production variants block
+    postings into fixed-size chunks; the tfidf/df machinery above shares
+    the same (term, doc) working set.
+    """
+    from qvarn_mr_spark.functions.dedup import tokens_col
+
+    pairs = (df.select(F.col(id_col).alias("doc_id"),
+                       F.explode(tokens_col(text_col)).alias("term"))
+             .distinct())
+    out = (pairs.groupBy("term")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.array_join(F.array_sort(F.collect_list("doc_id")), ",")
+                .alias("postings"))
+           .filter(F.col("n_docs") >= min_df))
+    if max_df is not None:
+        out = out.filter(F.col("n_docs") <= max_df)
+    return out

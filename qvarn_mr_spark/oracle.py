@@ -511,6 +511,46 @@ LIMIT {top_n}
 """
 
 
+def pack_sequences_sql(window: int = 512, table: str = "documents") -> str:
+    """packing.pack_sequences — the oracle states the semantics as the
+    naive single global cumsum window; the Spark side computes the same
+    thing with the scalable two-phase (range partition + local window +
+    metadata prefix join) form."""
+    w = float(window)
+    return f"""
+WITH t AS (
+  SELECT doc_id, CAST(doc_id AS BIGINT) AS oid,
+         CAST({token_count_sql('text')} AS BIGINT) AS n
+  FROM {table}
+),
+c AS (SELECT doc_id, n, sum(n) OVER (ORDER BY oid) AS cum FROM t)
+SELECT doc_id, n AS n_tokens,
+       CAST(cum - n AS BIGINT) AS start_offset,
+       CAST(floor((cum - n) / {w}) AS BIGINT) AS pack_first,
+       CAST(greatest(floor((cum - n) / {w}),
+                     floor((cum - 1) / {w})) AS BIGINT) AS pack_last
+FROM c
+"""
+
+
+def inverted_index_sql(min_df: int = 1, max_df: int | None = None,
+                       table: str = "documents") -> str:
+    """text.inverted_index — sorted comma-joined posting lists."""
+    cap = f" AND count(*) <= {max_df}" if max_df is not None else ""
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '{TOKEN_RE}'),
+                            x -> x != '')) AS term
+  FROM {table}
+)
+SELECT term, count(*) AS n_docs,
+       string_agg(doc_id, ',' ORDER BY doc_id) AS postings
+FROM toks GROUP BY 1
+HAVING count(*) >= {min_df}{cap}
+"""
+
+
 def tfidf_top_terms_sql(k: int = 3, table: str = "documents") -> str:
     """Twin of text.tfidf_top_terms — same tokenizer (TOKEN_RE), same
     smoothed idf, same round-before-rank."""

@@ -1,0 +1,80 @@
+"""packing.pack_sequences — two-phase global cumsum + pack assignment."""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from qvarn_mr_spark.functions.packing import pack_sequences, pack_summary
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)],
+        "doc_id string, text string")
+
+
+def test_pack_sequences_hand_checked(spark):
+    # token counts: 3, 4, 2, 5 — window 4
+    df = _docs(spark, ["a b c", "d e f g", "h i", "j k l m n"])
+    got = {r["doc_id"]: (r["n_tokens"], r["start_offset"],
+                         r["pack_first"], r["pack_last"])
+           for r in pack_sequences(df, window=4).collect()}
+    assert got == {
+        "0": (3, 0, 0, 0),    # tokens 0-2 -> pack 0
+        "1": (4, 3, 0, 1),    # tokens 3-6 -> straddles packs 0,1
+        "2": (2, 7, 1, 2),    # tokens 7-8 -> straddles 1,2
+        "3": (5, 9, 2, 3),    # tokens 9-13 -> packs 2,3
+    }
+    summ = {r["pack_id"]: r["n_docs_starting"]
+            for r in pack_summary(pack_sequences(df, window=4)).collect()}
+    assert summ == {0: 2, 1: 1, 2: 1}
+
+
+def test_pack_sequences_matches_naive_global_window(spark, sf_dir):
+    """Differential: the two-phase form must equal the single global
+    window cumsum on real data."""
+    from qvarn_mr_spark.catalog import load_tables
+    from qvarn_mr_spark.functions.text import token_count
+    docs = load_tables(spark, sf_dir, tables=("documents",))["documents"]
+    got = {r["doc_id"]: (r["start_offset"], r["pack_first"], r["pack_last"])
+           for r in pack_sequences(docs, window=256).collect()}
+
+    naive = docs.select(
+        F.col("doc_id"),
+        F.col("doc_id").cast("long").alias("oid"),
+        token_count(F.col("text")).cast("long").alias("n"))
+    naive = naive.withColumn(
+        "cum", F.sum("n").over(Window.orderBy("oid")))
+    want = {}
+    for r in naive.collect():
+        start = r["cum"] - r["n"]
+        pf = start // 256
+        pl = max(pf, (r["cum"] - 1) // 256)
+        want[r["doc_id"]] = (start, pf, pl)
+    assert got == want
+
+
+def test_pack_sequences_plan_is_partitioned(spark, sf_dir):
+    """The corpus-side running sum must be a PARTITIONED window (local per
+    range partition); only the metadata-sized prefix table may use the
+    single-partition global window."""
+    from qvarn_mr_spark.catalog import load_tables
+    docs = load_tables(spark, sf_dir, tables=("documents",))["documents"]
+    plan = pack_sequences(docs)._jdf.queryExecution().executedPlan() \
+        .toString()
+    # the corpus window carries the _pid partition spec
+    assert "_pid" in plan
+    # range partitioning of the order key is present (global order phase)
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_inverted_index(spark):
+    from qvarn_mr_spark.functions.text import inverted_index
+    df = _docs(spark, ["red blue red", "blue green", "red solo"])
+    got = {r["term"]: (r["n_docs"], r["postings"])
+           for r in inverted_index(df, min_df=1).collect()}
+    assert got["red"] == (2, "0,2")
+    assert got["blue"] == (2, "0,1")
+    assert got["green"] == (1, "1")
+    capped = {r["term"] for r in
+              inverted_index(df, min_df=2).collect()}
+    assert capped == {"red", "blue"}
