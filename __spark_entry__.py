@@ -1021,7 +1021,10 @@ def q_doc_repetition(spark, sf_dir):
     top-word mass) — one tokenized array per row, array higher-order
     functions only: narrow projection, no shuffle, no UDF."""
     docs = _t(spark, sf_dir, "documents")["documents"]
-    return quality.repetition_profile(docs, "doc_id", "text")
+    # the operator itself is narrow; spread the single-file toy input so
+    # the per-row array work parallelizes (no-op at real partition counts)
+    return quality.repetition_profile(dedup.ensure_min_partitions(docs),
+                                      "doc_id", "text")
 
 
 def q_doc_decontaminate(spark, sf_dir):

@@ -40,19 +40,36 @@ def corpus_prepare(df: DataFrame, id_col: str = "doc_id",
                    min_quality: float = 0.3,
                    min_tokens: int = 5, max_tokens: int = 100_000,
                    languages: list[str] | None = None,
+                   max_dup_word_frac: float | None = None,
+                   max_top_word_frac: float | None = None,
+                   decontaminate_against: DataFrame | None = None,
+                   decontam_k: int = 4,
                    jaccard_threshold: float = 0.5,
                    split_weights: dict[str, float] | None = None,
                    salt: str = "corpus") -> DataFrame:
-    """Profile → filter → dedup → split. Returns one row per surviving
-    (canonical, in-band, in-language) document:
+    """Profile → filter → [repetition gates] → [decontaminate] → dedup →
+    split. Returns one row per surviving (canonical, in-band, in-language)
+    document:
 
     ``(doc_id, lang, n_tokens, quality, split, n_duplicates)`` —
     ``n_duplicates`` counts the near/exact duplicates this document
     absorbed (0 for unique docs), so downsampling-by-duplication-count
     stays expressible downstream.
+
+    Optional gates (default off — output unchanged when unset):
+
+    - ``max_dup_word_frac`` / ``max_top_word_frac`` — Gopher-style
+      repetition ceilings (:func:`qvarn_mr_spark.functions.quality.
+      repetition_signals`), computed in the same narrow profile stage;
+    - ``decontaminate_against`` — an eval/benchmark DataFrame (same
+      id/text columns); docs sharing any word ``decontam_k``-gram with it
+      are dropped BEFORE the dedup shuffle (anti-join on the hit list,
+      :func:`qvarn_mr_spark.functions.quality.contamination`).
     """
     if split_weights is None:
         split_weights = {"train": 0.98, "val": 0.01, "test": 0.01}
+    rep_gates = (max_dup_word_frac is not None
+                 or max_top_word_frac is not None)
     # staged profile (profile_frame), NOT the per-column helpers: inlining
     # lang_guess + quality_score into one select blows Janino's 64 KB
     # method limit, silently dropping the whole projection out of codegen
@@ -65,6 +82,12 @@ def corpus_prepare(df: DataFrame, id_col: str = "doc_id",
     ).select("doc_id", "_text",
              F.col("lang_guess").alias("lang"),
              "n_tokens", "quality")
+    if rep_gates:
+        from qvarn_mr_spark.functions.quality import repetition_signals
+        sig = repetition_signals("_text")
+        profiled = profiled.withColumns({
+            "_dup_word_frac": sig["dup_word_frac"],
+            "_top_word_frac": sig["top_word_frac"]})
     # materialize the profile ONCE, and BEFORE the gates: the dedup
     # subtree scans the survivors many times (fingerprint, keeper
     # semi-join, shingles, minhash) and the final join reads them again;
@@ -80,6 +103,21 @@ def corpus_prepare(df: DataFrame, id_col: str = "doc_id",
         & (F.col("n_tokens") <= max_tokens))
     if languages is not None:
         kept = kept.filter(F.col("lang").isin(list(languages)))
+    if max_dup_word_frac is not None:
+        kept = kept.filter(F.col("_dup_word_frac") <= max_dup_word_frac)
+    if max_top_word_frac is not None:
+        kept = kept.filter(F.col("_top_word_frac") <= max_top_word_frac)
+    if rep_gates:
+        kept = kept.drop("_dup_word_frac", "_top_word_frac")
+    if decontaminate_against is not None:
+        from qvarn_mr_spark.functions.quality import contamination
+        hits = contamination(
+            kept.select("doc_id", F.col("_text").alias("text")),
+            decontaminate_against.select(
+                F.col(id_col).alias("doc_id"),
+                F.col(text_col).alias("text")),
+            "doc_id", "text", k=decontam_k)
+        kept = kept.join(hits.select("doc_id"), "doc_id", "left_anti")
 
     clusters = dedup_corpus(kept.select("doc_id", F.col("_text").alias("text")),
                             "doc_id", "text",

@@ -72,3 +72,42 @@ def test_prepare_filters_are_applied_before_dedup(spark):
                          min_tokens=5)
     got = {r["doc_id"] for r in out.collect()}
     assert got == {1}
+
+
+def test_prepare_repetition_gates(spark):
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the quiet green forest before the sun sets")
+    spam = "buy now " * 30                     # two words repeated 30x
+    df = spark.createDataFrame(
+        [("1", base), ("2", spam)], "doc_id string, text string")
+    # without gates the spammy doc survives
+    plain = {r["doc_id"] for r in corpus_prepare(
+        df, min_quality=0.0, min_tokens=1).collect()}
+    assert plain == {"1", "2"}
+    gated = {r["doc_id"] for r in corpus_prepare(
+        df, min_quality=0.0, min_tokens=1,
+        max_dup_word_frac=0.5, max_top_word_frac=0.4).collect()}
+    assert gated == {"1"}
+    # gate columns must not leak into the output schema
+    out = corpus_prepare(df, min_quality=0.0, min_tokens=1,
+                         max_dup_word_frac=0.5)
+    assert not [c for c in out.columns if c.startswith("_")]
+
+
+def test_prepare_decontaminates_against_eval_set(spark):
+    overlap = ("alpha beta gamma delta shares a benchmark span with the "
+               "held out evaluation document here")
+    clean = ("completely different content about rivers mountains and "
+             "weather patterns across seasons")
+    df = spark.createDataFrame(
+        [("1", overlap), ("2", clean)], "doc_id string, text string")
+    ev = spark.createDataFrame(
+        [("e1", "alpha beta gamma delta appears verbatim")],
+        "doc_id string, text string")
+    plain = {r["doc_id"] for r in corpus_prepare(
+        df, min_quality=0.0, min_tokens=1).collect()}
+    assert plain == {"1", "2"}
+    got = {r["doc_id"] for r in corpus_prepare(
+        df, min_quality=0.0, min_tokens=1,
+        decontaminate_against=ev, decontam_k=4).collect()}
+    assert got == {"2"}
