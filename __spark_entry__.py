@@ -1093,6 +1093,22 @@ def q_doc_stratified_mix(spark, sf_dir):
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+def q_doc_temperature_mix(spark, sf_dir):
+    """Temperature mixture sampling (XLM-R style): per-source keep
+    fractions ∝ T_s^tau realizing a 50% token budget — two metadata-sized
+    aggregates + broadcast join + narrow hash filter, no RNG."""
+    from qvarn_mr_spark.functions import sampling as smp
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    w = docs.select("doc_id", "source",
+                    text.token_count(F.col("text")).cast("double")
+                    .alias("wt"))
+    mixed = smp.temperature_mix(w, "doc_id", "source", "wt",
+                                tau=0.5, budget_frac=0.5)
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("wt").cast("long").alias("kept_weight"))
+
+
 def q_simhash_candidates(spark, sf_dir):
     """Banded-bits LSH pairing over SimHash signatures — exact for hamming
     ≤ 3 by pigeonhole (4 bands x 4 bits), bucketed candidate generation."""
@@ -1293,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "doc_split_sample": q_doc_split_sample,
         "doc_stratified_mix": q_doc_stratified_mix,
+        "doc_temperature_mix": q_doc_temperature_mix,
         "knn_bruteforce": q_knn,
         "knn_bruteforce_arrow": q_knn_arrow,
         "ivf_assign": q_ivf_assign,
@@ -1911,6 +1928,9 @@ def oracle_sql() -> dict[str, str]:
             + sampling.stratified_sample_sql("doc_id", "source",
                                              _STRATA_FRACTIONS)
             + " GROUP BY 1"),
+        "doc_temperature_mix": sampling.temperature_mix_sql(
+            "doc_id", "source", oracle.token_count_sql("text"),
+            tau=0.5, budget_frac=0.5),
         "knn_bruteforce": oracle.knn_bruteforce_sql("vec_id < 8", k=3),
         "knn_bruteforce_arrow": oracle.knn_bruteforce_sql("vec_id < 8", k=3),
         "ivf_assign": oracle.ivf_assign_sql("vec_id % 100 = 0"),

@@ -46,6 +46,7 @@ BENCH_QUERIES = (
     "text_profile",
     "tfidf_top_terms",
     "doc_split_sample",
+    "doc_temperature_mix",
     "dedup_exact",
     "dedup_jaccard",
     "minhash_candidates",

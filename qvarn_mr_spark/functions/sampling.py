@@ -138,3 +138,76 @@ def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
     thr = F.lit(float(default)) if thr is None else thr.otherwise(
         float(default))
     return df.filter(hash_unit(id_col, salt) < thr)
+
+
+def temperature_fractions(df: DataFrame, source_col: str, weight_col: str,
+                          tau: float = 0.5,
+                          budget_frac: float = 0.5) -> DataFrame:
+    """Per-source keep fractions for temperature-``tau`` mixture sampling.
+
+    The multilingual-pretraining standard (XLM-R-style): sample sources
+    proportionally to ``T_s^tau`` (``T_s`` = source weight mass, e.g.
+    tokens), flattening the head and boosting the tail as ``tau`` drops
+    below 1. The keep fraction realizing mixture share ``q_s = T_s^tau/Z``
+    under an overall ``budget_frac`` of total mass is
+    ``min(1, budget_frac * N * q_s / T_s)``.
+
+    Two metadata-sized aggregates (per-source totals, then a one-row
+    normalizer) — the corpus itself is not shuffled. Fractions are rounded
+    to 9 decimals so the DuckDB oracle can reproduce them bit-for-bit."""
+    tot = df.groupBy(source_col).agg(
+        F.sum(F.col(weight_col).cast("double")).alias("_T"))
+    z = tot.agg(F.sum(F.pow("_T", F.lit(float(tau)))).alias("_Z"),
+                F.sum("_T").alias("_N"))
+    return tot.crossJoin(F.broadcast(z)).select(
+        source_col,
+        F.round(F.least(
+            F.lit(1.0),
+            F.lit(float(budget_frac)) * F.col("_N")
+            * F.pow("_T", F.lit(float(tau))) / F.col("_Z") / F.col("_T")),
+            9).alias("keep_frac"))
+
+
+def temperature_mix(df: DataFrame, id_col: str, source_col: str,
+                    weight_col: str, tau: float = 0.5,
+                    budget_frac: float = 0.5,
+                    salt: str = "tmix") -> DataFrame:
+    """Temperature-``tau`` mixture sample: keep each row iff its consistent
+    hash falls under its source's :func:`temperature_fractions` threshold.
+
+    The fraction table is |sources|-sized → broadcast join; the filter is
+    then a narrow projection. Fully deterministic (no RNG): stable under
+    retries, reruns, and corpus growth within a source."""
+    fr = temperature_fractions(df, source_col, weight_col, tau, budget_frac)
+    return (df.join(F.broadcast(fr), source_col)
+            .filter(hash_unit(id_col, salt) < F.col("keep_frac"))
+            .drop("keep_frac"))
+
+
+def temperature_mix_sql(id_col: str, source_col: str, weight_expr: str,
+                        tau: float = 0.5, budget_frac: float = 0.5,
+                        salt: str = "tmix",
+                        table: str = "documents") -> str:
+    """DuckDB twin of :func:`temperature_mix` (same pow/round/threshold
+    pipeline), aggregated per source: ``(source, n_docs, kept_weight)``.
+    Weights must be integer-valued (token counts) so the double sums are
+    exact and order-independent on both engines."""
+    return f"""
+WITH w AS (
+  SELECT {id_col}, {source_col} AS src,
+         CAST({weight_expr} AS DOUBLE) AS wt
+  FROM {table}
+),
+tot AS (SELECT src, sum(wt) AS t FROM w GROUP BY 1),
+z AS (SELECT sum(pow(t, {float(tau)})) AS zz, sum(t) AS n FROM tot),
+fr AS (
+  SELECT src, round(least(1.0, {float(budget_frac)} * n
+                               * pow(t, {float(tau)}) / zz / t), 9) AS f
+  FROM tot CROSS JOIN z
+)
+SELECT src AS {source_col}, count(*) AS n_docs,
+       CAST(sum(wt) AS BIGINT) AS kept_weight
+FROM w JOIN fr USING (src)
+WHERE {sample_unit_sql(id_col, salt)} < f
+GROUP BY 1
+"""

@@ -1,5 +1,6 @@
 """Consistent hash sampling: determinism, proportions, split layout,
 stratified mixture weighting — and the no-shuffle plan shape."""
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -73,3 +74,52 @@ def test_sampling_is_narrow_no_shuffle(spark):
     plan = (deterministic_sample(_ids(spark), "doc_id", 0.3)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan  # pure per-row filter, no shuffle
+
+
+def test_temperature_fractions_math(spark):
+    from qvarn_mr_spark.functions.sampling import temperature_fractions
+    rows = spark.createDataFrame(
+        [(f"{s}{i}", s, w / 10) for s, w in
+         [("a", 800.0), ("b", 150.0), ("c", 50.0)] for i in range(10)],
+        "doc_id string, source string, wt double")
+    # tau=1: mixture == natural distribution -> every keep_frac == budget
+    fr1 = {r["source"]: r["keep_frac"] for r in
+           temperature_fractions(rows, "source", "wt", tau=1.0,
+                                 budget_frac=0.4).collect()}
+    for v in fr1.values():
+        assert v == pytest.approx(0.4, abs=1e-9)
+    # tau=0: equal token budget per source -> keep_frac inversely
+    # proportional to source mass (clamped at 1)
+    fr0 = {r["source"]: r["keep_frac"] for r in
+           temperature_fractions(rows, "source", "wt", tau=0.0,
+                                 budget_frac=0.3).collect()}
+    n = 1000.0
+    for s, t in [("a", 800.0), ("b", 150.0), ("c", 50.0)]:
+        assert fr0[s] == pytest.approx(min(1.0, 0.3 * n / 3 / t), abs=1e-9)
+    # tau in between: tail boosted relative to head
+    frh = {r["source"]: r["keep_frac"] for r in
+           temperature_fractions(rows, "source", "wt", tau=0.5,
+                                 budget_frac=0.3).collect()}
+    assert frh["c"] > frh["b"] > frh["a"]
+
+
+def test_temperature_mix_deterministic_and_budgeted(spark, sf_dir):
+    from qvarn_mr_spark.catalog import load_tables
+    from qvarn_mr_spark.functions.sampling import temperature_mix
+    from qvarn_mr_spark.functions.text import token_count
+    docs = load_tables(spark, sf_dir, tables=("documents",))["documents"]
+    w = docs.select("doc_id", "source",
+                    token_count(F.col("text")).cast("double").alias("wt"))
+    a = sorted(r["doc_id"] for r in
+               temperature_mix(w, "doc_id", "source", "wt",
+                               tau=0.5, budget_frac=0.5).collect())
+    b = sorted(r["doc_id"] for r in
+               temperature_mix(w, "doc_id", "source", "wt",
+                               tau=0.5, budget_frac=0.5).collect())
+    assert a == b and a
+    # realized token budget lands near the request (hash noise aside)
+    total = w.agg(F.sum("wt")).collect()[0][0]
+    kept = (temperature_mix(w, "doc_id", "source", "wt",
+                            tau=0.5, budget_frac=0.5)
+            .agg(F.sum("wt")).collect()[0][0])
+    assert 0.35 * total < kept < 0.65 * total
