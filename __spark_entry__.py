@@ -1197,6 +1197,25 @@ def q_centroid_by_label(spark, sf_dir):
     return similarity.centroid_by_label(emb, "label", "embedding")
 
 
+def q_events_type_counts_cms(spark, sf_dir):
+    """Count-min sketch frequency query (functions/sketches.py): per-day
+    CMS counter tables merged up to the whole corpus, then point-queried
+    per event type. Counters merge by ADDITION (linear), so the rollup is
+    a re-group sum and the algebraic IVM path maintains it with O(delta)
+    inserts (differential in tests/test_cms.py). At width 1024 over ~10
+    event types the estimate is collision-free, so the oracle is the
+    exact group count — the sketch answer IS the exact answer here, by
+    construction, deterministically (seeded xxhash64, no RNG)."""
+    from qvarn_mr_spark.functions import sketches
+    ev = _t(spark, sf_dir, "events")["events"]
+    daily = sketches.cms_rollup(
+        ev.withColumn("day", F.to_date("ts")), ["day"], "event_type",
+        width=1024)
+    merged = sketches.cms_merge(daily, [])
+    types = ev.select("event_type").distinct()
+    return sketches.cms_estimate(merged, types, "event_type", width=1024)
+
+
 def q_events_distinct_users_hll(spark, sf_dir):
     """Mergeable-sketch distinct rollup (functions/sketches.py): per-day
     DataSketches HLL sketches of user_id, union-merged up to event_type —
@@ -1320,6 +1339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_by_label": q_centroid_by_label,
         "multimodal_features": q_multimodal_features,
         "events_distinct_users_hll": q_events_distinct_users_hll,
+        "events_type_counts_cms": q_events_type_counts_cms,
         "events_user_funnel_theta": q_events_user_funnel_theta,
         "price_quantiles_kll": q_price_quantiles_kll,
         "corpus_prepare": q_corpus_prepare,
@@ -1634,6 +1654,10 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             WHERE d IS NOT NULL
             GROUP BY 1
+        """,
+        "events_type_counts_cms": """
+            SELECT event_type, count(*) AS est_count
+            FROM events GROUP BY 1
         """,
         "events_user_funnel_theta": """
             WITH a AS (SELECT DISTINCT user_id FROM events

@@ -60,6 +60,7 @@ BENCH_QUERIES = (
     "centroid_by_label",
     "events_sessionize_bucketed",
     "events_distinct_users_hll",
+    "events_type_counts_cms",
     "doc_repetition",
     "doc_decontaminate",
     "corpus_top_ngrams",

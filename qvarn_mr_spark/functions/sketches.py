@@ -204,3 +204,76 @@ def kll_quantiles(sketches: DataFrame, group_cols: list[str],
     cols = [F.kll_sketch_get_quantile_double(F.col("_m"), F.lit(p))
             .alias(f"q_{str(p).replace('.', '_')}") for p in probs]
     return g.select(*group_cols, *cols)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — mergeable heavy-hitter / frequency counts
+# ---------------------------------------------------------------------------
+
+#: depth d = number of independent hash rows (error probability ~ exp(-d))
+CMS_DEPTH = 4
+#: width w = counters per row (overestimate bound ~ e*N/w with prob 1-e^-d)
+CMS_WIDTH = 256
+
+
+def _cms_cols(item: Column, depth: int, width: int) -> Column:
+    """Array of ``depth`` counter columns for an item — seeded xxhash64,
+    sign-folded into [0, width)."""
+    return F.array(*[
+        F.pmod(F.xxhash64(F.lit(d), item), F.lit(width))
+        for d in range(depth)])
+
+
+def cms_rollup(df: DataFrame, group_cols: list[str], item_col: str,
+               weight_col: str | None = None,
+               depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
+    """Per-group count-min sketch as a long-form counter table
+    ``(group..., cms_row, cms_col, cms_count)``.
+
+    One ``posexplode`` (depth rows per item) + one hash aggregate; the
+    shuffle after map-side partials is bounded by ``|groups| * depth *
+    width`` counter cells, NOT by the item stream. The long form is the
+    point: counters merge by ADDITION, so coarser rollups are a re-group
+    ``sum``, and the engine's algebraic IVM path (MERGE_ADD) maintains a
+    CMS view with O(delta) work — unlike HLL, deletions work too
+    (negative weights), since count-min is linear."""
+    w = (F.col(weight_col).cast("long") if weight_col is not None
+         else F.lit(1).cast("long"))
+    cells = df.select(
+        *[F.col(c) for c in group_cols],
+        F.posexplode(_cms_cols(F.col(item_col).cast("string"),
+                               depth, width)).alias("cms_row", "cms_col"),
+        w.alias("_w"))
+    return (cells.groupBy(*group_cols, "cms_row", "cms_col")
+            .agg(F.sum("_w").alias("cms_count")))
+
+
+def cms_merge(sketches: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge counter tables to a coarser grouping — plain re-group sum
+    (count-min is linear: cms(A ∪ B) = cms(A) + cms(B), exactly)."""
+    return (sketches.groupBy(*group_cols, "cms_row", "cms_col")
+            .agg(F.sum("cms_count").alias("cms_count")))
+
+
+def cms_estimate(sketches: DataFrame, items: DataFrame, item_col: str,
+                 group_cols: list[str] | None = None,
+                 depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
+    """Point-query the sketch: per item (x group), the min over its
+    ``depth`` counters — ≥ the true count always, ≤ true + εN w.h.p.
+
+    The probe side explodes to ``depth`` rows per queried item and
+    equi-joins the counter table on (row, col[, group]) — query-sized,
+    never corpus-sized. Missing cells mean a zero counter (left join +
+    coalesce), so never-seen items estimate 0."""
+    probes = items.select(
+        *(group_cols or []),
+        F.col(item_col).alias("_item"),
+        F.posexplode(_cms_cols(F.col(item_col).cast("string"),
+                               depth, width)).alias("cms_row", "cms_col"))
+    keys = (group_cols or []) + ["cms_row", "cms_col"]
+    joined = (probes.join(sketches, keys, "left")
+              .withColumn("cms_count",
+                          F.coalesce(F.col("cms_count"), F.lit(0))))
+    return (joined.groupBy(*(group_cols or []), "_item")
+            .agg(F.min("cms_count").alias("est_count"))
+            .withColumnRenamed("_item", item_col))
