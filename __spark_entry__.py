@@ -1037,6 +1037,33 @@ def q_doc_decontaminate(spark, sf_dir):
                                  docs.filter(is_eval), "doc_id", "text")
 
 
+def q_doc_decontaminate_bloom(spark, sf_dir):
+    """Bloom-prefiltered decontamination: eval k-grams go into a packed
+    Bloom filter (one broadcast row, kilobytes); corpus shingles are
+    dropped MAP-SIDE before the exact verify join, so at scale the verify
+    shuffle carries only the eval-overlap + ~FP fraction of the corpus.
+    Output provably identical to the exact pass (no false negatives +
+    exact verify) — the oracle is the plain anti-join SQL."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    is_eval = (F.col("doc_id").cast("long") % 20) == 0
+    kept = quality.bloom_decontaminate(docs.filter(~is_eval),
+                                       docs.filter(is_eval),
+                                       "doc_id", "text")
+    return kept.select("doc_id", "n_chars")
+
+
+def q_doc_line_dedup(spark, sf_dir):
+    """CCNet-style line/segment dedup at word granularity: segments
+    (here single words — the synthetic corpus has no newlines) whose
+    normalized form appears in >= 50% of documents are stripped
+    everywhere — the boilerplate-removal pass. Only distinct per-doc
+    keys shuffle; the original array is filtered in place (no
+    reassembly shuffle, order preserved)."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return quality.line_dedup(docs, "doc_id", "text", min_chars=2,
+                              delimiter=" ", min_doc_frac=0.5)
+
+
 def q_corpus_top_ngrams(spark, sf_dir):
     """Corpus-wide top-20 3-grams with doc frequency — boilerplate audit:
     explode → hash agg → per-partition partial top-N."""
@@ -1323,6 +1350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_corpus": q_dedup_corpus,
         "doc_repetition": q_doc_repetition,
         "doc_decontaminate": q_doc_decontaminate,
+        "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
+        "doc_line_dedup": q_doc_line_dedup,
         "corpus_top_ngrams": q_corpus_top_ngrams,
         "doc_pack_sequences": q_doc_pack_sequences,
         "inverted_index": q_inverted_index,
@@ -1943,6 +1972,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": oracle.repetition_profile_sql(),
         "doc_decontaminate": oracle.contamination_sql(
             "CAST(doc_id AS BIGINT) % 20 = 0", k=quality.DECONTAM_K),
+        "doc_decontaminate_bloom": oracle.decontaminate_sql(
+            "CAST(doc_id AS BIGINT) % 20 = 0", k=quality.DECONTAM_K),
+        "doc_line_dedup": oracle.line_dedup_sql(
+            min_chars=2, delimiter=" ", min_doc_frac=0.5),
         "corpus_top_ngrams": oracle.top_ngrams_sql(k=3, top_n=20),
         "doc_pack_sequences": oracle.pack_sequences_sql(window=512),
         "inverted_index": oracle.inverted_index_sql(min_df=2),

@@ -63,6 +63,8 @@ BENCH_QUERIES = (
     "events_type_counts_cms",
     "doc_repetition",
     "doc_decontaminate",
+    "doc_decontaminate_bloom",
+    "doc_line_dedup",
     "corpus_top_ngrams",
     "doc_pack_sequences",
     "inverted_index",

@@ -124,6 +124,39 @@ def decontaminate(df: DataFrame, eval_df: DataFrame, id_col: str = "doc_id",
                    "left_anti")
 
 
+def bloom_decontaminate(df: DataFrame, eval_df: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        k: int = DECONTAM_K,
+                        num_bits: int | None = None,
+                        num_hashes: int = 4) -> DataFrame:
+    """:func:`decontaminate` with a Bloom prefilter: build a Bloom filter
+    over the eval set's distinct ``k``-grams (kilobytes), broadcast it as
+    one packed row, and drop corpus shingles map-side BEFORE the exact
+    equi-join verify.
+
+    Output is IDENTICAL to :func:`decontaminate` — Bloom has no false
+    negatives, and the exact verify removes its false positives — but at
+    100 TB the shuffle into the verify join carries only bloom-positive
+    shingles (the eval-overlap + ~1 % FP fraction of the corpus) instead
+    of every corpus shingle. This is the standard runtime-filter /
+    semi-join-pushdown pattern, made explicit and composable."""
+    from qvarn_mr_spark.functions import sketches as sk
+
+    bits = num_bits if num_bits is not None else sk.BLOOM_BITS
+    ev = (shingle_table(eval_df, id_col, text_col, k)
+          .select("shingle").distinct())
+    packed = sk.bloom_pack(
+        sk.bloom_rollup(ev, [], "shingle", bits, num_hashes), bits)
+    sh = shingle_table(ensure_min_partitions(df), id_col, text_col, k)
+    candidates = (sh.join(F.broadcast(packed))  # 1 row, kilobytes
+                  .filter(sk.bloom_might_contain(
+                      F.col("bloom"), F.col("shingle"), bits, num_hashes))
+                  .drop("bloom"))
+    hits = candidates.join(ev, "shingle").select("doc_id").distinct()
+    return df.join(hits.select(F.col("doc_id").alias(id_col)), id_col,
+                   "left_anti")
+
+
 def top_ngrams(df: DataFrame, id_col: str = "doc_id",
                text_col: str = "text", k: int = SHINGLE_K,
                top_n: int = 20) -> DataFrame:
@@ -141,6 +174,64 @@ def top_ngrams(df: DataFrame, id_col: str = "doc_id",
                  F.countDistinct("doc_id").alias("n_docs"))
             .orderBy(F.desc("tf"), F.asc("shingle"))
             .limit(top_n))
+
+
+def line_dedup(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", min_docs: int = 2,
+               min_chars: int = 1, delimiter: str = "\n",
+               joiner: str | None = None,
+               min_doc_frac: float | None = None) -> DataFrame:
+    """CCNet-style line-level dedup: remove every line (``delimiter``-split
+    segment, regex) whose normalized form (lower+trim) appears in at least
+    ``min_docs`` distinct documents — the standard boilerplate-stripping
+    pass (headers, footers, nav bars) run before document-level dedup.
+    ``min_doc_frac`` switches the threshold to a fraction of the corpus
+    (``ceil(frac * n_docs)``), which is what real pipelines use so the
+    cutoff tracks corpus growth.
+
+    Returns ``(doc_id, text, n_lines, n_removed)`` with surviving lines
+    rejoined in original order.
+
+    Scale shape: only *distinct normalized line keys* per document are
+    exploded and shuffled (never full lines with positions) — one hash
+    aggregate on the key, then the per-document bad-key sets (usually
+    tiny) join back and the original line array is filtered in place, so
+    there is no reassembly shuffle and line order is preserved for free.
+    The fraction threshold is a 1-row count broadcast, not a collect."""
+    lines = F.split(F.col(text_col), delimiter, -1)
+
+    def key(line: Column) -> Column:
+        return F.lower(F.trim(line))
+
+    keys = F.array_distinct(F.filter(
+        F.transform(lines, key),
+        lambda k: F.length(k) >= min_chars))
+    doc_keys = df.select(F.col(id_col).alias("doc_id"),
+                         F.explode(keys).alias("line_key"))
+    # keys are distinct per doc, so count(*) == distinct-doc frequency
+    counts = doc_keys.groupBy("line_key").agg(
+        F.count(F.lit(1)).alias("_n_docs"))
+    if min_doc_frac is not None:
+        total = df.select(F.count(F.lit(1)).alias("_total"))
+        dup = (counts.crossJoin(total)
+               .filter(F.col("_n_docs") >=
+                       F.ceil(F.lit(float(min_doc_frac)) * F.col("_total")))
+               .select("line_key"))
+    else:
+        dup = counts.filter(F.col("_n_docs") >= min_docs).select("line_key")
+    doc_bad = (doc_keys.join(dup, "line_key")
+               .groupBy("doc_id")
+               .agg(F.array_sort(F.collect_list("line_key")).alias("_bad")))
+    bad = F.coalesce(F.col("_bad"), F.array().cast("array<string>"))
+    kept = F.filter(lines, lambda l: ~F.array_contains(bad, key(l)))
+    return (df.join(doc_bad.withColumnRenamed("doc_id", id_col),
+                    id_col, "left")
+            .select(F.col(id_col).alias("doc_id"),
+                    F.concat_ws(joiner if joiner is not None else delimiter,
+                                kept).alias("text"),
+                    F.size(lines).cast("long").alias("n_lines"),
+                    (F.size(lines) - F.size(kept)).cast("long")
+                    .alias("n_removed")))
 
 
 def pii_profile(df: DataFrame, text_col: str = "text") -> DataFrame:

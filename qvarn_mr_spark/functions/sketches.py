@@ -277,3 +277,82 @@ def cms_estimate(sketches: DataFrame, items: DataFrame, item_col: str,
     return (joined.groupBy(*(group_cols or []), "_item")
             .agg(F.min("cms_count").alias("est_count"))
             .withColumnRenamed("_item", item_col))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — mergeable membership, the shuffle-pruning prefilter
+# ---------------------------------------------------------------------------
+
+#: m = bits in the filter. FP rate ~ (1 - e^(-k*n/m))^k; 2^16 bits / 4
+#: hashes holds ~6.5k items at <1 % FP — size m ~ 14.4 * n for 1 e-3.
+BLOOM_BITS = 1 << 16
+#: k = hash functions per item.
+BLOOM_HASHES = 4
+
+
+def _bloom_positions(item: Column, num_hashes: int,
+                     num_bits: int) -> list[Column]:
+    """``k`` seeded-xxhash64 bit positions in [0, num_bits). The item is
+    cast to string so build and probe sides hash identically regardless
+    of the caller's column type."""
+    s = item.cast("string")
+    return [F.pmod(F.xxhash64(F.lit(0x6B10 + i), s), F.lit(num_bits))
+            for i in range(num_hashes)]
+
+
+def bloom_rollup(df: DataFrame, group_cols: list[str], item_col: str,
+                 num_bits: int = BLOOM_BITS,
+                 num_hashes: int = BLOOM_HASHES) -> DataFrame:
+    """Per-group Bloom filter as a long-form word table
+    ``(group..., bloom_word, bloom_mask)`` — only words with set bits are
+    materialized (sparse), each a 64-bit mask.
+
+    One explode (``k`` rows per item) + one hash aggregate; the shuffle
+    after map-side ``bit_or`` partials is bounded by
+    ``|groups| * num_bits/64`` words, not by the item stream. Like the
+    CMS, the long form merges by re-group ``bit_or`` (Bloom union is
+    bitwise OR, exactly), so coarser rollups never touch raw data."""
+    pos = F.explode(F.array(*_bloom_positions(
+        F.col(item_col).cast("string"), num_hashes, num_bits))).alias("_p")
+    cells = df.select(*[F.col(c) for c in group_cols], pos)
+    words = cells.select(
+        *[F.col(c) for c in group_cols],
+        F.expr("_p div 64").alias("bloom_word"),
+        F.expr("shiftleft(1L, cast(_p % 64 as int))").alias("_m"))
+    return (words.groupBy(*group_cols, "bloom_word")
+            .agg(F.expr("bit_or(_m)").alias("bloom_mask")))
+
+
+def bloom_merge(sketches: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge word tables to a coarser grouping — plain re-group ``bit_or``
+    (bloom(A ∪ B) = bloom(A) | bloom(B), exactly)."""
+    return (sketches.groupBy(*group_cols, "bloom_word")
+            .agg(F.expr("bit_or(bloom_mask)").alias("bloom_mask")))
+
+
+def bloom_pack(sketch: DataFrame, num_bits: int = BLOOM_BITS) -> DataFrame:
+    """Collapse an ungrouped word table into ONE row holding the dense
+    ``array<long>`` filter (``num_bits/64`` words) — kilobytes, the shape
+    a map-side membership probe broadcasts."""
+    n_words = (num_bits + 63) // 64
+    m = F.map_from_arrays(F.collect_list("bloom_word"),
+                          F.collect_list("bloom_mask"))
+    dense = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.lit(n_words - 1).cast("long")),
+        lambda i: F.coalesce(F.element_at(m, i), F.lit(0).cast("long")))
+    return sketch.groupBy().agg(dense.alias("bloom"))
+
+
+def bloom_might_contain(packed: Column, item: Column,
+                        num_bits: int = BLOOM_BITS,
+                        num_hashes: int = BLOOM_HASHES) -> Column:
+    """Map-side membership probe against a packed ``array<long>`` filter:
+    true iff all ``k`` bits are set. No false negatives; false positives
+    at the filter's design rate. Pure Column expression — after a 1-row
+    broadcast of the packed filter this runs inside the scan stage."""
+    out = F.lit(True)
+    for p in _bloom_positions(item, num_hashes, num_bits):
+        word = F.element_at(packed,
+                            (F.floor(p / F.lit(64)) + 1).cast("int"))
+        out = out & (F.getbit(word, F.pmod(p, F.lit(64))) == 1)
+    return out

@@ -493,6 +493,65 @@ GROUP BY 1
 """
 
 
+def decontaminate_sql(eval_pred: str, k: int = 4,
+                      table: str = "documents") -> str:
+    """quality.decontaminate / quality.bloom_decontaminate — the surviving
+    (non-eval, non-contaminated) documents. One SQL serves both Spark
+    operators: the Bloom prefilter is output-transparent (no false
+    negatives + exact verify), which is exactly what this twin checks."""
+    return f"""
+WITH {_shingle_cte(table, k)},
+ev AS (SELECT DISTINCT shingle FROM sh WHERE {eval_pred}),
+hits AS (
+  SELECT DISTINCT sh.doc_id
+  FROM sh JOIN ev USING (shingle)
+  WHERE NOT ({eval_pred})
+)
+SELECT doc_id, n_chars
+FROM {table}
+WHERE NOT ({eval_pred})
+  AND doc_id NOT IN (SELECT doc_id FROM hits)
+"""
+
+
+def line_dedup_sql(min_chars: int = 1, delimiter: str = "\\n",
+                   joiner: str | None = None,
+                   min_doc_frac: float = 0.5,
+                   table: str = "documents") -> str:
+    """quality.line_dedup — fraction-threshold form. ``delimiter`` is a
+    regex (mirrors Spark ``split``); ``joiner`` the literal rejoin
+    separator."""
+    j = joiner if joiner is not None else delimiter
+    split = f"string_split_regex(text, '{delimiter}')"
+    split_d = f"string_split_regex(d.text, '{delimiter}')"
+    keys = (f"list_distinct(list_filter(list_transform({split}, "
+            f"l -> lower(trim(l))), k -> length(k) >= {min_chars}))")
+    kept = (f"list_filter({split_d}, l -> NOT list_contains("
+            f"coalesce(b.bad_keys, CAST([] AS VARCHAR[])), "
+            f"lower(trim(l))))")
+    return f"""
+WITH lk AS (
+  SELECT doc_id, unnest({keys}) AS line_key FROM {table}
+),
+total AS (SELECT count(*) AS n FROM {table}),
+dup AS (
+  SELECT line_key FROM lk CROSS JOIN total
+  GROUP BY line_key, total.n
+  HAVING count(*) >= ceiling({min_doc_frac} * total.n)
+),
+bad AS (
+  SELECT doc_id, list_sort(list(line_key)) AS bad_keys
+  FROM lk JOIN dup USING (line_key)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(array_to_string({kept}, '{j}'), '') AS text,
+       CAST(len({split_d}) AS BIGINT) AS n_lines,
+       CAST(len({split_d}) - len({kept}) AS BIGINT) AS n_removed
+FROM {table} d LEFT JOIN bad b USING (doc_id)
+"""
+
+
 def top_ngrams_sql(k: int = SHINGLE_K, top_n: int = 20,
                    table: str = "documents") -> str:
     """quality.top_ngrams — corpus-wide gram frequency + doc frequency."""

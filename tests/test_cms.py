@@ -178,3 +178,65 @@ def test_cms_driver_query_is_exact_at_sf001(spark, sf_dir):
             for r in ev.groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (same mergeable long-form family as the CMS above)
+# ---------------------------------------------------------------------------
+
+def _bloom_hits(spark, items_df, member_col, sketch, **kw):
+    from qvarn_mr_spark.functions import sketches as sk
+    packed = sk.bloom_pack(sketch, kw.get("num_bits", sk.BLOOM_BITS))
+    probe = items_df.join(F.broadcast(packed))
+    return probe.withColumn(
+        "hit", sk.bloom_might_contain(F.col("bloom"), F.col(member_col),
+                                      kw.get("num_bits", sk.BLOOM_BITS),
+                                      kw.get("num_hashes", sk.BLOOM_HASHES)))
+
+
+def test_bloom_no_false_negatives(spark):
+    from qvarn_mr_spark.functions import sketches as sk
+    items = spark.range(500).select(
+        F.concat(F.lit("item-"), F.col("id")).alias("it"))
+    sketch = sk.bloom_rollup(items, [], "it")
+    hits = _bloom_hits(spark, items, "it", sketch)
+    assert hits.filter(~F.col("hit")).count() == 0
+
+
+def test_bloom_false_positive_rate_bounded(spark):
+    from qvarn_mr_spark.functions import sketches as sk
+    items = spark.range(500).select(
+        F.concat(F.lit("item-"), F.col("id")).alias("it"))
+    sketch = sk.bloom_rollup(items, [], "it")
+    absent = spark.range(2000).select(
+        F.concat(F.lit("absent-"), F.col("id")).alias("it"))
+    fp = _bloom_hits(spark, absent, "it", sketch) \
+        .filter(F.col("hit")).count()
+    # design rate at 2^16 bits / 4 hashes / 500 items is ~1e-6;
+    # assert a loose 1% ceiling so the test never flakes
+    assert fp <= 20
+
+
+def test_bloom_merge_equals_rebuild(spark):
+    from qvarn_mr_spark.functions import sketches as sk
+    a = spark.range(100).select(F.col("id").cast("string").alias("it"))
+    b = spark.range(50, 200).select(
+        F.col("id").cast("string").alias("it"))
+    merged = sk.bloom_merge(
+        sk.bloom_rollup(a, [], "it").unionAll(
+            sk.bloom_rollup(b, [], "it")), [])
+    rebuilt = sk.bloom_rollup(a.unionAll(b), [], "it")
+    m = {(r["bloom_word"]): r["bloom_mask"] for r in merged.collect()}
+    r2 = {(r["bloom_word"]): r["bloom_mask"] for r in rebuilt.collect()}
+    assert m == r2
+
+
+def test_bloom_grouped_rollup_words_bounded(spark):
+    from qvarn_mr_spark.functions import sketches as sk
+    df = spark.range(1000).select(
+        (F.col("id") % 4).alias("g"),
+        F.col("id").cast("string").alias("it"))
+    sketch = sk.bloom_rollup(df, ["g"], "it", num_bits=1 << 10)
+    per_g = sketch.groupBy("g").count().collect()
+    assert all(r["count"] <= (1 << 10) // 64 for r in per_g)
+    assert len(per_g) == 4

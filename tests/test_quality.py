@@ -97,3 +97,69 @@ def test_repetition_profile_plan_is_narrow(spark):
         .executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_line_dedup_removes_cross_doc_lines(spark):
+    df = spark.createDataFrame([
+        ("a", "copyright footer\nunique alpha\nnav bar"),
+        ("b", "copyright footer\nunique beta\nnav bar"),
+        ("c", "unique gamma\nCOPYRIGHT FOOTER  "),  # normalized match
+        ("d", ""),
+    ], "doc_id string, text string")
+    got = {r["doc_id"]: r for r in
+           quality.line_dedup(df, min_docs=2).collect()}
+    # "copyright footer" in 3 docs (case/space-insensitively), "nav bar"
+    # in 2 -> both stripped; uniques survive in original order
+    assert got["a"]["text"] == "unique alpha"
+    assert got["b"]["text"] == "unique beta"
+    assert got["c"]["text"] == "unique gamma"
+    assert got["a"]["n_lines"] == 3 and got["a"]["n_removed"] == 2
+    assert got["c"]["n_removed"] == 1
+    assert got["d"]["text"] == "" and got["d"]["n_removed"] == 0
+
+
+def test_line_dedup_min_chars_protects_short_lines(spark):
+    df = spark.createDataFrame([
+        ("a", "ok\nlong shared line"),
+        ("b", "ok\nlong shared line"),
+    ], "doc_id string, text string")
+    got = {r["doc_id"]: r for r in
+           quality.line_dedup(df, min_docs=2, min_chars=5).collect()}
+    # "ok" (< 5 chars) is exempt even though duplicated
+    assert got["a"]["text"] == "ok"
+    assert got["a"]["n_removed"] == 1
+
+
+def test_line_dedup_order_preserved_and_frac_threshold(spark):
+    rows = [(str(i), f"boiler plate\nkeep {i} first\nkeep {i} second")
+            for i in range(10)] + [("x", "solo doc line")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r for r in
+           quality.line_dedup(df, min_doc_frac=0.5).collect()}
+    assert got["3"]["text"] == "keep 3 first\nkeep 3 second"
+    assert got["x"]["text"] == "solo doc line"
+
+
+def test_bloom_decontaminate_equals_exact(spark):
+    docs = spark.createDataFrame(
+        [(str(i), f"alpha beta gamma delta doc{i} tail word here")
+         for i in range(40)] +
+        [("e0", "alpha beta gamma delta eval leak one two"),
+         ("e1", "totally different benchmark prompt text here now")],
+        "doc_id string, text string")
+    is_eval = F.col("doc_id").startswith("e")
+    train, ev = docs.filter(~is_eval), docs.filter(is_eval)
+    exact = sorted(r["doc_id"] for r in
+                   quality.decontaminate(train, ev).select("doc_id")
+                   .collect())
+    bloom = sorted(r["doc_id"] for r in
+                   quality.bloom_decontaminate(train, ev)
+                   .select("doc_id").collect())
+    assert bloom == exact
+    # with a deliberately tiny filter (high FP rate) the exact verify
+    # still makes the output identical
+    tiny = sorted(r["doc_id"] for r in
+                  quality.bloom_decontaminate(train, ev, num_bits=64,
+                                              num_hashes=2)
+                  .select("doc_id").collect())
+    assert tiny == exact
