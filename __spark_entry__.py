@@ -1209,6 +1209,19 @@ def q_embedding_near_dup_lsh(spark, sf_dir):
         emb, "vec_id", "embedding", threshold=0.4)
 
 
+def q_embedding_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup: IVF cluster assignment, then inside
+    each cluster drop vectors dominated by a lower-id cosine>=t neighbor.
+    Pair volume is per-cluster (n²/nlist, bucketed), no global cross
+    join, no connected components — exactly SQL-checkable. Threshold 0.4
+    matches the near-dup query (the synthetic vectors have no 0.9-level
+    duplicates)."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.semantic_dedup(
+        emb, "vec_id", "embedding",
+        centroid_filter=F.col("vec_id") % 50 == 0, threshold=0.4)
+
+
 def q_ivf_probe_search(spark, sf_dir):
     """IVF ANN query path: route query → nearest centroid → rank within the
     probed cluster only (scan 1/nlist of the corpus)."""
@@ -1217,6 +1230,20 @@ def q_ivf_probe_search(spark, sf_dir):
         emb, "vec_id", "embedding",
         centroid_filter=F.col("vec_id") % 100 == 0,
         query_filter=F.col("vec_id") < 4, k=3)
+
+
+def q_embedding_pq_search(spark, sf_dir):
+    """Product-quantization ANN: deterministic per-subspace k-means
+    codebooks (bounded id-ordered sample, driver-side by design), corpus
+    encoded to m small ints per vector (mapInPandas, numpy-batched), ADC
+    top-k via per-query lookup tables — query time never touches the
+    raw embeddings. Rows-only: the k-means fixpoint is not
+    SQL-expressible; recall and planted-duplicate semantics are
+    pytest-pinned (tests/test_functions.py)."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    books = similarity.pq_train(emb, "vec_id", "embedding")
+    return similarity.pq_search(emb, "vec_id", "embedding",
+                                F.col("vec_id") < 4, books, k=3)
 
 
 def q_centroid_by_label(spark, sf_dir):
@@ -1364,6 +1391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_nn": q_embedding_nn,
         "embedding_nn_ivf": q_embedding_nn_ivf,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "embedding_semantic_dedup": q_embedding_semantic_dedup,
+        "embedding_pq_search": q_embedding_pq_search,
         "ivf_probe_search": q_ivf_probe_search,
         "centroid_by_label": q_centroid_by_label,
         "multimodal_features": q_multimodal_features,
@@ -1996,6 +2025,8 @@ def oracle_sql() -> dict[str, str]:
             "vec_id % 50 = 0", nprobe=2),
         "embedding_near_dup_lsh": oracle.hyperplane_near_dup_sql(
             threshold=0.4),
+        "embedding_semantic_dedup": oracle.semantic_dedup_sql(
+            "vec_id % 50 = 0", threshold=0.4),
         "ivf_probe_search": oracle.ivf_probe_search_sql(
             "vec_id % 100 = 0", "vec_id < 4", k=3),
         "centroid_by_label": oracle.centroid_by_label_agg_sql(),

@@ -57,6 +57,8 @@ BENCH_QUERIES = (
     "knn_bruteforce_arrow",
     "embedding_near_dup_lsh",
     "ivf_assign",
+    "embedding_semantic_dedup",
+    "embedding_pq_search",
     "centroid_by_label",
     "events_sessionize_bucketed",
     "events_distinct_users_hll",

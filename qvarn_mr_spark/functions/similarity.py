@@ -343,6 +343,43 @@ def hyperplane_near_dup(df: DataFrame, id_col: str, vec_col: str,
             .filter(F.col("cos_sim") >= threshold))
 
 
+def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
+                   centroid_filter: Column,
+                   threshold: float = 0.9) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the corpus by
+    nearest centroid (IVF assignment), then inside each cluster drop
+    every vector that has a LOWER-id neighbor with cosine >= threshold
+    (the deterministic keep-one-representative rule). Returns the
+    surviving ``(vec_id, cluster_id)`` rows.
+
+    Scale shape: the only join is the per-cluster self equi-join on
+    ``cluster_id`` — pair volume Σ|cluster|² ~ n²/nlist, bucketed and
+    shuffle-partitioned by cluster, never a global cross join. The
+    domination rule needs no connected components (unlike the Jaccard
+    corpus dedup): "has any better-ranked near-neighbor" is a semi-join,
+    so the whole operator is SQL-expressible and exactly oracle-checked.
+    """
+    assign = ivf_assign(df, id_col, vec_col, centroid_filter) \
+        .select("vec_id", "cluster_id")
+    v = df.select(F.col(id_col).alias("vec_id"),
+                  _as_double(df, vec_col).alias("vec"))
+    m = assign.join(v, "vec_id")
+    x = m.select(F.col("vec_id").alias("a_id"),
+                 F.col("cluster_id").alias("cl"),
+                 F.col("vec").alias("a_vec"))
+    y = m.select(F.col("vec_id").alias("b_id"),
+                 F.col("cluster_id").alias("cl"),
+                 F.col("vec").alias("b_vec"))
+    dominated = (x.join(y, "cl")
+                 .filter(F.col("a_id") > F.col("b_id"))
+                 .filter(F.round(cosine(F.col("a_vec"), F.col("b_vec")), 6)
+                         >= threshold)
+                 .select(F.col("a_id").alias("vec_id"))
+                 .distinct())
+    return m.join(dominated, "vec_id", "left_anti") \
+        .select("vec_id", "cluster_id")
+
+
 def centroid_by_label(df: DataFrame, label_col: str, vec_col: str) -> DataFrame:
     """Mean embedding per label, exploded to ``(label, pos, avg_val)`` rows.
 
@@ -423,5 +460,179 @@ def knn_bruteforce_arrow(df: DataFrame, id_col: str, vec_col: str,
                        _as_double(df, vec_col).alias("_nvec"))
     local = corpus.mapInPandas(score, out_schema)
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (local.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN
+# ---------------------------------------------------------------------------
+
+#: subvector count (dim must divide evenly) and centroids per codebook.
+#: 16×16 (4-bit codes over 4-dim subspaces) is the toy default sized to
+#: the 64-dim testdata; production is typically 16-64 subspaces × 256
+#: centroids (8-bit codes).
+PQ_M = 16
+PQ_K = 16
+
+
+def pq_train(df: DataFrame, id_col: str, vec_col: str,
+             m: int = PQ_M, k: int = PQ_K, sample: int = 2048,
+             iters: int = 10, normalize: bool = True):
+    """Train PQ codebooks: per-subspace Lloyd k-means over a bounded,
+    id-ordered sample. Returns a numpy array of shape ``(m, k, dim/m)``.
+
+    Deterministic end to end: the sample is the ``sample`` lowest ids
+    (a TakeOrdered, never a full sort), init is the first ``k`` distinct
+    subvectors in id order, iteration count is fixed, and numpy argmin
+    breaks ties toward the lower index — retrain reproduces the same
+    codebooks bit for bit. Training data is driver-side by design: PQ
+    codebooks come from a bounded sample (kilobytes of centroids), not
+    the corpus; encode/search below are the distributed parts."""
+    import numpy as np
+
+    rows = (df.select(F.col(id_col).cast("long").alias("_id"),
+                      _as_double(df, vec_col).alias("_v"))
+            .orderBy("_id").limit(sample).collect())
+    X = np.array([r["_v"] for r in rows], dtype=np.float64)
+    if normalize:
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    n, dim = X.shape
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.zeros((m, k, dsub))
+    for j in range(m):
+        S = X[:, j * dsub:(j + 1) * dsub]
+        seen: set = set()
+        init = []
+        for row in S:
+            t = tuple(np.round(row, 9))
+            if t not in seen:
+                seen.add(t)
+                init.append(row)
+            if len(init) == k:
+                break
+        while len(init) < k:            # degenerate corpora: repeat last
+            init.append(init[-1])
+        C = np.array(init, dtype=np.float64)
+        for _ in range(iters):
+            d = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = d.argmin(1)
+            for c in range(k):
+                pts = S[assign == c]
+                if len(pts):
+                    C[c] = pts.mean(0)   # empty cluster keeps its centroid
+        books[j] = C
+    return books
+
+
+def pq_encode(df: DataFrame, id_col: str, vec_col: str, codebooks,
+              normalize: bool = True) -> DataFrame:
+    """Encode every vector into ``m`` codebook indices — ``dim`` floats
+    become ``m`` small ints (32× compression at the 8×16 default, 64×
+    at production 16×256 on float32).
+
+    ``mapInPandas`` with the kilobyte codebooks in the closure: each
+    Arrow batch computes all batch×k subspace distances as one numpy
+    broadcast op per subspace — no per-row Python, no shuffle (narrow).
+    Returns ``(vec_id, codes array<int>)``."""
+    import numpy as np
+    import pandas as pd
+
+    books = codebooks
+    m, _, dsub = books.shape
+
+    def enc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            if normalize:
+                X = X / np.maximum(
+                    np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for j in range(m):
+                S = X[:, j * dsub:(j + 1) * dsub]
+                d = ((S[:, None, :] - books[j][None]) ** 2).sum(-1)
+                codes[:, j] = d.argmin(1)
+            yield pd.DataFrame({"vec_id": pdf["_id"].to_numpy(),
+                                "codes": codes.tolist()})
+
+    src = df.select(F.col(id_col).cast("long").alias("_id"),
+                    _as_double(df, vec_col).alias("_v"))
+    return src.mapInPandas(enc, "vec_id long, codes array<int>")
+
+
+def pq_search(df: DataFrame, id_col: str, vec_col: str,
+              query_filter: Column, codebooks, k: int = 3,
+              codes: DataFrame | None = None,
+              normalize: bool = True) -> DataFrame:
+    """Approximate top-k by asymmetric distance (ADC): exact query
+    subvector → codebook-entry distances go into per-query lookup
+    tables (|Q|·m·K floats, kilobytes); each corpus vector's distance
+    is then ``m`` table gathers over its codes — the corpus embeddings
+    themselves are never read at query time.
+
+    Same scale shape as :func:`knn_bruteforce_arrow`: queries are
+    contract-small (collected + shipped in the closure), scoring is
+    vectorized per Arrow batch over the CODES table (m ints per row,
+    not dim floats), each batch emits only its local top-k, and the
+    global exact top-k window sees ≤ k·|Q| rows per partition. With
+    ``normalize=True`` (default) squared-L2 ADC ordering matches the
+    cosine ordering of the exact operators (monotone transform).
+    Returns ``(q_id, n_id, adc_dist, rn)``; ties break on the rounded
+    distance then ``n_id``, so results are partition-invariant."""
+    import numpy as np
+    import pandas as pd
+
+    books = codebooks
+    m, K, dsub = books.shape
+    q_rows = (df.filter(query_filter)
+              .select(F.col(id_col).cast("long"),
+                      _as_double(df, vec_col)).collect())
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    if q_rows:
+        Q = np.array([r[1] for r in q_rows], dtype=np.float64)
+        if normalize:
+            Q = Q / np.maximum(
+                np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+        # luts[q, j, c] = ||Q[q] subspace j - books[j][c]||²
+        luts = np.stack([
+            ((Q[:, j * dsub:(j + 1) * dsub][:, None, :]
+              - books[j][None]) ** 2).sum(-1)
+            for j in range(m)], axis=1)
+    else:
+        luts = np.zeros((0, m, K))
+
+    codes_df = codes if codes is not None else \
+        pq_encode(df, id_col, vec_col, books, normalize)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or len(q_ids) == 0:
+                continue
+            C = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            d = np.zeros((len(C), len(q_ids)))
+            for j in range(m):
+                d += luts[:, j, C[:, j]].T
+            d = np.round(d, 6)
+            parts = []
+            for qi, qid in enumerate(q_ids):
+                col = d[:, qi]
+                mask = ids != qid
+                cand_ids, cand_d = ids[mask], col[mask]
+                order = np.lexsort((cand_ids, cand_d))[:k]
+                parts.append(pd.DataFrame({
+                    "q_id": qid, "n_id": cand_ids[order],
+                    "adc_dist": cand_d[order]}))
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    local = codes_df.mapInPandas(score,
+                                 "q_id long, n_id long, adc_dist double")
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"),
+                                           F.asc("n_id"))
     return (local.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k))

@@ -312,6 +312,36 @@ SELECT vec_id, cluster_id, cos_sim FROM ranked WHERE rn = 1
 """
 
 
+def semantic_dedup_sql(centroid_pred: str, threshold: float = 0.9,
+                       table: str = "embeddings") -> str:
+    """similarity.semantic_dedup — IVF assign + in-cluster lower-id
+    cosine domination, survivors only."""
+    cos = _COS.format(a="x.e", b="y.e")
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM {table}),
+cent AS (SELECT vec_id AS cluster_id, e FROM e WHERE {centroid_pred}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cos_sim DESC, cluster_id ASC) AS rn
+  FROM (SELECT v.vec_id, c.cluster_id,
+               round({_COS.format(a="v.e", b="c.e")}, 6) AS cos_sim
+        FROM e v, cent c)
+),
+m AS (
+  SELECT r.vec_id, r.cluster_id, e.e
+  FROM ranked r JOIN e USING (vec_id) WHERE r.rn = 1
+),
+dom AS (
+  SELECT DISTINCT x.vec_id
+  FROM m x JOIN m y ON x.cluster_id = y.cluster_id
+                   AND x.vec_id > y.vec_id
+  WHERE round({cos}, 6) >= {threshold}
+)
+SELECT vec_id, cluster_id FROM m
+WHERE vec_id NOT IN (SELECT vec_id FROM dom)
+"""
+
+
 def nearest_neighbor_sql(table: str = "embeddings") -> str:
     return knn_bruteforce_sql("TRUE", k=1, table=table)
 
