@@ -901,6 +901,16 @@ def q_events_error_window(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_flagged")))
 
 
+def q_events_skew_profile(spark, sf_dir):
+    """Shuffle-key skew diagnostic (operators/skew.py): hottest keys +
+    per-key count quantiles + max/mean ratio for events.user_id — the
+    pre-flight report that decides salting/bucketing before a 100 TB
+    join. One map-side-combined aggregate + stats over the |keys| table."""
+    from qvarn_mr_spark.operators.skew import skew_profile
+    ev = _t(spark, sf_dir, "events")["events"]
+    return skew_profile(ev, ["user_id"], top_n=5)
+
+
 def q_topk_per_key(spark, sf_dir):
     """Skew-safe two-phase per-key top-k (operators/skew.py): local top-k
     per (key, salt) shard, then rank the bounded survivor set — the hot
@@ -1400,6 +1410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_counts_cms": q_events_type_counts_cms,
         "events_user_funnel_theta": q_events_user_funnel_theta,
         "price_quantiles_kll": q_price_quantiles_kll,
+        "events_skew_profile": q_events_skew_profile,
         "corpus_prepare": q_corpus_prepare,
         # --- red in r03 (oracle int-width fixed this round) ---
         "q12_priority_lines": q12_priority_lines,
@@ -1745,6 +1756,8 @@ def oracle_sql() -> dict[str, str]:
                             AND e.ts <= r.ts + INTERVAL 10 MINUTE)
             GROUP BY 1
         """,
+        "events_skew_profile": oracle.skew_profile_sql(
+            "user_id", top_n=5),
         "topk_per_key": """
             WITH ranked AS (
               SELECT event_type, event_id, value,

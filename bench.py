@@ -43,6 +43,7 @@ BENCH_QUERIES = (
     "events_asof_bucketed",
     "events_error_window",
     "topk_per_key",
+    "events_skew_profile",
     "text_profile",
     "tfidf_top_terms",
     "doc_split_sample",
@@ -88,7 +89,19 @@ def main() -> None:
 
     times: dict[str, float] = {}
     construct: dict[str, float] = {}
+
+    def drop_persisted():
+        # each query runs as a fresh job would on a cluster: eager
+        # localCheckpoints from earlier queries' construction otherwise
+        # accumulate in the block manager across all ~46 queries and the
+        # growing cache pressure taxes the LAST queries' measurements
+        # (corpus_prepare construct read 28.8s polluted vs ~14s clean)
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+        spark.catalog.clearCache()
+
     for name in BENCH_QUERIES:
+        drop_persisted()
         # construction timed separately: some operators eagerly materialize
         # a reused intermediate (dedup shingles) during construction, and
         # lumping it into run time made JVM/AQE warmup look like query cost

@@ -363,7 +363,12 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
         .select("vec_id", "cluster_id")
     v = df.select(F.col(id_col).alias("vec_id"),
                   _as_double(df, vec_col).alias("vec"))
-    m = assign.join(v, "vec_id")
+    # the assigned corpus feeds three plan branches (pair left, pair
+    # right, survivor anti-join); without a barrier Spark re-scores the
+    # centroid assignment for each. Lazy localCheckpoint computes it
+    # once at first execution (swap for checkpoint() on a real cluster
+    # for executor-loss resilience, same note as dedup.dup_clusters).
+    m = assign.join(v, "vec_id").localCheckpoint(eager=False)
     x = m.select(F.col("vec_id").alias("a_id"),
                  F.col("cluster_id").alias("cl"),
                  F.col("vec").alias("a_vec"))

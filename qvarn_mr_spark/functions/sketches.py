@@ -356,3 +356,66 @@ def bloom_might_contain(packed: Column, item: Column,
                             (F.floor(p / F.lit(64)) + 1).cast("int"))
         out = out & (F.getbit(word, F.pmod(p, F.lit(64))) == 1)
     return out
+
+
+#: 64 single-bit long masks (index b+1 = bit b; bit 63 is the sign bit).
+_BIT_MASKS = [1 << b for b in range(63)] + [-(1 << 63)]
+
+
+def _row_bloom_words(item: Column, num_bits: int,
+                     num_hashes: int) -> Column:
+    """One row's Bloom contribution as a dense ``array<long>`` of
+    ``num_bits/64`` words with the item's ``k`` bits set — built from a
+    literal mask LUT + ``element_at`` (Spark's ``shiftleft`` only takes a
+    literal shift), all JVM-side."""
+    n_words = num_bits // 64
+    masks = F.lit(_BIT_MASKS)
+    pos = F.array(*_bloom_positions(item, num_hashes, num_bits))
+    def word_fold(w: int):
+        # bind w in a closure, NOT a lambda default — PySpark reads the
+        # lambda's parameter count to pick the higher-order-function
+        # arity, and a default parameter would make this look 3-ary
+        def fold(acc: Column, p: Column) -> Column:
+            return acc.bitwiseOR(
+                F.when(F.floor(p / F.lit(64)) == w,
+                       F.element_at(masks,
+                                    F.pmod(p, F.lit(64)).cast("int") + 1))
+                .otherwise(F.lit(0).cast("long")))
+        return F.aggregate(pos, F.lit(0).cast("long"), fold)
+
+    return F.array(*[word_fold(w) for w in range(n_words)])
+
+
+#: membership-view default: 1024 bits/group ≈ 70 items at <1 % FP, 128 B.
+VIEW_BLOOM_BITS = 1024
+
+
+def reduce_bloom_membership(num_bits: int = VIEW_BLOOM_BITS,
+                            num_hashes: int = BLOOM_HASHES,
+                            version: int = 1, alias: str = "_mr_value"):
+    """A reduce spec whose stored value is a packed per-group Bloom
+    filter of the mapped values — a maintained MEMBERSHIP view ("have we
+    ever seen x in group g") that the algebraic IVM path updates in
+    O(delta) for insert-only batches (bitwise-OR merge, exact: Bloom
+    union is OR) and recomputes only for groups that lost rows (bits
+    cannot retract, same soundness split as HLL).
+
+    Probe the stored value with :func:`bloom_might_contain` (the packed
+    layout is identical) — no false negatives ever, false positives at
+    the design rate. This is the streaming-decontamination /
+    already-ingested?-shape: the view stays kilobytes per group while
+    the item stream is unbounded."""
+    from qvarn_mr_spark.operators.mapreduce import reduce_agg
+
+    n_words = num_bits // 64
+
+    def agg_fn(c: Column) -> Column:
+        words = _row_bloom_words(c, num_bits, num_hashes)
+        return F.array(*[F.bit_or(F.get(words, w))
+                         for w in range(n_words)])
+
+    return reduce_agg(
+        {alias: agg_fn},
+        merge={alias: lambda old, delta: F.zip_with(
+            old, delta, lambda a, b: a.bitwiseOR(b))},
+        version=version)

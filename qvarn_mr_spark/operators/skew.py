@@ -85,3 +85,44 @@ def topk_per_key(df: DataFrame, key_cols: list[str], order_col: str,
     return (local.withColumn("rn", F.row_number().over(w2))
             .filter(F.col("rn") <= k)
             .drop("_salt", "_lrn"))
+
+
+def skew_profile(df: DataFrame, key_cols: list[str],
+                 top_n: int = 10) -> DataFrame:
+    """Shuffle-key skew diagnostic — the report that decides whether a
+    join/agg needs :func:`salted_join` / bucketed windows before it runs
+    at scale. One row per statistic:
+
+    ``(stat, key, n_rows)`` with stat ∈ ``top#1..top#N`` (the N hottest
+    keys, hot-first, key shown) plus ``p50``/``p90``/``p99``/``max``
+    (per-key row-count quantiles), ``n_keys``, and ``skew_ratio``
+    (max/mean ×100, as a long — >1000 usually means the hottest key
+    serializes its reducer).
+
+    Cost: one map-side-combined hash aggregate on the key over the
+    corpus, then statistics over the |keys|-row count table and a
+    partial top-N — the diagnostic is as cheap as the cheapest aggregate
+    on that key, never heavier than the operator it de-risks."""
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    counts = (df.groupBy(key.alias("key"))
+              .agg(F.count(F.lit(1)).alias("n_rows")))
+    w = Window.orderBy(F.desc("n_rows"), F.asc("key"))
+    top = (counts.orderBy(F.desc("n_rows"), F.asc("key")).limit(top_n)
+           .select(F.concat(F.lit("top#"),
+                            F.row_number().over(w).cast("string"))
+                   .alias("stat"),
+                   "key", "n_rows"))
+    stats = (counts.agg(
+        F.expr("percentile(n_rows, 0.5)").alias("p50"),
+        F.expr("percentile(n_rows, 0.9)").alias("p90"),
+        F.expr("percentile(n_rows, 0.99)").alias("p99"),
+        F.max("n_rows").cast("double").alias("max"),
+        F.count(F.lit(1)).cast("double").alias("n_keys"),
+        F.round(F.lit(100.0) * F.max("n_rows") / F.avg("n_rows"), 0)
+        .alias("skew_ratio"))
+        .selectExpr("stack(6, 'p50', p50, 'p90', p90, 'p99', p99, "
+                    "'max', max, 'n_keys', n_keys, "
+                    "'skew_ratio', skew_ratio) AS (stat, value)")
+        .select("stat", F.lit(None).cast("string").alias("key"),
+                F.col("value").cast("long").alias("n_rows")))
+    return top.unionByName(stats)

@@ -664,3 +664,43 @@ FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
       FROM scored)
 WHERE rn <= {k}
 """
+
+
+def skew_profile_sql(key_expr: str = "user_id", top_n: int = 5,
+                     table: str = "events") -> str:
+    """operators.skew.skew_profile — hottest keys + count quantiles.
+    Truncating casts mirror Spark's double->long cast (floor for the
+    positive values here); quantile_cont matches Spark's interpolated
+    ``percentile`` exactly on integer counts."""
+    return f"""
+WITH counts AS (
+  SELECT CAST({key_expr} AS VARCHAR) AS key, count(*) AS n_rows
+  FROM {table} GROUP BY 1
+),
+top AS (
+  SELECT 'top#' || CAST(row_number() OVER (ORDER BY n_rows DESC, key ASC)
+                        AS VARCHAR) AS stat,
+         key, n_rows
+  FROM (SELECT * FROM counts ORDER BY n_rows DESC, key ASC LIMIT {top_n})
+),
+stats AS (
+  SELECT quantile_cont(n_rows, 0.5) AS p50,
+         quantile_cont(n_rows, 0.9) AS p90,
+         quantile_cont(n_rows, 0.99) AS p99,
+         CAST(max(n_rows) AS DOUBLE) AS mx,
+         CAST(count(*) AS DOUBLE) AS n_keys,
+         round(100.0 * max(n_rows) / avg(n_rows), 0) AS skew_ratio
+  FROM counts
+)
+SELECT stat, key, n_rows FROM top
+UNION ALL
+SELECT s.stat, NULL AS key, CAST(floor(s.value) AS BIGINT) AS n_rows
+FROM (
+  SELECT 'p50' AS stat, p50 AS value FROM stats UNION ALL
+  SELECT 'p90', p90 FROM stats UNION ALL
+  SELECT 'p99', p99 FROM stats UNION ALL
+  SELECT 'max', mx FROM stats UNION ALL
+  SELECT 'n_keys', n_keys FROM stats UNION ALL
+  SELECT 'skew_ratio', skew_ratio FROM stats
+) s
+"""

@@ -292,3 +292,37 @@ def test_dedup_joins_not_force_broadcast(q):
     from qvarn_mr_spark.plans import assert_no_broadcast_hint
     assert_no_broadcast_hint(q("dedup_jaccard"))
     assert_no_broadcast_hint(q("dedup_corpus"))
+
+
+def test_semantic_dedup_bucketed_no_cartesian(q):
+    """Semantic dedup pairs come from the per-cluster equi-join; the only
+    nested-loop allowed is the 1-row broadcast of the centroid set into
+    the assignment pass."""
+    import re
+    from qvarn_mr_spark.plans import explain_str
+    txt = explain_str(q("embedding_semantic_dedup"), "formatted")
+    assert "CartesianProduct" not in txt
+    # centroid broadcast (once per assignment) is the documented exception
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", txt)) <= 2
+
+
+def test_line_dedup_one_key_shuffle_no_reassembly(q):
+    """line_dedup must shuffle distinct line keys (agg + join back), and
+    NEVER sort/window the corpus to reassemble documents — the original
+    array is filtered in place."""
+    from qvarn_mr_spark.plans import explain_str
+    txt = explain_str(q("doc_line_dedup"), "formatted")
+    assert "CartesianProduct" not in txt
+    assert "Window" not in txt          # no positional reassembly
+    assert "Sort [doc_id" not in txt    # no global doc re-sort
+
+
+def test_bloom_decontaminate_filter_before_verify_join(q):
+    """The Bloom membership probe must run as a Filter on the corpus side
+    BELOW the exact verify join (map-side pruning), and the packed
+    filter must arrive by broadcast."""
+    from qvarn_mr_spark.plans import explain_str
+    txt = explain_str(q("doc_decontaminate_bloom"), "formatted")
+    assert "getbit" in txt.lower()
+    assert "BroadcastExchange" in txt
+    assert "CartesianProduct" not in txt

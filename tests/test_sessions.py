@@ -76,3 +76,21 @@ def test_boundary_gap_exactly_threshold_merges(spark):
     out = sessionize_bucketed(just_over, gap_minutes=30,
                               bucket_hours=1).collect()
     assert len(out) == 2
+
+
+def test_skew_profile_stats_and_hot_keys(spark):
+    from qvarn_mr_spark.operators.skew import skew_profile
+    from pyspark.sql import functions as F
+    rows = ([("hot", i) for i in range(90)] +
+            [("warm", i) for i in range(8)] +
+            [(f"cold{j}", 0) for j in range(2)])
+    df = spark.createDataFrame(rows, "k string, v long")
+    got = {(r["stat"]): (r["key"], r["n_rows"])
+           for r in skew_profile(df, ["k"], top_n=2).collect()}
+    assert got["top#1"] == ("hot", 90)
+    assert got["top#2"] == ("warm", 8)
+    assert got["n_keys"] == (None, 4)
+    assert got["max"] == (None, 90)
+    # mean = 100/4 = 25 -> ratio*100 = 360
+    assert got["skew_ratio"] == (None, 360)
+    assert "p50" in got and "p99" in got

@@ -104,3 +104,77 @@ def test_hll_view_maintains_incrementally(spark, tmp_path):
     set_source(rows)
     inc.apply_changes(notifications(spark, [("source", "deleted", "n1")]))
     assert estimates() == exact()
+
+
+def test_bloom_view_maintains_incrementally(spark, tmp_path):
+    """The membership view through the algebraic merge path: insert-only
+    batches OR the bit words in O(delta); a delete falls back to
+    recompute (bits cannot retract). No false negatives at every stage;
+    a fixed absent probe stays negative (deterministic hashing)."""
+    from pyspark.sql import functions as F
+
+    cat = Catalog(spark)
+    rows = [(str(i), i % 3, f"u{i % 40}") for i in range(200)]
+
+    def set_source(rs):
+        cat.register("source", spark.createDataFrame(
+            rs, "id string, key long, value string"))
+
+    set_source(rows)
+    eng = ViewEngine(cat, {
+        "m": {"source": map_item("key", "value")},
+        "v": {"m": sketches.reduce_bloom_membership()},
+    }, id_cols={"source": "id"})
+    inc = IncrementalEngine(eng, ParquetStateStore(spark, str(tmp_path / "s")))
+    inc.apply_changes(notifications(
+        spark, [("source", "created", str(i)) for i in range(200)]))
+
+    def probe(value):
+        """_mr_key -> might_contain(value) over the stored view."""
+        return {r["_mr_key"]: r["hit"] for r in inc.read("v").select(
+            "_mr_key",
+            sketches.bloom_might_contain(
+                F.col("_mr_value"), F.lit(value),
+                sketches.VIEW_BLOOM_BITS).alias("hit")).collect()}
+
+    def members():
+        out = {}
+        for _id, key, value in rows:
+            out.setdefault(str(key), set()).add(value)
+        return out
+
+    def assert_no_false_negatives():
+        mem = members()
+        for v in {val for vals in mem.values() for val in vals}:
+            hits = probe(v)
+            for k, vals in mem.items():
+                if v in vals:
+                    assert hits[k], f"false negative: {v} in group {k}"
+
+    assert_no_false_negatives()
+    assert not any(probe("never-inserted-xyz").values())
+
+    # insert-only growth → merge path (delta-sized reduce input)
+    seen = []
+    orig = eng.reduce_table
+
+    def spy(target, map_df=None):
+        if map_df is not None:
+            seen.append(map_df.count())
+        return orig(target, map_df)
+
+    eng.reduce_table = spy
+    rows += [("n1", 0, "u99"), ("n2", 1, "u100")]
+    set_source(rows)
+    inc.apply_changes(notifications(spark, [
+        ("source", "created", "n1"), ("source", "created", "n2")]))
+    eng.reduce_table = orig
+    assert max(seen) <= 2, f"bloom view rescanned a group: {seen}"
+    assert probe("u99")["0"] and probe("u100")["1"]
+    assert_no_false_negatives()
+
+    # delete → recompute path; the view still holds every survivor
+    rows = [r for r in rows if r[0] != "n1"]
+    set_source(rows)
+    inc.apply_changes(notifications(spark, [("source", "deleted", "n1")]))
+    assert_no_false_negatives()
