@@ -1339,6 +1339,18 @@ def q_corpus_prepare(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_corpus_bpe_merges(spark, sf_dir):
+    """BPE vocabulary induction (functions/text.py): one corpus pass
+    builds the distinct-word count table; every merge iteration then runs
+    on that vocabulary-sized table only (pair explode + weighted agg +
+    1-row argmax collect + narrow merge fold). Rows-only: per-iteration
+    argmax is inherently iterative; semantics differentially pinned
+    against a pure-Python reference BPE (tests/test_functions.py)."""
+    from qvarn_mr_spark.functions.text import bpe_merges
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return bpe_merges(docs, "doc_id", "text", n_merges=8)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: binary media → Arrow-batched mapInPandas feature
     extraction (deterministic fake codec — the real decode is stubbed, the
@@ -1411,6 +1423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_funnel_theta": q_events_user_funnel_theta,
         "price_quantiles_kll": q_price_quantiles_kll,
         "events_skew_profile": q_events_skew_profile,
+        "corpus_bpe_merges": q_corpus_bpe_merges,
         "corpus_prepare": q_corpus_prepare,
         # --- red in r03 (oracle int-width fixed this round) ---
         "q12_priority_lines": q12_priority_lines,

@@ -69,6 +69,7 @@ BENCH_QUERIES = (
     "doc_decontaminate_bloom",
     "doc_line_dedup",
     "corpus_top_ngrams",
+    "corpus_bpe_merges",
     "doc_pack_sequences",
     "inverted_index",
     "corpus_prepare",

@@ -314,3 +314,100 @@ def inverted_index(df, id_col: str = "doc_id", text_col: str = "text",
     if max_df is not None:
         out = out.filter(F.col("n_docs") <= max_df)
     return out
+
+
+# ---------------------------------------------------------------------------
+# BPE merge induction — subword vocabulary training
+# ---------------------------------------------------------------------------
+
+def _merge_pair_expr(sym: Column, left: Column, right: Column) -> Column:
+    """Greedy left-to-right merge of adjacent (left, right) symbol pairs
+    in one array fold — the classic BPE apply step as a JVM expression."""
+    def step(acc: Column, x: Column) -> Column:
+        n = F.size(acc)
+        prev = F.element_at(acc, -1)
+        merged = F.concat(F.slice(acc, 1, n - 1),
+                          F.array(F.concat(prev, x)))
+        return F.when((n > 0) & (prev == left) & (x == right), merged) \
+                .otherwise(F.concat(acc, F.array(x)))
+    return F.aggregate(sym, F.array().cast("array<string>"), step)
+
+
+def bpe_merges(df, id_col: str = "doc_id", text_col: str = "text",
+               n_merges: int = 8, min_pair_count: int = 2):
+    """Byte-pair-encoding vocabulary induction (Sennrich-style, over word
+    counts): start from characters, repeatedly merge the corpus-wide most
+    frequent adjacent symbol pair. Returns the merge table
+    ``(rank, left, right, merged, pair_count)``, rank 1 first.
+
+    Scale shape — the loop never touches the corpus: ONE corpus pass
+    builds the distinct-word count table (explode + hash agg, the same
+    shuffle as word count), and every iteration then runs on that
+    vocabulary-sized table (|distinct words| rows — millions at 100 TB,
+    not billions): pair counting is an explode + weighted agg over it,
+    the argmax is a 1-row collect, and the merge apply is a narrow array
+    fold. The word table is re-localCheckpointed each round so the plan
+    stays flat (no O(n_merges)-deep lineage; swap for checkpoint() on a
+    cluster, same note as dup_clusters). Iterations are deterministic:
+    ties break on (left, right) lexicographically.
+
+    Oracle note: the per-iteration argmax makes this inherently
+    iterative (rows-only for SQL); the semantics are pytest-pinned
+    against a pure-Python reference implementation."""
+    from qvarn_mr_spark.functions.dedup import (ensure_min_partitions,
+                                                tokens_col)
+
+    words = (ensure_min_partitions(df)
+             .select(F.explode(tokens_col(text_col)).alias("w"))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+             .select(F.expr("transform(sequence(1, length(w)), "
+                            "i -> substr(w, i, 1))").alias("sym"),
+                     "n")
+             .localCheckpoint(eager=True))
+
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = words.select(
+            F.explode(F.zip_with(
+                F.slice("sym", 1, F.size("sym") - 1),
+                F.slice("sym", 2, F.size("sym") - 1),
+                lambda x, y: F.struct(x.alias("l"), y.alias("r"))))
+            .alias("p"), "n")
+        best = (pairs.groupBy("p.l", "p.r")
+                .agg(F.sum("n").alias("c"))
+                .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+                .limit(1).collect())
+        if not best or best[0]["c"] < min_pair_count:
+            break
+        left, right, c = best[0]["l"], best[0]["r"], best[0]["c"]
+        merges.append((rank, left, right, left + right, c))
+        words = words.select(
+            _merge_pair_expr(F.col("sym"), F.lit(left), F.lit(right))
+            .alias("sym"), "n").localCheckpoint(eager=True)
+
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, "
+        "pair_count long")
+
+
+def bpe_vocab(df, id_col: str = "doc_id", text_col: str = "text",
+              n_merges: int = 8, min_pair_count: int = 2):
+    """The symbol vocabulary after :func:`bpe_merges`: every surviving
+    symbol with its total corpus frequency — what a tokenizer ships.
+    Same corpus-independent loop; one extra vocabulary-sized aggregate."""
+    from qvarn_mr_spark.functions.dedup import (ensure_min_partitions,
+                                                tokens_col)
+
+    merges = bpe_merges(df, id_col, text_col, n_merges, min_pair_count)
+    words = (ensure_min_partitions(df)
+             .select(F.explode(tokens_col(text_col)).alias("w"))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+             .select(F.expr("transform(sequence(1, length(w)), "
+                            "i -> substr(w, i, 1))").alias("sym"), "n"))
+    for row in merges.orderBy("rank").collect():
+        words = words.select(
+            _merge_pair_expr(F.col("sym"), F.lit(row["left"]),
+                             F.lit(row["right"])).alias("sym"), "n")
+    return (words.select(F.explode("sym").alias("symbol"), "n")
+            .groupBy("symbol").agg(F.sum("n").alias("freq")))

@@ -618,3 +618,74 @@ def test_pq_encode_precomputed_codes_reused(spark):
                                   codes=codes)
     assert sorted(map(tuple, direct.collect())) == \
         sorted(map(tuple, reused.collect()))
+
+
+def _ref_bpe(word_counts, n_merges, min_pair_count=2):
+    """Pure-Python Sennrich BPE over word counts (ties: lexicographic)."""
+    words = {tuple(w): c for w, c in word_counts.items()}
+    out = []
+    for rank in range(1, n_merges + 1):
+        pairs = {}
+        for sym, c in words.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] = \
+                    pairs.get((sym[i], sym[i + 1]), 0) + c
+        if not pairs:
+            break
+        (l, r), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < min_pair_count:
+            break
+        out.append((rank, l, r, l + r, c))
+        nxt = {}
+        for sym, cnt in words.items():
+            merged, i = [], 0
+            while i < len(sym):
+                if (i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r):
+                    merged.append(l + r)
+                    i += 2
+                else:
+                    merged.append(sym[i])
+                    i += 1
+            nxt[tuple(merged)] = nxt.get(tuple(merged), 0) + cnt
+        words = nxt
+    return out
+
+
+def test_bpe_merges_match_reference(spark):
+    from collections import Counter
+    from qvarn_mr_spark.functions import text as T
+    from qvarn_mr_spark.functions.dedup import TOKEN_RE
+    import re
+    docs = [
+        (0, "lower lower lowest low low low"),
+        (1, "newer newest new new lowly"),
+        (2, "the lower the better lower is newer"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [(r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+           for r in T.bpe_merges(df, n_merges=6).orderBy("rank").collect()]
+    wc = Counter(w for _, t in docs
+                 for w in re.split(TOKEN_RE, t.lower()) if w)
+    assert got == _ref_bpe(wc, 6)
+    assert len(got) == 6 and got[0][0] == 1
+
+
+def test_bpe_vocab_conserves_char_mass(spark):
+    from qvarn_mr_spark.functions import text as T
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(0, "aaab aaab aaac bbbc")], "doc_id long, text string")
+    vocab = T.bpe_vocab(df, n_merges=3, min_pair_count=1)
+    rows = {r["symbol"]: r["freq"] for r in vocab.collect()}
+    # total characters across the corpus are conserved through merges
+    total_chars = sum(len(s) * f for s, f in rows.items())
+    assert total_chars == 16
+    # the dominant pair 'aa' must have been merged into a longer symbol
+    assert any(len(s) > 1 for s in rows)
+
+
+def test_bpe_merges_stop_below_min_count(spark):
+    from qvarn_mr_spark.functions import text as T
+    df = spark.createDataFrame([(0, "ab cd")], "doc_id long, text string")
+    got = T.bpe_merges(df, n_merges=10, min_pair_count=2).collect()
+    assert got == []   # every pair occurs once -> no merge reaches 2
