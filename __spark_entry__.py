@@ -1339,6 +1339,23 @@ def q_corpus_prepare(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_multimodal_signal_features(spark, sf_dir):
+    """REAL media path end-to-end: genuine WAV/PPM bytes (stdlib-written)
+    → stdlib decode → numpy signal features (RMS/zero-crossings for PCM,
+    channel means/std/aspect for rasters) after a REAL nearest-neighbor
+    resize of the image rows. Rows-only (binary payloads aren't
+    SQL-expressible); feature values are pinned against independent
+    numpy references in tests/test_functions.py."""
+    from qvarn_mr_spark.functions import multimodal
+    media = multimodal.synthetic_media_real(spark, n=32)
+    resized = multimodal.image_resize(media, 4, 4)
+    feats = multimodal.media_signal_features(resized)
+    return feats.select("media_id", F.col("meta.kind").alias("kind"),
+                        F.round(F.aggregate(F.col("feature"), F.lit(0.0),
+                                            lambda a, x: a + x), 6)
+                        .alias("feature_sum"))
+
+
 def q_corpus_bpe_merges(spark, sf_dir):
     """BPE vocabulary induction (functions/text.py): one corpus pass
     builds the distinct-word count table; every merge iteration then runs
@@ -1418,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_probe_search": q_ivf_probe_search,
         "centroid_by_label": q_centroid_by_label,
         "multimodal_features": q_multimodal_features,
+        "multimodal_signal_features": q_multimodal_signal_features,
         "events_distinct_users_hll": q_events_distinct_users_hll,
         "events_type_counts_cms": q_events_type_counts_cms,
         "events_user_funnel_theta": q_events_user_funnel_theta,

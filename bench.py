@@ -70,6 +70,7 @@ BENCH_QUERIES = (
     "doc_line_dedup",
     "corpus_top_ngrams",
     "corpus_bpe_merges",
+    "multimodal_signal_features",
     "doc_pack_sequences",
     "inverted_index",
     "corpus_prepare",

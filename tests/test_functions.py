@@ -689,3 +689,52 @@ def test_bpe_merges_stop_below_min_count(spark):
     df = spark.createDataFrame([(0, "ab cd")], "doc_id long, text string")
     got = T.bpe_merges(df, n_merges=10, min_pair_count=2).collect()
     assert got == []   # every pair occurs once -> no merge reaches 2
+
+
+def test_image_resize_real_ppm_roundtrip(spark):
+    import numpy as np
+    out = multimodal.image_resize(
+        multimodal.synthetic_media_real(spark, n=6), 4, 3)
+    rows = {r["media_id"]: r for r in out.collect()}
+    for i in (0, 2, 4):                         # even ids are images
+        payload = bytes(rows[i]["payload"])
+        meta = rows[i]["meta"]
+        assert (meta["width"], meta["height"]) == (4, 3)
+        raster = multimodal.stdlib_decode(payload, meta.asDict())
+        assert len(raster) == 4 * 3 * 3         # P6, exact raster size
+        # exact nearest-neighbor reference on the original bytes
+        src = multimodal.synthetic_ppm_bytes(8 + i % 8, 6 + i % 6, seed=i)
+        w, h = 8 + i % 8, 6 + i % 6
+        arr = np.frombuffer(multimodal.stdlib_decode(src, {"format": "ppm"}),
+                            dtype=np.uint8).reshape(h, w, 3)
+        yi = (np.arange(3) * h) // 3
+        xi = (np.arange(4) * w) // 4
+        assert raster == arr[yi][:, xi].tobytes()
+    # audio rows pass through untouched
+    assert bytes(rows[1]["payload"]) == multimodal.synthetic_wav_bytes(
+        n_samples=400 + 8, seed=1)
+
+
+def test_media_signal_features_real_values(spark):
+    import numpy as np
+    import struct as st
+    out = multimodal.media_signal_features(
+        multimodal.synthetic_media_real(spark, n=4))
+    rows = {r["media_id"]: r["feature"] for r in out.collect()}
+    # audio row 1: recompute RMS from the actual PCM bytes
+    wav = multimodal.synthetic_wav_bytes(n_samples=408, seed=1)
+    pcm = multimodal.stdlib_decode(wav, {"format": "wav"})
+    x = np.frombuffer(pcm, dtype="<i2").astype(float) / 32768.0
+    assert rows[1][0] == 0.0                     # audio tag
+    assert rows[1][1] == pytest.approx(float(np.sqrt(np.mean(x * x))),
+                                       abs=1e-9)
+    # image row 0: channel means from the actual raster
+    ppm = multimodal.synthetic_ppm_bytes(8, 6, seed=0)
+    arr = np.frombuffer(multimodal.stdlib_decode(ppm, {"format": "ppm"}),
+                        dtype=np.uint8).reshape(6, 8, 3) / 255.0
+    assert rows[0][0] == 1.0                     # image tag
+    for ch in range(3):
+        assert rows[0][1 + ch] == pytest.approx(
+            float(arr[:, :, ch].mean()), abs=1e-9)
+    assert rows[0][5] == pytest.approx(8 / 6, abs=1e-9)  # aspect
+    assert rows[0][6] == 3.0                     # channel count
