@@ -44,6 +44,8 @@ def corpus_prepare(df: DataFrame, id_col: str = "doc_id",
                    max_top_word_frac: float | None = None,
                    decontaminate_against: DataFrame | None = None,
                    decontam_k: int = 4,
+                   strip_lines_min_frac: float | None = None,
+                   line_delimiter: str = "\n",
                    jaccard_threshold: float = 0.5,
                    split_weights: dict[str, float] | None = None,
                    salt: str = "corpus") -> DataFrame:
@@ -64,10 +66,24 @@ def corpus_prepare(df: DataFrame, id_col: str = "doc_id",
     - ``decontaminate_against`` — an eval/benchmark DataFrame (same
       id/text columns); docs sharing any word ``decontam_k``-gram with it
       are dropped BEFORE the dedup shuffle (anti-join on the hit list,
-      :func:`qvarn_mr_spark.functions.quality.contamination`).
+      :func:`qvarn_mr_spark.functions.quality.contamination`);
+    - ``strip_lines_min_frac`` — CCNet-style boilerplate stripping
+      (:func:`qvarn_mr_spark.functions.quality.line_dedup`): before
+      anything else, remove every ``line_delimiter``-split segment whose
+      normalized form appears in at least that fraction of documents —
+      so headers/footers neither pollute the quality profile nor glue
+      unrelated documents together in the dedup pass.
     """
     if split_weights is None:
         split_weights = {"train": 0.98, "val": 0.01, "test": 0.01}
+    if strip_lines_min_frac is not None:
+        from qvarn_mr_spark.functions.quality import line_dedup
+        df = line_dedup(df, id_col, text_col, min_chars=2,
+                        delimiter=line_delimiter,
+                        min_doc_frac=strip_lines_min_frac) \
+            .withColumnRenamed("doc_id", id_col) \
+            .withColumnRenamed("text", text_col) \
+            .drop("n_lines", "n_removed")
     rep_gates = (max_dup_word_frac is not None
                  or max_top_word_frac is not None)
     # staged profile (profile_frame), NOT the per-column helpers: inlining

@@ -111,3 +111,33 @@ def test_prepare_decontaminates_against_eval_set(spark):
         df, min_quality=0.0, min_tokens=1,
         decontaminate_against=ev, decontam_k=4).collect()}
     assert got == {"2"}
+
+
+def test_corpus_prepare_line_strip_gate(spark):
+    from qvarn_mr_spark.functions.pipeline import corpus_prepare
+    # shared boilerplate word in EVERY doc; unique payload after it
+    rows = [(i, "boilerplate unique%d filler%d words%d here%d now%d ok%d"
+             % (i, i, i, i, i, i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = corpus_prepare(df, min_quality=0.0, min_tokens=2)
+    stripped = corpus_prepare(df, min_quality=0.0, min_tokens=2,
+                              strip_lines_min_frac=0.9,
+                              line_delimiter=" ")
+    nb = {r["doc_id"]: r["n_tokens"] for r in base.collect()}
+    ns = {r["doc_id"]: r["n_tokens"] for r in stripped.collect()}
+    assert set(nb) == set(ns)                # no doc lost, all unique
+    # the boilerplate token is gone from every doc's profile
+    assert all(ns[d] == nb[d] - 1 for d in nb)
+
+
+def test_line_dedup_idempotent(spark):
+    from qvarn_mr_spark.functions.quality import line_dedup
+    rows = [(i, "shared header\nbody %d\nshared footer" % i)
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = line_dedup(df, min_docs=2)
+    twice = line_dedup(once, min_docs=2)
+    a = sorted(map(tuple, once.collect()))
+    b = sorted((r["doc_id"], r["text"]) for r in twice.collect())
+    assert [(d, t) for d, t, *_ in a] == b
+    assert all(r["n_removed"] == 0 for r in twice.collect())
