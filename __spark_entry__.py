@@ -1339,6 +1339,28 @@ def q_corpus_prepare(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_doc_quality_classifier(spark, sf_dir):
+    """Learned document gate (functions/classifier.py): distill the
+    heuristic language gate into a smooth logistic scorer — train on a
+    deterministic hash-sample (each GD iteration is one aggregate over
+    the persisted sample emitting k+1 doubles), then score EVERY doc
+    with the fitted weights as a pure JVM expression (scan-stage work at
+    100 TB). Rows-only: float-aggregation order makes 6th-decimal weight
+    noise across runs; semantics (accuracy, raw-space weights, filter
+    behavior) are pytest-pinned."""
+    from qvarn_mr_spark.functions import classifier as clf
+    from qvarn_mr_spark.functions.sampling import deterministic_sample
+    from qvarn_mr_spark.functions.text import lang_guess
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    label = lang_guess("text") == "en"
+    train = deterministic_sample(docs, "doc_id", 0.6, salt="clf-train")
+    w = clf.train_logreg(train, label, iters=10, lr=1.0)
+    score = clf.score_expr(w)
+    return docs.select("doc_id",
+                       F.round(score, 4).alias("score"),
+                       (score >= 0.5).alias("kept"))
+
+
 def q_multimodal_signal_features(spark, sf_dir):
     """REAL media path end-to-end: genuine WAV/PPM bytes (stdlib-written)
     → stdlib decode → numpy signal features (RMS/zero-crossings for PCM,
@@ -1442,6 +1464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_quantiles_kll": q_price_quantiles_kll,
         "events_skew_profile": q_events_skew_profile,
         "corpus_bpe_merges": q_corpus_bpe_merges,
+        "doc_quality_classifier": q_doc_quality_classifier,
         "corpus_prepare": q_corpus_prepare,
         # --- red in r03 (oracle int-width fixed this round) ---
         "q12_priority_lines": q12_priority_lines,

@@ -71,6 +71,7 @@ BENCH_QUERIES = (
     "corpus_top_ngrams",
     "corpus_bpe_merges",
     "multimodal_signal_features",
+    "doc_quality_classifier",
     "doc_pack_sequences",
     "inverted_index",
     "corpus_prepare",

@@ -1,0 +1,152 @@
+"""Model-based document filtering — the learned quality/domain gate.
+
+Real pipelines put a lightweight classifier between the heuristic gates
+and the dedup pass (GPT-3's LR quality filter over web text, CCNet's
+fasttext domain buckets). The 100 TB shape has two halves:
+
+- **training is sample-sized**: a deterministic hash-sample (no RNG,
+  retry-stable — :func:`qvarn_mr_spark.functions.sampling`) feeds a
+  logistic-regression fit whose per-iteration cost is ONE aggregate over
+  the sample producing k+1 doubles — the corpus is never scanned in the
+  loop;
+- **scoring is free at scan time**: the fitted weights become a pure JVM
+  Column expression (``sigmoid(w·x + b)`` over the same feature
+  expressions), so the filter runs inside whole-stage codegen with no
+  Python, no shuffle, no model server.
+
+Features are bounded, engine-native signals (token/punct/stopword ratios
+and the language marker-hit rates from :mod:`functions.text`), so the
+fit is scale-free and the score expression is portable.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from qvarn_mr_spark.functions.text import (
+    LANG_MARKERS,
+    marker_hits,
+    punct_ratio,
+    stopword_ratio,
+    token_count,
+)
+
+
+def feature_exprs(text_col: str = "text") -> dict[str, Column]:
+    """Bounded [0, 1]-ish feature Columns for document classification —
+    all single-pass JVM expressions (narrow at any scale)."""
+    toks = token_count(text_col)
+    safe = F.greatest(toks, F.lit(1)).cast("double")
+    feats: dict[str, Column] = {
+        "len_score": F.least(toks.cast("double") / 100.0, F.lit(1.0)),
+        "punct": punct_ratio(text_col),
+        "stopword": stopword_ratio(text_col),
+    }
+    for lang, words in LANG_MARKERS.items():
+        feats[f"hits_{lang}"] = F.least(
+            marker_hits(text_col, words).cast("double") / safe, F.lit(1.0))
+    return feats
+
+
+def train_logreg(df: DataFrame, label: Column,
+                 features: dict[str, Column] | None = None,
+                 text_col: str = "text", iters: int = 60,
+                 lr: float = 2.0, l2: float = 1e-4) -> dict[str, float]:
+    """Fit logistic regression by full-batch gradient descent on Spark.
+
+    ``df`` should already be the (sample-sized) training set — pair with
+    :func:`qvarn_mr_spark.functions.sampling.deterministic_sample` so
+    retraining is reproducible and the corpus stays out of the loop.
+    Each iteration is one hash aggregate emitting k+1 doubles (the
+    gradient) to the driver; the featurized frame is persisted once, so
+    iterations re-scan a columnar in-memory table of k doubles per row,
+    not the text. Returns ``{feature: weight, "_bias": b}``.
+    """
+    feats = features if features is not None else feature_exprs(text_col)
+    names = sorted(feats)
+    x = df.select(label.cast("double").alias("_y"),
+                  *[feats[n].alias(n) for n in names]).persist()
+    try:
+        n = x.count() or 1
+        # standardize once (one aggregate): full-batch GD on raw
+        # [0, 0.x]-scale features crawls; on unit-variance features it
+        # converges in tens of steps. Weights are mapped back to RAW
+        # feature space before returning, so score_expr needs no stats.
+        srow = x.agg(*[F.avg(nm).alias(f"_m_{nm}") for nm in names],
+                     *[F.stddev_pop(nm).alias(f"_s_{nm}")
+                       for nm in names]).collect()[0]
+        mu = {nm: float(srow[f"_m_{nm}"] or 0.0) for nm in names}
+        sd = {nm: max(float(srow[f"_s_{nm}"] or 0.0), 1e-9)
+              for nm in names}
+        w = {name: 0.0 for name in names}
+        b = 0.0
+        for _ in range(iters):
+            z = F.lit(b)
+            for name in names:
+                z = z + F.lit(w[name]) * (
+                    (F.col(name) - F.lit(mu[name])) / F.lit(sd[name]))
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            err = (p - F.col("_y")).alias("_e")
+            row = x.select(err, *[
+                ((F.col(nm) - F.lit(mu[nm])) / F.lit(sd[nm])).alias(nm)
+                for nm in names]).agg(
+                F.sum("_e").alias("_gb"),
+                *[F.sum(F.col("_e") * F.col(nm)).alias(f"_g_{nm}")
+                  for nm in names]).collect()[0]
+            b -= lr * float(row["_gb"]) / n
+            for name in names:
+                g = float(row[f"_g_{name}"]) / n + l2 * w[name]
+                w[name] -= lr * g
+        out = {name: w[name] / sd[name] for name in names}
+        out["_bias"] = b - sum(w[name] * mu[name] / sd[name]
+                               for name in names)
+        return out
+    finally:
+        x.unpersist()
+
+
+def score_expr(weights: dict[str, float],
+               features: dict[str, Column] | None = None,
+               text_col: str = "text") -> Column:
+    """The fitted model as a pure Column: ``sigmoid(w·x + b)`` over the
+    same feature expressions — scoring a 100 TB corpus is scan-stage
+    work, no Python anywhere."""
+    feats = features if features is not None else feature_exprs(text_col)
+    z = F.lit(weights.get("_bias", 0.0))
+    for name, col in feats.items():
+        if name in weights:
+            z = z + F.lit(weights[name]) * col
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def classifier_filter(df: DataFrame, weights: dict[str, float],
+                      threshold: float = 0.5,
+                      text_col: str = "text",
+                      score_col: str | None = None) -> DataFrame:
+    """Keep rows the model scores above ``threshold`` — the learned gate
+    a pipeline drops between the heuristic filters and dedup. Optionally
+    materializes the score column."""
+    s = score_expr(weights, text_col=text_col)
+    out = df.filter(s >= threshold)
+    if score_col:
+        out = out.withColumn(score_col, F.round(s, 6))
+    return out
+
+
+def train_accuracy(df: DataFrame, label: Column,
+                   weights: dict[str, float],
+                   text_col: str = "text") -> float:
+    """Held-out accuracy of the fitted model (one aggregate)."""
+    s = score_expr(weights, text_col=text_col)
+    row = df.select(
+        ((s >= 0.5).cast("int") == label.cast("int"))
+        .cast("double").alias("_ok")).agg(F.avg("_ok")).collect()[0]
+    return float(row[0] or 0.0)
+
+
+def sigmoid(z: float) -> float:
+    """Driver-side twin of the score expression (tests)."""
+    return 1.0 / (1.0 + math.exp(-z))

@@ -163,3 +163,52 @@ def test_bloom_decontaminate_equals_exact(spark):
                                               num_hashes=2)
                   .select("doc_id").collect())
     assert tiny == exact
+
+
+def test_classifier_learns_language_markers(spark):
+    from qvarn_mr_spark.functions import classifier as clf
+    en = ["the cat and the dog is in the house",
+          "the quick fox is of the essence and that is that",
+          "a man of the people is not a myth",
+          "it was the best of times it was the worst of times"]
+    de = ["der hund und die katze ist nicht ein tier",
+          "das ist der anfang und das ende der geschichte",
+          "die frau und der mann sind nicht zu hause",
+          "ein tag und eine nacht in der stadt"]
+    rows = ([(i, t, 1) for i, t in enumerate(en)] +
+            [(100 + i, t, 0) for i, t in enumerate(de)])
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    w = clf.train_logreg(df, F.col("y") == 1, iters=60, lr=1.0)
+    acc = clf.train_accuracy(df, F.col("y") == 1, w)
+    assert acc == 1.0
+    # the en-marker rate must push toward the positive class
+    assert w["hits_en"] > 0
+    # and filter keeps exactly the english docs
+    kept = sorted(r["doc_id"] for r in
+                  clf.classifier_filter(df, w).collect())
+    assert kept == [0, 1, 2, 3]
+
+
+def test_classifier_score_expr_matches_driver_sigmoid(spark):
+    from qvarn_mr_spark.functions import classifier as clf
+    df = spark.createDataFrame(
+        [(0, "the cat and the dog")], "doc_id long, text string")
+    feats = clf.feature_exprs()
+    names = sorted(feats)
+    vals = df.select(*[feats[n].alias(n) for n in names]).collect()[0]
+    w = {n: 0.1 * (i + 1) for i, n in enumerate(names)}
+    w["_bias"] = -0.4
+    got = df.select(clf.score_expr(w).alias("s")).collect()[0]["s"]
+    z = w["_bias"] + sum(w[n] * vals[n] for n in names)
+    assert got == pytest.approx(clf.sigmoid(z), abs=1e-12)
+
+
+def test_classifier_weights_are_raw_space(spark):
+    """Standardization must be internal: returned weights score RAW
+    features (no stats needed at serve time)."""
+    from qvarn_mr_spark.functions import classifier as clf
+    rows = [(i, ("long text " * (i + 1)).strip(), int(i >= 5))
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    w = clf.train_logreg(df, F.col("y") == 1, iters=80, lr=1.0)
+    assert clf.train_accuracy(df, F.col("y") == 1, w) >= 0.9
