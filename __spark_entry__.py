@@ -1339,6 +1339,16 @@ def q_corpus_prepare(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_documents_table_profile(spark, sf_dir):
+    """ANALYZE-style one-pass column statistics (catalog.table_profile):
+    null counts, exact distinct counts, numeric min/max for every column
+    of `documents` — the planner-statistics surface. Multi-distinct runs
+    as expand + partially-aggregated hash agg."""
+    from qvarn_mr_spark.catalog import table_profile
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return table_profile(docs)
+
+
 def q_doc_quality_classifier(spark, sf_dir):
     """Learned document gate (functions/classifier.py): distill the
     heuristic language gate into a smooth logistic scorer — train on a
@@ -1465,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_skew_profile": q_events_skew_profile,
         "corpus_bpe_merges": q_corpus_bpe_merges,
         "doc_quality_classifier": q_doc_quality_classifier,
+        "documents_table_profile": q_documents_table_profile,
         "corpus_prepare": q_corpus_prepare,
         # --- red in r03 (oracle int-width fixed this round) ---
         "q12_priority_lines": q12_priority_lines,
@@ -1812,6 +1823,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_skew_profile": oracle.skew_profile_sql(
             "user_id", top_n=5),
+        "documents_table_profile": oracle.table_profile_sql(
+            [("doc_id", True), ("text", False), ("lang", False),
+             ("source", False), ("n_chars", True)]),
         "topk_per_key": """
             WITH ranked AS (
               SELECT event_type, event_id, value,

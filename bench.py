@@ -72,6 +72,7 @@ BENCH_QUERIES = (
     "corpus_bpe_merges",
     "multimodal_signal_features",
     "doc_quality_classifier",
+    "documents_table_profile",
     "doc_pack_sequences",
     "inverted_index",
     "corpus_prepare",

@@ -704,3 +704,22 @@ FROM (
   SELECT 'skew_ratio', skew_ratio FROM stats
 ) s
 """
+
+
+def table_profile_sql(cols: list, table: str = "documents") -> str:
+    """catalog.table_profile — ``cols`` is ``[(name, is_numeric), ...]``."""
+    aggs, rows = ["count(*) AS _n"], []
+    for name, num in cols:
+        aggs.append(f"count(CASE WHEN {name} IS NULL THEN 1 END) "
+                    f"AS _null_{name}")
+        aggs.append(f"count(DISTINCT {name}) AS _nd_{name}")
+        if num:
+            aggs.append(f"CAST(min({name}) AS DOUBLE) AS _min_{name}")
+            aggs.append(f"CAST(max({name}) AS DOUBLE) AS _max_{name}")
+        mn = (f"s._min_{name}" if num else "CAST(NULL AS DOUBLE)")
+        mx = (f"s._max_{name}" if num else "CAST(NULL AS DOUBLE)")
+        rows.append(f"SELECT '{name}' AS \"column\", s._n AS n_rows, "
+                    f"s._null_{name} AS n_null, s._nd_{name} AS n_distinct, "
+                    f"{mn} AS min_val, {mx} AS max_val FROM s")
+    return ("WITH s AS (SELECT " + ", ".join(aggs) + f" FROM {table})\n"
+            + "\nUNION ALL\n".join(rows))

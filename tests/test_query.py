@@ -122,3 +122,19 @@ def test_sort_array_field_first_element(people):
     # first elements: p1='Red', p2='green' (p3 empty → null sorts first;
     # uppercase 'R' < lowercase 'g' in binary collation)
     assert got == ["p3", "p1", "p2"]
+
+
+def test_table_profile_exact_stats(spark):
+    from qvarn_mr_spark.catalog import table_profile
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, "a", None), (3, None, 7.5), (3, "b", 0.5)],
+        "id long, s string, x double")
+    got = {r["column"]: r for r in table_profile(df).collect()}
+    assert set(got) == {"id", "s", "x"}
+    assert all(r["n_rows"] == 4 for r in got.values())
+    assert (got["id"]["n_null"], got["id"]["n_distinct"]) == (0, 3)
+    assert (got["s"]["n_null"], got["s"]["n_distinct"]) == (1, 2)
+    assert (got["x"]["n_null"], got["x"]["n_distinct"]) == (1, 3)
+    assert (got["x"]["min_val"], got["x"]["max_val"]) == (0.5, 7.5)
+    assert got["s"]["min_val"] is None        # non-numeric: no min/max
+    assert (got["id"]["min_val"], got["id"]["max_val"]) == (1.0, 3.0)
