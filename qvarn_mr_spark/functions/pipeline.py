@@ -46,6 +46,8 @@ def corpus_prepare(df: DataFrame, id_col: str = "doc_id",
                    decontam_k: int = 4,
                    strip_lines_min_frac: float | None = None,
                    line_delimiter: str = "\n",
+                   classifier_weights: dict | None = None,
+                   classifier_threshold: float = 0.5,
                    jaccard_threshold: float = 0.5,
                    split_weights: dict[str, float] | None = None,
                    salt: str = "corpus") -> DataFrame:
@@ -72,7 +74,12 @@ def corpus_prepare(df: DataFrame, id_col: str = "doc_id",
       anything else, remove every ``line_delimiter``-split segment whose
       normalized form appears in at least that fraction of documents —
       so headers/footers neither pollute the quality profile nor glue
-      unrelated documents together in the dedup pass.
+      unrelated documents together in the dedup pass;
+    - ``classifier_weights`` — a fitted model from
+      :func:`qvarn_mr_spark.functions.classifier.train_logreg`: rows
+      scoring below ``classifier_threshold`` are dropped in the SAME
+      narrow gate stage as the heuristic filters (the score is a pure
+      Column over the profiled text — no extra pass).
     """
     if split_weights is None:
         split_weights = {"train": 0.98, "val": 0.01, "test": 0.01}
@@ -125,6 +132,11 @@ def corpus_prepare(df: DataFrame, id_col: str = "doc_id",
         kept = kept.filter(F.col("_top_word_frac") <= max_top_word_frac)
     if rep_gates:
         kept = kept.drop("_dup_word_frac", "_top_word_frac")
+    if classifier_weights is not None:
+        from qvarn_mr_spark.functions.classifier import score_expr
+        kept = kept.filter(score_expr(classifier_weights,
+                                      text_col="_text")
+                           >= classifier_threshold)
     if decontaminate_against is not None:
         from qvarn_mr_spark.functions.quality import contamination
         hits = contamination(

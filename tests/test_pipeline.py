@@ -141,3 +141,21 @@ def test_line_dedup_idempotent(spark):
     b = sorted((r["doc_id"], r["text"]) for r in twice.collect())
     assert [(d, t) for d, t, *_ in a] == b
     assert all(r["n_removed"] == 0 for r in twice.collect())
+
+
+def test_corpus_prepare_classifier_gate(spark):
+    from qvarn_mr_spark.functions import classifier as clf
+    from qvarn_mr_spark.functions.pipeline import corpus_prepare
+    # unique trigrams per doc so the dedup stage keeps all of them
+    en = [(i, "the cat and the dog w%da x%db y%dc z%dd" % (i, i, i, i))
+          for i in range(8)]
+    de = [(100 + i, "der hund und die katze p%da q%db r%dc s%dd"
+           % (i, i, i, i)) for i in range(8)]
+    df = spark.createDataFrame(en + de, "doc_id long, text string")
+    w = clf.train_logreg(df, F.col("doc_id") < 100, iters=60, lr=1.0)
+    base = corpus_prepare(df, min_quality=0.0, min_tokens=2)
+    gated = corpus_prepare(df, min_quality=0.0, min_tokens=2,
+                           classifier_weights=w)
+    assert base.count() == 16
+    kept = sorted(r["doc_id"] for r in gated.collect())
+    assert kept == [i for i, _ in en]      # only the positive class
