@@ -194,3 +194,44 @@ def test_asof_bucketed_equals_plain(mk_df, data):
             for r in asof_join_bucketed(ldf, rdf, bucket_width=width,
                                         **kwargs).collect()}
     assert plain == buck
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(st.lists(st.sampled_from(WORDS), min_size=0, max_size=6)
+                .map("\n".join), min_size=1, max_size=6),
+       st.integers(min_value=2, max_value=3))
+def test_line_dedup_matches_python_model(mk_df, docs, min_docs):
+    from qvarn_mr_spark.functions.quality import line_dedup
+    df = mk_df(list(enumerate(docs)), "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_lines"], r["n_removed"])
+           for r in line_dedup(df, min_docs=min_docs).collect()}
+    # python model: keys = distinct normalized lines per doc
+    per_doc = [set(l.strip().lower() for l in d.split("\n")
+                   if len(l.strip().lower()) >= 1) for d in docs]
+    from collections import Counter
+    freq = Counter(k for s in per_doc for k in s)
+    bad = {k for k, n in freq.items() if n >= min_docs}
+    for i, d in enumerate(docs):
+        lines = d.split("\n")
+        kept = [l for l in lines if l.strip().lower() not in bad]
+        assert got[i] == ("\n".join(kept), len(lines),
+                          len(lines) - len(kept))
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.sets(st.text(alphabet="abcdef123", min_size=1, max_size=6),
+               min_size=1, max_size=30),
+       st.sets(st.text(alphabet="ghijkl456", min_size=1, max_size=6),
+               min_size=0, max_size=30))
+def test_bloom_never_false_negative_property(mk_df, members, absent):
+    from pyspark.sql import functions as F
+    from qvarn_mr_spark.functions import sketches as sk
+    df = mk_df([(m,) for m in members], "it string")
+    packed = sk.bloom_pack(sk.bloom_rollup(df, [], "it"))
+    probes = mk_df([(x,) for x in members | absent], "it string")
+    hits = {r["it"]: r["hit"] for r in probes.join(F.broadcast(packed))
+            .select("it", sk.bloom_might_contain(
+                F.col("bloom"), F.col("it")).alias("hit")).collect()}
+    assert all(hits[m] for m in members)       # never a false negative
