@@ -1339,6 +1339,27 @@ def q_corpus_prepare(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_doc_surprisal(spark, sf_dir):
+    """Perplexity-style fluency score (functions/text.py): add-0.5
+    unigram LM fitted on the corpus in one explode+agg, every doc scored
+    by mean token surprisal via an equi-join against the
+    vocabulary-sized logprob table — the cheap stand-in for a KenLM
+    perplexity filter."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return text.unigram_surprisal(docs, "doc_id", "text")
+
+
+def q_doc_stratified_fixed_k(spark, sf_dir):
+    """Exact-k-per-stratum sampling (functions/sampling.py): exactly 3
+    docs per language by consistent hash order — deterministic,
+    retry-stable eval-set construction; skew-safe two-phase variant
+    documented for billion-row strata."""
+    from qvarn_mr_spark.functions.sampling import stratified_fixed_k
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return stratified_fixed_k(docs, "doc_id", "lang", k=3) \
+        .select("doc_id", "lang")
+
+
 def q_documents_table_profile(spark, sf_dir):
     """ANALYZE-style one-pass column statistics (catalog.table_profile):
     null counts, exact distinct counts, numeric min/max for every column
@@ -1476,6 +1497,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bpe_merges": q_corpus_bpe_merges,
         "doc_quality_classifier": q_doc_quality_classifier,
         "documents_table_profile": q_documents_table_profile,
+        "doc_surprisal": q_doc_surprisal,
+        "doc_stratified_fixed_k": q_doc_stratified_fixed_k,
         "corpus_prepare": q_corpus_prepare,
         # --- red in r03 (oracle int-width fixed this round) ---
         "q12_priority_lines": q12_priority_lines,
@@ -1823,6 +1846,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_skew_profile": oracle.skew_profile_sql(
             "user_id", top_n=5),
+        "doc_surprisal": oracle.unigram_surprisal_sql(),
+        "doc_stratified_fixed_k": oracle.stratified_fixed_k_sql(k=3),
         "documents_table_profile": oracle.table_profile_sql(
             [("doc_id", True), ("text", False), ("lang", False),
              ("source", False), ("n_chars", True)]),

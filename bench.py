@@ -73,6 +73,8 @@ BENCH_QUERIES = (
     "multimodal_signal_features",
     "doc_quality_classifier",
     "documents_table_profile",
+    "doc_surprisal",
+    "doc_stratified_fixed_k",
     "doc_pack_sequences",
     "inverted_index",
     "corpus_prepare",

@@ -22,7 +22,7 @@ LLM-pipeline extension set (BASELINE.json north star).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from qvarn_mr_spark.functions.dedup import HEX_DIGITS
@@ -211,3 +211,23 @@ FROM w JOIN fr USING (src)
 WHERE {sample_unit_sql(id_col, salt)} < f
 GROUP BY 1
 """
+
+
+def stratified_fixed_k(df: DataFrame, id_col: str, strata_col: str,
+                       k: int, salt: str = "fixk") -> DataFrame:
+    """EXACTLY ``k`` rows per stratum (fewer only when the stratum is
+    smaller), chosen by consistent hash order — the eval-set construction
+    primitive: deterministic, retry-stable, and unbiased within each
+    stratum (hash order is independent of any data column).
+
+    Implementation: window per stratum ranked by ``(hash, id)``. A
+    single-partition window over a billion-row stratum would serialize
+    one reducer, so for heavy strata use the skew-safe two-phase form in
+    :func:`qvarn_mr_spark.operators.skew.topk_per_key` with the hash as
+    the order column — identical output (the local-then-global top-k is
+    exact under the same total order); this direct form is the simple
+    exact shape for eval-sized ``k`` and bounded strata."""
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_unit(id_col, salt).asc(), F.col(id_col).asc())
+    return (df.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k).drop("_rk"))

@@ -411,3 +411,39 @@ def bpe_vocab(df, id_col: str = "doc_id", text_col: str = "text",
                              F.lit(row["right"])).alias("sym"), "n")
     return (words.select(F.explode("sym").alias("symbol"), "n")
             .groupBy("symbol").agg(F.sum("n").alias("freq")))
+
+
+def unigram_surprisal(df, id_col: str = "doc_id", text_col: str = "text",
+                      smoothing: float = 0.5):
+    """Perplexity-style fluency signal from a corpus-fitted unigram LM:
+    per document, the mean negative log-probability of its tokens under
+    add-``smoothing`` unigram estimates fitted on the SAME corpus.
+    High surprisal = rare/garbled vocabulary — the classic cheap stand-in
+    for a KenLM perplexity filter. Returns
+    ``(doc_id, n_tokens, mean_nll)`` (natural log, 6-dp).
+
+    Shape: one explode + hash agg fits the LM (vocabulary-sized table);
+    scoring re-explodes and equi-joins tokens to their logprobs (the LM
+    side is vocabulary-sized — AQE broadcasts when small) and averages
+    per doc. Two shuffles total, both on high-cardinality keys.
+    """
+    from qvarn_mr_spark.functions.dedup import (ensure_min_partitions,
+                                                tokens_col)
+
+    toks = (ensure_min_partitions(df)
+            .select(F.col(id_col).alias("doc_id"),
+                    F.explode(tokens_col(text_col)).alias("w")))
+    lm = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # totals via a 1-row aggregate joined back (broadcast)
+    tot = lm.agg(F.sum("c").alias("_N"),
+                 F.count(F.lit(1)).alias("_V"))
+    scored = (toks.join(lm, "w")
+              .crossJoin(F.broadcast(tot))
+              .select("doc_id",
+                      (-F.log((F.col("c") + F.lit(smoothing))
+                              / (F.col("_N")
+                                 + F.lit(smoothing) * F.col("_V"))))
+                      .alias("nll")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(F.avg("nll"), 6).alias("mean_nll")))

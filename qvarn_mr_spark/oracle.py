@@ -723,3 +723,39 @@ def table_profile_sql(cols: list, table: str = "documents") -> str:
                     f"{mn} AS min_val, {mx} AS max_val FROM s")
     return ("WITH s AS (SELECT " + ", ".join(aggs) + f" FROM {table})\n"
             + "\nUNION ALL\n".join(rows))
+
+
+def unigram_surprisal_sql(smoothing: float = 0.5,
+                          table: str = "documents") -> str:
+    """text.unigram_surprisal — add-k unigram LM fitted on the corpus."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(text), '{TOKEN_RE}'),
+           x -> x != '')) AS w
+  FROM {table}
+),
+lm AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+tot AS (SELECT sum(c) AS n, count(*) AS v FROM lm)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(-ln((c + {smoothing}) / (n + {smoothing} * v))), 6)
+         AS mean_nll
+FROM toks JOIN lm USING (w) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
+def stratified_fixed_k_sql(k: int, strata_col: str = "lang",
+                           salt: str = "fixk",
+                           table: str = "documents") -> str:
+    """sampling.stratified_fixed_k — exactly k per stratum by hash order."""
+    from qvarn_mr_spark.functions.sampling import sample_unit_sql
+    unit = sample_unit_sql("doc_id", salt)
+    return f"""
+SELECT doc_id, {strata_col}
+FROM (SELECT doc_id, {strata_col},
+             row_number() OVER (PARTITION BY {strata_col}
+                                ORDER BY {unit} ASC, doc_id ASC) AS rk
+      FROM {table})
+WHERE rk <= {k}
+"""

@@ -212,3 +212,18 @@ def test_classifier_weights_are_raw_space(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string, y int")
     w = clf.train_logreg(df, F.col("y") == 1, iters=80, lr=1.0)
     assert clf.train_accuracy(df, F.col("y") == 1, w) >= 0.9
+
+
+def test_unigram_surprisal_rare_words_score_higher(spark):
+    from qvarn_mr_spark.functions.text import unigram_surprisal
+    import math
+    rows = [(i, "common words common words") for i in range(9)]
+    rows.append((99, "zyzzyva qwyjibo"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in unigram_surprisal(df).collect()}
+    assert got[99]["mean_nll"] > got[0]["mean_nll"]
+    # exact hand value for the common docs: p = (c+0.5)/(N+0.5V),
+    # c=18 each for 'common'/'words', N=38, V=4
+    p = 18.5 / 40.0
+    assert got[0]["mean_nll"] == pytest.approx(-math.log(p), abs=1e-6)
+    assert got[0]["n_tokens"] == 4

@@ -123,3 +123,20 @@ def test_temperature_mix_deterministic_and_budgeted(spark, sf_dir):
                             tau=0.5, budget_frac=0.5)
             .agg(F.sum("wt")).collect()[0][0])
     assert 0.35 * total < kept < 0.65 * total
+
+
+def test_stratified_fixed_k_exact_and_deterministic(spark):
+    from qvarn_mr_spark.functions.sampling import stratified_fixed_k
+    rows = [(i, "a" if i < 20 else "b") for i in range(30)] + [(99, "c")]
+    df = spark.createDataFrame(rows, "doc_id long, s string")
+    got = stratified_fixed_k(df, "doc_id", "s", k=5)
+    per = {r["s"]: 0 for r in got.collect()}
+    for r in got.collect():
+        per[r["s"]] += 1
+    assert per == {"a": 5, "b": 5, "c": 1}   # capped by stratum size
+    again = stratified_fixed_k(df, "doc_id", "s", k=5)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, again.collect()))
+    # different salt -> (almost surely) different members, same counts
+    other = stratified_fixed_k(df, "doc_id", "s", k=5, salt="other")
+    assert other.count() == 11
