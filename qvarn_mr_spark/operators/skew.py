@@ -104,8 +104,13 @@ def skew_profile(df: DataFrame, key_cols: list[str],
     partial top-N — the diagnostic is as cheap as the cheapest aggregate
     on that key, never heavier than the operator it de-risks."""
     key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    # persist the |keys|-sized count table: the top-N branch and the
+    # quantile branch otherwise each re-scan and re-aggregate the corpus
+    # (union branches don't share the exchange) — with the pin the
+    # corpus is read once and both branches read kilobytes
     counts = (df.groupBy(key.alias("key"))
-              .agg(F.count(F.lit(1)).alias("n_rows")))
+              .agg(F.count(F.lit(1)).alias("n_rows"))
+              .persist())
     w = Window.orderBy(F.desc("n_rows"), F.asc("key"))
     top = (counts.orderBy(F.desc("n_rows"), F.asc("key")).limit(top_n)
            .select(F.concat(F.lit("top#"),
