@@ -433,7 +433,10 @@ def unigram_surprisal(df, id_col: str = "doc_id", text_col: str = "text",
     toks = (ensure_min_partitions(df)
             .select(F.col(id_col).alias("doc_id"),
                     F.explode(tokens_col(text_col)).alias("w")))
-    lm = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # pin the vocabulary-sized LM: the totals aggregate and the scoring
+    # join both read it — without the pin each consumer re-tokenizes
+    # the corpus from scratch (kilobyte cache vs an extra corpus pass)
+    lm = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c")).persist()
     # totals via a 1-row aggregate joined back (broadcast)
     tot = lm.agg(F.sum("c").alias("_N"),
                  F.count(F.lit(1)).alias("_V"))
