@@ -2,6 +2,7 @@
 
 from qvarn_mr_spark.streaming.stateful import (
     dedup_stream,
+    latest_per_key_stream,
     sessionize_stream,
     windowed_counts,
 )
@@ -16,5 +17,6 @@ from qvarn_mr_spark.streaming.lease import (
 )
 
 __all__ = ["BusyWorkerError", "NOTIFICATION_SCHEMA", "StreamingMaintainer",
-           "WorkerLease", "dedup_stream", "read_change_feed",
+           "WorkerLease", "dedup_stream", "latest_per_key_stream",
+           "read_change_feed",
            "sessionize_stream", "windowed_counts"]

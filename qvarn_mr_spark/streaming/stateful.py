@@ -156,3 +156,57 @@ def sessionize_stream(stream: DataFrame, gap_minutes: int = 30,
         stateStructType=SESSION_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+LATEST_OUT_SCHEMA = "user_id long, ts_us long, value double"
+LATEST_STATE_SCHEMA = "ts_us long, value double"
+
+
+def latest_per_key_stream(stream: DataFrame, key_col: str = "user_id",
+                          ts_col: str = "ts",
+                          value_col: str = "value") -> DataFrame:
+    """Continuously maintained newest-row-per-key — the streaming twin of
+    the batch ``window_latest`` view (the reference's newest-wins dedup,
+    SURVEY §2.4 A9), as a custom stateful operator.
+
+    State = one ``(ts_us, value)`` pair per key; each micro-batch folds
+    its rows into the stored event-time maximum and emits the key's row
+    ONLY when the latest actually changed — late/out-of-order rows older
+    than the stored latest produce no output and no state write. State
+    size is O(live keys), not O(rows): the bounded-memory property an
+    unbounded CDC feed needs.
+
+    Built on ``applyInPandasWithState``; Spark 4's
+    ``transformWithStateInPandas`` is the drop-in upgrade (named state
+    variables + TTL) once the runtime ships its protobuf dependency —
+    this container's Python env lacks ``google.protobuf``, which that
+    API's state-server protocol imports."""
+
+    def update(key: tuple, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        cur = state.get if state.exists else None
+        best_ts = int(cur[0]) if cur else None
+        best_val = float(cur[1]) if cur else None
+        changed = False
+        for pdf in pdfs:
+            ts_us = pdf["_ts"].astype("int64") // 1000
+            for t, v in zip(ts_us, pdf["_value"]):
+                if best_ts is None or int(t) > best_ts:
+                    best_ts, best_val = int(t), float(v)
+                    changed = True
+        if changed:
+            state.update((best_ts, best_val))
+            yield pd.DataFrame({"user_id": [key[0]],
+                                "ts_us": [best_ts],
+                                "value": [best_val]})
+
+    prepared = stream.select(
+        F.col(key_col).cast("long").alias("user_id"),
+        F.col(ts_col).alias("_ts"),
+        F.col(value_col).cast("double").alias("_value"))
+    return (prepared.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=LATEST_OUT_SCHEMA,
+        stateStructType=LATEST_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout))

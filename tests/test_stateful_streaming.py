@@ -177,3 +177,55 @@ def test_stream_static_broadcast_enrichment(spark, events_dir, tmp_path):
     expected = {tuple(r) for r in enriched_counts(batch).collect()}
     assert {tuple(r) for r in got} == expected
     assert len(got) == 5
+
+
+def test_latest_per_key_stream_state_across_batches(spark, tmp_path):
+    """transformWithStateInPandas newest-wins: the stored latest survives
+    micro-batch boundaries, late rows older than it emit nothing, and
+    the final per-key state matches the batch window_latest semantics."""
+    from qvarn_mr_spark.streaming import latest_per_key_stream
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    ck = str(tmp_path / "ck")
+
+    def emit(name, rows):
+        import glob
+        import shutil
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double")
+        df.coalesce(1).write.mode("overwrite") \
+            .parquet(str(tmp_path / f"tmp_{name}"))
+        for i, f in enumerate(glob.glob(
+                str(tmp_path / f"tmp_{name}" / "*.parquet"))):
+            shutil.move(f, str(feed / f"{name}-{i}.parquet"))
+
+    def run(collected):
+        stream = spark.readStream \
+            .schema("user_id long, ts timestamp, value double") \
+            .parquet(str(feed))
+        q = (latest_per_key_stream(stream)
+             .writeStream.outputMode("update")
+             .foreachBatch(lambda b, _: collected.extend(b.collect()))
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    from datetime import datetime
+
+    def T(hhmm):
+        return datetime.fromisoformat(f"2024-01-01 {hhmm}:00")
+
+    emit("b1", [(1, T("10:00"), 1.0), (1, T("10:30"), 2.0),
+                (2, T("09:00"), 5.0)])
+    got1 = []
+    run(got1)
+    assert {(r["user_id"], r["value"]) for r in got1} == {(1, 2.0), (2, 5.0)}
+
+    # batch 2: a LATE row for user 1 (older than stored latest -> no
+    # emission), a genuinely newer row for user 2, and a new key
+    emit("b2", [(1, T("10:15"), 9.0), (2, T("11:00"), 7.0),
+                (3, T("08:00"), 3.0)])
+    got2 = []
+    run(got2)
+    assert {(r["user_id"], r["value"]) for r in got2} == {(2, 7.0), (3, 3.0)}
