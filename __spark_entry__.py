@@ -1339,6 +1339,15 @@ def q_corpus_prepare(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_doc_substring_dedup(spark, sf_dir):
+    """Exact substring dedup (k-gram-seeded span removal, the Lee et al.
+    operator): tokens covered by any verbatim-duplicated 8-gram are
+    removed everywhere. Linear shape — positional gram explode + one
+    hash agg + per-doc in-place index filter; no pairwise comparisons."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return dedup.substring_dedup(docs, "doc_id", "text", k=8)
+
+
 def q_doc_surprisal(spark, sf_dir):
     """Perplexity-style fluency score (functions/text.py): add-0.5
     unigram LM fitted on the corpus in one explode+agg, every doc scored
@@ -1497,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bpe_merges": q_corpus_bpe_merges,
         "doc_quality_classifier": q_doc_quality_classifier,
         "documents_table_profile": q_documents_table_profile,
+        "doc_substring_dedup": q_doc_substring_dedup,
         "doc_surprisal": q_doc_surprisal,
         "doc_stratified_fixed_k": q_doc_stratified_fixed_k,
         "corpus_prepare": q_corpus_prepare,
@@ -1846,6 +1856,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_skew_profile": oracle.skew_profile_sql(
             "user_id", top_n=5),
+        "doc_substring_dedup": oracle.substring_dedup_sql(k=8),
         "doc_surprisal": oracle.unigram_surprisal_sql(),
         "doc_stratified_fixed_k": oracle.stratified_fixed_k_sql(k=3),
         "documents_table_profile": oracle.table_profile_sql(

@@ -68,6 +68,7 @@ BENCH_QUERIES = (
     "doc_decontaminate",
     "doc_decontaminate_bloom",
     "doc_line_dedup",
+    "doc_substring_dedup",
     "corpus_top_ngrams",
     "corpus_bpe_merges",
     "multimodal_signal_features",

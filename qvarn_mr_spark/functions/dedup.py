@@ -551,3 +551,56 @@ def dedup_corpus(df: DataFrame, id_col: str = "doc_id",
     return keeper_canon.select(
         "doc_id", "canonical_id",
         (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"))
+
+
+def substring_dedup(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 8,
+                    min_count: int = 2) -> DataFrame:
+    """Exact substring deduplication (the Lee et al. "Deduplicating
+    Training Data" operator, k-gram-seeded): remove every token covered
+    by a ``k``-token gram whose VERBATIM occurrence count across the
+    whole corpus is ≥ ``min_count`` — any duplicated span of length ≥ k
+    is covered by such grams at every offset, so duplicated spans vanish
+    while unique text survives. Returns ``(doc_id, text, n_tokens,
+    n_removed)`` with the surviving tokens of the NORMALIZED text
+    (lowercased, punctuation-split) rejoined in order.
+
+    Scale shape: positional k-grams explode once (|tokens| rows, no
+    distinct); the duplicated-gram set comes from one hash aggregate on
+    the gram; covered positions join back per doc and the token array is
+    filtered in place by index — like line_dedup, no reassembly shuffle,
+    no pairwise comparisons anywhere (cost is linear in corpus tokens +
+    Σ duplicated-gram occurrences)."""
+    t = tokens_col(text_col)
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.when(
+            F.size(t) >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - k),
+                lambda i: F.struct(
+                    i.alias("start"),
+                    F.concat_ws(" ", F.slice(t, i + 1, k)).alias("g"))))
+            .otherwise(F.array().cast(
+                "array<struct<start:int,g:string>>"))).alias("s"))
+    grams = grams.select("doc_id", "s.start", "s.g")
+    dup = (grams.groupBy("g")
+           .agg(F.count(F.lit(1)).alias("_n"))
+           .filter(F.col("_n") >= min_count)
+           .select("g"))
+    covered = (grams.join(dup, "g")
+               .select("doc_id",
+                       F.explode(F.sequence(
+                           F.col("start"),
+                           F.col("start") + (k - 1))).alias("pos")))
+    bad = covered.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("pos")).alias("_bad"))
+    badc = F.coalesce(F.col("_bad"), F.array().cast("array<int>"))
+    kept = F.filter(t, lambda x, i: ~F.array_contains(badc, i))
+    return (df.join(bad.withColumnRenamed("doc_id", id_col), id_col,
+                    "left")
+            .select(F.col(id_col).alias("doc_id"),
+                    F.concat_ws(" ", kept).alias("text"),
+                    F.size(t).cast("long").alias("n_tokens"),
+                    (F.size(t) - F.size(kept)).cast("long")
+                    .alias("n_removed")))

@@ -759,3 +759,43 @@ FROM (SELECT doc_id, {strata_col},
       FROM {table})
 WHERE rk <= {k}
 """
+
+
+def substring_dedup_sql(k: int = 8, min_count: int = 2,
+                        table: str = "documents") -> str:
+    """dedup.substring_dedup — k-gram-seeded exact substring removal.
+    DuckDB list lambdas are 1-indexed; positions stay 1-based on this
+    side throughout, matching Spark's 0-based side internally."""
+    gram = f"array_to_string(list_slice(t, i, i + {k - 1}), ' ')"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '{TOKEN_RE}'),
+                     x -> x != '') AS t
+  FROM {table}
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) - {k} + 2),
+                               i -> struct_pack(i := i, g := {gram}))) AS s
+  FROM toks WHERE len(t) >= {k}
+),
+flat AS (SELECT doc_id, s.i AS start, s.g AS g FROM grams),
+dup AS (SELECT g FROM flat GROUP BY g HAVING count(*) >= {min_count}),
+covered AS (
+  SELECT DISTINCT doc_id, unnest(range(start, start + {k})) AS pos
+  FROM flat JOIN dup USING (g)
+),
+bad AS (SELECT doc_id, list_sort(list(DISTINCT pos)) AS bad_pos
+        FROM covered GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(array_to_string(
+         list_filter(d.t, (x, i) -> NOT list_contains(
+           coalesce(b.bad_pos, CAST([] AS BIGINT[])), i)), ' '), '')
+         AS text,
+       CAST(len(d.t) AS BIGINT) AS n_tokens,
+       CAST(len(d.t) - len(list_filter(d.t, (x, i) -> NOT list_contains(
+         coalesce(b.bad_pos, CAST([] AS BIGINT[])), i))) AS BIGINT)
+         AS n_removed
+FROM toks d LEFT JOIN bad b USING (doc_id)
+"""

@@ -738,3 +738,39 @@ def test_media_signal_features_real_values(spark):
             float(arr[:, :, ch].mean()), abs=1e-9)
     assert rows[0][5] == pytest.approx(8 / 6, abs=1e-9)  # aspect
     assert rows[0][6] == 3.0                     # channel count
+
+
+def test_substring_dedup_removes_duplicated_spans(spark):
+    shared = "alpha beta gamma delta epsilon"       # 5-token span
+    rows = [
+        (0, f"{shared} unique0a unique0b unique0c"),
+        (1, f"intro1 {shared} tail1a tail1b"),
+        (2, "totally distinct words here only once ok fine"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           dedup.substring_dedup(df, k=5, min_count=2).collect()}
+    # the shared 5-gram is covered in both docs; unique tails survive
+    assert got[0]["text"] == "unique0a unique0b unique0c"
+    assert got[1]["text"] == "intro1 tail1a tail1b"
+    assert got[2]["n_removed"] == 0
+    assert got[0]["n_removed"] == 5 and got[1]["n_removed"] == 5
+
+
+def test_substring_dedup_within_doc_repeat_counts(spark):
+    # the same 4-gram twice in ONE doc is a verbatim repeat too
+    df = spark.createDataFrame(
+        [(0, "p q r s middle p q r s"), (1, "other words entirely here")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           dedup.substring_dedup(df, k=4, min_count=2).collect()}
+    assert got[0]["text"] == "middle"
+    assert got[1]["n_removed"] == 0
+
+
+def test_substring_dedup_short_docs_untouched(spark):
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, "a b")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           dedup.substring_dedup(df, k=8).collect()}
+    assert got[0]["text"] == "a b" and got[0]["n_removed"] == 0
