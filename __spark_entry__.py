@@ -1339,6 +1339,16 @@ def q_corpus_prepare(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_doc_compression_ratio(spark, sf_dir):
+    """zlib compression-ratio redundancy signal (functions/quality.py):
+    the long-range/sub-token repetition proxy word-gram fractions miss.
+    Arrow-batched stdlib zlib (one C call per doc, no shuffle) — the
+    documented exception to the Column-expression rule; rows-only (no
+    SQL compressor), value determinism pytest-pinned against zlib."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return quality.compression_ratio(docs, "doc_id", "text")
+
+
 def q_doc_substring_dedup(spark, sf_dir):
     """Exact substring dedup (k-gram-seeded span removal, the Lee et al.
     operator): tokens covered by any verbatim-duplicated 8-gram are
@@ -1507,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_classifier": q_doc_quality_classifier,
         "documents_table_profile": q_documents_table_profile,
         "doc_substring_dedup": q_doc_substring_dedup,
+        "doc_compression_ratio": q_doc_compression_ratio,
         "doc_surprisal": q_doc_surprisal,
         "doc_stratified_fixed_k": q_doc_stratified_fixed_k,
         "corpus_prepare": q_corpus_prepare,

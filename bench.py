@@ -69,6 +69,7 @@ BENCH_QUERIES = (
     "doc_decontaminate_bloom",
     "doc_line_dedup",
     "doc_substring_dedup",
+    "doc_compression_ratio",
     "corpus_top_ngrams",
     "corpus_bpe_merges",
     "multimodal_signal_features",

@@ -254,3 +254,44 @@ def pii_redact(df: DataFrame, text_col: str = "text",
     for name, pat in PII_PATTERNS.items():
         c = F.regexp_replace(c, pat, f"[{name.upper()}]")
     return df.withColumn(out_col or text_col, c)
+
+
+def compression_ratio(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      level: int = 6) -> DataFrame:
+    """Per-document zlib compression ratio ``compressed/raw`` — the
+    classic cheap redundancy signal (highly repetitive or templated text
+    compresses far below ~0.4; high-entropy garbage stays near 1.0).
+    Complements the n-gram repetition ratios: zlib sees long-range and
+    sub-token redundancy that word-gram fractions miss.
+
+    Arrow-batched ``mapInPandas`` (stdlib ``zlib``, one C call per doc,
+    no shuffle) — this is the documented exception to the
+    Column-expression rule: there is no JVM-side compressor exposed to
+    SQL, and the per-batch Python cost is one vectorized loop of C
+    calls. Returns ``(doc_id, n_bytes, ratio)``; empty docs report
+    ratio 1.0."""
+    import zlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from qvarn_mr_spark.session import ship_package
+    ship_package(df.sparkSession)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, nb, ratio = [], [], []
+            for i, t in zip(pdf["_id"], pdf["_text"]):
+                raw = (t or "").encode("utf-8")
+                ids.append(i)
+                nb.append(len(raw))
+                ratio.append(
+                    round(len(zlib.compress(raw, level)) / len(raw), 6)
+                    if raw else 1.0)
+            yield pd.DataFrame({"doc_id": ids, "n_bytes": nb,
+                                "ratio": ratio})
+
+    src = df.select(F.col(id_col).alias("_id"),
+                    F.col(text_col).alias("_text"))
+    return src.mapInPandas(batches, "doc_id long, n_bytes long, ratio double")

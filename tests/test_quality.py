@@ -227,3 +227,20 @@ def test_unigram_surprisal_rare_words_score_higher(spark):
     p = 18.5 / 40.0
     assert got[0]["mean_nll"] == pytest.approx(-math.log(p), abs=1e-6)
     assert got[0]["n_tokens"] == 4
+
+
+def test_compression_ratio_orders_redundancy(spark):
+    from qvarn_mr_spark.functions.quality import compression_ratio
+    import hashlib
+    noise = " ".join(hashlib.sha256(str(i).encode()).hexdigest()
+                     for i in range(30))
+    rows = [(0, "repeat me " * 200), (1, noise), (2, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    assert got[0]["ratio"] < 0.05          # templated text crushes
+    assert got[1]["ratio"] > 0.4           # hex noise stays high
+    assert got[2]["ratio"] == 1.0 and got[2]["n_bytes"] == 0
+    # exact value is pinned by stdlib zlib determinism
+    import zlib
+    raw = ("repeat me " * 200).encode()
+    assert got[0]["ratio"] == round(len(zlib.compress(raw, 6)) / len(raw), 6)
