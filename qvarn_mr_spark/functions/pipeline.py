@@ -177,3 +177,54 @@ def corpus_stats(df: DataFrame, prepared: DataFrame,
                       F.sum("n_tokens").alias("n_tokens")))
     return per_split.crossJoin(total).select(
         "split", "n_docs", "n_absorbed", "n_tokens", "n_input")
+
+
+def export_training_shards(df: DataFrame, path: str,
+                           id_col: str = "doc_id",
+                           text_col: str = "text", window: int = 512,
+                           shards: int = 8,
+                           split_weights: dict[str, float] | None = None,
+                           salt: str = "corpus") -> DataFrame:
+    """The last mile: documents → packed training sequences on disk.
+
+    Per split (consistent-hash assignment — no sequence ever crosses a
+    split boundary): compute the ``window``-token packing table
+    (:func:`qvarn_mr_spark.functions.packing.pack_sequences`, the
+    scalable two-phase cumsum), assign every document's starting pack to
+    one of ``shards`` hash shards, and write parquet partitioned by
+    ``(split, shard)`` — the layout a distributed trainer reads with one
+    directory glob per worker. Everything is deterministic (hash splits,
+    id-ordered packing), so re-export reproduces byte-identical
+    assignments.
+
+    Returns the export manifest: ``(split, shard, n_docs, n_tokens,
+    n_packs)`` per written partition."""
+    from qvarn_mr_spark.functions.packing import pack_sequences
+    from qvarn_mr_spark.functions.sampling import assign_split
+
+    if split_weights is None:
+        split_weights = {"train": 0.98, "val": 0.01, "test": 0.01}
+    assigned = assign_split(
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.col(text_col).alias("text")),
+        "doc_id", split_weights, salt=salt)
+    for split in sorted(split_weights):
+        docs = assigned.filter(F.col("split") == split).drop("split")
+        packed = pack_sequences(docs, "doc_id", "text", window=window)
+        out = (packed.join(docs, "doc_id")
+               .withColumn("shard",
+                           F.pmod(F.xxhash64(F.lit(salt), "pack_first"),
+                                  F.lit(shards)).cast("int"))
+               .withColumn("split", F.lit(split)))
+        (out.select("split", "shard", "doc_id", "text", "n_tokens",
+                    "start_offset", "pack_first", "pack_last")
+         .write.mode("overwrite" if split == sorted(split_weights)[0]
+                     else "append")
+         .partitionBy("split", "shard").parquet(path))
+    spark = df.sparkSession
+    written = spark.read.parquet(path)
+    return (written.groupBy("split", "shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens"),
+                 F.count_distinct("pack_first").alias("n_packs"))
+            .orderBy("split", "shard"))

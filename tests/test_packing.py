@@ -78,3 +78,32 @@ def test_inverted_index(spark):
     capped = {r["term"] for r in
               inverted_index(df, min_df=2).collect()}
     assert capped == {"red", "blue"}
+
+
+def test_export_training_shards_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from qvarn_mr_spark.functions.pipeline import export_training_shards
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(10)))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "shards")
+    manifest = export_training_shards(
+        df, out, window=32, shards=4,
+        split_weights={"train": 0.8, "val": 0.2})
+    m = manifest.collect()
+    assert {r["split"] for r in m} <= {"train", "val"}
+    assert all(0 <= r["shard"] < 4 for r in m)
+    # token conservation: every input token lands in exactly one row
+    written = spark.read.parquet(out)
+    assert written.count() == 60
+    assert written.agg(F.sum("n_tokens")).collect()[0][0] == 600
+    # per-split packing is self-contained: offsets restart per split
+    for split in ("train", "val"):
+        part = written.filter(F.col("split") == split)
+        assert part.agg(F.min("start_offset")).collect()[0][0] == 0
+    # deterministic re-export
+    again = export_training_shards(
+        df, str(tmp_path / "shards2"), window=32, shards=4,
+        split_weights={"train": 0.8, "val": 0.2})
+    assert sorted(map(tuple, manifest.collect())) == \
+        sorted(map(tuple, again.collect()))
