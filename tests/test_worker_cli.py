@@ -145,3 +145,31 @@ def test_worker_bucketed_store_and_extended_dag(spark, sf_dir, tmp_path,
             per_user.groupBy("n").agg(F.count(F.lit(1)).alias("c"))
             .collect()}
     assert got == want
+
+
+def test_corpus_cli_end_to_end(spark, sf_dir, tmp_path, capsys):
+    """The corpus pipeline as a job: parquet in, trainer shards +
+    JSON-lines manifest out."""
+    import json as _json
+
+    from qvarn_mr_spark import corpus_cli
+
+    out = str(tmp_path / "shards")
+    corpus_cli.main([
+        "--input", f"{sf_dir}/documents.parquet",
+        "--output", out,
+        "--min-quality", "0.0", "--min-tokens", "2",
+        "--window", "128", "--shards", "2",
+        "--train", "0.8", "--val", "0.1", "--test", "0.1",
+        "--stats",
+    ])
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    rows = [_json.loads(l) for l in lines]
+    stats = [r for r in rows if "stat" in r]
+    manifest = [r for r in rows if "stat" not in r]
+    assert stats and manifest
+    assert {m["split"] for m in manifest} <= {"train", "val", "test"}
+    written = spark.read.parquet(out)
+    assert written.count() > 0
+    assert set(written.columns) >= {"doc_id", "text", "n_tokens",
+                                    "start_offset", "pack_first"}
