@@ -856,6 +856,29 @@ def q_events_asof(spark, sf_dir):
                     "purchase_id", "purchase_value")
 
 
+def q_events_asof_tolerance(spark, sf_dir):
+    """As-of join with a pandas-merge_asof-style tolerance: matches
+    farther than 1 hour report null payload. The matched timestamp rides
+    inside the window payload struct, so the bound costs one comparison
+    — same single-shuffle plan as events_asof."""
+    from qvarn_mr_spark.operators.asof import asof_join
+    ev = _t(spark, sf_dir, "events")["events"]
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts",
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("value").alias("purchase_value")))
+    j = asof_join(clicks, purchases, on=["user_id"],
+                  payload={"purchase_id": "purchase_id",
+                           "purchase_value": "purchase_value"},
+                  tiebreak=["purchase_id"],
+                  tolerance_us=3_600_000_000)
+    return j.select(F.col("event_id").alias("click_id"), "user_id",
+                    ts_us("ts").alias("click_us"),
+                    "purchase_id", "purchase_value")
+
+
 def q_events_asof_bucketed(spark, sf_dir):
     """Skew-safe as-of join (operators/asof.py:asof_join_bucketed): same
     click→latest-purchase semantics as events_asof, but matched per
@@ -1543,6 +1566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_running": q_events_running,
         "price_quantiles": q_price_quantiles,
         "events_asof": q_events_asof,
+        "events_asof_tolerance": q_events_asof_tolerance,
         "events_asof_bucketed": q_events_asof_bucketed,
         "events_error_window": q_events_error_window,
         "topk_per_key": q_topk_per_key,
@@ -1853,6 +1877,24 @@ def oracle_sql() -> dict[str, str]:
                                           SELECT * FROM b)) AS n_a_only
         """,
         "events_asof": _ASOF_ORACLE,
+        "events_asof_tolerance": """
+    WITH clicks AS (
+      SELECT event_id AS click_id, user_id, ts
+      FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, ts, max(event_id) AS purchase_id,
+             arg_max(value, event_id) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT c.click_id, c.user_id, epoch_us(c.ts) AS click_us,
+           CASE WHEN epoch_us(c.ts) - epoch_us(p.ts) <= 3600000000
+                THEN p.purchase_id END AS purchase_id,
+           CASE WHEN epoch_us(c.ts) - epoch_us(p.ts) <= 3600000000
+                THEN p.purchase_value END AS purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+""",
         # the bucketed rewrite must produce IDENTICAL output — same oracle
         "events_asof_bucketed": _ASOF_ORACLE,
         "events_error_window": """

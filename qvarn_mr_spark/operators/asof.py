@@ -54,7 +54,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
               payload: dict[str, str] | None = None,
               direction: str = "backward",
               allow_exact_matches: bool = True,
-              tiebreak: list[str] | None = None) -> DataFrame:
+              tiebreak: list[str] | None = None,
+              tolerance_us: int | None = None) -> DataFrame:
     """Left as-of join: every left row, plus the matched right payload
     columns (null when no right row qualifies).
 
@@ -66,10 +67,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
                    'forward' (earliest right.ts >= left.ts).
     ``allow_exact_matches``  whether right.ts == left.ts may match.
     ``tiebreak``   right columns ordering ties on (key, ts) — last wins.
+    ``tolerance_us``  pandas-merge_asof-style maximum event-time distance
+                   (µs): a match farther than this reports null payload.
+                   Implemented by carrying the matched timestamp through
+                   the window — the plan gains one comparison, no pass.
     """
     l2, r2, payload = _prep_sides(left, right, on, left_ts, right_ts,
                                   payload, direction, allow_exact_matches,
-                                  tiebreak)
+                                  tiebreak, with_mts=tolerance_us is not None)
     ts_sort = F.asc("_ts") if direction == "backward" else F.desc("_ts")
     w = (Window.partitionBy(*on)
          .orderBy(ts_sort, F.asc("_ord"), F.asc("_tb"))
@@ -79,21 +84,48 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
                .filter(F.col("_lrow").isNotNull()))
     return matched.select(
         "_lrow.*",
-        *[F.col(f"_m.{a}").alias(a) for a in payload.values()])
+        *_payload_cols(matched, payload, tolerance_us))
+
+
+def _ts_num(col_name: str, dtype: str):
+    """Comparable long for tolerance math: epoch-µs for time types, the
+    raw value for numeric ts columns (tolerance then uses native units)."""
+    if dtype.startswith(("timestamp", "date")):
+        return ts_us(col_name, dtype)
+    return F.col(col_name).cast("long")
+
+
+def _payload_cols(matched, payload, tolerance_us):
+    """Output payload columns, nulled when the match is farther than the
+    tolerance (the left timestamp is the row's own ``_ts``)."""
+    if tolerance_us is None:
+        return [F.col(f"_m.{a}").alias(a) for a in payload.values()]
+    lts = _ts_num("_ts", dict(matched.dtypes)["_ts"])
+    within = F.abs(lts - F.col("_m._mts")) <= F.lit(int(tolerance_us))
+    return [F.when(within, F.col(f"_m.{a}")).alias(a)
+            for a in payload.values()]
 
 
 def _prep_sides(left, right, on, left_ts, right_ts, payload, direction,
-                allow_exact_matches, tiebreak):
+                allow_exact_matches, tiebreak, with_mts=False):
     """Tag-and-pack both sides for the union-and-window formulation:
-    (keys, _ts, _ord, _tb, _lrow, _rpay) with matching schemas."""
+    (keys, _ts, _ord, _tb, _lrow, _rpay) with matching schemas. With
+    ``with_mts`` the matched right timestamp rides inside the payload
+    struct as epoch-µs ``_mts`` (reserved name) for tolerance checks."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction!r}")
     if payload is None:
         payload = {c: c for c in right.columns
                    if c not in on and c != right_ts}
+    if with_mts and "_mts" in payload.values():
+        raise ValueError("payload alias '_mts' is reserved")
     tiebreak = tiebreak or []
 
-    rpay = F.struct(*[F.col(c).alias(a) for c, a in payload.items()])
+    pay_cols = [F.col(c).alias(a) for c, a in payload.items()]
+    if with_mts:
+        pay_cols.append(
+            _ts_num(right_ts, dict(right.dtypes)[right_ts]).alias("_mts"))
+    rpay = F.struct(*pay_cols)
     rpay_type = right.select(rpay.alias("p")).schema["p"].dataType
     lrow = F.struct(*[F.col(c) for c in left.columns])
     lrow_type = left.select(lrow.alias("r")).schema["r"].dataType
@@ -134,7 +166,8 @@ def asof_join_bucketed(left: DataFrame, right: DataFrame, on: list[str],
                        payload: dict[str, str] | None = None,
                        direction: str = "backward",
                        allow_exact_matches: bool = True,
-                       tiebreak: list[str] | None = None) -> DataFrame:
+                       tiebreak: list[str] | None = None,
+                       tolerance_us: int | None = None) -> DataFrame:
     """Skew-safe :func:`asof_join`: identical output, but a hot key never
     sorts in one task.
 
@@ -159,7 +192,7 @@ def asof_join_bucketed(left: DataFrame, right: DataFrame, on: list[str],
     """
     l2, r2, payload = _prep_sides(left, right, on, left_ts, right_ts,
                                   payload, direction, allow_exact_matches,
-                                  tiebreak)
+                                  tiebreak, with_mts=tolerance_us is not None)
     if direction == "backward":
         ts_sort = [F.asc("_ts"), F.asc("_ord"), F.asc("_tb")]
         ts_rev = [F.desc("_ts"), F.desc("_ord"), F.desc("_tb")]
@@ -211,4 +244,4 @@ def asof_join_bucketed(left: DataFrame, right: DataFrame, on: list[str],
                .withColumn("_m", F.coalesce("L._m_local", "C._carry")))
     return matched.select(
         "_lrow.*",
-        *[F.col(f"_m.{a}").alias(a) for a in payload.values()])
+        *_payload_cols(matched, payload, tolerance_us))

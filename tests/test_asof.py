@@ -128,3 +128,42 @@ def test_plan_is_single_shuffle_window(spark):
     for bad in ("BroadcastNestedLoop", "CartesianProduct", "SortMergeJoin",
                 "ShuffledHashJoin", "BroadcastHashJoin"):
         assert bad not in plan, plan
+
+
+def test_tolerance_nulls_distant_matches(spark):
+    left = _mk(spark, [("a", 100, 1), ("a", 200, 2), ("a", 205, 3)],
+               ["k", "ts", "lid"])
+    right = _mk(spark, [("a", 95, 950), ("a", 198, 980)],
+                ["k", "ts", "price"])
+    out = asof_join(left, right, on=["k"], payload={"price": "price"},
+                    tolerance_us=5)
+    got = {r["lid"]: r["price"] for r in out.collect()}
+    # lid=1: match ts95 at distance 5 (inclusive) -> kept
+    # lid=2: match ts198 at distance 2 -> kept
+    # lid=3: match ts198 at distance 7 > 5 -> nulled
+    assert got == {1: 950, 2: 980, 3: None}
+
+
+def test_tolerance_bucketed_equals_plain(spark):
+    random.seed(11)
+    lrows = [("k%d" % (i % 3), random.randint(0, 1000), i)
+             for i in range(150)]
+    rrows = [("k%d" % (i % 3), random.randint(0, 1000), i * 10)
+             for i in range(80)]
+    left = _mk(spark, lrows, ["k", "ts", "lid"])
+    right = _mk(spark, rrows, ["k", "ts", "price"])
+    plain = asof_join(left, right, on=["k"], payload={"price": "price"},
+                      tiebreak=["price"], tolerance_us=50)
+    bucketed = asof_join_bucketed(left, right, on=["k"], bucket_width=100,
+                                  tiebreak=["price"],
+                                  payload={"price": "price"},
+                                  tolerance_us=50)
+    a = sorted((r["lid"], r["price"]) for r in plain.collect())
+    b = sorted((r["lid"], r["price"]) for r in bucketed.collect())
+    assert a == b
+    # tolerance actually bites: some matches nulled vs the untolerated run
+    loose = asof_join(left, right, on=["k"], payload={"price": "price"},
+                      tiebreak=["price"])
+    n_loose = sum(1 for r in loose.collect() if r["price"] is not None)
+    n_tight = sum(1 for r in plain.collect() if r["price"] is not None)
+    assert n_tight < n_loose
