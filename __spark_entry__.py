@@ -1543,6 +1543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_compression_ratio": q_doc_compression_ratio,
         "doc_surprisal": q_doc_surprisal,
         "doc_stratified_fixed_k": q_doc_stratified_fixed_k,
+        "events_asof_tolerance": q_events_asof_tolerance,
         "corpus_prepare": q_corpus_prepare,
         # --- red in r03 (oracle int-width fixed this round) ---
         "q12_priority_lines": q12_priority_lines,
@@ -1566,7 +1567,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_running": q_events_running,
         "price_quantiles": q_price_quantiles,
         "events_asof": q_events_asof,
-        "events_asof_tolerance": q_events_asof_tolerance,
         "events_asof_bucketed": q_events_asof_bucketed,
         "events_error_window": q_events_error_window,
         "topk_per_key": q_topk_per_key,
