@@ -572,6 +572,11 @@ def substring_dedup(df: DataFrame, id_col: str = "doc_id",
     no pairwise comparisons anywhere (cost is linear in corpus tokens +
     Σ duplicated-gram occurrences)."""
     t = tokens_col(text_col)
+    # shuffle key = 16-hex md5 prefix of the gram, not the gram text:
+    # the positional explode is |corpus tokens| rows and the gram string
+    # is ~5k bytes wide — the fixed 16-byte key roughly halves both
+    # shuffles (count agg + dup join). md5 keeps the DuckDB oracle in
+    # lockstep; a 64-bit prefix collision needs ~2^32 distinct grams.
     grams = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.when(
@@ -580,7 +585,9 @@ def substring_dedup(df: DataFrame, id_col: str = "doc_id",
                 F.sequence(F.lit(0), F.size(t) - k),
                 lambda i: F.struct(
                     i.alias("start"),
-                    F.concat_ws(" ", F.slice(t, i + 1, k)).alias("g"))))
+                    F.substring(F.md5(
+                        F.concat_ws(" ", F.slice(t, i + 1, k))), 1, 16)
+                    .alias("g"))))
             .otherwise(F.array().cast(
                 "array<struct<start:int,g:string>>"))).alias("s"))
     grams = grams.select("doc_id", "s.start", "s.g")

@@ -766,7 +766,8 @@ def substring_dedup_sql(k: int = 8, min_count: int = 2,
     """dedup.substring_dedup — k-gram-seeded exact substring removal.
     DuckDB list lambdas are 1-indexed; positions stay 1-based on this
     side throughout, matching Spark's 0-based side internally."""
-    gram = f"array_to_string(list_slice(t, i, i + {k - 1}), ' ')"
+    gram = (f"substring(md5(array_to_string("
+            f"list_slice(t, i, i + {k - 1}), ' ')), 1, 16)")
     return f"""
 WITH toks AS (
   SELECT doc_id,
