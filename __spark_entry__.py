@@ -1242,6 +1242,21 @@ def q_embedding_near_dup_lsh(spark, sf_dir):
         emb, "vec_id", "embedding", threshold=0.4)
 
 
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 scalar quantization (similarity.quantize_embeddings):
+    float32 -> int8 with a per-vector scale, the 4x memory/scan cut for
+    ANN serving; pure Column expressions in the scan stage. Cosine
+    preservation pytest-pinned; exact value oracle (round semantics
+    match across engines)."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    q = similarity.quantize_embeddings(emb)
+    # codes as a CSV string: the correctness harness hashes scalar cells
+    return q.select("vec_id", "scale",
+                    F.concat_ws(",", F.transform(
+                        F.col("qvec"), lambda x: x.cast("string")))
+                    .alias("qvec_csv"))
+
+
 def q_embedding_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup: IVF cluster assignment, then inside
     each cluster drop vectors dominated by a lower-id cosine>=t neighbor.
@@ -1525,6 +1540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_nn": q_embedding_nn,
         "embedding_nn_ivf": q_embedding_nn_ivf,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "embedding_quantize": q_embedding_quantize,
         "embedding_semantic_dedup": q_embedding_semantic_dedup,
         "embedding_pq_search": q_embedding_pq_search,
         "ivf_probe_search": q_ivf_probe_search,
@@ -2195,6 +2211,7 @@ def oracle_sql() -> dict[str, str]:
             "vec_id % 50 = 0", nprobe=2),
         "embedding_near_dup_lsh": oracle.hyperplane_near_dup_sql(
             threshold=0.4),
+        "embedding_quantize": oracle.quantize_embeddings_sql(),
         "embedding_semantic_dedup": oracle.semantic_dedup_sql(
             "vec_id % 50 = 0", threshold=0.4),
         "ivf_probe_search": oracle.ivf_probe_search_sql(

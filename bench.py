@@ -60,6 +60,7 @@ BENCH_QUERIES = (
     "ivf_assign",
     "embedding_semantic_dedup",
     "embedding_pq_search",
+    "embedding_quantize",
     "centroid_by_label",
     "events_sessionize_bucketed",
     "events_distinct_users_hll",

@@ -800,3 +800,21 @@ SELECT d.doc_id,
          AS n_removed
 FROM toks d LEFT JOIN bad b USING (doc_id)
 """
+
+
+def quantize_embeddings_sql(table: str = "embeddings") -> str:
+    """similarity.quantize_embeddings — symmetric int8 quantization.
+    round() is half-away-from-zero in both engines."""
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}),
+s AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS scale
+      FROM e)
+SELECT vec_id, round(scale, 6) AS scale,
+       array_to_string(
+         CASE WHEN scale > 0
+              THEN list_transform(v, x -> CAST(round(x / scale * 127, 0)
+                                               AS INTEGER))
+              ELSE list_transform(v, x -> 0) END, ',') AS qvec_csv
+FROM s
+"""

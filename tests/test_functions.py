@@ -774,3 +774,28 @@ def test_substring_dedup_short_docs_untouched(spark):
     got = {r["doc_id"]: r for r in
            dedup.substring_dedup(df, k=8).collect()}
     assert got[0]["text"] == "a b" and got[0]["n_removed"] == 0
+
+
+def test_quantize_roundtrip_preserves_cosine(spark, sf_dir):
+    from qvarn_mr_spark.functions.similarity import (cosine, dequantize,
+                                                     quantize_embeddings)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    q = quantize_embeddings(emb)
+    joined = emb.join(q, emb["vec_id"] == q["vec_id"]).select(
+        cosine(emb["embedding"].cast("array<double>"),
+               dequantize(q["qvec"], q["scale"])).alias("c"))
+    vals = [r["c"] for r in joined.collect()]
+    assert all(v > 0.999 for v in vals)     # int8 keeps cosine ~intact
+    # components bounded by int8 range
+    mx = q.select(F.array_max(F.transform(
+        F.col("qvec"), lambda x: F.abs(x))).alias("m")).collect()
+    assert all(r["m"] <= 127 for r in mx)
+
+
+def test_quantize_zero_vector(spark):
+    from qvarn_mr_spark.functions.similarity import quantize_embeddings
+    df = spark.createDataFrame([(0, [0.0, 0.0]), (1, [1.0, -2.0])],
+                               "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert got[0]["scale"] == 0.0 and got[0]["qvec"] == [0, 0]
+    assert got[1]["qvec"] == [64, -127]     # round(1/2*127)=64
