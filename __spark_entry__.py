@@ -1417,6 +1417,38 @@ def q_doc_stratified_fixed_k(spark, sf_dir):
         .select("doc_id", "lang")
 
 
+def q_doc_chunk(spark, sf_dir):
+    """Overlapping token-window chunking (functions/packing.py): 32-token
+    chunks with 8-token overlap — the RAG / context-window preprocessing
+    staple. Pure Column expressions (split → sequence → explode → slice),
+    scan-stage work with no shuffle and no Python boundary."""
+    from qvarn_mr_spark.functions.packing import chunk_documents
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return chunk_documents(docs, "doc_id", "text", window=32, overlap=8)
+
+
+def q_doc_source_budget(spark, sf_dir):
+    """Greedy per-source char-budget cap (functions/sampling.py): each
+    source contributes its highest-value documents until a 4000-char
+    quota fills — the per-domain token-budget cap of web-corpus curation.
+    One shuffle on source + a per-key running-sum window; hot keys
+    pre-trimmable exactly via topk_per_key (budget/min_weight bound)."""
+    from qvarn_mr_spark.functions.sampling import budget_cap
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return budget_cap(docs.select("doc_id", "source", "n_chars"),
+                      "doc_id", "source", "n_chars", budget=4000)
+
+
+def q_embedding_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (functions/similarity.py): for each query
+    vector, the 2 most-similar vectors with a DIFFERENT label — the
+    contrastive-training near-miss miner. Broadcast query set, fused JVM
+    dot-product per pair, per-query top-k window."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.hard_negatives(emb, "vec_id", "embedding", "label",
+                                     F.col("vec_id") < 16, k=2)
+
+
 def q_documents_table_profile(spark, sf_dir):
     """ANALYZE-style one-pass column statistics (catalog.table_profile):
     null counts, exact distinct counts, numeric min/max for every column
@@ -1545,24 +1577,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pq_search": q_embedding_pq_search,
         "ivf_probe_search": q_ivf_probe_search,
         "centroid_by_label": q_centroid_by_label,
-        "multimodal_features": q_multimodal_features,
         "multimodal_signal_features": q_multimodal_signal_features,
         "events_distinct_users_hll": q_events_distinct_users_hll,
         "events_type_counts_cms": q_events_type_counts_cms,
         "events_user_funnel_theta": q_events_user_funnel_theta,
-        "price_quantiles_kll": q_price_quantiles_kll,
         "events_skew_profile": q_events_skew_profile,
         "corpus_bpe_merges": q_corpus_bpe_merges,
         "doc_quality_classifier": q_doc_quality_classifier,
         "documents_table_profile": q_documents_table_profile,
         "doc_substring_dedup": q_doc_substring_dedup,
-        "doc_compression_ratio": q_doc_compression_ratio,
         "doc_surprisal": q_doc_surprisal,
         "doc_stratified_fixed_k": q_doc_stratified_fixed_k,
         "events_asof_tolerance": q_events_asof_tolerance,
         "corpus_prepare": q_corpus_prepare,
         # --- red in r03 (oracle int-width fixed this round) ---
         "q12_priority_lines": q12_priority_lines,
+        # --- new in r4 late block: chunking / budget cap / negatives ---
+        "doc_chunk": q_doc_chunk,
+        "doc_source_budget": q_doc_source_budget,
+        "embedding_hard_negatives": q_embedding_hard_negatives,
+        # rows-only driver checks — displaced from the value-checked
+        # window in favor of the r4 trio above (pytest + local-mirror
+        # covered; the driver check is rows-only for these regardless)
+        "multimodal_features": q_multimodal_features,
+        "price_quantiles_kll": q_price_quantiles_kll,
+        "doc_compression_ratio": q_doc_compression_ratio,
         # --- mid-tier operators (22) — complete the 50-query window ---
         "mr_dict_map": q_mr_dict_map,
         "mr_join": q_mr_join,
@@ -2115,6 +2154,10 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
             GROUP BY 1
         """,
+        "doc_chunk": oracle.chunk_documents_sql(window=32, overlap=8),
+        "doc_source_budget": oracle.budget_cap_sql(budget=4000),
+        "embedding_hard_negatives": oracle.hard_negatives_sql(
+            "vec_id < 16", k=2),
         "q16_supplier_variety": """
             SELECT p_brand, p_type, p_size,
                    count(DISTINCT l_suppkey) AS supplier_cnt

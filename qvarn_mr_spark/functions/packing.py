@@ -71,6 +71,48 @@ def pack_sequences(df: DataFrame, id_col: str = "doc_id",
                     pack_last.alias("pack_last")))
 
 
+def chunk_documents(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", window: int = 32,
+                    overlap: int = 8) -> DataFrame:
+    """Overlapping fixed-size token-window chunking — the RAG /
+    context-window preprocessing staple: each document yields chunks of up
+    to ``window`` whitespace tokens, consecutive chunks sharing
+    ``overlap`` tokens (stride ``window - overlap``). A chunk is emitted
+    only if it contributes at least one token beyond the previous chunk's
+    overlap, so short documents produce exactly one chunk and the last
+    chunk is never fully contained in its predecessor.
+
+    Returns ``(doc_id, chunk_id, n_tokens, chunk_text)`` with
+    ``chunk_id`` dense from 0 per document.
+
+    Scale shape: pure Column expressions — ``split`` → ``sequence`` →
+    ``explode`` → ``slice``/``array_join`` — scan-stage work inside
+    whole-stage codegen. No shuffle, no Python boundary; output rows ≈
+    corpus tokens / stride, produced streaming per input partition."""
+    if not 0 <= overlap < window:
+        raise ValueError(f"need 0 <= overlap < window, got "
+                         f"overlap={overlap} window={window}")
+    step = window - overlap
+    toks = F.split(F.col(text_col), " ", -1)
+    d = df.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"),
+                  F.size(toks).alias("_n"))
+    # starts 0, step, 2·step … while the chunk adds ≥1 token past the
+    # shared overlap: start <= n - overlap - 1 (floor at 0 ⇒ one chunk)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("_n") - F.lit(overlap + 1), F.lit(0)),
+        F.lit(step))
+    d = d.select("doc_id", "_toks", "_n", F.explode(starts).alias("_start"))
+    return d.select(
+        "doc_id",
+        (F.col("_start") / F.lit(step)).cast("long").alias("chunk_id"),
+        F.least(F.lit(window), F.col("_n") - F.col("_start"))
+        .cast("long").alias("n_tokens"),
+        F.array_join(
+            F.slice("_toks", F.col("_start") + 1, F.lit(window)),
+            " ").alias("chunk_text"))
+
+
 def pack_summary(packed: DataFrame, window: int = 512) -> DataFrame:
     """Pack-level occupancy: docs starting in each pack and whether the
     pack is fully covered (diagnostic for padding waste)."""

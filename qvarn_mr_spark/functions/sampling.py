@@ -231,3 +231,28 @@ def stratified_fixed_k(df: DataFrame, id_col: str, strata_col: str,
         hash_unit(id_col, salt).asc(), F.col(id_col).asc())
     return (df.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= k).drop("_rk"))
+
+
+def budget_cap(df: DataFrame, id_col: str, key_col: str, weight_col: str,
+               budget: int, order_col: str | None = None) -> DataFrame:
+    """Greedy per-key weight budget: order each key's rows by
+    ``order_col`` (descending, ``weight_col`` by default) with an
+    ``id_col`` tiebreak and keep rows while the running weight total stays
+    within ``budget`` — the per-domain/source token-budget cap used in
+    web-corpus curation (no single domain may contribute more than its
+    quota, highest-value documents first).
+
+    Appends ``cum_weight`` (the running total including the row itself) so
+    downstream stages can see how full each key's quota is.
+
+    Scale shape: one shuffle on ``key_col`` + a per-key running-sum
+    window. Per-key cost is that key's row count; a pathological hot key
+    serializes one reducer, in which case pre-trim with
+    :func:`qvarn_mr_spark.operators.skew.topk_per_key` (any key holds at
+    most ``budget / min_weight`` survivors, so top-k with that k is an
+    exact pre-filter)."""
+    order = [F.desc(order_col or weight_col), F.asc(id_col)]
+    cum = F.sum(F.col(weight_col)).over(
+        Window.partitionBy(key_col).orderBy(*order))
+    return (df.withColumn("cum_weight", cum)
+            .filter(F.col("cum_weight") <= budget))

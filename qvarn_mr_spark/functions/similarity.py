@@ -66,6 +66,42 @@ def knn_bruteforce(df: DataFrame, id_col: str, vec_col: str,
             .filter(F.col("rn") <= k))
 
 
+def hard_negatives(df: DataFrame, id_col: str, vec_col: str,
+                   label_col: str, query_filter: Column,
+                   k: int = 1) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the ``k`` most-cosine-similar corpus vectors carrying a
+    DIFFERENT label — the near-misses a contrastive loss learns the most
+    from. Returns ``(q_id, n_id, cos_sim, rn)``, rank 1 = hardest
+    negative; ranking uses the rounded similarity with id tiebreak for
+    cross-engine reproducibility.
+
+    Scale shape: the query set is the small side (an eval batch / one
+    training shard) and broadcasts; the corpus streams once per scan
+    task with a fused JVM dot-product per pair. For mining over the FULL
+    corpus as queries, route candidates through IVF first
+    (:func:`nearest_neighbor_ivf` with the label predicate applied to
+    the probed members) — same output on everything the probes reach."""
+    q = df.filter(query_filter).select(
+        F.col(id_col).alias("q_id"),
+        F.col(label_col).alias("q_label"),
+        _as_double(df, vec_col).alias("q_vec"))
+    c = df.select(
+        F.col(id_col).alias("n_id"),
+        F.col(label_col).alias("n_label"),
+        _as_double(df, vec_col).alias("n_vec"))
+    scored = (
+        F.broadcast(q).crossJoin(c)
+        .filter(F.col("q_label") != F.col("n_label"))
+        .select("q_id", "n_id",
+                F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6)
+                .alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k))
+
+
 def ivf_assign_topn(df: DataFrame, id_col: str, vec_col: str,
                     centroid_filter: Column, nprobe: int = 1) -> DataFrame:
     """IVF routing: each vector's ``nprobe`` nearest centroids by cosine.

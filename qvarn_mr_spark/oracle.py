@@ -622,6 +622,76 @@ FROM c
 """
 
 
+def chunk_documents_sql(window: int = 32, overlap: int = 8,
+                        table: str = "documents") -> str:
+    """packing.chunk_documents — same start lattice (0, stride, … while a
+    chunk adds ≥1 token past the shared overlap), same 1-based clamped
+    slice. DuckDB ``range(a, b, s)`` is half-open so the bound gets +1."""
+    step = window - overlap
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM {table}
+),
+s AS (
+  SELECT doc_id, toks, n,
+         unnest(range(0, greatest(n - {overlap + 1}, 0) + 1, {step}))
+           AS start
+  FROM t
+)
+SELECT doc_id,
+       CAST(start // {step} AS BIGINT) AS chunk_id,
+       CAST(least({window}, n - start) AS BIGINT) AS n_tokens,
+       array_to_string(toks[start + 1 : start + {window}], ' ')
+         AS chunk_text
+FROM s
+"""
+
+
+def budget_cap_sql(budget: int, key_col: str = "source",
+                   weight_col: str = "n_chars", id_col: str = "doc_id",
+                   table: str = "documents") -> str:
+    """sampling.budget_cap — RANGE-frame running sum is identical on both
+    engines and the (weight DESC, id ASC) order is total, so frame
+    semantics cannot diverge. HUGEINT sum cast back to BIGINT."""
+    return f"""
+SELECT {id_col}, {key_col}, {weight_col}, cum_weight
+FROM (
+  SELECT {id_col}, {key_col}, {weight_col},
+         CAST(sum({weight_col}) OVER (
+              PARTITION BY {key_col}
+              ORDER BY {weight_col} DESC, {id_col} ASC) AS BIGINT)
+           AS cum_weight
+  FROM {table}
+)
+WHERE cum_weight <= {budget}
+"""
+
+
+def hard_negatives_sql(query_pred: str, k: int = 1,
+                       table: str = "embeddings") -> str:
+    """similarity.hard_negatives — knn_bruteforce with the self-exclusion
+    replaced by a label-inequality predicate."""
+    cos = _COS.format(a="q.e", b="c.e")
+    return f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+           FROM {table}),
+q AS (SELECT vec_id AS q_id, label AS q_label, e FROM e
+      WHERE {query_pred}),
+scored AS (
+  SELECT q.q_id, c.vec_id AS n_id, round({cos}, 6) AS cos_sim
+  FROM q, e c WHERE q.q_label != c.label
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos_sim DESC, n_id ASC) AS rn
+  FROM scored
+)
+SELECT q_id, n_id, cos_sim, rn FROM ranked WHERE rn <= {k}
+"""
+
+
 def inverted_index_sql(min_df: int = 1, max_df: int | None = None,
                        table: str = "documents") -> str:
     """text.inverted_index — sorted comma-joined posting lists."""

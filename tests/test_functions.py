@@ -799,3 +799,22 @@ def test_quantize_zero_vector(spark):
     got = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
     assert got[0]["scale"] == 0.0 and got[0]["qvec"] == [0, 0]
     assert got[1]["qvec"] == [64, -127]     # round(1/2*127)=64
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    vecs = [(0, [1.0, 0.0], 7), (1, [0.99, 0.01], 7),
+            (2, [0.9, 0.1], 3), (3, [0.0, 1.0], 3), (4, [-1.0, 0.0], 5)]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int")
+    out = similarity.hard_negatives(df, "vec_id", "embedding", "label",
+                                    F.col("vec_id") == 0, k=2)
+    got = [(r["n_id"], r["rn"]) for r in out.orderBy("rn").collect()]
+    # vec 1 (same label 7) must be skipped even though it is the nearest;
+    # hardest negative is vec 2, then vec 3
+    assert got == [(2, 1), (3, 2)]
+    # every (query, negative) pair disagrees on label, for a wider set
+    wide = similarity.hard_negatives(df, "vec_id", "embedding", "label",
+                                     F.col("vec_id") < 5, k=2)
+    labels = {r["vec_id"]: r["label"] for r in df.collect()}
+    for r in wide.collect():
+        assert labels[r["q_id"]] != labels[r["n_id"]]

@@ -107,3 +107,52 @@ def test_export_training_shards_roundtrip(spark, tmp_path):
         split_weights={"train": 0.8, "val": 0.2})
     assert sorted(map(tuple, manifest.collect())) == \
         sorted(map(tuple, again.collect()))
+
+
+def test_chunk_documents_hand_checked(spark):
+    from qvarn_mr_spark.functions.packing import chunk_documents
+    # 10 tokens, window 4, overlap 2 -> stride 2, starts 0,2,4,6 while
+    # start <= n - overlap - 1 = 7
+    toks = [f"t{i}" for i in range(10)]
+    df = _docs(spark, [" ".join(toks)])
+    got = sorted((r["chunk_id"], r["n_tokens"], r["chunk_text"])
+                 for r in chunk_documents(df, window=4, overlap=2).collect())
+    assert got == [
+        (0, 4, "t0 t1 t2 t3"),
+        (1, 4, "t2 t3 t4 t5"),
+        (2, 4, "t4 t5 t6 t7"),
+        (3, 4, "t6 t7 t8 t9"),
+    ]
+
+
+def test_chunk_documents_short_and_tail(spark):
+    from qvarn_mr_spark.functions.packing import chunk_documents
+    # short doc -> exactly one chunk; tail chunk must add >= 1 new token
+    df = _docs(spark, ["a b", " ".join(f"x{i}" for i in range(5))])
+    rows = chunk_documents(df, window=4, overlap=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc["0"]) == 1 and by_doc["0"][0]["chunk_text"] == "a b"
+    c1 = sorted(by_doc["1"], key=lambda r: r["chunk_id"])
+    assert [r["chunk_text"] for r in c1] == ["x0 x1 x2 x3", "x2 x3 x4"]
+    assert [r["n_tokens"] for r in c1] == [4, 3]
+
+
+def test_chunk_documents_covers_every_token(spark, sf_dir):
+    from qvarn_mr_spark.functions.packing import chunk_documents
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    chunks = chunk_documents(docs, window=32, overlap=8)
+    # reassembling chunks (dropping each chunk's 8-token overlap head
+    # after the first) must reproduce the original token stream exactly
+    rows = chunks.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["chunk_text"]
+    orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for did, parts in per.items():
+        toks = []
+        for cid in sorted(parts):
+            ptoks = parts[cid].split(" ")
+            toks.extend(ptoks if cid == 0 else ptoks[8:])
+        assert " ".join(toks) == orig[did], did

@@ -140,3 +140,23 @@ def test_stratified_fixed_k_exact_and_deterministic(spark):
     # different salt -> (almost surely) different members, same counts
     other = stratified_fixed_k(df, "doc_id", "s", k=5, salt="other")
     assert other.count() == 11
+
+
+def test_budget_cap_greedy_and_exact(spark):
+    from qvarn_mr_spark.functions.sampling import budget_cap
+    rows = [(1, "a", 50), (2, "a", 30), (3, "a", 30), (4, "a", 10),
+            (5, "b", 200), (6, "b", 5)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    got = {r["doc_id"]: r["cum_weight"]
+           for r in budget_cap(df, "doc_id", "source", "w",
+                               budget=100).collect()}
+    # a: 50(1)+30(2)=80 fits, +30(3)=110 overflows -> docs 1,2 kept (3
+    # loses the doc_id tiebreak; 4 blocked even though it would fit —
+    # greedy prefix, not knapsack). b: 200 overflows alone and the
+    # running sum never resets, so b contributes nothing.
+    assert got == {1: 50, 2: 80}
+    # budget big enough keeps everything with full running sums
+    full = {r["doc_id"]: r["cum_weight"]
+            for r in budget_cap(df, "doc_id", "source", "w",
+                                budget=10**6).collect()}
+    assert full == {1: 50, 2: 80, 3: 110, 4: 120, 5: 200, 6: 205}
