@@ -79,6 +79,9 @@ BENCH_QUERIES = (
     "doc_surprisal",
     "doc_stratified_fixed_k",
     "doc_pack_sequences",
+    "doc_chunk",
+    "doc_source_budget",
+    "embedding_hard_negatives",
     "inverted_index",
     "corpus_prepare",
 )
