@@ -54,16 +54,26 @@ def feature_exprs(text_col: str = "text") -> dict[str, Column]:
 def train_logreg(df: DataFrame, label: Column,
                  features: dict[str, Column] | None = None,
                  text_col: str = "text", iters: int = 60,
-                 lr: float = 2.0, l2: float = 1e-4) -> dict[str, float]:
-    """Fit logistic regression by full-batch gradient descent on Spark.
+                 lr: float = 2.0, l2: float = 1e-4,
+                 collect_threshold: int = 200_000) -> dict[str, float]:
+    """Fit logistic regression by full-batch gradient descent.
 
     ``df`` should already be the (sample-sized) training set — pair with
     :func:`qvarn_mr_spark.functions.sampling.deterministic_sample` so
     retraining is reproducible and the corpus stays out of the loop.
-    Each iteration is one hash aggregate emitting k+1 doubles (the
-    gradient) to the driver; the featurized frame is persisted once, so
-    iterations re-scan a columnar in-memory table of k doubles per row,
-    not the text. Returns ``{feature: weight, "_bias": b}``.
+
+    Spark featurizes (the text never reaches the driver); the GD loop
+    then runs in one of two places:
+
+    - sample ≤ ``collect_threshold`` rows (the normal case — a quality
+      classifier trains on 10⁴-10⁶ labeled rows, k doubles each): the
+      featurized matrix Arrow-collects ONCE and the loop is numpy — no
+      per-iteration job scheduling, identical math;
+    - bigger samples: the distributed loop — each iteration is one hash
+      aggregate emitting the k+1-double gradient to the driver; the
+      persisted featurized frame is re-scanned, never the text.
+
+    Returns ``{feature: weight, "_bias": b}`` in RAW feature space.
     """
     feats = features if features is not None else feature_exprs(text_col)
     names = sorted(feats)
@@ -71,6 +81,8 @@ def train_logreg(df: DataFrame, label: Column,
                   *[feats[n].alias(n) for n in names]).persist()
     try:
         n = x.count() or 1
+        if n <= collect_threshold:
+            return _gd_local(x, names, iters, lr, l2)
         # standardize once (one aggregate): full-batch GD on raw
         # [0, 0.x]-scale features crawls; on unit-variance features it
         # converges in tens of steps. Weights are mapped back to RAW
@@ -106,6 +118,33 @@ def train_logreg(df: DataFrame, label: Column,
         return out
     finally:
         x.unpersist()
+
+
+def _gd_local(x: DataFrame, names: list[str], iters: int, lr: float,
+              l2: float) -> dict[str, float]:
+    """Driver-side twin of the distributed GD loop — same standardize /
+    gradient / weight-unmap sequence over the Arrow-collected featurized
+    matrix (k doubles per row, sample-sized by the caller's contract)."""
+    import numpy as np
+
+    pdf = x.toPandas()
+    y = pdf["_y"].to_numpy(dtype=float)
+    mat = pdf[names].to_numpy(dtype=float)
+    n = max(len(y), 1)
+    mu = mat.mean(axis=0) if len(y) else np.zeros(len(names))
+    sd = np.maximum(mat.std(axis=0) if len(y) else np.zeros(len(names)),
+                    1e-9)
+    xs = (mat - mu) / sd
+    w = np.zeros(len(names))
+    b = 0.0
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(xs @ w + b)))
+        e = p - y
+        b -= lr * float(e.sum()) / n
+        w -= lr * (xs.T @ e / n + l2 * w)
+    out = {nm: float(w[i] / sd[i]) for i, nm in enumerate(names)}
+    out["_bias"] = float(b - (w * mu / sd).sum())
+    return out
 
 
 def score_expr(weights: dict[str, float],

@@ -244,3 +244,19 @@ def test_compression_ratio_orders_redundancy(spark):
     import zlib
     raw = ("repeat me " * 200).encode()
     assert got[0]["ratio"] == round(len(zlib.compress(raw, 6)) / len(raw), 6)
+
+
+def test_classifier_local_and_distributed_gd_agree(spark):
+    """The Arrow-collected numpy loop and the per-iteration Spark
+    aggregate loop implement the same math — weights must agree to
+    float-reduction noise."""
+    from qvarn_mr_spark.functions import classifier as clf
+    rows = [(i, ("the cat and the dog " * ((i % 3) + 1)).strip(),
+             int(i % 2)) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    local = clf.train_logreg(df, F.col("y") == 1, iters=20, lr=1.0)
+    dist = clf.train_logreg(df, F.col("y") == 1, iters=20, lr=1.0,
+                            collect_threshold=0)
+    assert sorted(local) == sorted(dist)
+    for k in local:
+        assert local[k] == pytest.approx(dist[k], rel=1e-8, abs=1e-10)
