@@ -1449,6 +1449,23 @@ def q_embedding_hard_negatives(spark, sf_dir):
                                      F.col("vec_id") < 16, k=2)
 
 
+def q_lsh_index_probe(spark, sf_dir):
+    """Maintained-LSH-index probe (functions/dedup.py): the streaming-
+    dedup shape — band-bucket keys per doc via the Column-expression twin
+    of minhash_signatures, a bucket→members index (here batch-bootstrapped;
+    IncrementalEngine maintains the same table in O(delta) per CDC batch,
+    conformance-tested in tests/test_lsh_index.py), probed by a delta of
+    documents for near-dup collisions. Probe cost is O(delta·bucket)."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    keys = docs.select(
+        "doc_id",
+        F.explode(dedup.minhash_band_keys_col("text")).alias("_mr_key"))
+    buckets = keys.groupBy("_mr_key").agg(
+        F.array_sort(F.collect_set("doc_id")).alias("members"))
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    return dedup.probe_lsh_index(delta, buckets, "doc_id", "text")
+
+
 def q_documents_table_profile(spark, sf_dir):
     """ANALYZE-style one-pass column statistics (catalog.table_profile):
     null counts, exact distinct counts, numeric min/max for every column
@@ -1582,7 +1599,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_counts_cms": q_events_type_counts_cms,
         "events_user_funnel_theta": q_events_user_funnel_theta,
         "events_skew_profile": q_events_skew_profile,
-        "corpus_bpe_merges": q_corpus_bpe_merges,
         "doc_quality_classifier": q_doc_quality_classifier,
         "documents_table_profile": q_documents_table_profile,
         "doc_substring_dedup": q_doc_substring_dedup,
@@ -1596,10 +1612,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunk": q_doc_chunk,
         "doc_source_budget": q_doc_source_budget,
         "embedding_hard_negatives": q_embedding_hard_negatives,
+        "lsh_index_probe": q_lsh_index_probe,
         # rows-only driver checks — displaced from the value-checked
         # window in favor of the r4 trio above (pytest + local-mirror
         # covered; the driver check is rows-only for these regardless)
         "multimodal_features": q_multimodal_features,
+        "corpus_bpe_merges": q_corpus_bpe_merges,
         "price_quantiles_kll": q_price_quantiles_kll,
         "doc_compression_ratio": q_doc_compression_ratio,
         # --- mid-tier operators (22) — complete the 50-query window ---
@@ -2158,6 +2176,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_source_budget": oracle.budget_cap_sql(budget=4000),
         "embedding_hard_negatives": oracle.hard_negatives_sql(
             "vec_id < 16", k=2),
+        "lsh_index_probe": oracle.lsh_probe_sql("doc_id % 10 = 0"),
         "q16_supplier_variety": """
             SELECT p_brand, p_type, p_size,
                    count(DISTINCT l_suppkey) AS supplier_cnt

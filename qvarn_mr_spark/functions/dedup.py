@@ -611,3 +611,89 @@ def substring_dedup(df: DataFrame, id_col: str = "doc_id",
                     F.size(t).cast("long").alias("n_tokens"),
                     (F.size(t) - F.size(kept)).cast("long")
                     .alias("n_removed")))
+
+
+def minhash_band_keys_col(text_col: Column | str,
+                          n_hashes: int = MINHASH_N,
+                          n_bands: int = MINHASH_BANDS) -> Column:
+    """Per-ROW LSH band-bucket keys as one ``array<string>`` Column — the
+    Column-expression twin of :func:`minhash_signatures` (same seeds,
+    digest slices, and band concatenation; equality is pytest-pinned), so
+    a single document's bucket keys are computable without the corpus
+    shuffle. This is what lets the LSH index live as a *maintained view*:
+    a CDC delta maps each changed doc to its keys in a narrow projection.
+
+    Key format ``"{band_pos}|h|h"``; documents shorter than the shingle
+    width produce an empty array (mirroring the signature pipeline, which
+    drops them — and avoiding a catch-all bucket of short docs)."""
+    if n_hashes % n_bands:
+        raise ValueError(f"n_hashes={n_hashes} not divisible by "
+                         f"n_bands={n_bands}")
+    rows = n_hashes // n_bands
+    sh = F.array_distinct(shingles_col(text_col))
+
+    def h(i: int) -> Column:
+        seed = _minhash_seed(i // 4)
+        return F.array_min(F.transform(
+            sh, lambda s: F.substring(
+                F.md5(F.concat(F.lit(f"{seed}|"), s)),
+                1 + 8 * (i % 4), 8)))
+
+    bands = [
+        F.concat_ws("|", F.lit(str(b)),
+                    *[h(b * rows + r) for r in range(rows)])
+        for b in range(n_bands)
+    ]
+    return F.when(F.size(sh) > 0, F.array(*bands)) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+def lsh_index_views(source: str = "documents", id_col: str = "doc_id",
+                    text_col: str = "text", n_hashes: int = MINHASH_N,
+                    n_bands: int = MINHASH_BANDS,
+                    index_name: str = "lsh_buckets") -> dict:
+    """ViewEngine config fragment for a MAINTAINED LSH dedup index:
+    ``{source}__lsh`` maps each document to its band-bucket keys
+    (explode_key over :func:`minhash_band_keys_col`) and ``index_name``
+    reduces each bucket to its sorted member list + count.
+
+    Driven by the incremental engine, a CDC delta costs O(delta): changed
+    docs re-map to ≤ ``n_bands`` keys each, only dirty buckets re-reduce,
+    deletes tombstone the doc out of its buckets. The batch equivalent
+    (:func:`minhash_candidates`) rescans the corpus; this is the
+    streaming-dedup shape for a 100 TB corpus with a trickle of updates."""
+    from qvarn_mr_spark.operators.mapreduce import map_expr, reduce_agg
+    keys = minhash_band_keys_col(text_col, n_hashes, n_bands)
+    return {
+        f"{source}__lsh": {source: map_expr(
+            key=keys, value=F.col(id_col), explode_key=True)},
+        index_name: {f"{source}__lsh": reduce_agg({
+            "members": lambda c: F.array_sort(F.collect_set(c)),
+            "n_docs": lambda c: F.count(F.lit(1)),
+        })},
+    }
+
+
+def probe_lsh_index(delta: DataFrame, buckets: DataFrame, id_col: str,
+                    text_col: str, n_hashes: int = MINHASH_N,
+                    n_bands: int = MINHASH_BANDS) -> DataFrame:
+    """Near-dup candidates for a (delta-sized) batch of documents against
+    a maintained LSH index (the ``index_name`` table of
+    :func:`lsh_index_views`, read via ``IncrementalEngine.read``).
+
+    The delta's band keys equi-join the bucket table and members explode
+    into ``(probe_id, member_id, n_bands)`` pairs (self-pairs dropped,
+    ``n_bands`` = shared buckets). Cost is O(delta · bucket size) — the
+    corpus is touched only through the bucket rows the delta hashes into,
+    never rescanned. Probing the full corpus reproduces the batch
+    :func:`minhash_candidates` pair set (each pair seen from both sides)."""
+    keys = delta.select(
+        F.col(id_col).alias("probe_id"),
+        F.explode(minhash_band_keys_col(text_col, n_hashes, n_bands))
+        .alias("_mr_key"))
+    j = keys.join(buckets.select("_mr_key", "members"), "_mr_key")
+    out = j.select("probe_id",
+                   F.explode("members").alias("member_id"))
+    return (out.filter(F.col("probe_id") != F.col("member_id"))
+            .groupBy("probe_id", "member_id")
+            .agg(F.count(F.lit(1)).alias("n_bands")))

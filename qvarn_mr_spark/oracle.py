@@ -214,6 +214,24 @@ GROUP BY 1, 2
 """
 
 
+def lsh_probe_sql(probe_pred: str, table: str = "documents") -> str:
+    """dedup.probe_lsh_index over a batch-bootstrapped index — probe docs
+    matching ``probe_pred`` against every bucket, count shared bands."""
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_pos, band_{b} AS sig FROM bands"
+        for b in range(MINHASH_BANDS))
+    return f"""
+WITH {_minhash_sig_cte(table)},
+melted AS ({unions})
+SELECT p.doc_id AS probe_id, m.doc_id AS member_id, count(*) AS n_bands
+FROM melted p
+JOIN melted m ON p.band_pos = m.band_pos AND p.sig = m.sig
+             AND p.doc_id != m.doc_id
+WHERE p.doc_id IN (SELECT doc_id FROM {table} WHERE {probe_pred})
+GROUP BY 1, 2
+"""
+
+
 def simhash_sql(table: str = "documents") -> str:
     nibs = ", ".join(
         f"strpos('{HEX_DIGITS}', substring(h4, {j + 1}, 1)) - 1 AS nib{j}"

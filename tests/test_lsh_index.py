@@ -1,0 +1,106 @@
+"""Maintained LSH dedup index — streaming near-dup detection.
+
+The batch pipeline (minhash_candidates) rescans the corpus; the
+maintained view (lsh_index_views + IncrementalEngine) pays O(delta) per
+CDC batch and probe_lsh_index answers "what does this new doc collide
+with" against bucket rows only. Conformance: the maintained index must
+agree with the batch pipeline after every create/update/delete.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from qvarn_mr_spark.catalog import Catalog
+from qvarn_mr_spark.functions import dedup
+from qvarn_mr_spark.operators import (
+    IncrementalEngine,
+    ParquetStateStore,
+    ViewEngine,
+)
+from qvarn_mr_spark.operators.incremental import notifications
+
+BASE = "the quick brown fox jumps over the lazy dog and runs far away"
+NEAR = BASE.replace("runs", "walks")
+OTHER = ("completely different text about spark dataframes shuffles "
+         "broadcast joins and adaptive execution")
+THIRD = "short unrelated words nothing shared with any other document here"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id string, text string")
+
+
+def test_band_keys_col_matches_signatures(spark):
+    """The per-row Column form must reproduce minhash_signatures exactly
+    (same seeds/slices/band concat) with the band position prefixed."""
+    df = _df(spark, [("a", BASE), ("b", NEAR), ("c", OTHER), ("d", "x y")])
+    sigs = {r["doc_id"]: [r[f"band_{b}"] for b in range(dedup.MINHASH_BANDS)]
+            for r in dedup.minhash_signatures(df, "id", "text").collect()}
+    keys = {r["id"]: r["k"] for r in df.select(
+        "id", dedup.minhash_band_keys_col("text").alias("k")).collect()}
+    # doc "d" is shorter than the shingle width: dropped by the signature
+    # pipeline, empty key array here (no catch-all short-doc bucket)
+    assert "d" not in sigs and keys["d"] == []
+    for did, bands in sigs.items():
+        assert keys[did] == [f"{b}|{s}" for b, s in enumerate(bands)]
+
+
+def _norm_pairs(df, a="a_id", b="b_id"):
+    return {(min(r[a], r[b]), max(r[a], r[b]), r["n_bands"])
+            for r in df.collect()}
+
+
+def test_lsh_index_maintains_through_cdc(spark, tmp_path):
+    cat = Catalog(spark)
+    rows = [("1", BASE), ("2", OTHER), ("3", THIRD)]
+
+    def set_source(rs):
+        cat.register("doc", _df(spark, rs))
+
+    set_source(rows)
+    eng = ViewEngine(cat, dedup.lsh_index_views("doc", "id", "text"),
+                     id_cols={"doc": "id"})
+    inc = IncrementalEngine(eng, ParquetStateStore(spark, str(tmp_path / "s")))
+    inc.apply_changes(notifications(
+        spark, [("doc", "created", i) for i, _ in rows]))
+
+    def probe_all():
+        return _norm_pairs(
+            dedup.probe_lsh_index(_df(spark, rows), inc.read("lsh_buckets"),
+                                  "id", "text"),
+            "probe_id", "member_id")
+
+    def batch():
+        return _norm_pairs(dedup.minhash_candidates(_df(spark, rows),
+                                                    "id", "text"))
+
+    # no near-dups yet: both empty (and agreeing)
+    assert probe_all() == batch() == set()
+
+    # CDC insert of a near-dup: probing JUST the delta finds the pair
+    rows = rows + [("4", NEAR)]
+    set_source(rows)
+    inc.apply_changes(notifications(spark, [("doc", "created", "4")]))
+    delta_hits = dedup.probe_lsh_index(
+        _df(spark, [("4", NEAR)]), inc.read("lsh_buckets"), "id", "text")
+    got = {(r["probe_id"], r["member_id"]) for r in delta_hits.collect()}
+    assert got == {("4", "1")}
+    assert probe_all() == batch()
+
+    # CDC update: doc 2 becomes an exact dup of BASE; old buckets must be
+    # vacated (no stale candidates) and all-band collisions appear
+    rows = [("1", BASE), ("2", BASE), ("3", THIRD), ("4", NEAR)]
+    set_source(rows)
+    inc.apply_changes(notifications(spark, [("doc", "updated", "2")]))
+    assert probe_all() == batch()
+    assert ("1", "2", dedup.MINHASH_BANDS) in probe_all()
+
+    # CDC delete: doc 1 leaves every bucket; its pairs disappear
+    rows = [r for r in rows if r[0] != "1"]
+    set_source(rows)
+    inc.apply_changes(notifications(spark, [("doc", "deleted", "1")]))
+    assert probe_all() == batch()
+    assert not any("1" in (a, b) for a, b, _ in probe_all())
+    members = inc.read("lsh_buckets").select(
+        F.explode("members").alias("m")).collect()
+    assert all(r["m"] != "1" for r in members)
