@@ -1478,13 +1478,14 @@ def q_documents_table_profile(spark, sf_dir):
 
 def q_doc_quality_classifier(spark, sf_dir):
     """Learned document gate (functions/classifier.py): distill the
-    heuristic language gate into a smooth logistic scorer — train on a
-    deterministic hash-sample (each GD iteration is one aggregate over
-    the persisted sample emitting k+1 doubles), then score EVERY doc
-    with the fitted weights as a pure JVM expression (scan-stage work at
-    100 TB). Rows-only: float-aggregation order makes 6th-decimal weight
-    noise across runs; semantics (accuracy, raw-space weights, filter
-    behavior) are pytest-pinned."""
+    heuristic language gate into a smooth logistic scorer — Spark
+    featurizes a deterministic hash-sample, the GD loop runs driver-side
+    on the Arrow-collected matrix (samples over the size threshold use
+    the distributed per-iteration aggregate instead), then EVERY doc is
+    scored with the fitted weights as a pure JVM expression (scan-stage
+    work at 100 TB). Rows-only: float-aggregation order makes
+    6th-decimal weight noise across runs; semantics (accuracy, raw-space
+    weights, filter behavior, local==distributed GD) are pytest-pinned."""
     from qvarn_mr_spark.functions import classifier as clf
     from qvarn_mr_spark.functions.sampling import deterministic_sample
     from qvarn_mr_spark.functions.text import lang_guess

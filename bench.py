@@ -82,6 +82,7 @@ BENCH_QUERIES = (
     "doc_chunk",
     "doc_source_budget",
     "embedding_hard_negatives",
+    "lsh_index_probe",
     "inverted_index",
     "corpus_prepare",
 )

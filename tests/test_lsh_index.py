@@ -104,3 +104,47 @@ def test_lsh_index_maintains_through_cdc(spark, tmp_path):
     members = inc.read("lsh_buckets").select(
         F.explode("members").alias("m")).collect()
     assert all(r["m"] != "1" for r in members)
+
+
+def test_lsh_index_via_streaming_maintainer(spark, tmp_path):
+    """End-to-end streaming dedup: document CRUD lands in a ResourceStore
+    change feed; the StreamingMaintainer drives the LSH index view per
+    micro-batch; probing a newly arrived doc surfaces its near-dup."""
+    from qvarn_mr_spark.sources import ResourceStore
+    from qvarn_mr_spark.streaming import StreamingMaintainer
+
+    class StoreCatalog(Catalog):
+        def __init__(self, sp, rstore, types):
+            super().__init__(sp)
+            self.rstore, self.types = rstore, types
+
+        def get(self, name):
+            if name in self.types:
+                return self.rstore.table(name)
+            return super().get(name)
+
+    rstore = ResourceStore(spark, str(tmp_path / "store"),
+                           feed_dir=str(tmp_path / "feed"))
+    cat = StoreCatalog(spark, rstore, {"doc"})
+    eng = ViewEngine(cat, dedup.lsh_index_views("doc", "id", "text"),
+                     id_cols={"doc": "id"}, strict=False)
+    inc = IncrementalEngine(eng, ParquetStateStore(
+        spark, str(tmp_path / "state")))
+    sm = StreamingMaintainer(inc, feed_dir=str(tmp_path / "feed"),
+                             checkpoint_dir=str(tmp_path / "ckpt"))
+
+    base_id, other_id = rstore.create_many(
+        "doc", [{"text": BASE}, {"text": OTHER}])
+    sm.run_available()
+    buckets = inc.read("lsh_buckets")
+    assert buckets.count() > 0
+
+    # a near-dup streams in; probing just that doc finds the original
+    near_id = rstore.create("doc", {"text": NEAR})
+    sm.run_available()
+    hits = dedup.probe_lsh_index(
+        _df(spark, [(near_id, NEAR)]), inc.read("lsh_buckets"),
+        "id", "text")
+    got = {(r["probe_id"], r["member_id"]) for r in hits.collect()}
+    assert (near_id, base_id) in got
+    assert all(m != other_id for _, m in got)
