@@ -1466,6 +1466,26 @@ def q_lsh_index_probe(spark, sf_dir):
     return dedup.probe_lsh_index(delta, buckets, "doc_id", "text")
 
 
+def q_embedding_lsh_probe(spark, sf_dir):
+    """Maintained embedding-LSH-index probe (functions/similarity.py):
+    streaming SEMANTIC dedup — hyperplane band keys per vector via a pure
+    Column expression, bucket->members index (batch-bootstrapped here;
+    the IncrementalEngine maintains the identical table in O(delta),
+    conformance-tested in tests/test_lsh_index.py), probed by a delta of
+    vectors with exact cosine verify at threshold 0.4 (corpus-calibrated,
+    see q_embedding_near_dup_lsh)."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    keys = emb.select(
+        "vec_id",
+        F.explode(similarity.embedding_band_keys_col("embedding"))
+        .alias("_mr_key"))
+    buckets = keys.groupBy("_mr_key").agg(
+        F.array_sort(F.collect_set("vec_id")).alias("members"))
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    return similarity.probe_embedding_lsh_index(
+        delta, emb, buckets, "vec_id", "embedding", threshold=0.4)
+
+
 def q_documents_table_profile(spark, sf_dir):
     """ANALYZE-style one-pass column statistics (catalog.table_profile):
     null counts, exact distinct counts, numeric min/max for every column
@@ -1596,7 +1616,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_probe_search": q_ivf_probe_search,
         "centroid_by_label": q_centroid_by_label,
         "multimodal_signal_features": q_multimodal_signal_features,
-        "events_distinct_users_hll": q_events_distinct_users_hll,
         "events_type_counts_cms": q_events_type_counts_cms,
         "events_user_funnel_theta": q_events_user_funnel_theta,
         "events_skew_profile": q_events_skew_profile,
@@ -1614,10 +1633,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_source_budget": q_doc_source_budget,
         "embedding_hard_negatives": q_embedding_hard_negatives,
         "lsh_index_probe": q_lsh_index_probe,
+        "embedding_lsh_probe": q_embedding_lsh_probe,
         # rows-only driver checks — displaced from the value-checked
         # window in favor of the r4 trio above (pytest + local-mirror
         # covered; the driver check is rows-only for these regardless)
         "multimodal_features": q_multimodal_features,
+        "events_distinct_users_hll": q_events_distinct_users_hll,
         "corpus_bpe_merges": q_corpus_bpe_merges,
         "price_quantiles_kll": q_price_quantiles_kll,
         "doc_compression_ratio": q_doc_compression_ratio,
@@ -2178,6 +2199,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_hard_negatives": oracle.hard_negatives_sql(
             "vec_id < 16", k=2),
         "lsh_index_probe": oracle.lsh_probe_sql("doc_id % 10 = 0"),
+        "embedding_lsh_probe": oracle.embedding_lsh_probe_sql(
+            "vec_id % 10 = 0", threshold=0.4),
         "q16_supplier_variety": """
             SELECT p_brand, p_type, p_size,
                    count(DISTINCT l_suppkey) AS supplier_cnt

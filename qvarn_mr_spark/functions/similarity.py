@@ -304,18 +304,103 @@ def hyperplane_signatures(df: DataFrame, id_col: str, vec_col: str,
 
     Returns ``(vec_id, hp_sig)`` with the signature packed into a long.
     """
+    sig = hyperplane_sig_col(F.col(vec_col).cast("array<double>"),
+                             planes, dim, seed)
+    return df.select(F.col(id_col).alias("vec_id"), sig.alias("hp_sig"))
+
+
+def hyperplane_sig_col(vec: Column, planes: int = HYPERPLANES,
+                       dim: int = 64, seed: str = "hp") -> Column:
+    """The signature of :func:`hyperplane_signatures` as a bare Column
+    over an ``array<double>`` — per-row, no corpus shuffle, so one
+    vector's signature is computable inside a maintained map view."""
     weights = hyperplane_weights(planes, dim, seed)
-    v = _as_double(df, vec_col)
     sig = F.lit(0).cast("long")
     for p, row in enumerate(weights):
         # one array literal per plane (not 64 scalar F.lit py4j calls):
         # plan construction for 32 planes drops from ~2k JVM round trips
         # to 32, measured ~3s → sub-second construct at bench time
         w = F.lit(list(row))
-        bit = F.when(F.round(dot(v, w), 6) > 0, F.lit(2 ** p)) \
+        bit = F.when(F.round(dot(vec, w), 6) > 0, F.lit(2 ** p)) \
                .otherwise(F.lit(0)).cast("long")
         sig = sig + bit
-    return df.select(F.col(id_col).alias("vec_id"), sig.alias("hp_sig"))
+    return sig
+
+
+def embedding_band_keys_col(vec_col: Column | str,
+                            planes: int = HYPERPLANES,
+                            bands: int = HYPERPLANE_BANDS,
+                            dim: int = 64, seed: str = "hp") -> Column:
+    """Per-ROW cosine-LSH band-bucket keys (``array<string>``,
+    ``"{band_pos}|{band_value}"``) — the embedding analogue of
+    ``dedup.minhash_band_keys_col``: the whole signature+banding runs as
+    one narrow Column expression, which is what lets the embedding LSH
+    index live as a maintained view updated in O(delta) per CDC batch."""
+    v = (F.col(vec_col) if isinstance(vec_col, str) else vec_col) \
+        .cast("array<double>")
+    sig = hyperplane_sig_col(v, planes, dim, seed)
+    band_width = planes // bands
+    return F.array(*[
+        F.concat_ws("|", F.lit(str(b)),
+                    (F.floor(sig / F.lit(2 ** (band_width * b)))
+                     % (2 ** band_width)).cast("long"))
+        for b in range(bands)])
+
+
+def embedding_lsh_index_views(source: str = "embeddings",
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              planes: int = HYPERPLANES,
+                              bands: int = HYPERPLANE_BANDS,
+                              dim: int = 64, seed: str = "hp",
+                              index_name: str = "emb_lsh_buckets") -> dict:
+    """ViewEngine config fragment for a MAINTAINED embedding near-dup
+    index — same IVM shape as ``dedup.lsh_index_views``: map each vector
+    to its band keys (narrow), reduce buckets to member lists; a CDC
+    delta re-maps only changed vectors and re-reduces only dirty
+    buckets. Streaming semantic dedup for an embedding corpus."""
+    from qvarn_mr_spark.operators.mapreduce import map_expr, reduce_agg
+    keys = embedding_band_keys_col(vec_col, planes, bands, dim, seed)
+    return {
+        f"{source}__lsh": {source: map_expr(
+            key=keys, value=F.col(id_col), explode_key=True)},
+        index_name: {f"{source}__lsh": reduce_agg({
+            "members": lambda c: F.array_sort(F.collect_set(c)),
+            "n_vecs": lambda c: F.count(F.lit(1)),
+        })},
+    }
+
+
+def probe_embedding_lsh_index(delta: DataFrame, corpus: DataFrame,
+                              buckets: DataFrame, id_col: str,
+                              vec_col: str, threshold: float = 0.9,
+                              planes: int = HYPERPLANES,
+                              bands: int = HYPERPLANE_BANDS,
+                              dim: int = 64, seed: str = "hp") -> DataFrame:
+    """Near-dup hits for a (delta-sized) batch of vectors against a
+    maintained embedding LSH index: band keys equi-join the bucket
+    table, members explode to candidates, and each candidate is verified
+    EXACTLY against the corpus vectors (cosine ≥ ``threshold``) — the
+    same verify-after-bucket contract as the batch
+    :func:`hyperplane_near_dup`. Returns ``(probe_id, member_id,
+    cos_sim)``; cost O(delta · bucket) + one id-join into the corpus."""
+    keys = delta.select(
+        F.col(id_col).alias("probe_id"),
+        _as_double(delta, vec_col).alias("_p_vec"),
+        F.explode(embedding_band_keys_col(vec_col, planes, bands, dim,
+                                          seed)).alias("_mr_key"))
+    cand = (keys.join(buckets.select("_mr_key", "members"), "_mr_key")
+            .select("probe_id", "_p_vec",
+                    F.explode("members").alias("member_id"))
+            .filter(F.col("probe_id") != F.col("member_id"))
+            .dropDuplicates(["probe_id", "member_id"]))
+    mv = corpus.select(F.col(id_col).alias("member_id"),
+                       _as_double(corpus, vec_col).alias("_m_vec"))
+    return (cand.join(mv, "member_id")
+            .select("probe_id", "member_id",
+                    F.round(cosine(F.col("_p_vec"), F.col("_m_vec")), 6)
+                    .alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold))
 
 
 def hyperplane_near_dup(df: DataFrame, id_col: str, vec_col: str,

@@ -490,6 +490,42 @@ WHERE round({cos}, 6) >= {threshold}
 """
 
 
+def embedding_lsh_probe_sql(probe_pred: str, threshold: float = 0.9,
+                            planes: int = 32, bands: int = 4,
+                            dim: int = 64, seed: str = "hp",
+                            table: str = "embeddings") -> str:
+    """similarity.probe_embedding_lsh_index over a batch-bootstrapped
+    index — probes matching ``probe_pred`` against every bucket, exact
+    cosine verify, self-pairs dropped."""
+    band_width = planes // bands
+    sig = _hyperplane_sig_expr("e", planes, dim, seed)
+    band_exprs = ", ".join(
+        f"(CAST(floor(hp_sig / {2 ** (band_width * b)}) AS BIGINT) "
+        f"% {2 ** band_width})"
+        for b in range(bands))
+    cos = _COS.format(a="pv.e", b="mv.e")
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM {table}),
+sigs AS (SELECT vec_id, {sig} AS hp_sig FROM e),
+bands AS (
+  SELECT vec_id, band_pos, bv
+  FROM (SELECT vec_id, unnest([{band_exprs}]) AS bv,
+               generate_subscripts([{band_exprs}], 1) AS band_pos
+        FROM sigs)
+),
+cand AS (
+  SELECT DISTINCT p.vec_id AS probe_id, m.vec_id AS member_id
+  FROM bands p JOIN bands m
+    ON p.band_pos = m.band_pos AND p.bv = m.bv AND p.vec_id != m.vec_id
+  WHERE p.vec_id IN (SELECT vec_id FROM {table} WHERE {probe_pred})
+)
+SELECT probe_id, member_id, round({cos}, 6) AS cos_sim
+FROM cand JOIN e pv ON pv.vec_id = probe_id
+          JOIN e mv ON mv.vec_id = member_id
+WHERE round({cos}, 6) >= {threshold}
+"""
+
+
 def _gram_list(t: str, k: int) -> str:
     """Non-distinct word k-gram list — twin of dedup.shingles_col."""
     if k == 1:

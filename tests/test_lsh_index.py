@@ -148,3 +148,67 @@ def test_lsh_index_via_streaming_maintainer(spark, tmp_path):
     got = {(r["probe_id"], r["member_id"]) for r in hits.collect()}
     assert (near_id, base_id) in got
     assert all(m != other_id for _, m in got)
+
+
+def test_embedding_lsh_index_maintains_through_cdc(spark, tmp_path):
+    """Embedding analogue: band keys computed per-row must equal the
+    batch signature banding, and the maintained index must track vector
+    upserts/deletes — identical vectors always collide on every band."""
+    from qvarn_mr_spark.functions import similarity
+
+    def vec(seed, flip=0):
+        # deterministic 64-dim vectors; flip>0 perturbs one component
+        v = [((seed * 31 + d * 7) % 13 - 6) / 6.0 for d in range(64)]
+        if flip:
+            v[0] += flip
+        return v
+
+    rows = [("a", vec(1)), ("b", vec(2)), ("c", vec(3))]
+
+    def df_of(rs):
+        return spark.createDataFrame(
+            rs, "id string, embedding array<float>")
+
+    # per-row band keys == banded batch signatures
+    sigs = {r["vec_id"]: r["hp_sig"] for r in similarity.
+            hyperplane_signatures(df_of(rows), "id", "embedding").collect()}
+    keys = {r["id"]: r["k"] for r in df_of(rows).select(
+        "id", similarity.embedding_band_keys_col("embedding")
+        .alias("k")).collect()}
+    for i, s in sigs.items():
+        want = [f"{b}|{(s >> (8 * b)) % 256}" for b in range(4)]
+        assert keys[i] == want
+
+    cat = Catalog(spark)
+
+    def set_source(rs):
+        cat.register("emb", df_of(rs))
+
+    set_source(rows)
+    eng = ViewEngine(cat,
+                     similarity.embedding_lsh_index_views(
+                         "emb", "id", "embedding"),
+                     id_cols={"emb": "id"})
+    inc = IncrementalEngine(eng, ParquetStateStore(spark, str(tmp_path / "s")))
+    inc.apply_changes(notifications(
+        spark, [("emb", "created", i) for i, _ in rows]))
+
+    # an exact duplicate of "a" streams in: every band collides, the
+    # probe (with exact cosine verify) returns it at cos_sim == 1
+    rows = rows + [("d", vec(1))]
+    set_source(rows)
+    inc.apply_changes(notifications(spark, [("emb", "created", "d")]))
+    hits = similarity.probe_embedding_lsh_index(
+        df_of([("d", vec(1))]), df_of(rows),
+        inc.read("emb_lsh_buckets"), "id", "embedding", threshold=0.9)
+    got = {(r["probe_id"], r["member_id"]): r["cos_sim"]
+           for r in hits.collect()}
+    assert got.get(("d", "a")) == 1.0
+
+    # delete "a": its pairs disappear from the maintained index
+    rows = [r for r in rows if r[0] != "a"]
+    set_source(rows)
+    inc.apply_changes(notifications(spark, [("emb", "deleted", "a")]))
+    members = inc.read("emb_lsh_buckets").select(
+        F.explode("members").alias("m")).collect()
+    assert all(r["m"] != "a" for r in members)
