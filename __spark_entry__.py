@@ -1486,6 +1486,19 @@ def q_embedding_lsh_probe(spark, sf_dir):
         delta, emb, buckets, "vec_id", "embedding", threshold=0.4)
 
 
+def q_doc_bpe_tokenize(spark, sf_dir):
+    """Apply half of the BPE story (functions/text.py): induce the merge
+    table on the corpus (vocabulary-sized loop, see q_corpus_bpe_merges),
+    then tokenize EVERY doc with the learned merges via the Arrow path —
+    distinct words encode once per batch through the same greedy fold the
+    trainer used (differential-tested vs the JVM Column fold and a pure-
+    python reference). Rows-only: the per-iteration argmax of merge
+    induction is not single-statement SQL."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    merges = text.bpe_merges(docs, n_merges=8, min_pair_count=2)
+    return text.bpe_encode_arrow(docs, text._merge_pairs(merges))
+
+
 def q_documents_table_profile(spark, sf_dir):
     """ANALYZE-style one-pass column statistics (catalog.table_profile):
     null counts, exact distinct counts, numeric min/max for every column
@@ -1640,6 +1653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "events_distinct_users_hll": q_events_distinct_users_hll,
         "corpus_bpe_merges": q_corpus_bpe_merges,
+        "doc_bpe_tokenize": q_doc_bpe_tokenize,
         "price_quantiles_kll": q_price_quantiles_kll,
         "doc_compression_ratio": q_doc_compression_ratio,
         # --- mid-tier operators (22) — complete the 50-query window ---

@@ -73,6 +73,7 @@ BENCH_QUERIES = (
     "doc_compression_ratio",
     "corpus_top_ngrams",
     "corpus_bpe_merges",
+    "doc_bpe_tokenize",
     "multimodal_signal_features",
     "doc_quality_classifier",
     "documents_table_profile",
@@ -83,6 +84,7 @@ BENCH_QUERIES = (
     "doc_source_budget",
     "embedding_hard_negatives",
     "lsh_index_probe",
+    "embedding_lsh_probe",
     "inverted_index",
     "corpus_prepare",
 )

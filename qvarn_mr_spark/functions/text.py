@@ -13,6 +13,8 @@ DuckDB oracle in ``__spark_entry__.py``.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -411,6 +413,121 @@ def bpe_vocab(df, id_col: str = "doc_id", text_col: str = "text",
                              F.lit(row["right"])).alias("sym"), "n")
     return (words.select(F.explode("sym").alias("symbol"), "n")
             .groupBy("symbol").agg(F.sum("n").alias("freq")))
+
+
+def bpe_encode(df, merges, id_col: str = "doc_id",
+               text_col: str = "text"):
+    """Tokenize with a LEARNED BPE merge table — the apply half of
+    :func:`bpe_merges`: each word splits to characters and every merge
+    folds through in rank order (the same greedy left-to-right
+    ``_merge_pair_expr`` pass the trainer used). Returns
+    ``(doc_id, n_words, n_chars, n_subwords)``.
+
+    ``merges`` is the :func:`bpe_merges` output (DataFrame) or an
+    ordered ``[(left, right), …]`` list. Pure Column expressions, but
+    plan depth grows with the merge count — right for the small induced
+    tables this engine trains (≤ ~100 merges); a tokenizer-scale
+    vocabulary (32k merges) uses :func:`bpe_encode_arrow`, which applies
+    the identical fold per word in an Arrow batch with a per-word cache.
+    """
+    from qvarn_mr_spark.functions.dedup import tokens_col
+
+    pairs = _merge_pairs(merges)
+    toks = tokens_col(text_col)
+    # per-word char arrays, then each merge folds through in rank order
+    enc = F.transform(toks, lambda w: _encode_word_col(w, pairs))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_words"),
+        F.aggregate(toks, F.lit(0),
+                    lambda a, w: a + F.length(w)).cast("long")
+        .alias("n_chars"),
+        F.aggregate(enc, F.lit(0),
+                    lambda a, s: a + F.size(s)).cast("long")
+        .alias("n_subwords"))
+
+
+def _merge_pairs(merges) -> list:
+    """Normalize a bpe_merges DataFrame or [(left, right), …] list into
+    an ordered pair list (vocab-sized — safe to collect)."""
+    if isinstance(merges, list):
+        return list(merges)
+    return [(r["left"], r["right"])
+            for r in merges.orderBy("rank").collect()]
+
+
+def _encode_word_col(w: Column, pairs: list) -> Column:
+    """Char-split one word and fold every merge in rank order — the
+    Column twin of the trainer's apply step. The lookahead split keeps a
+    trailing empty element (Spark split keeps trailing empties at the
+    default limit) — filtered out before the fold."""
+    sym = F.filter(F.split(w, "(?!^)"), lambda x: x != "")
+    for left, right in pairs:
+        sym = _merge_pair_expr(sym, F.lit(left), F.lit(right))
+    return sym
+
+
+def bpe_fold_reference(word: str, pairs: list) -> list:
+    """Driver-side twin of the greedy left-to-right merge fold —
+    used by bpe_encode_arrow per distinct word and by tests as the
+    independent reference."""
+    sym = list(word)
+    for left, right in pairs:
+        acc = []
+        for x in sym:
+            if acc and acc[-1] == left and x == right:
+                acc[-1] = left + right
+            else:
+                acc.append(x)
+        sym = acc
+    return sym
+
+
+def bpe_encode_arrow(df, merges, id_col: str = "doc_id",
+                     text_col: str = "text"):
+    """Tokenizer-scale BPE apply: the merge table ships in the closure
+    (vocab-sized), each Arrow batch encodes its DISTINCT words once
+    through the same greedy fold (:func:`bpe_fold_reference`, cached per
+    word — natural-language batches repeat most words) and sums subword
+    counts per document. Same output as :func:`bpe_encode`
+    (differentially tested); cost is one narrow Arrow pass, no shuffle,
+    no per-merge plan depth — this is the production path for 32k-merge
+    vocabularies over 100 TB."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from qvarn_mr_spark.functions.dedup import TOKEN_RE
+    from qvarn_mr_spark.session import ship_package
+    ship_package(df.sparkSession)
+
+    pairs = _merge_pairs(merges)
+    token_re = re.compile(TOKEN_RE)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict = {}
+
+        def n_sub(word: str) -> int:
+            got = cache.get(word)
+            if got is None:
+                got = cache[word] = len(bpe_fold_reference(word, pairs))
+            return got
+
+        for pdf in it:
+            ids, nw, nc, ns = [], [], [], []
+            for i, t in zip(pdf["_id"], pdf["_text"]):
+                ws = [w for w in token_re.split((t or "").lower()) if w]
+                ids.append(i)
+                nw.append(len(ws))
+                nc.append(sum(len(w) for w in ws))
+                ns.append(sum(n_sub(w) for w in ws))
+            yield pd.DataFrame({"doc_id": ids, "n_words": nw,
+                                "n_chars": nc, "n_subwords": ns})
+
+    src = df.select(F.col(id_col).alias("_id"),
+                    F.col(text_col).alias("_text"))
+    return src.mapInPandas(
+        batches, "doc_id long, n_words long, n_chars long, n_subwords long")
 
 
 def unigram_surprisal(df, id_col: str = "doc_id", text_col: str = "text",

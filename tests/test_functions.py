@@ -818,3 +818,34 @@ def test_hard_negatives_excludes_same_label(spark):
     labels = {r["vec_id"]: r["label"] for r in df.collect()}
     for r in wide.collect():
         assert labels[r["q_id"]] != labels[r["n_id"]]
+
+
+def test_bpe_encode_column_equals_arrow_and_reference(spark):
+    from qvarn_mr_spark.functions import text as T
+    rows = [(0, "low lower lowest low low"),
+            (1, "newer newest new"),
+            (2, "aaaa aa a"),
+            (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = T.bpe_merges(df, n_merges=5, min_pair_count=1)
+    pairs = T._merge_pairs(merges)
+    assert pairs                         # fixture actually learned merges
+
+    col = {r["doc_id"]: (r["n_words"], r["n_chars"], r["n_subwords"])
+           for r in T.bpe_encode(df, merges).collect()}
+    arrow = {r["doc_id"]: (r["n_words"], r["n_chars"], r["n_subwords"])
+             for r in T.bpe_encode_arrow(df, pairs).collect()}
+    assert col == arrow                  # JVM fold == Arrow batch path
+
+    # independent python reference per doc
+    import re as _re
+    from qvarn_mr_spark.functions.dedup import TOKEN_RE
+    for did, text in rows:
+        ws = [w for w in _re.split(TOKEN_RE, text.lower()) if w]
+        want = (len(ws), sum(len(w) for w in ws),
+                sum(len(T.bpe_fold_reference(w, pairs)) for w in ws))
+        assert col[did] == want, did
+
+    # merges only ever shrink the subword count, chars are conserved
+    for did, (nw, nc, ns) in col.items():
+        assert nw <= ns <= nc or (nw, nc, ns) == (0, 0, 0)
