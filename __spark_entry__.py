@@ -1457,11 +1457,19 @@ def q_lsh_index_probe(spark, sf_dir):
     conformance-tested in tests/test_lsh_index.py), probed by a delta of
     documents for near-dup collisions. Probe cost is O(delta·bucket)."""
     docs = _t(spark, sf_dir, "documents")["documents"]
-    keys = docs.select(
-        "doc_id",
-        F.explode(dedup.minhash_band_keys_col("text")).alias("_mr_key"))
-    buckets = keys.groupBy("_mr_key").agg(
-        F.array_sort(F.collect_set("doc_id")).alias("members"))
+    # bootstrap side uses the BATCH signature pipeline (one shuffle of
+    # shingle hashes — the right tool for a corpus-wide build); the
+    # per-row Column key form is reserved for the delta probe, where the
+    # input is delta-sized by definition
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text")
+    keys = sigs.select("doc_id", F.posexplode(F.array(
+        *[F.col(f"band_{b}") for b in range(dedup.MINHASH_BANDS)]))
+        .alias("_pos", "_sig"))
+    buckets = (keys.select(
+        "doc_id", F.concat_ws("|", F.col("_pos"), F.col("_sig"))
+        .alias("_mr_key"))
+        .groupBy("_mr_key")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("members")))
     delta = docs.filter(F.col("doc_id") % 10 == 0)
     return dedup.probe_lsh_index(delta, buckets, "doc_id", "text")
 
@@ -1475,15 +1483,45 @@ def q_embedding_lsh_probe(spark, sf_dir):
     vectors with exact cosine verify at threshold 0.4 (corpus-calibrated,
     see q_embedding_near_dup_lsh)."""
     emb = _t(spark, sf_dir, "embeddings")["embeddings"]
-    keys = emb.select(
-        "vec_id",
-        F.explode(similarity.embedding_band_keys_col("embedding"))
-        .alias("_mr_key"))
-    buckets = keys.groupBy("_mr_key").agg(
-        F.array_sort(F.collect_set("vec_id")).alias("members"))
-    delta = emb.filter(F.col("vec_id") % 10 == 0)
-    return similarity.probe_embedding_lsh_index(
-        delta, emb, buckets, "vec_id", "embedding", threshold=0.4)
+    # one 32-plane signature pass bootstraps the buckets; band keys are
+    # then cheap arithmetic on the packed long (the Column key form is
+    # reserved for delta-sized probes)
+    sigs = similarity.hyperplane_signatures(emb, "vec_id", "embedding")
+    width = similarity.HYPERPLANES // similarity.HYPERPLANE_BANDS
+    buckets = (sigs.select("vec_id", F.explode(F.array(*[
+        F.concat_ws("|", F.lit(str(b)),
+                    (F.floor(F.col("hp_sig") / F.lit(2 ** (width * b)))
+                     % (2 ** width)).cast("long"))
+        for b in range(similarity.HYPERPLANE_BANDS)])).alias("_mr_key"))
+        .groupBy("_mr_key")
+        .agg(F.array_sort(F.collect_set("vec_id")).alias("members")))
+    # the probe reuses the SAME signature frame (delta ⊆ corpus here),
+    # so the 32-plane expression is built once — probe_embedding_lsh_index
+    # re-keys from raw vectors and exists for true out-of-corpus deltas
+    probe_keys = (sigs.filter(F.col("vec_id") % 10 == 0)
+                  .select(F.col("vec_id").alias("probe_id"),
+                          F.explode(F.array(*[
+                              F.concat_ws(
+                                  "|", F.lit(str(b)),
+                                  (F.floor(F.col("hp_sig")
+                                           / F.lit(2 ** (width * b)))
+                                   % (2 ** width)).cast("long"))
+                              for b in range(
+                                  similarity.HYPERPLANE_BANDS)]))
+                          .alias("_mr_key")))
+    cand = (probe_keys.join(buckets, "_mr_key")
+            .select("probe_id", F.explode("members").alias("member_id"))
+            .filter(F.col("probe_id") != F.col("member_id"))
+            .dropDuplicates(["probe_id", "member_id"]))
+    pv = emb.select(F.col("vec_id").alias("probe_id"),
+                    F.col("embedding").cast("array<double>").alias("_pv"))
+    mv = emb.select(F.col("vec_id").alias("member_id"),
+                    F.col("embedding").cast("array<double>").alias("_mv"))
+    return (cand.join(pv, "probe_id").join(mv, "member_id")
+            .select("probe_id", "member_id",
+                    F.round(similarity.cosine(F.col("_pv"), F.col("_mv")),
+                            6).alias("cos_sim"))
+            .filter(F.col("cos_sim") >= 0.4))
 
 
 def q_doc_bpe_tokenize(spark, sf_dir):

@@ -571,14 +571,22 @@ def substring_dedup(df: DataFrame, id_col: str = "doc_id",
     filtered in place by index — like line_dedup, no reassembly shuffle,
     no pairwise comparisons anywhere (cost is linear in corpus tokens +
     Σ duplicated-gram occurrences)."""
-    t = tokens_col(text_col)
+    # materialize the token array ONCE behind a projection boundary: the
+    # gram transform below references it per position inside a lambda,
+    # and inlined (un-staged) that re-ran the whole lower/split/filter
+    # tokenize per gram — a ~|tokens|× blowup measured 10.9 s → 1.6 s at
+    # sf0.1. CollapseProject keeps the stage (non-cheap expr referenced
+    # more than once, SPARK-36718 — same staging as text.profile_frame).
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     tokens_col(text_col).alias("_t"))
+    t = F.col("_t")
     # shuffle key = 16-hex md5 prefix of the gram, not the gram text:
     # the positional explode is |corpus tokens| rows and the gram string
     # is ~5k bytes wide — the fixed 16-byte key roughly halves both
     # shuffles (count agg + dup join). md5 keeps the DuckDB oracle in
     # lockstep; a 64-bit prefix collision needs ~2^32 distinct grams.
-    grams = df.select(
-        F.col(id_col).alias("doc_id"),
+    grams = base.select(
+        "doc_id",
         F.explode(F.when(
             F.size(t) >= k,
             F.transform(
@@ -604,13 +612,24 @@ def substring_dedup(df: DataFrame, id_col: str = "doc_id",
         F.array_sort(F.collect_set("pos")).alias("_bad"))
     badc = F.coalesce(F.col("_bad"), F.array().cast("array<int>"))
     kept = F.filter(t, lambda x, i: ~F.array_contains(badc, i))
-    return (df.join(bad.withColumnRenamed("doc_id", id_col), id_col,
-                    "left")
-            .select(F.col(id_col).alias("doc_id"),
+    return (base.join(bad, "doc_id", "left")
+            .select("doc_id",
                     F.concat_ws(" ", kept).alias("text"),
                     F.size(t).cast("long").alias("n_tokens"),
                     (F.size(t) - F.size(kept)).cast("long")
                     .alias("n_removed")))
+
+
+def expr_let(bound: Column, body) -> Column:
+    """Expression-level let-binding: evaluate ``bound`` ONCE per row and
+    hand it to ``body`` as a lambda variable (a ``transform`` over a
+    one-element array). Lambda-variable references are cheap bound reads,
+    so an expensive subtree referenced many times inside a pure Column
+    expression costs one evaluation instead of one per reference — the
+    Column-level analogue of the projection staging in
+    ``text.profile_frame`` (usable where no projection boundary exists,
+    e.g. inside a map-handler key expression)."""
+    return F.get(F.transform(F.array(bound), body), 0)
 
 
 def minhash_band_keys_col(text_col: Column | str,
@@ -630,22 +649,35 @@ def minhash_band_keys_col(text_col: Column | str,
         raise ValueError(f"n_hashes={n_hashes} not divisible by "
                          f"n_bands={n_bands}")
     rows = n_hashes // n_bands
-    sh = F.array_distinct(shingles_col(text_col))
+    n_seeds = (n_hashes + 3) // 4
 
-    def h(i: int) -> Column:
-        seed = _minhash_seed(i // 4)
-        return F.array_min(F.transform(
-            sh, lambda s: F.substring(
-                F.md5(F.concat(F.lit(f"{seed}|"), s)),
-                1 + 8 * (i % 4), 8)))
+    def keys_from(sh: Column) -> Column:
+        # let-bind the per-seed md5 digest arrays too: each digest array
+        # is sliced by four band hashes, and without the binding every
+        # slice re-hashed the whole shingle set (measured 11.6 s → 2.4 s
+        # for the corpus key explode at sf0.1)
+        def digest(seed: str) -> Column:
+            return F.transform(
+                sh, lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s)))
 
-    bands = [
-        F.concat_ws("|", F.lit(str(b)),
-                    *[h(b * rows + r) for r in range(rows)])
-        for b in range(n_bands)
-    ]
-    return F.when(F.size(sh) > 0, F.array(*bands)) \
-            .otherwise(F.array().cast("array<string>"))
+        digs = F.array(*[digest(_minhash_seed(j)) for j in range(n_seeds)])
+
+        def bands_from(ds: Column) -> Column:
+            def h(i: int) -> Column:
+                off = 1 + 8 * (i % 4)
+                return F.array_min(F.transform(
+                    F.get(ds, i // 4), lambda d: F.substring(d, off, 8)))
+
+            return F.array(*[
+                F.concat_ws("|", F.lit(str(b)),
+                            *[h(b * rows + r) for r in range(rows)])
+                for b in range(n_bands)
+            ])
+
+        return F.when(F.size(sh) > 0, expr_let(digs, bands_from)) \
+                .otherwise(F.array().cast("array<string>"))
+
+    return expr_let(F.array_distinct(shingles_col(text_col)), keys_from)
 
 
 def lsh_index_views(source: str = "documents", id_col: str = "doc_id",
