@@ -336,15 +336,25 @@ def embedding_band_keys_col(vec_col: Column | str,
     ``dedup.minhash_band_keys_col``: the whole signature+banding runs as
     one narrow Column expression, which is what lets the embedding LSH
     index live as a maintained view updated in O(delta) per CDC batch."""
+    from qvarn_mr_spark.functions.dedup import expr_let
+
     v = (F.col(vec_col) if isinstance(vec_col, str) else vec_col) \
         .cast("array<double>")
-    sig = hyperplane_sig_col(v, planes, dim, seed)
     band_width = planes // bands
-    return F.array(*[
-        F.concat_ws("|", F.lit(str(b)),
-                    (F.floor(sig / F.lit(2 ** (band_width * b)))
-                     % (2 ** band_width)).cast("long"))
-        for b in range(bands)])
+
+    def bands_from(sig: Column) -> Column:
+        return F.array(*[
+            F.concat_ws("|", F.lit(str(b)),
+                        (F.floor(sig / F.lit(2 ** (band_width * b)))
+                         % (2 ** band_width)).cast("long"))
+            for b in range(bands)])
+
+    # let-bind twice: the cast vector feeds `planes` dot products, and
+    # the packed signature feeds every band's arithmetic — each would
+    # otherwise re-evaluate per reference (see dedup.expr_let)
+    return expr_let(
+        v, lambda vv: expr_let(hyperplane_sig_col(vv, planes, dim, seed),
+                               bands_from))
 
 
 def embedding_lsh_index_views(source: str = "embeddings",

@@ -849,3 +849,21 @@ def test_bpe_encode_column_equals_arrow_and_reference(spark):
     # merges only ever shrink the subword count, chars are conserved
     for did, (nw, nc, ns) in col.items():
         assert nw <= ns <= nc or (nw, nc, ns) == (0, 0, 0)
+
+
+def test_expr_let_binds_once_and_preserves_semantics(spark):
+    """expr_let must be a pure let-binding: same result as inlining, for
+    scalars, arrays, and NULL bounds."""
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, ""), (3, None)], "id long, text string")
+    toks = dedup.tokens_col("text")
+    inline = df.select(
+        (F.size(toks) + F.size(toks)).alias("x")).collect()
+    bound = df.select(
+        dedup.expr_let(toks, lambda t: F.size(t) + F.size(t))
+        .alias("x")).collect()
+    assert [r["x"] for r in inline] == [r["x"] for r in bound]
+    # scalar bound + NULL propagation
+    got = df.select(dedup.expr_let(
+        F.length("text"), lambda n: n * 2).alias("y")).collect()
+    assert [r["y"] for r in got] == [7 * 2, 0, None]
