@@ -1451,11 +1451,12 @@ def q_embedding_hard_negatives(spark, sf_dir):
 
 def q_lsh_index_probe(spark, sf_dir):
     """Maintained-LSH-index probe (functions/dedup.py): the streaming-
-    dedup shape — band-bucket keys per doc via the Column-expression twin
-    of minhash_signatures, a bucket→members index (here batch-bootstrapped;
-    IncrementalEngine maintains the same table in O(delta) per CDC batch,
-    conformance-tested in tests/test_lsh_index.py), probed by a delta of
-    documents for near-dup collisions. Probe cost is O(delta·bucket)."""
+    dedup shape — buckets batch-bootstrapped from minhash_signatures
+    (corpus-wide build = the batch pipeline's one shingle-hash shuffle;
+    IncrementalEngine maintains the identical table in O(delta) per CDC
+    batch, conformance-tested in tests/test_lsh_index.py), probed by a
+    delta of documents whose band keys come from the per-row
+    Column-expression twin. Probe cost is O(delta·bucket)."""
     docs = _t(spark, sf_dir, "documents")["documents"]
     # bootstrap side uses the BATCH signature pipeline (one shuffle of
     # shingle hashes — the right tool for a corpus-wide build); the
