@@ -83,18 +83,21 @@ def shingles_col(col: Column | str, k: int = SHINGLE_K) -> Column:
     slices are k whole-array copies total instead of one per shingle, and
     the fold stays inside codegen'd projection — same output, same order.
     """
-    def build(t: Column) -> Column:
-        m = F.greatest(F.size(t) - (k - 1), F.lit(0))
-        grams = F.slice(t, 1, m)
-        for j in range(1, k):
-            grams = F.zip_with(grams, F.slice(t, j + 1, m),
-                               lambda x, y: F.concat(x, F.lit(" "), y))
-        return grams
-
-    # let-bind the token array: the k shifted slices reference it k+1
-    # times, and un-bound that re-ran the tokenize per reference
-    # (measured 3.4 s → 0.9 s for the sf0.1 shingle stream)
-    return expr_let(tokens_col(col), build)
+    t = tokens_col(col)
+    m = F.greatest(F.size(t) - (k - 1), F.lit(0))
+    grams = F.slice(t, 1, m)
+    for j in range(1, k):
+        grams = F.zip_with(grams, F.slice(t, j + 1, m),
+                           lambda x, y: F.concat(x, F.lit(" "), y))
+    return grams
+    # NOTE on expr_let: binding the token array here cuts a RAW
+    # explode-of-shingles pass 4× (the k shifted slices re-tokenize per
+    # reference), but every production consumer reads shingles through
+    # shingle_table's exchange — computed once, shuffle-reused — so the
+    # win never reaches them (dedup_jaccard measured unchanged). Kept
+    # inline to avoid gratuitous lambda nesting; expr_let remains right
+    # for the per-row band-key Columns, which have no exchange to hide
+    # behind.
 
 
 def shingle_table(df: DataFrame, id_col: str, text_col: str,
