@@ -1471,8 +1471,19 @@ def q_lsh_index_probe(spark, sf_dir):
         .alias("_mr_key"))
         .groupBy("_mr_key")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("members")))
-    delta = docs.filter(F.col("doc_id") % 10 == 0)
-    return dedup.probe_lsh_index(delta, buckets, "doc_id", "text")
+    # delta ⊆ corpus here, so the probe reuses the SAME signature frame
+    # (one shingle-hash pass total — the pattern the embedding probe
+    # uses); dedup.probe_lsh_index re-keys raw text via the per-row
+    # Column twin and exists for true out-of-corpus deltas
+    probe_keys = (keys.filter(F.col("doc_id") % 10 == 0)
+                  .select(F.col("doc_id").alias("probe_id"),
+                          F.concat_ws("|", F.col("_pos"), F.col("_sig"))
+                          .alias("_mr_key")))
+    return (probe_keys.join(buckets, "_mr_key")
+            .select("probe_id", F.explode("members").alias("member_id"))
+            .filter(F.col("probe_id") != F.col("member_id"))
+            .groupBy("probe_id", "member_id")
+            .agg(F.count(F.lit(1)).alias("n_bands")))
 
 
 def q_embedding_lsh_probe(spark, sf_dir):

@@ -114,6 +114,10 @@ def main() -> None:
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist()
         spark.catalog.clearCache()
+        # explicit GC between queries: 60+ queries of plan/codegen churn
+        # in one JVM otherwise tax the LAST queries' construct times
+        # (corpus_prepare read 27.8s in-bench vs ~15s in a fresh session)
+        spark.sparkContext._jvm.System.gc()
 
     for name in BENCH_QUERIES:
         drop_persisted()

@@ -727,7 +727,10 @@ def probe_lsh_index(delta: DataFrame, buckets: DataFrame, id_col: str,
     corpus is touched only through the bucket rows the delta hashes into,
     never rescanned. Probing the full corpus reproduces the batch
     :func:`minhash_candidates` pair set (each pair seen from both sides)."""
-    keys = delta.select(
+    # spread the delta first: it often arrives as ONE file/partition, and
+    # the per-row key expression (nested higher-order functions, runs
+    # interpreted) would otherwise serialize on a single task
+    keys = ensure_min_partitions(delta).select(
         F.col(id_col).alias("probe_id"),
         F.explode(minhash_band_keys_col(text_col, n_hashes, n_bands))
         .alias("_mr_key"))

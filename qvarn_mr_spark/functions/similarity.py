@@ -394,7 +394,12 @@ def probe_embedding_lsh_index(delta: DataFrame, corpus: DataFrame,
     same verify-after-bucket contract as the batch
     :func:`hyperplane_near_dup`. Returns ``(probe_id, member_id,
     cos_sim)``; cost O(delta · bucket) + one id-join into the corpus."""
-    keys = delta.select(
+    from qvarn_mr_spark.functions.dedup import ensure_min_partitions
+
+    # spread the delta first — same single-file-delta hazard as
+    # dedup.probe_lsh_index (the 32-dot-product key expression would
+    # otherwise run on one task)
+    keys = ensure_min_partitions(delta).select(
         F.col(id_col).alias("probe_id"),
         _as_double(delta, vec_col).alias("_p_vec"),
         F.explode(embedding_band_keys_col(vec_col, planes, bands, dim,
