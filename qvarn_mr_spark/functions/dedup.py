@@ -256,19 +256,33 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
 def minhash_candidates(df: DataFrame, id_col: str, text_col: str,
                        n_hashes: int = MINHASH_N,
-                       n_bands: int = MINHASH_BANDS) -> DataFrame:
+                       n_bands: int = MINHASH_BANDS,
+                       max_bucket: int | None = None) -> DataFrame:
     """LSH candidate pairs: documents agreeing on ≥1 band.
 
-    Group signatures into (band_pos, signature) buckets and expand each
-    bucket's pairs in place (sorted ``collect_list`` → nested ``transform``
-    → ``explode``) — the LSH trick: only same-bucket rows ever pair, so
-    candidate generation is O(bucket collisions), never O(n²). Grouping
-    beats a bucket self-join by computing the signature subtree once
-    instead of twice. Returns ``(a_id, b_id, n_bands)``.
+    Melt signatures to (doc_id, band_pos, sig) and self-equi-join on the
+    bucket key ``(band_pos, sig)`` — the LSH trick: only same-bucket rows
+    ever pair, so candidate generation is O(bucket collisions), never
+    O(n²). The join STREAMS a bucket's m(m-1)/2 pairs into the downstream
+    pair aggregation as ordinary rows; nothing ever materializes a
+    bucket's whole pair set inside one row (the earlier ``collect_list``
+    + in-row nested-``transform`` expansion did exactly that — a
+    degenerate bucket of a million near-identical template docs would
+    build 5·10¹¹ structs in a single task's single row). The melted table
+    is persisted so the signature subtree (tokenize → shingle → md5 mins)
+    computes once and serves both join sides — same rationale as the
+    shingle-table persist in :func:`ngram_jaccard_pairs`.
 
-    Skew note: a degenerate bucket of m docs expands m²/2 pairs inside one
-    row — with honest hash functions m stays tiny; a corpus with massive
-    exact-dup clusters should run :func:`exact_dedup` first.
+    ``max_bucket`` is the explicit skew valve: buckets larger than it are
+    dropped whole BEFORE the join (a left-semi against the
+    bucket-size keep-list, whose aggregation reuses the melted persist).
+    A bucket that large is near-certainly an exact-dup template cluster —
+    run :func:`exact_dedup` first (as :func:`dedup_corpus` does) and the
+    survivors' buckets stay small; the cap is a guarantee, not the
+    primary defense. ``None`` (default) keeps every bucket: output is
+    exactly the classic banded-LSH candidate set, matching the DuckDB
+    oracle (``oracle.minhash_candidates_sql``) which uses this same
+    self-join shape. Returns ``(a_id, b_id, n_bands)``.
     """
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, n_bands)
     melted = sigs.select(
@@ -276,16 +290,17 @@ def minhash_candidates(df: DataFrame, id_col: str, text_col: str,
         F.posexplode(F.array(*[F.col(f"band_{b}")
                                for b in range(n_bands)]))
         .alias("band_pos", "sig"),
-    )
-    buckets = (melted.groupBy("band_pos", "sig")
-               .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-               .filter(F.size("ids") > 1))
-    pairs = buckets.select(F.explode(F.flatten(F.transform(
-        F.col("ids"),
-        lambda x, i: F.transform(
-            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-            lambda y: F.struct(x.alias("a_id"), y.alias("b_id")))))).alias("p"))
-    return (pairs.select("p.a_id", "p.b_id")
+    ).persist()
+    if max_bucket is not None:
+        keep = (melted.groupBy("band_pos", "sig")
+                .agg(F.count(F.lit(1)).alias("_m"))
+                .filter(F.col("_m") <= max_bucket)
+                .select("band_pos", "sig"))
+        melted = melted.join(keep, ["band_pos", "sig"], "left_semi")
+    a = melted.select("band_pos", "sig", F.col("doc_id").alias("a_id"))
+    b = melted.select("band_pos", "sig", F.col("doc_id").alias("b_id"))
+    return (a.join(b, ["band_pos", "sig"])
+            .filter(F.col("a_id") < F.col("b_id"))
             .groupBy("a_id", "b_id")
             .agg(F.count(F.lit(1)).alias("n_bands")))
 
@@ -358,9 +373,10 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str,
     into pairs without ever going n²: split each 16-bit signature into
     ``n_bands`` equal-width bands, bucket documents by (band_pos, band
     value), expand pairs inside each bucket (sorted ``collect_list`` →
-    nested ``transform`` → ``explode``, same shape as
-    :func:`minhash_candidates`), then verify each candidate's exact hamming
-    distance (``bit_count(xor)``) and keep ``≤ max_hamming``.
+    nested ``transform`` → ``explode`` — safe HERE because the expansion
+    runs over distinct signatures, bounded by 2^bits, never over doc
+    ids), then verify each candidate's exact hamming distance
+    (``bit_count(xor)``) and keep ``≤ max_hamming``.
 
     For ``max_hamming ≤ n_bands - 1`` (default 3) the result is EXACT:
     by pigeonhole a pair within that distance shares an untouched band, so

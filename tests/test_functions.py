@@ -119,6 +119,32 @@ def test_minhash_lsh_finds_near_dup(docs):
     assert got[(0, 6)] == dedup.MINHASH_BANDS
 
 
+def test_minhash_degenerate_bucket_streams(spark):
+    """A 1,000-doc near-identical template cluster (the adversarial 100 TB
+    shape: survives exact dedup, collapses onto shared LSH buckets) must
+    complete with every output row a fixed-width (a_id, b_id, n_bands)
+    triple — the pair expansion is a distributed equi-join, never an
+    in-row m² struct blowup. The plan must not contain collect_list."""
+    n = 1000
+    rows = [(i, "the quick brown fox jumps over the lazy dog "
+                "and then sits down to rest") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cands = dedup.minhash_candidates(df, "doc_id", "text")
+    plan = cands._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan
+    # identical texts → every doc lands in the same bucket in every band:
+    # the full n(n-1)/2 pair set must stream through and aggregate exactly
+    agg = cands.agg(F.count(F.lit(1)).alias("n"),
+                    F.min("n_bands").alias("lo"),
+                    F.max("n_bands").alias("hi")).collect()[0]
+    assert agg["n"] == n * (n - 1) // 2
+    assert agg["lo"] == agg["hi"] == dedup.MINHASH_BANDS
+    # the explicit skew valve: capping bucket size drops the degenerate
+    # buckets whole — zero pairs from a cluster whose every bucket > cap
+    capped = dedup.minhash_candidates(df, "doc_id", "text", max_bucket=50)
+    assert capped.count() == 0
+
+
 def test_simhash_near_dup_close(docs):
     got = rows_by_id(dedup.simhash(docs, "doc_id", "text"), "simhash")
     h0, h5, h1 = got[0][0], got[5][0], got[1][0]
