@@ -49,17 +49,55 @@ SIMHASH_BANDS = 4
 HEX_DIGITS = "0123456789abcdef"
 
 
-def ensure_min_partitions(df: DataFrame) -> DataFrame:
-    """Spread a narrow input across the session's shuffle parallelism.
+def _size_bytes(v: str) -> int:
+    """Parse a Spark byte-size conf value ("134217728b", "128MB", "1g")."""
+    s = v.strip().lower()
+    for suf, mult in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                      ("tb", 1 << 40), ("k", 1 << 10), ("m", 1 << 20),
+                      ("g", 1 << 30), ("t", 1 << 40), ("b", 1)):
+        if s.endswith(suf):
+            return int(float(s[: -len(suf)])) * mult
+    return int(s)
 
-    A small corpus arriving as one parquet file (one row group → one
-    split) would otherwise run every downstream per-row computation —
-    tokenize, shingle, md5 — on a single task, serializing the whole
-    candidate pipeline. Guarded: a no-op when the scan already has at
-    least ``spark.sql.shuffle.partitions`` splits (the 100 TB case), so
-    this never adds a corpus-wide shuffle at scale."""
-    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() < target:
+
+def ensure_min_partitions(df: DataFrame) -> DataFrame:
+    """Spread a narrow file-backed input across the session's shuffle
+    parallelism.
+
+    A small corpus arriving as one parquet file would otherwise run every
+    downstream per-row computation — tokenize, shingle, md5 — on a single
+    task, serializing the whole candidate pipeline. The guard estimates
+    the scan's split count from ``inputFiles()`` plus (where the files
+    are locally stat-able) ``spark.sql.files.maxPartitionBytes`` — never
+    touching ``df.rdd``, whose Python-RDD conversion forces an extra
+    plan compilation on every dedup entry path. No-op whenever the
+    estimate reaches ``spark.sql.shuffle.partitions`` (the 100 TB case:
+    file count alone exceeds it) and for non-file sources (in-memory
+    test frames, post-shuffle intermediates — those already carry their
+    upstream parallelism), so this never adds a corpus-wide shuffle at
+    scale."""
+    spark = df.sparkSession
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    files = df.inputFiles()
+    if not files or len(files) >= target:
+        return df
+    splits = len(files)
+    try:
+        import os
+        from urllib.parse import unquote, urlparse
+        mpb = _size_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes"))
+        local = [urlparse(f) for f in files]
+        if all(u.scheme in ("file", "") for u in local):
+            # Spark splits large files at maxPartitionBytes: count those
+            # splits so a few-huge-files corpus is recognized as already
+            # parallel instead of paying a pointless full shuffle
+            splits = sum(
+                max(1, -(-os.path.getsize(unquote(u.path)) // mpb))
+                for u in local)
+    except OSError:
+        pass  # sizes not visible — fall back to the file count
+    if splits < target:
         return df.repartition(target)
     return df
 

@@ -111,10 +111,17 @@ def skew_profile(df: DataFrame, key_cols: list[str],
     counts = (df.groupBy(key.alias("key"))
               .agg(F.count(F.lit(1)).alias("n_rows"))
               .persist())
-    w = Window.orderBy(F.desc("n_rows"), F.asc("key"))
+    # rank the ≤ top_n survivors without a window: an unpartitioned
+    # row_number() here is bounded (post-limit) but still plans a
+    # single-partition WindowExec and warns on every run. The sort-limit
+    # compiles to TakeOrderedAndProject (one sorted output partition), so
+    # monotonically_increasing_id() over the coalesced result is the
+    # contiguous 0..N-1 sequence in rank order.
     top = (counts.orderBy(F.desc("n_rows"), F.asc("key")).limit(top_n)
+           .coalesce(1)
            .select(F.concat(F.lit("top#"),
-                            F.row_number().over(w).cast("string"))
+                            (F.monotonically_increasing_id() + 1)
+                            .cast("string"))
                    .alias("stat"),
                    "key", "n_rows"))
     stats = (counts.agg(
