@@ -75,14 +75,29 @@ def train_logreg(df: DataFrame, label: Column,
 
     Returns ``{feature: weight, "_bias": b}`` in RAW feature space.
     """
-    feats = features if features is not None else feature_exprs(text_col)
-    names = sorted(feats)
-    x = df.select(label.cast("double").alias("_y"),
-                  *[feats[n].alias(n) for n in names]).persist()
+    if features is not None:
+        feats = features
+        names = sorted(feats)
+        # one defined NULL semantic for BOTH paths: a NULL feature reads
+        # as 0.0 (the local numpy loop would otherwise turn None into NaN
+        # and poison every weight, while the distributed F.avg/F.sum
+        # silently skip NULLs — two different answers); NULL-label rows
+        # are unlabeled and dropped outright
+        x = df.select(label.cast("double").alias("_y"),
+                      *[F.coalesce(feats[n], F.lit(0.0)).alias(n)
+                        for n in names]).where(F.col("_y").isNotNull())
+    else:
+        x, names = _staged_features(df, label, text_col)
+    # probe-by-collect: fetching threshold+1 rows decides the path AND,
+    # in the normal sample-sized case, already IS the whole featurized
+    # matrix — one Spark job instead of a count() pass plus a collect
+    # pass (this halved the fit's construct cost at sf0.1)
+    head = x.limit(collect_threshold + 1).toPandas()
+    if len(head) <= collect_threshold:
+        return _gd_local(head, names, iters, lr, l2)
+    x = x.persist()
     try:
         n = x.count() or 1
-        if n <= collect_threshold:
-            return _gd_local(x, names, iters, lr, l2)
         # standardize once (one aggregate): full-batch GD on raw
         # [0, 0.x]-scale features crawls; on unit-variance features it
         # converges in tens of steps. Weights are mapped back to RAW
@@ -120,14 +135,109 @@ def train_logreg(df: DataFrame, label: Column,
         x.unpersist()
 
 
-def _gd_local(x: DataFrame, names: list[str], iters: int, lr: float,
+def _feature_frame(df: DataFrame, text_col: str, keep):
+    """Stages 1-3 of the default featurization, the ``profile_frame`` way:
+    normalize once, per-language marker sums as intermediate columns,
+    features assembled from cheap refs. A single flat ``select`` of
+    :func:`feature_exprs` inlines ``_normalized_for_words`` into every
+    one of the ~70 marker counts and its Catalyst analysis alone cost
+    seconds per construction; the staged projections survive
+    CollapseProject (SPARK-36718) and analyze in milliseconds with
+    bit-identical values. ``keep`` — extra Columns carried through
+    (training label, score-time id columns) as a {name: Column} mapping.
+    Returns (frame, names): frame has the kept columns plus one column
+    per feature name."""
+    from qvarn_mr_spark.functions.text import (
+        EN_STOPWORDS,
+        _count_occurrences,
+        _normalized_for_words,
+        punct_ratio,
+    )
+
+    c = F.col(text_col)
+    st1 = df.select(*[col.alias(name) for name, col in keep.items()],
+                    c.alias("_text"),
+                    _normalized_for_words(c).alias("_norm"))
+    kept = list(keep)
+    norm, txt = F.col("_norm"), F.col("_text")
+
+    def hits(words):
+        total = None
+        for w in words:
+            h = _count_occurrences(norm, w)
+            total = h if total is None else total + h
+        return total
+
+    st2 = st1.select(
+        *kept,
+        *[hits(words).alias(f"_h_{lang}")
+          for lang, words in LANG_MARKERS.items()],
+        hits(EN_STOPWORDS).alias("_h_stop"),
+        token_count(txt).alias("_toks"),
+        punct_ratio(txt).alias("_punct"),
+    )
+    toks = F.col("_toks")
+    safe = F.greatest(toks, F.lit(1)).cast("double")
+    feats: dict[str, Column] = {
+        "len_score": F.least(toks.cast("double") / 100.0, F.lit(1.0)),
+        "punct": F.col("_punct"),
+        "stopword": F.when(toks == 0, F.lit(0.0)).otherwise(
+            F.least(F.col("_h_stop").cast("double") / toks, F.lit(1.0))),
+    }
+    for lang in LANG_MARKERS:
+        feats[f"hits_{lang}"] = F.least(
+            F.col(f"_h_{lang}").cast("double") / safe, F.lit(1.0))
+    names = sorted(feats)
+    st3 = st2.select(*kept,
+                     *[F.coalesce(feats[n], F.lit(0.0)).alias(n)
+                       for n in names])
+    return st3, names
+
+
+def _staged_features(df: DataFrame, label: Column, text_col: str):
+    """Training frame via :func:`_feature_frame`. NULL semantics match
+    the generic custom-features path: NULL features coalesce to 0.0,
+    NULL-label rows are unlabeled and drop."""
+    frame, names = _feature_frame(
+        df, text_col, {"_y": label.cast("double")})
+    return frame.where(F.col("_y").isNotNull()), names
+
+
+def score_frame(df: DataFrame, weights: dict[str, float],
+                id_cols=("doc_id",), text_col: str = "text",
+                score_col: str = "score", digits: int = 6,
+                threshold: float | None = None) -> DataFrame:
+    """Staged twin of :func:`score_expr` for scoring a whole frame:
+    ``(ids…, score[, kept])`` built through the same staged projections
+    as training, so constructing the scoring query costs milliseconds of
+    analysis instead of seconds. Values are bit-identical to
+    ``df.select(score_expr(w))`` — same feature expressions, same
+    ``sigmoid(w·x + b)``; :func:`score_expr` remains the portable
+    single-Column form."""
+    frame, names = _feature_frame(
+        df, text_col, {c: F.col(c) for c in id_cols})
+    z = F.lit(weights.get("_bias", 0.0))
+    for name in names:
+        if name in weights:
+            z = z + F.lit(weights[name]) * F.col(name)
+    s = (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("_s")
+    out = frame.select(*id_cols, s)
+    cols = [*id_cols, F.round(F.col("_s"), digits).alias(score_col)]
+    if threshold is not None:
+        cols.append((F.col("_s") >= threshold).alias("kept"))
+    return out.select(*cols)
+
+
+def _gd_local(pdf, names: list[str], iters: int, lr: float,
               l2: float) -> dict[str, float]:
     """Driver-side twin of the distributed GD loop — same standardize /
-    gradient / weight-unmap sequence over the Arrow-collected featurized
-    matrix (k doubles per row, sample-sized by the caller's contract)."""
+    gradient / weight-unmap sequence over the already-Arrow-collected
+    featurized matrix (k doubles per row, sample-sized by the caller's
+    contract). NULLs were coalesced to 0.0 at featurization; the fillna
+    is belt-and-braces for direct callers."""
     import numpy as np
 
-    pdf = x.toPandas()
+    pdf = pdf.fillna({nm: 0.0 for nm in names})
     y = pdf["_y"].to_numpy(dtype=float)
     mat = pdf[names].to_numpy(dtype=float)
     n = max(len(y), 1)

@@ -93,7 +93,11 @@ def chunk_documents(df: DataFrame, id_col: str = "doc_id",
         raise ValueError(f"need 0 <= overlap < window, got "
                          f"overlap={overlap} window={window}")
     step = window - overlap
-    toks = F.split(F.col(text_col), " ", -1)
+    # NULL text behaves as empty (one empty chunk) — without the coalesce,
+    # split(NULL) is NULL, _n goes -1/NULL, and greatest() floors the
+    # sequence to a bogus single chunk with NULL n_tokens/chunk_text while
+    # the DuckDB oracle's range(NULL) emits nothing
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ", -1)
     d = df.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"),
                   F.size(toks).alias("_n"))
     # starts 0, step, 2·step … while the chunk adds ≥1 token past the

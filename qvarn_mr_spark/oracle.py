@@ -680,12 +680,14 @@ def chunk_documents_sql(window: int = 32, overlap: int = 8,
                         table: str = "documents") -> str:
     """packing.chunk_documents — same start lattice (0, stride, … while a
     chunk adds ≥1 token past the shared overlap), same 1-based clamped
-    slice. DuckDB ``range(a, b, s)`` is half-open so the bound gets +1."""
+    slice. DuckDB ``range(a, b, s)`` is half-open so the bound gets +1.
+    NULL text coalesces to '' on both sides (one empty chunk), keeping
+    the NULL semantic defined and identical."""
     step = window - overlap
     return f"""
 WITH t AS (
-  SELECT doc_id, string_split(text, ' ') AS toks,
-         len(string_split(text, ' ')) AS n
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks,
+         len(string_split(coalesce(text, ''), ' ')) AS n
   FROM {table}
 ),
 s AS (

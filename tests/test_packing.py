@@ -139,6 +139,17 @@ def test_chunk_documents_short_and_tail(spark):
     assert [r["n_tokens"] for r in c1] == [4, 3]
 
 
+def test_chunk_documents_null_text(spark):
+    from qvarn_mr_spark.functions.packing import chunk_documents
+    df = spark.createDataFrame([("0", None), ("1", "a b")],
+                               "doc_id string, text string")
+    rows = sorted((r["doc_id"], r["chunk_id"], r["n_tokens"], r["chunk_text"])
+                  for r in chunk_documents(df, window=4, overlap=2).collect())
+    # NULL text ≡ empty text: exactly one chunk of the empty token, never
+    # a NULL-n_tokens/NULL-text row
+    assert rows == [("0", 0, 1, ""), ("1", 0, 2, "a b")]
+
+
 def test_chunk_documents_covers_every_token(spark, sf_dir):
     from qvarn_mr_spark.functions.packing import chunk_documents
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)

@@ -246,6 +246,59 @@ def test_compression_ratio_orders_redundancy(spark):
     assert got[0]["ratio"] == round(len(zlib.compress(raw, 6)) / len(raw), 6)
 
 
+def test_classifier_staged_features_match_flat(spark):
+    """The staged training/scoring projections (_feature_frame /
+    score_frame) must produce bit-identical values to the flat
+    feature_exprs / score_expr forms — the staging is a plan-shape
+    optimization, never a semantic fork."""
+    from qvarn_mr_spark.functions import classifier as clf
+    rows = [(0, "the cat and the dog is in the house!"),
+            (1, "der hund und die katze, ist nicht ein tier"),
+            (2, ""), (3, None), (4, "le chat est: une bete que")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    feats = clf.feature_exprs()
+    names = sorted(feats)
+    flat = {r["doc_id"]: tuple(r[n] for n in names)
+            for r in df.select(
+                "doc_id",
+                *[F.coalesce(feats[n], F.lit(0.0)).alias(n)
+                  for n in names]).collect()}
+    frame, names2 = clf._feature_frame(df, "text",
+                                       {"doc_id": F.col("doc_id")})
+    assert names2 == names
+    staged = {r["doc_id"]: tuple(r[n] for n in names)
+              for r in frame.collect()}
+    assert staged == flat
+    w = {n: 0.3 * (i + 1) for i, n in enumerate(names)}
+    w["_bias"] = -0.7
+    got = {r["doc_id"]: r["score"]
+           for r in clf.score_frame(df, w).collect()}
+    # score_frame == sigmoid(w·x + b) over the (coalesced) flat features
+    # for EVERY row, including the NULL-text one
+    for k, vals in flat.items():
+        z = w["_bias"] + sum(w[n] * v for n, v in zip(names, vals))
+        assert got[k] == pytest.approx(clf.sigmoid(z), abs=1e-6)
+
+
+def test_classifier_null_features_local_equals_distributed(spark):
+    """ADVICE r4: NULL featurized values must not fork the local numpy
+    path (NaN poisoning) from the distributed path (silent NULL-skip) —
+    both coalesce to 0.0 before the loop."""
+    import math
+
+    from qvarn_mr_spark.functions import classifier as clf
+    rows = [(i, None if i % 3 == 0 else
+             ("the cat and the dog " * ((i % 3) + 1)).strip(),
+             int(i % 2)) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    local = clf.train_logreg(df, F.col("y") == 1, iters=20, lr=1.0)
+    dist = clf.train_logreg(df, F.col("y") == 1, iters=20, lr=1.0,
+                            collect_threshold=0)
+    for k in local:
+        assert not math.isnan(local[k])
+        assert local[k] == pytest.approx(dist[k], rel=1e-8, abs=1e-10)
+
+
 def test_classifier_local_and_distributed_gd_agree(spark):
     """The Arrow-collected numpy loop and the per-iteration Spark
     aggregate loop implement the same math — weights must agree to
