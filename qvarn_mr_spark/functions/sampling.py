@@ -245,6 +245,17 @@ def budget_cap(df: DataFrame, id_col: str, key_col: str, weight_col: str,
     Appends ``cum_weight`` (the running total including the row itself) so
     downstream stages can see how full each key's quota is.
 
+    Rows whose OWN weight exceeds the budget are dropped before the
+    running sum (a pushed-down scan filter): an oversized document can
+    never fit any quota, and letting it head the greedy order would
+    otherwise zero out its whole key — the running sum never resets, so
+    one giant doc would block every smaller doc from an otherwise-fine
+    source (ADVICE r4). With the pre-filter the quota fills with the
+    largest documents that actually fit, the skip-and-continue behavior
+    web-corpus budget caps use. The default-order greedy prefix remains
+    greedy: a key can still close its quota with slack smaller than the
+    next row's weight.
+
     Scale shape: one shuffle on ``key_col`` + a per-key running-sum
     window. Per-key cost is that key's row count; a pathological hot key
     serializes one reducer, in which case pre-trim with
@@ -254,5 +265,6 @@ def budget_cap(df: DataFrame, id_col: str, key_col: str, weight_col: str,
     order = [F.desc(order_col or weight_col), F.asc(id_col)]
     cum = F.sum(F.col(weight_col)).over(
         Window.partitionBy(key_col).orderBy(*order))
-    return (df.withColumn("cum_weight", cum)
+    return (df.filter(F.col(weight_col) <= budget)
+            .withColumn("cum_weight", cum)
             .filter(F.col("cum_weight") <= budget))

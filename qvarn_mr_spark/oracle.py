@@ -710,7 +710,9 @@ def budget_cap_sql(budget: int, key_col: str = "source",
                    table: str = "documents") -> str:
     """sampling.budget_cap — RANGE-frame running sum is identical on both
     engines and the (weight DESC, id ASC) order is total, so frame
-    semantics cannot diverge. HUGEINT sum cast back to BIGINT."""
+    semantics cannot diverge. HUGEINT sum cast back to BIGINT. The
+    ``{weight_col} <= budget`` pre-filter mirrors the Spark side's
+    oversized-row drop."""
     return f"""
 SELECT {id_col}, {key_col}, {weight_col}, cum_weight
 FROM (
@@ -720,6 +722,7 @@ FROM (
               ORDER BY {weight_col} DESC, {id_col} ASC) AS BIGINT)
            AS cum_weight
   FROM {table}
+  WHERE {weight_col} <= {budget}
 )
 WHERE cum_weight <= {budget}
 """

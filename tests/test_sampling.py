@@ -152,9 +152,10 @@ def test_budget_cap_greedy_and_exact(spark):
                                budget=100).collect()}
     # a: 50(1)+30(2)=80 fits, +30(3)=110 overflows -> docs 1,2 kept (3
     # loses the doc_id tiebreak; 4 blocked even though it would fit —
-    # greedy prefix, not knapsack). b: 200 overflows alone and the
-    # running sum never resets, so b contributes nothing.
-    assert got == {1: 50, 2: 80}
+    # greedy prefix, not knapsack). b: 200 can never fit the quota and
+    # is dropped BEFORE the running sum (ADVICE r4), so the smaller doc
+    # 6 still fills b's budget instead of being blocked forever.
+    assert got == {1: 50, 2: 80, 6: 5}
     # budget big enough keeps everything with full running sums
     full = {r["doc_id"]: r["cum_weight"]
             for r in budget_cap(df, "doc_id", "source", "w",
