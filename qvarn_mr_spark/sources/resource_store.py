@@ -172,6 +172,61 @@ class ResourceStore:
         for views that need parent+sub fields."""
         return self._store.read(self._sub_table(resource_type, sub))
 
+    # -- file subresources ---------------------------------------------------
+    #
+    # Reference: blob + content type attached to a resource
+    # (`/persons/<id>/photo`): ``get_file``
+    # ``/root/reference/qvarnmr/clients/qvarn.py:120-122``, ``update_file``
+    # ``clients/qvarn.py:193-200``. A file PUT carries the parent revision,
+    # regenerates it, and notifies ``updated`` on the parent — exactly the
+    # dict-subresource contract, with an opaque binary body instead of a
+    # prototype document.
+
+    def _file_table(self, resource_type: str, sub: str) -> str:
+        return f"{resource_type}__file__{sub}"
+
+    def put_file(self, resource_type: str, rid: str, sub: str, body: bytes,
+                 content_type: str, revision: str | None = None) -> str:
+        """Upsert the ``sub`` blob of resource ``rid`` (optimistic revision
+        check BEFORE the blob write, as the reference's server rejects the
+        PUT up front); bumps the parent revision and emits ``updated`` for
+        the parent. Returns the new parent revision."""
+        parent = self.get(resource_type, rid)
+        if parent is None:
+            raise KeyError(f"{resource_type}/{rid} not found")
+        if revision is not None and revision != parent["revision"]:
+            raise RevisionConflict(
+                f"{resource_type}/{rid}: revision {revision!r} is stale")
+        table = self._file_table(resource_type, sub)
+        new = self.spark.createDataFrame(
+            [(rid, content_type, bytearray(body))],
+            "id string, content_type string, body binary")
+        if self._store.exists(table):
+            new = self._store.read(table).filter(F.col("id") != rid) \
+                .unionByName(new)
+        self._store.overwrite(table, new)
+        parent.pop("revision", None)
+        return self.update(resource_type, rid, parent)
+
+    def get_file(self, resource_type: str, rid: str,
+                 sub: str) -> tuple[bytes, str] | None:
+        """→ ``(body, content_type)`` or ``None`` — the reference's
+        ``get_file`` round-trip."""
+        table = self._file_table(resource_type, sub)
+        if not self._store.exists(table):
+            return None
+        rows = self._store.read(table).filter(F.col("id") == rid).collect()
+        if not rows:
+            return None
+        return bytes(rows[0]["body"]), rows[0]["content_type"]
+
+    def file_table(self, resource_type: str, sub: str) -> DataFrame:
+        """The whole blob collection ``(id, content_type, body)`` keyed by
+        parent id — the analytics join input: binary columns feed straight
+        into :mod:`qvarn_mr_spark.functions.multimodal` (payloads stay on
+        executors; nothing collects to the driver)."""
+        return self._store.read(self._file_table(resource_type, sub))
+
     def delete_many(self, resource_type: str, ids: list[str]) -> None:
         """S8 delete, emits ``deleted``."""
         remaining = self.table(resource_type).filter(~F.col("id").isin(ids))

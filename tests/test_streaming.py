@@ -108,6 +108,60 @@ def test_subresources(loop):
     assert rstore.get_subresource("source", rid, "nothere") is None
 
 
+def test_file_subresources_end_to_end(loop, spark):
+    """File subresource (reference clients/qvarn.py:120-122,193-200):
+    blob + content-type round-trip, parent revision bump + ``updated``
+    notification, and the stored blob feeding the multimodal pipeline
+    end-to-end (binary column → Arrow-batched REAL WAV decode)."""
+    from pyspark.sql import functions as F
+
+    from qvarn_mr_spark.functions import multimodal
+
+    rstore, inc, sm = loop
+    rid = rstore.create("source", {"key": 1, "value": 1})
+    rev0 = rstore.get("source", rid)["revision"]
+
+    wav = multimodal.synthetic_wav_bytes(n_samples=800, seed=7)
+    new_rev = rstore.put_file("source", rid, "voice", wav, "audio/wav",
+                              revision=rev0)
+    assert new_rev != rev0
+    body, ctype = rstore.get_file("source", rid, "voice")
+    assert body == wav and ctype == "audio/wav"
+
+    # stale-revision PUT is the reference's 409, and the blob stays intact
+    with pytest.raises(RevisionConflict):
+        rstore.put_file("source", rid, "voice", b"x", "audio/wav",
+                        revision=rev0)
+    assert rstore.get_file("source", rid, "voice")[0] == wav
+
+    # upsert replaces; missing lookups return None
+    wav2 = multimodal.synthetic_wav_bytes(n_samples=400, seed=9)
+    rstore.put_file("source", rid, "voice", wav2, "audio/wav")
+    assert rstore.get_file("source", rid, "voice")[0] == wav2
+    assert rstore.get_file("source", rid, "photo") is None
+
+    # the file PUT notified `updated` on the parent: the maintained view
+    # keeps following (value unchanged -> sum unchanged but resynced)
+    sm.run_available()
+    assert sums(inc) == {"1": 1}
+
+    # blob collection -> multimodal frame -> REAL stdlib decode features
+    media = rstore.file_table("source", "voice").select(
+        F.abs(F.hash("id")).cast("long").alias("media_id"),
+        F.col("body").alias("payload"),
+        F.struct(
+            F.lit("audio").alias("kind"), F.lit("wav").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            F.lit(25).alias("duration_ms")).alias("meta"))
+    feats = multimodal.media_signal_features(media).collect()
+    assert len(feats) == 1
+    vec = feats[0]["feature"]
+    assert vec[0] == 0.0                    # kind tag: audio
+    assert vec[1] > 0.0                     # RMS of a real sine is positive
+
+
 def test_dead_letter_on_missing_resource(spark, tmp_path, loop):
     rstore, inc, sm = loop
     rstore.create("source", {"key": 1, "value": 1})
