@@ -212,3 +212,76 @@ def test_embedding_lsh_index_maintains_through_cdc(spark, tmp_path):
     members = inc.read("emb_lsh_buckets").select(
         F.explode("members").alias("m")).collect()
     assert all(r["m"] != "a" for r in members)
+
+
+def test_embedding_lsh_index_randomized_differential(spark, tmp_path):
+    """Seeded randomized CRUD over an embedding corpus: after EVERY CDC
+    batch, probing all live vectors against the MAINTAINED index must
+    yield exactly the pair set of the batch ``hyperplane_near_dup``
+    rebuilt from scratch — the embedding twin of
+    test_ivm_randomized (VERDICT r4 #9). Clustered vectors guarantee
+    both genuine near-dups and non-pairs at every step."""
+    import random
+
+    from qvarn_mr_spark.functions import similarity
+
+    DIM, PLANES, BANDS, THRESH = 8, 16, 4, 0.8
+    rng = random.Random(20260814)
+    centers = [[rng.uniform(-1, 1) for _ in range(DIM)] for _ in range(3)]
+
+    def vec():
+        c = rng.choice(centers)
+        return [x + rng.uniform(-0.05, 0.05) for x in c]
+
+    cat = Catalog(spark)
+    state: dict[str, list] = {}
+    next_id = [0]
+
+    def df_of():
+        rows = [(i, v) for i, v in sorted(state.items())]
+        return spark.createDataFrame(rows or [("_none_", [0.0] * DIM)],
+                                     "id string, embedding array<double>") \
+            .filter(F.col("id") != "_none_")
+
+    eng = None
+    inc = None
+    saw_pairs = False
+    for b in range(5):
+        batch = []
+        for _ in range(6):
+            op = rng.choice(["create", "create", "update", "delete"])
+            if op == "create" or not state:
+                rid = f"v{next_id[0]}"; next_id[0] += 1
+                state[rid] = vec()
+                batch.append(("emb", "created", rid))
+            elif op == "update":
+                rid = rng.choice(sorted(state))
+                state[rid] = vec()
+                batch.append(("emb", "updated", rid))
+            else:
+                rid = rng.choice(sorted(state))
+                del state[rid]
+                batch.append(("emb", "deleted", rid))
+        cat.register("emb", df_of())
+        if eng is None:
+            eng = ViewEngine(cat, similarity.embedding_lsh_index_views(
+                "emb", "id", "embedding", planes=PLANES, bands=BANDS,
+                dim=DIM), id_cols={"emb": "id"})
+            inc = IncrementalEngine(
+                eng, ParquetStateStore(spark, str(tmp_path / "s")))
+        inc.apply_changes(notifications(spark, batch))
+
+        probed = similarity.probe_embedding_lsh_index(
+            df_of(), df_of(), inc.read("emb_lsh_buckets"),
+            "id", "embedding", threshold=THRESH,
+            planes=PLANES, bands=BANDS, dim=DIM)
+        got = {(min(r["probe_id"], r["member_id"]),
+                max(r["probe_id"], r["member_id"]), r["cos_sim"])
+               for r in probed.collect()}
+        want = {(r["a_id"], r["b_id"], r["cos_sim"])
+                for r in similarity.hyperplane_near_dup(
+                    df_of(), "id", "embedding", threshold=THRESH,
+                    planes=PLANES, bands=BANDS, dim=DIM).collect()}
+        assert got == want, f"diverged at batch {b}"
+        saw_pairs = saw_pairs or bool(want)
+    assert saw_pairs, "seed produced no near-dups — test would be vacuous"
