@@ -176,11 +176,11 @@ def latest_per_key_stream(stream: DataFrame, key_col: str = "user_id",
     size is O(live keys), not O(rows): the bounded-memory property an
     unbounded CDC feed needs.
 
-    Built on ``applyInPandasWithState``; Spark 4's
-    ``transformWithStateInPandas`` is the drop-in upgrade (named state
-    variables + TTL) once the runtime ships its protobuf dependency —
-    this container's Python env lacks ``google.protobuf``, which that
-    API's state-server protocol imports."""
+    Built on ``applyInPandasWithState``; the version-gated
+    :func:`latest_per_key_stream_tws` below is the same operator on
+    Spark 4's ``transformWithStateInPandas`` (named state variables +
+    TTL), runnable wherever :func:`transform_with_state_available` —
+    the API plus its ``google.protobuf`` runtime dependency — holds."""
 
     def update(key: tuple, pdfs: Iterator[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
@@ -210,3 +210,76 @@ def latest_per_key_stream(stream: DataFrame, key_col: str = "user_id",
         stateStructType=LATEST_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def transform_with_state_available() -> bool:
+    """True when the Spark-4 ``transformWithStateInPandas`` path can run
+    here: the DataFrame API must exist AND the Python runtime must ship
+    ``google.protobuf`` (the state-server protocol imports it lazily at
+    stream start, so the API can be present yet unusable)."""
+    try:
+        import google.protobuf  # noqa: F401
+        from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
+            StatefulProcessor,
+        )
+    except ImportError:
+        return False
+    return hasattr(
+        __import__("pyspark.sql", fromlist=["GroupedData"]).GroupedData,
+        "transformWithStateInPandas")
+
+
+def latest_per_key_stream_tws(stream: DataFrame, key_col: str = "user_id",
+                              ts_col: str = "ts",
+                              value_col: str = "value") -> DataFrame:
+    """:func:`latest_per_key_stream` on Spark 4's
+    ``transformWithStateInPandas`` — the named-state-variable successor of
+    ``applyInPandasWithState`` (typed ValueState per key, TTL support,
+    initial-state bootstrap). Identical semantics and output schema; the
+    stream==batch differential in tests/test_stateful_streaming.py runs
+    against BOTH forms wherever the runtime supports this one. Gated:
+    raises ``RuntimeError`` when :func:`transform_with_state_available`
+    is false (e.g. this container lacks ``google.protobuf``)."""
+    if not transform_with_state_available():
+        raise RuntimeError(
+            "transformWithStateInPandas unavailable: needs Spark >= 4 and "
+            "the google.protobuf Python package")
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Latest(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._latest = handle.getValueState("latest",
+                                                LATEST_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):
+            cur = self._latest.get() if self._latest.exists() else None
+            best_ts = int(cur[0]) if cur else None
+            best_val = float(cur[1]) if cur else None
+            changed = False
+            for pdf in rows:
+                ts_us = pdf["_ts"].astype("int64") // 1000
+                for t, v in zip(ts_us, pdf["_value"]):
+                    if best_ts is None or int(t) > best_ts:
+                        best_ts, best_val = int(t), float(v)
+                        changed = True
+            if changed:
+                self._latest.update((best_ts, best_val))
+                yield pd.DataFrame({"user_id": [key[0]],
+                                    "ts_us": [best_ts],
+                                    "value": [best_val]})
+
+        def close(self) -> None:
+            pass
+
+    prepared = stream.select(
+        F.col(key_col).cast("long").alias("user_id"),
+        F.col(ts_col).alias("_ts"),
+        F.col(value_col).cast("double").alias("_value"))
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Latest(),
+        outputStructType=LATEST_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None")

@@ -180,11 +180,30 @@ def test_stream_static_broadcast_enrichment(spark, events_dir, tmp_path):
 
 
 def test_latest_per_key_stream_state_across_batches(spark, tmp_path):
-    """transformWithStateInPandas newest-wins: the stored latest survives
-    micro-batch boundaries, late rows older than it emit nothing, and
-    the final per-key state matches the batch window_latest semantics."""
+    """Stateful newest-wins: the stored latest survives micro-batch
+    boundaries, late rows older than it emit nothing, and the final
+    per-key state matches the batch window_latest semantics."""
     from qvarn_mr_spark.streaming import latest_per_key_stream
 
+    _latest_per_key_lifecycle(spark, tmp_path, latest_per_key_stream)
+
+
+def test_latest_per_key_stream_tws_differential(spark, tmp_path):
+    """The Spark-4 transformWithStateInPandas twin must pass the exact
+    same lifecycle when the runtime supports it (API + google.protobuf);
+    skipped with the capability reason otherwise."""
+    from qvarn_mr_spark.streaming.stateful import (
+        latest_per_key_stream_tws,
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available():
+        pytest.skip("transformWithStateInPandas unavailable: needs Spark "
+                    ">= 4 with the google.protobuf Python package")
+    _latest_per_key_lifecycle(spark, tmp_path, latest_per_key_stream_tws)
+
+
+def _latest_per_key_lifecycle(spark, tmp_path, op):
     feed = tmp_path / "feed"
     feed.mkdir()
     ck = str(tmp_path / "ck")
@@ -204,7 +223,7 @@ def test_latest_per_key_stream_state_across_batches(spark, tmp_path):
         stream = spark.readStream \
             .schema("user_id long, ts timestamp, value double") \
             .parquet(str(feed))
-        q = (latest_per_key_stream(stream)
+        q = (op(stream)
              .writeStream.outputMode("update")
              .foreachBatch(lambda b, _: collected.extend(b.collect()))
              .option("checkpointLocation", ck)
