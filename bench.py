@@ -99,6 +99,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
 
+    # --all: bench EVERY queries() entry once (coverage — no query's cost
+    # stays unknown), to its own sidecar; the default headline set keeps
+    # 2 runs/query and the round-over-round comparison baseline.
+    bench_all = "--all" in sys.argv
+    names = tuple(qs) if bench_all else BENCH_QUERIES
+    runs = 1 if bench_all else 2
+    sidecar_name = "BENCH_ALL.json" if bench_all else "BENCH_RESULT.json"
+
     # warmup: JIT + executor spin-up on a trivial job
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
@@ -119,7 +127,7 @@ def main() -> None:
         # (corpus_prepare read 27.8s in-bench vs ~15s in a fresh session)
         spark.sparkContext._jvm.System.gc()
 
-    for name in BENCH_QUERIES:
+    for name in names:
         drop_persisted()
         # construction timed separately: some operators eagerly materialize
         # a reused intermediate (dedup shingles) during construction, and
@@ -127,28 +135,29 @@ def main() -> None:
         c0 = time.time()
         df = qs[name](spark, sf_dir)
         construct[name] = round(time.time() - c0, 3)
-        # min of 2 executions: steady-state time, so a round-over-round
+        # min of N executions: steady-state time, so a round-over-round
         # regression is attributable to the plan, not to warmup jitter
         execs = []
-        for _ in range(2):
+        for _ in range(runs):
             t0 = time.time()
             df.write.format("noop").mode("overwrite").save()
             execs.append(time.time() - t0)
         times[name] = round(min(execs), 3)
 
     out = {
-        "metric": "headline_queries_total_wall",
+        "metric": ("all_queries_total_wall" if bench_all
+                   else "headline_queries_total_wall"),
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
         "construct": construct,
         "construct_total": round(sum(construct.values()), 3),
-        "runs_per_query": 2,
+        "runs_per_query": runs,
         "sf": sf,
     }
     # Full summary to a sidecar the driver (or a human) can read whole...
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_RESULT.json")
+                           sidecar_name)
     with open(sidecar, "w") as f:
         json.dump(out, f, indent=1)
     # ...and a compact line LAST on stdout. The driver keeps only a ~2000
@@ -156,7 +165,7 @@ def main() -> None:
     # past that in r3 (BENCH_r03.json recorded parsed:null with rc:0), so
     # the stdout line carries everything except per-query construct detail.
     compact = {k: v for k, v in out.items() if k != "construct"}
-    compact["sidecar"] = "BENCH_RESULT.json"
+    compact["sidecar"] = sidecar_name
     line = json.dumps(compact, separators=(",", ":"))
     sys.stdout.flush()
     print(line)
