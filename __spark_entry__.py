@@ -1070,6 +1070,29 @@ def q_doc_decontaminate(spark, sf_dir):
                                  docs.filter(is_eval), "doc_id", "text")
 
 
+def q_doc_decontaminate_fuzzy(spark, sf_dir):
+    """FUZZY decontamination (functions/quality.py): training docs that
+    NEAR-duplicate an eval doc by MinHash band collision — catches the
+    paraphrased-benchmark leak exact k-gram overlap misses. Scale shape:
+    eval side runs the signature pipeline (benchmark-sized); corpus side
+    computes band keys as a per-row Column (no corpus shuffle) and the
+    distinct eval key set broadcasts into the join."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    is_eval = (F.col("doc_id").cast("long") % 20) == 0
+    return quality.minhash_contamination(docs.filter(~is_eval),
+                                         docs.filter(is_eval),
+                                         "doc_id", "text")
+
+
+def q_doc_bigram_surprisal(spark, sf_dir):
+    """Bigram-LM fluency scoring (functions/text.py): interpolated
+    bigram/unigram negative log-likelihood per document, fitted on the
+    same corpus — the engine-native step toward CCNet's KenLM perplexity
+    filter; word-salad text scores high even with common vocabulary."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return text.bigram_surprisal(docs, "doc_id", "text")
+
+
 def q_doc_decontaminate_bloom(spark, sf_dir):
     """Bloom-prefiltered decontamination: eval k-grams go into a packed
     Bloom filter (one broadcast row, kilobytes); corpus shingles are
@@ -1715,6 +1738,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
+        # --- new in r5: fuzzy decontamination + bigram LM fluency ---
+        "doc_decontaminate_fuzzy": q_doc_decontaminate_fuzzy,
+        "doc_bigram_surprisal": q_doc_bigram_surprisal,
         "doc_line_dedup": q_doc_line_dedup,
         "corpus_top_ngrams": q_corpus_top_ngrams,
         "doc_pack_sequences": q_doc_pack_sequences,
@@ -2394,6 +2420,9 @@ def oracle_sql() -> dict[str, str]:
             "CAST(doc_id AS BIGINT) % 20 = 0", k=quality.DECONTAM_K),
         "doc_decontaminate_bloom": oracle.decontaminate_sql(
             "CAST(doc_id AS BIGINT) % 20 = 0", k=quality.DECONTAM_K),
+        "doc_decontaminate_fuzzy": oracle.minhash_contamination_sql(
+            "CAST(doc_id AS BIGINT) % 20 = 0"),
+        "doc_bigram_surprisal": oracle.bigram_surprisal_sql(),
         "doc_line_dedup": oracle.line_dedup_sql(
             min_chars=2, delimiter=" ", min_doc_frac=0.5),
         "corpus_top_ngrams": oracle.top_ngrams_sql(k=3, top_n=20),

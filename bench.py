@@ -68,6 +68,8 @@ BENCH_QUERIES = (
     "doc_repetition",
     "doc_decontaminate",
     "doc_decontaminate_bloom",
+    "doc_decontaminate_fuzzy",
+    "doc_bigram_surprisal",
     "doc_line_dedup",
     "doc_substring_dedup",
     "doc_compression_ratio",

@@ -157,6 +157,69 @@ def bloom_decontaminate(df: DataFrame, eval_df: DataFrame,
                    "left_anti")
 
 
+def minhash_contamination(df: DataFrame, eval_df: DataFrame,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          n_hashes: int | None = None,
+                          n_bands: int | None = None) -> DataFrame:
+    """FUZZY decontamination flags: training documents that NEAR-duplicate
+    an eval/benchmark document (MinHash band collision), not merely share
+    one exact k-gram — the paraphrased-benchmark leak that
+    :func:`contamination` misses and modern training-data audits check
+    for. Returns ``(doc_id, n_shared_bands)``: how many of the doc's LSH
+    bands collide with any eval doc's band (``n_bands`` of ``n_bands``
+    ≈ certain duplicate; 1 = candidate).
+
+    Scale shape — nothing corpus-sized ever shuffles: the EVAL side runs
+    the full signature pipeline (benchmark-sized, one small groupBy);
+    the CORPUS side computes its band keys as a per-row Column
+    expression (:func:`qvarn_mr_spark.functions.dedup.
+    minhash_band_keys_col` — the same twin that powers the maintained
+    LSH index) in one narrow pass, and the distinct eval key set
+    equi-joins it (AQE broadcasts the benchmark-sized build side). The
+    aggregation output is bounded by the collision count."""
+    from qvarn_mr_spark.functions.dedup import (
+        MINHASH_BANDS,
+        MINHASH_N,
+        minhash_band_keys_col,
+        minhash_signatures,
+    )
+
+    n_hashes = MINHASH_N if n_hashes is None else n_hashes
+    n_bands = MINHASH_BANDS if n_bands is None else n_bands
+    ev = minhash_signatures(eval_df, id_col, text_col, n_hashes, n_bands)
+    ev_keys = ev.select(F.explode(F.array(*[
+        F.concat_ws("|", F.lit(str(b)), F.col(f"band_{b}"))
+        for b in range(n_bands)])).alias("_k")).distinct()
+    corpus_keys = ensure_min_partitions(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(minhash_band_keys_col(text_col, n_hashes, n_bands))
+        .alias("_k"))
+    # explicit broadcast: the eval key set is benchmark-bounded (NOT
+    # corpus-cardinality — the r4 hint rule), and pinning it keeps the
+    # join map-side at every scale instead of letting AQE broadcast the
+    # corpus side when a small test corpus happens to be the smaller one
+    return (corpus_keys.join(F.broadcast(ev_keys), "_k")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shared_bands")))
+
+
+def minhash_decontaminate(df: DataFrame, eval_df: DataFrame,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          min_bands: int = 1,
+                          n_hashes: int | None = None,
+                          n_bands: int | None = None) -> DataFrame:
+    """The filter form of :func:`minhash_contamination`: drop every
+    document whose band-collision count reaches ``min_bands`` (left-anti
+    join on the hit list, which is hit-count-sized). ``min_bands=1`` is
+    the aggressive audit setting; raise it to only drop near-certain
+    duplicates."""
+    hits = (minhash_contamination(df, eval_df, id_col, text_col,
+                                  n_hashes, n_bands)
+            .filter(F.col("n_shared_bands") >= min_bands))
+    return df.join(hits.select(F.col("doc_id").alias(id_col)), id_col,
+                   "left_anti")
+
+
 def top_ngrams(df: DataFrame, id_col: str = "doc_id",
                text_col: str = "text", k: int = SHINGLE_K,
                top_n: int = 20) -> DataFrame:

@@ -530,6 +530,60 @@ def bpe_encode_arrow(df, merges, id_col: str = "doc_id",
         batches, "doc_id long, n_words long, n_chars long, n_subwords long")
 
 
+def bigram_surprisal(df, id_col: str = "doc_id", text_col: str = "text",
+                     lam: float = 0.7, smoothing: float = 0.5):
+    """Perplexity-style fluency signal from a corpus-fitted BIGRAM LM —
+    one step closer to the KenLM filter CCNet runs than
+    :func:`unigram_surprisal`: per document, the mean negative
+    log-probability of its token transitions under an interpolated
+    estimate fitted on the SAME corpus::
+
+        P(w | u) = lam · c(u,w)/c(u·)  +  (1−lam) · (c(w)+s)/(N+s·V)
+
+    (bigram MLE backed off into the add-``s`` unigram). Word-salad text
+    scores high even when its vocabulary is common — the signal the
+    unigram model cannot see. Documents with fewer than 2 tokens are
+    absent (no transitions), mirroring unigram's absent-empty-docs.
+    Returns ``(doc_id, n_bigrams, mean_nll)`` (natural log, 6-dp).
+
+    Shape: transitions come from a ``zip_with`` of two shifted token
+    slices (narrow — no positional self-join); the bigram LM is one hash
+    agg over the transition stream, the context totals derive from the
+    vocabulary²-bounded (in practice corpus-bigram-bounded) persisted LM
+    table, and scoring equi-joins transitions to their counts (LM sides
+    are vocabulary-sized — AQE broadcasts when small). Like the unigram
+    twin: two corpus passes, all joins on high-cardinality keys.
+    """
+    from qvarn_mr_spark.functions.dedup import (ensure_min_partitions,
+                                                tokens_col)
+
+    base = ensure_min_partitions(df).select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("_t"))
+    pair_col = F.zip_with(
+        F.slice("_t", 1, F.greatest(F.size("_t") - 1, F.lit(0))),
+        F.slice("_t", 2, F.greatest(F.size("_t") - 1, F.lit(0))),
+        lambda x, y: F.struct(x.alias("u"), y.alias("w")))
+    pairs = (base.select("doc_id", F.explode(pair_col).alias("_p"))
+             .select("doc_id", "_p.u", "_p.w"))
+    # vocabulary-sized pins (same rationale as unigram_surprisal's lm):
+    # each LM table feeds the scoring join AND a derived aggregate
+    lm_bi = (pairs.groupBy("u", "w")
+             .agg(F.count(F.lit(1)).alias("c_uw")).persist())
+    lm_ctx = lm_bi.groupBy("u").agg(F.sum("c_uw").alias("c_u"))
+    uni = (base.select(F.explode("_t").alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c_w")).persist())
+    tot = uni.agg(F.sum("c_w").alias("_N"), F.count(F.lit(1)).alias("_V"))
+    p = (F.lit(lam) * F.col("c_uw") / F.col("c_u")
+         + F.lit(1.0 - lam) * (F.col("c_w") + F.lit(smoothing))
+         / (F.col("_N") + F.lit(smoothing) * F.col("_V")))
+    scored = (pairs.join(lm_bi, ["u", "w"]).join(lm_ctx, "u")
+              .join(uni, "w").crossJoin(F.broadcast(tot))
+              .select("doc_id", (-F.log(p)).alias("nll")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.round(F.avg("nll"), 6).alias("mean_nll")))
+
+
 def unigram_surprisal(df, id_col: str = "doc_id", text_col: str = "text",
                       smoothing: float = 0.5):
     """Perplexity-style fluency signal from a corpus-fitted unigram LM:

@@ -874,6 +874,60 @@ GROUP BY doc_id
 """
 
 
+def bigram_surprisal_sql(lam: float = 0.7, smoothing: float = 0.5,
+                         table: str = "documents") -> str:
+    """text.bigram_surprisal — interpolated bigram LM fitted on the
+    corpus; transitions via zipped shifted list slices (DuckDB list_zip
+    mirrors Spark's zip_with of shifted slices)."""
+    return f"""
+WITH tl AS (
+  SELECT doc_id, list_filter(
+           string_split_regex(lower(text), '{TOKEN_RE}'),
+           x -> x != '') AS t
+  FROM {table}
+),
+pairs AS (
+  SELECT doc_id, z[1] AS u, z[2] AS w
+  FROM (SELECT doc_id,
+               unnest(list_zip(t[1:len(t) - 1], t[2:len(t)])) AS z
+        FROM tl WHERE len(t) >= 2)
+),
+toks AS (SELECT doc_id, unnest(t) AS w FROM tl),
+lm_bi AS (SELECT u, w, count(*) AS c_uw FROM pairs GROUP BY 1, 2),
+lm_ctx AS (SELECT u, sum(c_uw) AS c_u FROM lm_bi GROUP BY 1),
+uni AS (SELECT w, count(*) AS c_w FROM toks GROUP BY 1),
+tot AS (SELECT sum(c_w) AS n, count(*) AS v FROM uni)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(avg(-ln({lam} * c_uw / c_u
+                     + {1.0 - lam} * (c_w + {smoothing})
+                       / (n + {smoothing} * v))), 6) AS mean_nll
+FROM pairs JOIN lm_bi USING (u, w) JOIN lm_ctx USING (u)
+     JOIN uni USING (w) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
+def minhash_contamination_sql(eval_pred: str,
+                              table: str = "documents") -> str:
+    """quality.minhash_contamination — band-collision counts of every
+    non-eval document against the eval split's band set. Joins on
+    (band_pos, sig), semantically identical to the Spark side's
+    '{{band_pos}}|{{sig}}' string keys."""
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_pos, band_{b} AS sig FROM bands"
+        for b in range(MINHASH_BANDS))
+    return f"""
+WITH {_minhash_sig_cte(table)},
+melted AS ({unions}),
+evk AS (SELECT DISTINCT band_pos, sig FROM melted
+        WHERE doc_id IN (SELECT doc_id FROM {table} WHERE {eval_pred}))
+SELECT m.doc_id, count(*) AS n_shared_bands
+FROM melted m JOIN evk USING (band_pos, sig)
+WHERE m.doc_id NOT IN (SELECT doc_id FROM {table} WHERE {eval_pred})
+GROUP BY 1
+"""
+
+
 def stratified_fixed_k_sql(k: int, strata_col: str = "lang",
                            salt: str = "fixk",
                            table: str = "documents") -> str:

@@ -326,3 +326,28 @@ def test_bloom_decontaminate_filter_before_verify_join(q):
     assert "getbit" in txt.lower()
     assert "BroadcastExchange" in txt
     assert "CartesianProduct" not in txt
+
+
+def test_fuzzy_decontaminate_broadcasts_eval_keys(q):
+    """Fuzzy decontamination must keep the corpus side map-side: the
+    benchmark-bounded eval key set broadcasts (explicit hint — the r4
+    no-hint rule covers corpus-cardinality sides only), the corpus's band
+    keys come from the per-row Column expression, and no shuffle join
+    appears anywhere."""
+    from qvarn_mr_spark.plans import assert_no_shuffle_join, explain_str
+    df = q("doc_decontaminate_fuzzy")
+    assert_no_shuffle_join(df)
+    txt = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in txt
+
+
+def test_bigram_surprisal_partial_aggs(q):
+    """The bigram LM fit and the per-doc scoring aggregate must both
+    map-side combine; the LM tables are persisted (InMemoryTableScan in
+    the executed plan), so the corpus is tokenized at most twice."""
+    from qvarn_mr_spark.plans import assert_partial_aggregation, explain_str
+    df = q("doc_bigram_surprisal")
+    assert_partial_aggregation(df)
+    df.write.format("noop").mode("overwrite").save()
+    txt = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in txt

@@ -214,6 +214,77 @@ def test_classifier_weights_are_raw_space(spark):
     assert clf.train_accuracy(df, F.col("y") == 1, w) >= 0.9
 
 
+def test_bigram_surprisal_hand_values(spark):
+    from qvarn_mr_spark.functions.text import bigram_surprisal
+    import math
+    # corpus: d0 = "a b a b" (transitions ab, ba, ab), d1 = "a b",
+    # d2 = "z" (single token -> absent from output)
+    rows = [(0, "a b a b"), (1, "a b"), (2, "z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bigram_surprisal(df).collect()}
+    assert set(got) == {0, 1}
+    assert got[0]["n_bigrams"] == 3 and got[1]["n_bigrams"] == 1
+    # LM: c(a,b)=4? no: pairs = d0:(ab, ba, ab) + d1:(ab) -> c_ab=3,
+    # c_ba=1; contexts c_a=3, c_b=1; unigrams a=3, b=3, z=1, N=7, V=3
+    lam, s = 0.7, 0.5
+    n, v = 7, 3
+
+    def p(c_uw, c_u, c_w):
+        return lam * c_uw / c_u + (1 - lam) * (c_w + s) / (n + s * v)
+
+    nll_ab = -math.log(p(3, 3, 3))     # b follows a every time
+    nll_ba = -math.log(p(1, 1, 3))
+    want0 = round((2 * nll_ab + nll_ba) / 3, 6)
+    assert got[0]["mean_nll"] == pytest.approx(want0, abs=1e-6)
+    assert got[1]["mean_nll"] == pytest.approx(round(nll_ab, 6), abs=1e-6)
+
+
+def test_bigram_surprisal_word_salad_scores_higher(spark):
+    """Same vocabulary, different transition structure: the scrambled doc
+    must out-surprise the repetitive fluent one — the signal a unigram
+    LM cannot see."""
+    from qvarn_mr_spark.functions.text import bigram_surprisal
+    fluent = "the cat sat on the mat " * 5
+    salad = "mat the on sat the cat cat mat sat on on the"
+    df = spark.createDataFrame(
+        [(0, fluent.strip()), (1, salad)], "doc_id long, text string")
+    got = {r["doc_id"]: r["mean_nll"] for r in bigram_surprisal(df).collect()}
+    assert got[1] > got[0]
+
+
+def test_minhash_decontaminate_fuzzy(spark):
+    """Near-duplicates of eval docs (band collisions) are flagged and
+    dropped; unrelated docs survive; an exact copy collides on every
+    band."""
+    from qvarn_mr_spark.functions.quality import (
+        minhash_contamination,
+        minhash_decontaminate,
+    )
+    ev_text = ("the quick brown fox jumps over the lazy dog and then "
+               "sits down to rest for a while")
+    near = ev_text.replace("rest", "sleep")
+    other = ("completely different content about spark shuffles and "
+             "broadcast joins in adaptive execution plans")
+    corpus = spark.createDataFrame(
+        [(1, ev_text), (2, near), (3, other)],
+        "doc_id long, text string")
+    eval_df = spark.createDataFrame(
+        [(100, ev_text)], "doc_id long, text string")
+    flags = {r["doc_id"]: r["n_shared_bands"]
+             for r in minhash_contamination(corpus, eval_df).collect()}
+    from qvarn_mr_spark.functions.dedup import MINHASH_BANDS
+    assert flags[1] == MINHASH_BANDS      # exact copy: every band
+    assert flags.get(2, 0) >= 1           # near-dup: some band collides
+    assert 3 not in flags                 # unrelated: no collision
+    kept = sorted(r["doc_id"]
+                  for r in minhash_decontaminate(corpus, eval_df).collect())
+    assert kept == [3]
+    # min_bands = all bands keeps the near-dup, drops only exact copies
+    strict = sorted(r["doc_id"] for r in minhash_decontaminate(
+        corpus, eval_df, min_bands=MINHASH_BANDS).collect())
+    assert strict == [2, 3]
+
+
 def test_unigram_surprisal_rare_words_score_higher(spark):
     from qvarn_mr_spark.functions.text import unigram_surprisal
     import math
