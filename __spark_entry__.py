@@ -1093,6 +1093,42 @@ def q_doc_bigram_surprisal(spark, sf_dir):
     return text.bigram_surprisal(docs, "doc_id", "text")
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware dup-cluster survivor selection
+    (functions/dedup.py cluster_keepers): exact-dup fingerprint groups
+    keep their HIGHEST-quality member (max over the (score, id) tuple —
+    same total order in DuckDB), not the arbitrary smallest id. One
+    skinny join + one map-side-combined aggregate. Both inputs come from
+    ONE staged profile_frame pass (its quality/fp are bit-identical to
+    the flat helpers, at milliseconds of analysis instead of seconds)."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    prof = text.profile_frame(docs)
+    return dedup.cluster_keepers(prof, prof, id_col="doc_id",
+                                 cluster_col="fp", score_col="quality")
+
+
+def q_doc_epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch-varying training order
+    (functions/sampling.py epoch_shuffle): (shard, pos) from the
+    epoch-seeded portable hash — reproducible, retry-stable, no RNG;
+    concatenating shards by pos is the epoch's global hash order."""
+    from qvarn_mr_spark.functions.sampling import epoch_shuffle
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return epoch_shuffle(docs.select("doc_id"), "doc_id", epoch=1,
+                         n_shards=8)
+
+
+def q_doc_length_batches(spark, sf_dir):
+    """Length-bucketed batch assignment (functions/sampling.py
+    length_batches): similar-length docs share padding-efficient
+    batches; greedy token-budget boundaries within each length bucket
+    (the pack_sequences chunk rule per bucket)."""
+    from qvarn_mr_spark.functions.sampling import length_batches
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return length_batches(docs, "doc_id", "text", batch_tokens=256,
+                          bucket_width=64)
+
+
 def q_doc_decontaminate_bloom(spark, sf_dir):
     """Bloom-prefiltered decontamination: eval k-grams go into a packed
     Bloom filter (one broadcast row, kilobytes); corpus shingles are
@@ -1738,9 +1774,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
-        # --- new in r5: fuzzy decontamination + bigram LM fluency ---
+        # --- new in r5: fuzzy decontamination, bigram LM, keeper/batching ---
         "doc_decontaminate_fuzzy": q_doc_decontaminate_fuzzy,
         "doc_bigram_surprisal": q_doc_bigram_surprisal,
+        "dedup_keep_best": q_dedup_keep_best,
+        "doc_epoch_shuffle": q_doc_epoch_shuffle,
+        "doc_length_batches": q_doc_length_batches,
         "doc_line_dedup": q_doc_line_dedup,
         "corpus_top_ngrams": q_corpus_top_ngrams,
         "doc_pack_sequences": q_doc_pack_sequences,
@@ -2423,6 +2462,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_decontaminate_fuzzy": oracle.minhash_contamination_sql(
             "CAST(doc_id AS BIGINT) % 20 = 0"),
         "doc_bigram_surprisal": oracle.bigram_surprisal_sql(),
+        "dedup_keep_best": oracle.cluster_keepers_sql(),
+        "doc_epoch_shuffle": sampling.epoch_shuffle_sql(
+            epoch=1, n_shards=8, cols="doc_id"),
+        "doc_length_batches": sampling.length_batches_sql(
+            batch_tokens=256, bucket_width=64),
         "doc_line_dedup": oracle.line_dedup_sql(
             min_chars=2, delimiter=" ", min_doc_frac=0.5),
         "corpus_top_ngrams": oracle.top_ngrams_sql(k=3, top_n=20),

@@ -70,6 +70,9 @@ BENCH_QUERIES = (
     "doc_decontaminate_bloom",
     "doc_decontaminate_fuzzy",
     "doc_bigram_surprisal",
+    "dedup_keep_best",
+    "doc_epoch_shuffle",
+    "doc_length_batches",
     "doc_line_dedup",
     "doc_substring_dedup",
     "doc_compression_ratio",

@@ -545,6 +545,44 @@ def dup_clusters(pairs: DataFrame, a: str = "a_id", b: str = "b_id",
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 
+def cluster_keepers(clusters: DataFrame, scores: DataFrame,
+                    id_col: str = "node", cluster_col: str = "cluster_id",
+                    scores_id_col: str | None = None,
+                    score_col: str = "quality") -> DataFrame:
+    """Quality-aware survivor selection for duplicate clusters: keep each
+    cluster's HIGHEST-QUALITY member instead of the structural
+    smallest-id canonical — what production dedup actually does (near-dup
+    groups often mix a clean original with truncated/boilerplate copies;
+    min-id keeps an arbitrary one, this keeps the best one).
+
+    ``clusters``: ``(id, cluster)`` membership (e.g. :func:`dup_clusters`
+    output, or exact-dup fingerprint groups); ``scores``: ``(id, score)``
+    (e.g. ``text.quality_score``). Returns ``(cluster_id, keeper_id,
+    best_score, n_members)``. The keeper is ``max`` over the
+    ``(score, id)`` struct — lexicographic tuple order, ties toward the
+    larger id: a total order, so the selection is deterministic, and the
+    same construct exists verbatim in DuckDB (``max((s, id))``), which
+    is what makes the value oracle possible (its ``arg_max``/``max_by``
+    don't take composite sort keys).
+
+    Scale: one skinny equi-join on id + one map-side-combined aggregate
+    on the cluster key; nothing corpus-sized is held anywhere."""
+    sid = scores_id_col or id_col
+    joined = (clusters.select(F.col(id_col).alias("_id"),
+                              F.col(cluster_col).alias("cluster_id"))
+              .join(scores.select(F.col(sid).alias("_id"),
+                                  F.col(score_col).cast("double")
+                                  .alias("_s")), "_id"))
+    return (joined.groupBy("cluster_id")
+            .agg(F.max(F.struct(F.col("_s").alias("s"),
+                                F.col("_id").alias("i"))).alias("_best"),
+                 F.count(F.lit(1)).alias("n_members"))
+            .select("cluster_id",
+                    F.col("_best.i").alias("keeper_id"),
+                    F.round(F.col("_best.s"), 6).alias("best_score"),
+                    "n_members"))
+
+
 def dedup_corpus(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text",
                  jaccard_threshold: float = 0.5,

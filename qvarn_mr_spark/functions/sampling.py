@@ -233,6 +233,108 @@ def stratified_fixed_k(df: DataFrame, id_col: str, strata_col: str,
             .filter(F.col("_rk") <= k).drop("_rk"))
 
 
+def epoch_shuffle(df: DataFrame, id_col: str = "doc_id", epoch: int = 0,
+                  n_shards: int = 8, salt: str = "epoch") -> DataFrame:
+    """Deterministic epoch-varying global training order — the shuffle a
+    training loop needs between epochs, without RNG: every row gets
+    ``(shard, pos)`` where ``shard = floor(u·n_shards)`` and ``pos`` ranks
+    the shard's rows by ``u = h(salt|epoch|id)``. Changing ``epoch``
+    re-seeds the hash, giving a statistically independent order; the
+    same (corpus, epoch) always produces the same order — reproducible
+    runs, retry-stable tasks, resumable consumers.
+
+    Consumers read shards in any order / in parallel (the standard
+    sharded training layout); concatenating shards 0..n-1 by ``pos`` IS
+    the epoch's global hash order, since shard boundaries are
+    value-ranges of ``u``. Scale: one shuffle on ``shard`` + a per-shard
+    rank window; the hash balances shards, so no window partition is
+    more than ~corpus/n_shards. Appends ``(shard, pos)``."""
+    u = hash_unit(id_col, f"{salt}|{int(epoch)}")
+    out = df.withColumn("shard",
+                        F.floor(u * n_shards).cast("long")) \
+            .withColumn("_u", u)
+    w = Window.partitionBy("shard").orderBy(F.col("_u").asc(),
+                                            F.col(id_col).asc())
+    return (out.withColumn("pos", F.row_number().over(w).cast("long"))
+            .drop("_u"))
+
+
+def epoch_shuffle_sql(epoch: int, n_shards: int = 8, salt: str = "epoch",
+                      id_col: str = "doc_id",
+                      cols: str = "doc_id",
+                      table: str = "documents") -> str:
+    """DuckDB twin of :func:`epoch_shuffle` (same hash constants)."""
+    unit = sample_unit_sql(id_col, f"{salt}|{int(epoch)}")
+    return f"""
+SELECT {cols}, shard,
+       CAST(row_number() OVER (PARTITION BY shard
+                               ORDER BY _u ASC, {id_col} ASC) AS BIGINT)
+         AS pos
+FROM (SELECT {cols}, CAST(floor({unit} * {n_shards}) AS BIGINT) AS shard,
+             {unit} AS _u
+      FROM {table})
+"""
+
+
+def length_batches(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", batch_tokens: int = 256,
+                   bucket_width: int = 64) -> DataFrame:
+    """Length-bucketed batch assignment — the padding-minimizing batching
+    step of a training/inference pipeline: documents are grouped into
+    ``bucket_width``-token length buckets (similar-length docs pad to
+    similar targets), and within each bucket packed greedily (by id
+    order) into batches of ≈ ``batch_tokens`` tokens:
+    ``batch = floor(start_offset / batch_tokens)`` over the bucket's
+    running token total — the same concat-then-chunk boundary rule as
+    :func:`qvarn_mr_spark.functions.packing.pack_sequences`. Returns
+    ``(doc_id, n_tokens, bucket, batch_id)``; zero-token docs are
+    dropped (nothing to batch).
+
+    Scale: one shuffle on ``bucket`` + a per-bucket running-sum window.
+    A pathologically hot bucket serializes one reducer — at that point
+    use the two-phase global cumsum of ``pack_sequences`` per bucket;
+    this direct form is the simple exact shape for bounded buckets."""
+    from qvarn_mr_spark.functions.text import token_count
+
+    base = (df.select(F.col(id_col).alias("doc_id"),
+                      token_count(F.col(text_col)).cast("long")
+                      .alias("n_tokens"))
+            .filter(F.col("n_tokens") > 0)
+            .withColumn("bucket",
+                        (F.col("n_tokens") / bucket_width).cast("long")))
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        "doc_id", "n_tokens", "bucket",
+        F.floor((cum - F.col("n_tokens")) / F.lit(float(batch_tokens)))
+        .cast("long").alias("batch_id"))
+
+
+def length_batches_sql(batch_tokens: int = 256, bucket_width: int = 64,
+                       table: str = "documents") -> str:
+    """DuckDB twin of :func:`length_batches` (token count shared with
+    oracle.token_count_sql so both sides move together)."""
+    from qvarn_mr_spark.oracle import token_count_sql
+
+    ntok = token_count_sql("text")
+    return f"""
+WITH base AS (
+  SELECT doc_id, CAST({ntok} AS BIGINT) AS n_tokens
+  FROM {table}
+),
+b AS (
+  SELECT doc_id, n_tokens,
+         CAST(n_tokens // {bucket_width} AS BIGINT) AS bucket
+  FROM base WHERE n_tokens > 0
+)
+SELECT doc_id, n_tokens, bucket,
+       CAST(floor((sum(n_tokens) OVER (PARTITION BY bucket
+                                       ORDER BY doc_id) - n_tokens)
+                  / {float(batch_tokens)}) AS BIGINT) AS batch_id
+FROM b
+"""
+
+
 def budget_cap(df: DataFrame, id_col: str, key_col: str, weight_col: str,
                budget: int, order_col: str | None = None) -> DataFrame:
     """Greedy per-key weight budget: order each key's rows by

@@ -928,6 +928,26 @@ GROUP BY 1
 """
 
 
+def cluster_keepers_sql(table: str = "documents") -> str:
+    """dedup.cluster_keepers over exact-dup fingerprint clusters with
+    quality_score — the max-over-(score, id)-tuple construct is the same
+    total order on both engines."""
+    n = norm_sql("text")
+    return f"""
+WITH m AS (
+  SELECT doc_id, {fingerprint_sql('text')} AS cluster_id,
+         CAST({quality_score_sql('text', n)} AS DOUBLE) AS s
+  FROM {table}
+),
+a AS (SELECT cluster_id, max((s, doc_id)) AS b,
+             count(*) AS n_members
+      FROM m GROUP BY 1)
+SELECT cluster_id, b[2] AS keeper_id, round(b[1], 6) AS best_score,
+       n_members
+FROM a
+"""
+
+
 def stratified_fixed_k_sql(k: int, strata_col: str = "lang",
                            salt: str = "fixk",
                            table: str = "documents") -> str:

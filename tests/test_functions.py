@@ -893,3 +893,19 @@ def test_expr_let_binds_once_and_preserves_semantics(spark):
     got = df.select(dedup.expr_let(
         F.length("text"), lambda n: n * 2).alias("y")).collect()
     assert [r["y"] for r in got] == [7 * 2, 0, None]
+
+
+def test_cluster_keepers_quality_wins(spark):
+    """Keeper = highest-quality member, ties toward the larger id; the
+    (score, id) tuple max is the same total order the DuckDB oracle
+    uses."""
+    clusters = spark.createDataFrame(
+        [("a", "c1"), ("b", "c1"), ("c", "c1"), ("d", "c2"), ("e", "c2")],
+        "node string, cluster_id string")
+    scores = spark.createDataFrame(
+        [("a", 0.2), ("b", 0.9), ("c", 0.9), ("d", 0.5), ("e", 0.1)],
+        "node string, quality double")
+    got = {r["cluster_id"]: (r["keeper_id"], r["best_score"], r["n_members"])
+           for r in dedup.cluster_keepers(clusters, scores).collect()}
+    assert got["c1"] == ("c", 0.9, 3)      # tie 0.9: larger id wins
+    assert got["c2"] == ("d", 0.5, 2)

@@ -161,3 +161,50 @@ def test_budget_cap_greedy_and_exact(spark):
             for r in budget_cap(df, "doc_id", "source", "w",
                                 budget=10**6).collect()}
     assert full == {1: 50, 2: 80, 3: 110, 4: 120, 5: 200, 6: 205}
+
+
+def test_epoch_shuffle_deterministic_and_epoch_varying(spark):
+    from qvarn_mr_spark.functions.sampling import epoch_shuffle
+    df = spark.createDataFrame([(f"d{i}",) for i in range(40)],
+                               "doc_id string")
+
+    def order(epoch):
+        rows = epoch_shuffle(df, "doc_id", epoch=epoch, n_shards=4).collect()
+        # concatenating shards by pos is the epoch's global hash order
+        return [r["doc_id"] for r in
+                sorted(rows, key=lambda r: (r["shard"], r["pos"]))]
+
+    o1, o1b, o2 = order(1), order(1), order(2)
+    assert o1 == o1b                      # reproducible
+    assert sorted(o1) == sorted(o2)       # same rows...
+    assert o1 != o2                       # ...different order per epoch
+    # pos is dense 1..k within each shard
+    rows = epoch_shuffle(df, "doc_id", epoch=1, n_shards=4).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    assert set(by_shard) <= {0, 1, 2, 3}
+
+
+def test_length_batches_hand_checked(spark):
+    from qvarn_mr_spark.functions.sampling import length_batches
+    rows = [(1, "a b c"), (2, "d e"), (3, "f g h i"), (4, ""),
+            (5, " ".join(["w"] * 70))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["bucket"], r["batch_id"])
+           for r in length_batches(df, batch_tokens=6,
+                                   bucket_width=64).collect()}
+    assert 4 not in got                          # empty doc dropped
+    # bucket 0 (len < 64) in id order: 3+2+4 tokens; starts 0,3,5 ->
+    # batches floor(0/6)=0, floor(3/6)=0, floor(5/6)=0
+    assert got[1] == (3, 0, 0)
+    assert got[2] == (2, 0, 0)
+    assert got[3] == (4, 0, 0)
+    assert got[5] == (70, 1, 0)                  # its own 64-token bucket
+    # tighter budget splits the batches at the chunk boundary
+    got2 = {r["doc_id"]: r["batch_id"]
+            for r in length_batches(df, batch_tokens=4,
+                                    bucket_width=64).collect()}
+    assert (got2[1], got2[2], got2[3]) == (0, 0, 1)   # start 5 -> batch 1
