@@ -165,6 +165,56 @@ def corpus_prepare(df: DataFrame, id_col: str = "doc_id",
     return assign_split(out, "doc_id", split_weights, salt=salt)
 
 
+def corpus_gate_stream(stream: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       min_quality: float = 0.3,
+                       min_tokens: int = 5, max_tokens: int = 100_000,
+                       languages: list[str] | None = None,
+                       watermark: str | None = None,
+                       ts_col: str | None = None) -> DataFrame:
+    """Streaming twin of :func:`corpus_prepare`'s gate + exact-dedup
+    stages: an ingest stream of documents is profiled (the SAME staged
+    ``profile_frame`` expressions — stateless Columns, so they apply to
+    a stream unchanged), gated on quality / token band / language, and
+    first-seen-deduplicated on the profile's normalized fingerprint —
+    ``dropDuplicates`` state holds ONE entry per distinct fp, or is
+    event-time-TTL'd via ``dropDuplicatesWithinWatermark`` when
+    ``watermark``/``ts_col`` are given (the bounded-memory form an
+    unbounded ingest needs).
+
+    Near-dup streaming dedup is deliberately NOT here — that is the
+    maintained LSH index (:func:`qvarn_mr_spark.functions.dedup.
+    lsh_index_views` + ``probe_lsh_index`` through the IVM engine),
+    which pays O(delta) per CDC batch. This operator is the stateless+
+    fingerprint front half, the part that drops the bulk of the volume
+    before any stateful machinery sees it.
+
+    Returns surviving rows ``(doc_id, text, lang, n_tokens, quality,
+    fp[, ts])`` — stream==batch conformance is pytest-pinned against
+    the batch gates + first-seen exact dedup."""
+    cols = [F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")]
+    if ts_col is not None:
+        cols.append(F.col(ts_col).alias("ts"))
+    prof = profile_frame(stream.select(*cols), "text",
+                         ("doc_id", "ts") if ts_col is not None
+                         else ("doc_id",), keep_text=True)
+    gated = prof.filter(
+        (F.col("quality") >= min_quality)
+        & F.col("n_tokens").between(min_tokens, max_tokens))
+    if languages:
+        gated = gated.filter(F.col("lang_guess").isin(list(languages)))
+    out = gated.select(
+        "doc_id", F.col("_text").alias("text"),
+        F.col("lang_guess").alias("lang"), "n_tokens", "quality", "fp",
+        *(["ts"] if ts_col is not None else []))
+    if watermark is not None:
+        if ts_col is None:
+            raise ValueError("watermark requires ts_col")
+        return (out.withWatermark("ts", watermark)
+                .dropDuplicatesWithinWatermark(["fp"]))
+    return out.dropDuplicates(["fp"])
+
+
 def corpus_stats(df: DataFrame, prepared: DataFrame,
                  id_col: str = "doc_id") -> DataFrame:
     """Gate accounting: how many input docs survived, per split, plus how

@@ -248,3 +248,75 @@ def _latest_per_key_lifecycle(spark, tmp_path, op):
     got2 = []
     run(got2)
     assert {(r["user_id"], r["value"]) for r in got2} == {(2, 7.0), (3, 3.0)}
+
+
+def test_corpus_gate_stream_matches_batch(spark, tmp_path):
+    """Streaming corpus gate (profile gates + first-seen fp dedup) must
+    agree with the batch gates: same surviving fingerprint set, every
+    survivor passes the gates, and a duplicate arriving in a later
+    micro-batch loses to the first-seen copy."""
+    import glob
+    import shutil
+
+    from qvarn_mr_spark.functions.pipeline import corpus_gate_stream
+    from qvarn_mr_spark.functions.text import (fingerprint, lang_guess,
+                                               quality_score, token_count)
+
+    feed = tmp_path / "gatefeed"
+    feed.mkdir()
+
+    def emit(name, rows):
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        df.coalesce(1).write.mode("overwrite") \
+            .parquet(str(tmp_path / f"tmp_{name}"))
+        for i, f in enumerate(glob.glob(
+                str(tmp_path / f"tmp_{name}" / "*.parquet"))):
+            shutil.move(f, str(feed / f"{name}-{i}.parquet"))
+
+    good = ("the cat and the dog is in the house and it was the best "
+            "of times for all of the people that it knew")
+    b1 = [("1", good), ("2", "x y"),                       # 2: too short
+          ("3", "?? !! ?? !! ?? !!")]                      # 3: low quality
+    b2 = [("4", good.upper() + "!!"),                      # dup of 1 (fp)
+          ("5", "a man of the people is not a myth and the story "
+                "was told for all of the times that it was needed")]
+    emit("b1", b1)
+
+    got = []
+    ck = str(tmp_path / "gateck")
+
+    def run():
+        stream = spark.readStream.schema("doc_id string, text string") \
+            .parquet(str(feed))
+        q = (corpus_gate_stream(stream, min_quality=0.3, min_tokens=5)
+             .writeStream.outputMode("append")
+             .foreachBatch(lambda b, _: got.extend(b.collect()))
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run()
+    emit("b2", b2)
+    run()
+
+    all_rows = b1 + b2
+    batch = spark.createDataFrame(all_rows, "doc_id string, text string") \
+        .select("doc_id", "text",
+                token_count("text").alias("n_tokens"),
+                quality_score("text").alias("q"),
+                lang_guess("text").alias("lang"),
+                fingerprint("text").alias("fp")) \
+        .filter((F.col("q") >= 0.3) & F.col("n_tokens").between(5, 100_000))
+    want_fps = {r["fp"] for r in batch.collect()}
+    got_by_fp = {}
+    for r in got:
+        got_by_fp.setdefault(r["fp"], []).append(r)
+    assert set(got_by_fp) == want_fps
+    # exactly one survivor per fingerprint, and the FIRST batch's copy
+    # wins over the later duplicate
+    assert all(len(v) == 1 for v in got_by_fp.values())
+    survivors = {r["doc_id"] for r in got}
+    assert "1" in survivors and "4" not in survivors
+    assert "5" in survivors
+    # gated rows never surface
+    assert survivors.isdisjoint({"2", "3"})
