@@ -235,3 +235,122 @@ def test_bloom_never_false_negative_property(mk_df, members, absent):
             .select("it", sk.bloom_might_contain(
                 F.col("bloom"), F.col("it")).alias("hit")).collect()}
     assert all(hits[m] for m in members)       # never a false negative
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(texts, min_size=1, max_size=6))
+def test_bigram_surprisal_matches_python_model(mk_df, docs):
+    """bigram_surprisal vs an independent pure-Python interpolated-LM
+    implementation on randomized tiny corpora."""
+    import math
+    from collections import Counter
+
+    from qvarn_mr_spark.functions.text import bigram_surprisal
+
+    df = mk_df(list(enumerate(docs)), "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["mean_nll"])
+           for r in bigram_surprisal(df).collect()}
+
+    toks = {i: _tokens(d) for i, d in enumerate(docs)}
+    pairs = {i: list(zip(t, t[1:])) for i, t in toks.items()}
+    c_uw = Counter(p for ps in pairs.values() for p in ps)
+    c_u = Counter(p[0] for ps in pairs.values() for p in ps)
+    uni = Counter(w for t in toks.values() for w in t)
+    n, v = sum(uni.values()), len(uni)
+    lam, s = 0.7, 0.5
+    want = {}
+    for i, ps in pairs.items():
+        if not ps:
+            continue
+        nll = [-math.log(lam * c_uw[p] / c_u[p[0]]
+                         + (1 - lam) * (uni[p[1]] + s) / (n + s * v))
+               for p in ps]
+        want[i] = (len(ps), round(sum(nll) / len(nll), 6))
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0]
+        assert got[i][1] == pytest.approx(want[i][1], abs=1e-6)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.sampled_from("abcd"),
+                          st.integers(0, 5)), min_size=1, max_size=20),
+       st.integers(1, 4))
+def test_cluster_keepers_matches_python_model(mk_df, rows, mod):
+    """cluster_keepers vs the pure-Python (score, id) tuple max — ids are
+    strings, clusters arbitrary, duplicate scores common (0..5 range)."""
+    from qvarn_mr_spark.functions.dedup import cluster_keepers
+
+    data = [(f"id{j}", c, float(s % mod)) for j, (c, s) in enumerate(rows)]
+    clusters = mk_df([(i, c) for i, c, _ in data],
+                     "node string, cluster_id string")
+    scores = mk_df([(i, s) for i, _, s in data],
+                   "node string, quality double")
+    got = {r["cluster_id"]: (r["keeper_id"], r["best_score"], r["n_members"])
+           for r in cluster_keepers(clusters, scores).collect()}
+    want = {}
+    for i, c, s in data:
+        cur = want.get(c)
+        if cur is None or (s, i) > (cur[0], cur[1]):
+            want[c] = (s, i)
+    counts = {}
+    for _, c, _ in data:
+        counts[c] = counts.get(c, 0) + 1
+    assert set(got) == set(want)
+    for c, (s, i) in want.items():
+        assert got[c] == (i, round(s, 6), counts[c])
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.sets(st.text(alphabet="abc123", min_size=1, max_size=5),
+               min_size=1, max_size=25),
+       st.integers(0, 3), st.integers(1, 5))
+def test_epoch_shuffle_is_permutation(mk_df, ids, epoch, n_shards):
+    """epoch_shuffle must be a bijection onto dense per-shard positions,
+    shards in range, deterministic across invocations."""
+    from qvarn_mr_spark.functions.sampling import epoch_shuffle
+
+    df = mk_df([(i,) for i in sorted(ids)], "doc_id string")
+    out = epoch_shuffle(df, "doc_id", epoch=epoch, n_shards=n_shards)
+    rows = out.collect()
+    assert {r["doc_id"] for r in rows} == ids        # bijection on rows
+    by_shard = {}
+    for r in rows:
+        assert 0 <= r["shard"] < n_shards
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    again = {(r["doc_id"], r["shard"], r["pos"])
+             for r in epoch_shuffle(df, "doc_id", epoch=epoch,
+                                    n_shards=n_shards).collect()}
+    assert again == {(r["doc_id"], r["shard"], r["pos"]) for r in rows}
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(0, 40), min_size=1, max_size=15),
+       st.integers(2, 12), st.integers(8, 64))
+def test_length_batches_matches_python_model(mk_df, lens, batch_tokens,
+                                             bucket_width):
+    """length_batches vs the pure-Python bucket + running-sum floor rule."""
+    from qvarn_mr_spark.functions.sampling import length_batches
+
+    rows = [(i, " ".join(["w"] * ln)) for i, ln in enumerate(lens)]
+    df = mk_df(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["bucket"], r["batch_id"])
+           for r in length_batches(df, batch_tokens=batch_tokens,
+                                   bucket_width=bucket_width).collect()}
+    buckets = {}
+    for i, ln in enumerate(lens):
+        if ln > 0:
+            buckets.setdefault(ln // bucket_width, []).append((i, ln))
+    want = {}
+    for b, members in buckets.items():
+        cum = 0
+        for i, ln in sorted(members):
+            want[i] = (ln, b, cum // batch_tokens)
+            cum += ln
+    assert got == want
