@@ -568,11 +568,17 @@ def cluster_keepers(clusters: DataFrame, scores: DataFrame,
     Scale: one skinny equi-join on id + one map-side-combined aggregate
     on the cluster key; nothing corpus-sized is held anywhere."""
     sid = scores_id_col or id_col
+    # NULL score ≡ -inf: the row still counts as a member but can only
+    # win when every member is unscored — a defined total order on both
+    # engines (engine-native NULL-inside-struct ordering differs between
+    # Spark and DuckDB, so it must never reach the max)
     joined = (clusters.select(F.col(id_col).alias("_id"),
                               F.col(cluster_col).alias("cluster_id"))
               .join(scores.select(F.col(sid).alias("_id"),
-                                  F.col(score_col).cast("double")
-                                  .alias("_s")), "_id"))
+                                  F.coalesce(
+                                      F.col(score_col).cast("double"),
+                                      F.lit(float("-inf"))).alias("_s")),
+                    "_id"))
     return (joined.groupBy("cluster_id")
             .agg(F.max(F.struct(F.col("_s").alias("s"),
                                 F.col("_id").alias("i"))).alias("_best"),

@@ -909,3 +909,19 @@ def test_cluster_keepers_quality_wins(spark):
            for r in dedup.cluster_keepers(clusters, scores).collect()}
     assert got["c1"] == ("c", 0.9, 3)      # tie 0.9: larger id wins
     assert got["c2"] == ("d", 0.5, 2)
+
+
+def test_cluster_keepers_null_scores_defined(spark):
+    """NULL score reads as -inf: still a member, only wins when the whole
+    cluster is unscored (then the larger id, deterministically)."""
+    clusters = spark.createDataFrame(
+        [("a", "c1"), ("b", "c1"), ("x", "c2"), ("y", "c2")],
+        "node string, cluster_id string")
+    scores = spark.createDataFrame(
+        [("a", None), ("b", 0.4), ("x", None), ("y", None)],
+        "node string, quality double")
+    got = {r["cluster_id"]: (r["keeper_id"], r["best_score"], r["n_members"])
+           for r in dedup.cluster_keepers(clusters, scores).collect()}
+    assert got["c1"] == ("b", 0.4, 2)
+    assert got["c2"][0] == "y" and got["c2"][2] == 2
+    assert got["c2"][1] == float("-inf")
