@@ -354,3 +354,87 @@ def test_length_batches_matches_python_model(mk_df, lens, batch_tokens,
             want[i] = (ln, b, cum // batch_tokens)
             cum += ln
     assert got == want
+
+
+def _minhash_bands_py(text, n_hashes=8, n_bands=4):
+    """Independent pure-Python model of the whole MinHash pipeline:
+    distinct word-3-shingles -> md5('{seed}|{shingle}') hex slices ->
+    min per hash -> '|'-joined bands (mirrors dedup._minhash_cols)."""
+    import hashlib
+
+    sh = _shingles(text)
+    if not sh:
+        return None
+    hs = []
+    for i in range(n_hashes):
+        seed = chr(ord("a") + i // 4)
+        hs.append(min(
+            hashlib.md5(f"{seed}|{s}".encode()).hexdigest()
+            [8 * (i % 4):8 * (i % 4) + 8] for s in sh))
+    rows = n_hashes // n_bands
+    return ["|".join(hs[b * rows + r] for r in range(rows))
+            for b in range(n_bands)]
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(texts, min_size=1, max_size=6))
+def test_minhash_pipeline_matches_python_model(mk_df, docs):
+    """Signatures, per-row band keys, AND candidate pairs all agree with
+    the hashlib model — the end-to-end pin of the LSH stack."""
+    df = mk_df(list(enumerate(docs)), "doc_id long, text string")
+    want = {i: _minhash_bands_py(d) for i, d in enumerate(docs)
+            if _minhash_bands_py(d) is not None}
+
+    sigs = {r["doc_id"]: [r[f"band_{b}"] for b in range(4)]
+            for r in dedup.minhash_signatures(df, "doc_id", "text").collect()}
+    assert sigs == want
+
+    keys = {r["doc_id"]: r["k"] for r in df.select(
+        "doc_id", dedup.minhash_band_keys_col("text").alias("k")).collect()}
+    for i, d in enumerate(docs):
+        exp = ([] if i not in want
+               else [f"{b}|{s}" for b, s in enumerate(want[i])])
+        assert keys[i] == exp
+
+    got_pairs = {(r["a_id"], r["b_id"]): r["n_bands"] for r in
+                 dedup.minhash_candidates(df, "doc_id", "text").collect()}
+    want_pairs = {}
+    ids = sorted(want)
+    for x, a in enumerate(ids):
+        for b in ids[x + 1:]:
+            n = sum(1 for p, q in zip(want[a], want[b]) if p == q)
+            if n:
+                want_pairs[(a, b)] = n
+    assert got_pairs == want_pairs
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(texts, min_size=2, max_size=8))
+def test_minhash_contamination_boundary_consistency(mk_df, docs):
+    """minhash_contamination flags exactly the corpus docs sharing ≥1
+    band VALUE (at its position) with any eval doc — checked against the
+    hashlib band model on a random corpus/eval split."""
+    from qvarn_mr_spark.functions.quality import minhash_contamination
+
+    corpus = [(i, d) for i, d in enumerate(docs) if i % 2 == 0]
+    ev = [(i, d) for i, d in enumerate(docs) if i % 2 == 1]
+    got = {r["doc_id"]: r["n_shared_bands"] for r in minhash_contamination(
+        mk_df(corpus, "doc_id long, text string"),
+        mk_df(ev, "doc_id long, text string")).collect()}
+
+    ev_keys = set()
+    for _, d in ev:
+        bands = _minhash_bands_py(d)
+        if bands:
+            ev_keys.update((b, s) for b, s in enumerate(bands))
+    want = {}
+    for i, d in corpus:
+        bands = _minhash_bands_py(d)
+        if not bands:
+            continue
+        n = sum(1 for b, s in enumerate(bands) if (b, s) in ev_keys)
+        if n:
+            want[i] = n
+    assert got == want
