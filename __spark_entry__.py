@@ -1264,6 +1264,15 @@ def q_ivf_assign(spark, sf_dir):
                                  F.col("vec_id") % 100 == 0)
 
 
+def q_ivf_assign_arrow(spark, sf_dir):
+    """Arrow/BLAS twin of ivf_assign — one matmul per batch instead of
+    nlist interpreted dot products per vector; shares the plain form's
+    DuckDB oracle, proving the fast form exact."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.ivf_assign_arrow(emb, "vec_id", "embedding",
+                                       F.col("vec_id") % 100 == 0)
+
+
 def q_embedding_nn(spark, sf_dir):
     """Embedding near-dup primitive: every vector's nearest neighbor."""
     emb = _t(spark, sf_dir, "embeddings")["embeddings"]
@@ -1790,6 +1799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn,
         "knn_bruteforce_arrow": q_knn_arrow,
         "ivf_assign": q_ivf_assign,
+        "ivf_assign_arrow": q_ivf_assign_arrow,
         "embedding_nn": q_embedding_nn,
         "embedding_nn_ivf": q_embedding_nn_ivf,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -1798,7 +1808,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pq_search": q_embedding_pq_search,
         "ivf_probe_search": q_ivf_probe_search,
         "centroid_by_label": q_centroid_by_label,
-        "multimodal_signal_features": q_multimodal_signal_features,
         "events_type_counts_cms": q_events_type_counts_cms,
         "events_user_funnel_theta": q_events_user_funnel_theta,
         "events_skew_profile": q_events_skew_profile,
@@ -1811,6 +1820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prepare": q_corpus_prepare,
         # --- red in r03 (oracle int-width fixed this round) ---
         "q12_priority_lines": q12_priority_lines,
+        "multimodal_signal_features": q_multimodal_signal_features,
         # --- new in r4 late block: chunking / budget cap / negatives ---
         "doc_chunk": q_doc_chunk,
         "doc_source_budget": q_doc_source_budget,
@@ -2484,6 +2494,9 @@ def oracle_sql() -> dict[str, str]:
         "knn_bruteforce": oracle.knn_bruteforce_sql("vec_id < 8", k=3),
         "knn_bruteforce_arrow": oracle.knn_bruteforce_sql("vec_id < 8", k=3),
         "ivf_assign": oracle.ivf_assign_sql("vec_id % 100 = 0"),
+        # the Arrow twin shares the plain form's oracle verbatim — the
+        # strongest evidence the BLAS path is exact
+        "ivf_assign_arrow": oracle.ivf_assign_sql("vec_id % 100 = 0"),
         "embedding_nn": oracle.nearest_neighbor_sql(),
         "embedding_nn_ivf": oracle.nearest_neighbor_ivf_sql(
             "vec_id % 50 = 0", nprobe=2),

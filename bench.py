@@ -58,6 +58,7 @@ BENCH_QUERIES = (
     "knn_bruteforce_arrow",
     "embedding_near_dup_lsh",
     "ivf_assign",
+    "ivf_assign_arrow",
     "embedding_semantic_dedup",
     "embedding_pq_search",
     "embedding_quantize",

@@ -925,3 +925,31 @@ def test_cluster_keepers_null_scores_defined(spark):
     assert got["c1"] == ("b", 0.4, 2)
     assert got["c2"][0] == "y" and got["c2"][2] == 2
     assert got["c2"][1] == float("-inf")
+
+
+def test_ivf_assign_arrow_matches_jvm(spark):
+    """The BLAS twin must equal ivf_assign exactly — including the
+    (−cos_sim, cluster_id) tiebreak when two centroids score the same
+    rounded similarity (pre-sorted centroid ids + argmax-first-max)."""
+    rows = [(10, [1.0, 0.0]), (20, [1.0, 0.0]),      # identical centroids
+            (30, [0.0, 1.0]),
+            (1, [0.9, 0.1]), (2, [0.1, 0.9]), (3, [0.7, 0.7])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    flt = F.col("vec_id") >= 10
+    jvm = {(r["vec_id"], r["cluster_id"], r["cos_sim"]) for r in
+           similarity.ivf_assign(df, "vec_id", "embedding", flt).collect()}
+    arr = {(r["vec_id"], r["cluster_id"], r["cos_sim"]) for r in
+           similarity.ivf_assign_arrow(df, "vec_id", "embedding",
+                                       flt).collect()}
+    assert jvm == arr
+    by_id = {v: c for v, c, _ in arr}
+    assert by_id[1] == 10          # tie between 10 and 20 -> smaller id
+    assert by_id[10] == 10 and by_id[20] == 10
+
+
+def test_ivf_assign_arrow_empty_centroids(spark):
+    df = spark.createDataFrame([(1, [1.0, 0.0])],
+                               "vec_id long, embedding array<float>")
+    out = similarity.ivf_assign_arrow(df, "vec_id", "embedding",
+                                      F.col("vec_id") > 100)
+    assert out.count() == 0
