@@ -1279,6 +1279,17 @@ def q_embedding_nn(spark, sf_dir):
     return similarity.nearest_neighbor(emb, "vec_id", "embedding")
 
 
+def q_embedding_nn_ivf_arrow(spark, sf_dir):
+    """Fully-Arrow twin of embedding_nn_ivf: BLAS assignment + cogrouped
+    per-cluster matmul verify (the shuffle out of the verify carries
+    <= nprobe rows per query, not the candidate pair stream). Shares the
+    JVM form's DuckDB oracle — the fast form is the exact form."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.nearest_neighbor_ivf_arrow(
+        emb, "vec_id", "embedding",
+        centroid_filter=F.col("vec_id") % 50 == 0, nprobe=2)
+
+
 def q_embedding_nn_ivf(spark, sf_dir):
     """Global nearest-neighbor via IVF routing — the near-dup operator that
     replaces the all-pairs baseline at corpus scale (probes ⋈ members on
@@ -1802,10 +1813,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign_arrow": q_ivf_assign_arrow,
         "embedding_nn": q_embedding_nn,
         "embedding_nn_ivf": q_embedding_nn_ivf,
+        "embedding_nn_ivf_arrow": q_embedding_nn_ivf_arrow,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "embedding_quantize": q_embedding_quantize,
         "embedding_semantic_dedup": q_embedding_semantic_dedup,
-        "embedding_pq_search": q_embedding_pq_search,
         "ivf_probe_search": q_ivf_probe_search,
         "centroid_by_label": q_centroid_by_label,
         "events_type_counts_cms": q_events_type_counts_cms,
@@ -1821,6 +1832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- red in r03 (oracle int-width fixed this round) ---
         "q12_priority_lines": q12_priority_lines,
         "multimodal_signal_features": q_multimodal_signal_features,
+        "embedding_pq_search": q_embedding_pq_search,
         # --- new in r4 late block: chunking / budget cap / negatives ---
         "doc_chunk": q_doc_chunk,
         "doc_source_budget": q_doc_source_budget,
@@ -2499,6 +2511,9 @@ def oracle_sql() -> dict[str, str]:
         "ivf_assign_arrow": oracle.ivf_assign_sql("vec_id % 100 = 0"),
         "embedding_nn": oracle.nearest_neighbor_sql(),
         "embedding_nn_ivf": oracle.nearest_neighbor_ivf_sql(
+            "vec_id % 50 = 0", nprobe=2),
+        # the fully-Arrow twin shares the JVM form's oracle verbatim
+        "embedding_nn_ivf_arrow": oracle.nearest_neighbor_ivf_sql(
             "vec_id % 50 = 0", nprobe=2),
         "embedding_near_dup_lsh": oracle.hyperplane_near_dup_sql(
             threshold=0.4),

@@ -59,6 +59,7 @@ BENCH_QUERIES = (
     "embedding_near_dup_lsh",
     "ivf_assign",
     "ivf_assign_arrow",
+    "embedding_nn_ivf_arrow",
     "embedding_semantic_dedup",
     "embedding_pq_search",
     "embedding_quantize",

@@ -219,6 +219,59 @@ def ivf_assign_arrow(df: DataFrame, id_col: str, vec_col: str,
     return v.mapInPandas(assign, out_schema)
 
 
+def ivf_assign_topn_arrow(df: DataFrame, id_col: str, vec_col: str,
+                          centroid_filter: Column,
+                          nprobe: int = 1) -> DataFrame:
+    """Arrow/BLAS twin of :func:`ivf_assign_topn` — same
+    ``(vec_id, cluster_id, cos_sim, rn)`` output (stable argsort over
+    rounded similarities with centroids pre-sorted by id reproduces the
+    (−cos_sim, cluster_id) window order exactly), one matmul + one
+    argsort per batch instead of nlist interpreted dot products per
+    vector plus a per-vector window sort. This is the assignment stage
+    :func:`nearest_neighbor_ivf` runs with ``arrow_assign=True``."""
+    import numpy as np
+    import pandas as pd
+
+    from qvarn_mr_spark.session import ship_package
+    ship_package(df.sparkSession)
+
+    cent = df.filter(centroid_filter).select(
+        F.col(id_col).alias("cluster_id"),
+        _as_double(df, vec_col).alias("c_vec")).collect()
+    cent.sort(key=lambda r: r["cluster_id"])
+    c_ids = np.array([r["cluster_id"] for r in cent], dtype=np.int64)
+    if cent:
+        cm = np.array([r["c_vec"] for r in cent], dtype=np.float64)
+        cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    else:
+        cm = np.zeros((0, 1))
+    k = min(nprobe, len(c_ids))
+
+    out_schema = "vec_id long, cluster_id long, cos_sim double, rn int"
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or k == 0:
+                continue
+            ids = pdf["_vid"].to_numpy(dtype=np.int64)
+            vm = np.stack(pdf["_vvec"].to_numpy())
+            vm = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+            sims = np.round(vm @ cm.T, 6)
+            # stable sort on -sim: ties keep ascending centroid-id order
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+            rows = np.repeat(np.arange(len(ids)), k)
+            cols = order.ravel()
+            yield pd.DataFrame({
+                "vec_id": ids.repeat(k),
+                "cluster_id": c_ids[cols],
+                "cos_sim": sims[rows, cols],
+                "rn": np.tile(np.arange(1, k + 1), len(ids))})
+
+    v = df.select(F.col(id_col).cast("long").alias("_vid"),
+                  _as_double(df, vec_col).alias("_vvec"))
+    return v.mapInPandas(assign, out_schema)
+
+
 def nearest_neighbor(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """Every vector's single nearest neighbor (cosine) — the embedding
     near-dup primitive: a pair whose similarity exceeds a threshold is a
@@ -234,7 +287,8 @@ def nearest_neighbor(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 
 def nearest_neighbor_ivf(df: DataFrame, id_col: str, vec_col: str,
                          centroid_filter: Column,
-                         nprobe: int = 2) -> DataFrame:
+                         nprobe: int = 2,
+                         arrow_assign: bool = False) -> DataFrame:
     """Every vector's nearest neighbor via IVF routing — the global near-dup
     operator that survives corpus scale.
 
@@ -256,9 +310,14 @@ def nearest_neighbor_ivf(df: DataFrame, id_col: str, vec_col: str,
     brute-force coverage (tested differentially). Returns
     ``(q_id, n_id, cos_sim, rn)``, rn always 1, same shape as
     :func:`nearest_neighbor`.
+
+    ``arrow_assign=True`` swaps step 1 for
+    :func:`ivf_assign_topn_arrow` (one matmul per batch — identical
+    assignment, differentially tested); steps 2-4 are unchanged.
     """
-    assign = ivf_assign_topn(df, id_col, vec_col, centroid_filter,
-                             nprobe=nprobe)
+    assign_fn = ivf_assign_topn_arrow if arrow_assign else ivf_assign_topn
+    assign = assign_fn(df, id_col, vec_col, centroid_filter,
+                       nprobe=nprobe)
     probes = assign.select(F.col("vec_id").alias("q_id"), "cluster_id")
     members = assign.filter(F.col("rn") == 1).select(
         F.col("vec_id").alias("n_id"), "cluster_id")
@@ -276,6 +335,88 @@ def nearest_neighbor_ivf(df: DataFrame, id_col: str, vec_col: str,
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
     return (scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1))
+
+
+def nearest_neighbor_ivf_arrow(df: DataFrame, id_col: str, vec_col: str,
+                               centroid_filter: Column,
+                               nprobe: int = 2) -> DataFrame:
+    """Fully-Arrow twin of :func:`nearest_neighbor_ivf` — identical
+    output (differentially tested), with BOTH heavy stages vectorized:
+
+    1. assignment = :func:`ivf_assign_topn_arrow` (one matmul per batch);
+    2. candidate verify = a *cogrouped per-cluster matmul*: probers and
+       members of each cluster meet in ``applyInPandas`` over the
+       cluster cogroup, score as one ``Q @ M.T``, and emit only each
+       query's per-cluster best — the shuffle out of the verify carries
+       ≤ nprobe rows per query instead of the whole
+       nprobe·n²/nlist candidate pair stream;
+    3. the global per-query argmax is a skinny ``min_by`` aggregate over
+       those ≤ nprobe rows (argmax is associative under the
+       (−cos_sim, n_id) total order, so per-cluster-best-then-global
+       equals the flat window exactly).
+
+    Rounding to 6 decimals happens before every comparison, so the
+    JVM form's tiebreaks reproduce bit-for-bit. Per-cluster state is
+    |cluster|·dim doubles — bounded by n/nlist under balanced
+    clustering (the same contract IVF itself relies on; a degenerate
+    mega-cluster should raise nlist). Returns ``(q_id, n_id, cos_sim,
+    rn)``, rn always 1."""
+    import numpy as np
+    import pandas as pd
+
+    from qvarn_mr_spark.session import ship_package
+    ship_package(df.sparkSession)
+
+    assign = ivf_assign_topn_arrow(df, id_col, vec_col, centroid_filter,
+                                   nprobe=nprobe)
+    # distinct attribute names per side: probes and members share the
+    # assign lineage, and identically-named keys trip the ambiguous-
+    # self-join analyzer once both meet the vector table
+    probes = (assign.select(F.col("vec_id").alias("q_id"),
+                            F.col("cluster_id").alias("p_cluster"))
+              .join(df.select(F.col(id_col).cast("long").alias("q_id"),
+                              _as_double(df, vec_col).alias("q_vec")),
+                    "q_id"))
+    members = (assign.filter(F.col("rn") == 1)
+               .select(F.col("vec_id").alias("n_id"),
+                       F.col("cluster_id").alias("m_cluster"))
+               .join(df.select(F.col(id_col).cast("long").alias("n_id"),
+                               _as_double(df, vec_col).alias("n_vec")),
+                     "n_id"))
+
+    out_schema = "q_id long, n_id long, cos_sim double"
+
+    def best_per_cluster(key, probe_pdf, member_pdf):
+        if len(probe_pdf) == 0 or len(member_pdf) == 0:
+            return pd.DataFrame({"q_id": [], "n_id": [], "cos_sim": []})
+        q_ids = probe_pdf["q_id"].to_numpy(dtype=np.int64)
+        n_ids = member_pdf["n_id"].to_numpy(dtype=np.int64)
+        qm = np.stack(probe_pdf["q_vec"].to_numpy())
+        nm = np.stack(member_pdf["n_vec"].to_numpy())
+        qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        nm = nm / np.linalg.norm(nm, axis=1, keepdims=True)
+        # sort members by id so argmax's first-max rule = smallest-n_id
+        # tiebreak, matching the JVM window's (desc sim, asc n_id)
+        order = np.argsort(n_ids, kind="stable")
+        n_ids, nm = n_ids[order], nm[order]
+        sims = np.round(qm @ nm.T, 6)               # |probers| × |members|
+        sims[q_ids[:, None] == n_ids[None, :]] = -np.inf   # exclude self
+        best = np.argmax(sims, axis=1)
+        best_sim = sims[np.arange(len(q_ids)), best]
+        keep = best_sim > -np.inf                   # lone-self clusters out
+        return pd.DataFrame({"q_id": q_ids[keep],
+                             "n_id": n_ids[best][keep],
+                             "cos_sim": best_sim[keep]})
+
+    local = (probes.groupBy("p_cluster")
+             .cogroup(members.groupBy("m_cluster"))
+             .applyInPandas(best_per_cluster, out_schema))
+    return (local.groupBy("q_id")
+            .agg(F.min_by(F.struct(F.col("n_id"), F.col("cos_sim")),
+                          F.struct((-F.col("cos_sim")).alias("neg"),
+                                   F.col("n_id"))).alias("_b"))
+            .select("q_id", F.col("_b.n_id"), F.col("_b.cos_sim"),
+                    F.lit(1).alias("rn")))
 
 
 def ivf_probe_search(df: DataFrame, id_col: str, vec_col: str,

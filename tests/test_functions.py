@@ -953,3 +953,22 @@ def test_ivf_assign_arrow_empty_centroids(spark):
     out = similarity.ivf_assign_arrow(df, "vec_id", "embedding",
                                       F.col("vec_id") > 100)
     assert out.count() == 0
+
+
+def test_nearest_neighbor_ivf_arrow_matches_jvm(spark):
+    """The fully-Arrow IVF NN (BLAS assignment + cogrouped per-cluster
+    matmul verify + min_by global argmax) must equal the JVM form
+    exactly — including lone-self clusters (no self-match emitted) and
+    smallest-n_id tiebreaks."""
+    import math
+    rows = []
+    for i in range(24):
+        ang = (i % 6) / 6.0 * 1.5
+        rows.append((i, [math.cos(ang) + 0.01 * i, math.sin(ang), 0.1]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    flt = F.col("vec_id") % 8 == 0           # 3 centroids
+    jvm = {tuple(r) for r in similarity.nearest_neighbor_ivf(
+        df, "vec_id", "embedding", flt, nprobe=2).collect()}
+    arr = {tuple(r) for r in similarity.nearest_neighbor_ivf_arrow(
+        df, "vec_id", "embedding", flt, nprobe=2).collect()}
+    assert jvm == arr and jvm
