@@ -972,3 +972,19 @@ def test_nearest_neighbor_ivf_arrow_matches_jvm(spark):
     arr = {tuple(r) for r in similarity.nearest_neighbor_ivf_arrow(
         df, "vec_id", "embedding", flt, nprobe=2).collect()}
     assert jvm == arr and jvm
+
+
+def test_nearest_neighbor_ivf_hybrid_assign_matches(spark):
+    """arrow_assign=True (BLAS assignment, JVM verify) is the third
+    form — all three must agree."""
+    import math
+    rows = [(i, [math.cos(i / 5.0), math.sin(i / 5.0)])
+            for i in range(15)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    flt = F.col("vec_id") % 5 == 0
+    jvm = {tuple(r) for r in similarity.nearest_neighbor_ivf(
+        df, "vec_id", "embedding", flt, nprobe=2).collect()}
+    hyb = {tuple(r) for r in similarity.nearest_neighbor_ivf(
+        df, "vec_id", "embedding", flt, nprobe=2,
+        arrow_assign=True).collect()}
+    assert jvm == hyb and jvm
