@@ -988,3 +988,20 @@ def test_nearest_neighbor_ivf_hybrid_assign_matches(spark):
         df, "vec_id", "embedding", flt, nprobe=2,
         arrow_assign=True).collect()}
     assert jvm == hyb and jvm
+
+
+def test_ivf_assign_topn_arrow_matches_jvm(spark):
+    """Direct differential for the top-n Arrow assignment (rn order and
+    ties), not just transitively through nearest_neighbor_ivf."""
+    rows = [(10, [1.0, 0.0]), (20, [1.0, 0.0]), (30, [0.0, 1.0]),
+            (1, [0.8, 0.2]), (2, [0.3, 0.7])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    flt = F.col("vec_id") >= 10
+    jvm = {tuple(r) for r in similarity.ivf_assign_topn(
+        df, "vec_id", "embedding", flt, nprobe=2).collect()}
+    arr = {tuple(r) for r in similarity.ivf_assign_topn_arrow(
+        df, "vec_id", "embedding", flt, nprobe=2).collect()}
+    assert jvm == arr and jvm
+    # tie between centroids 10 and 20: rn=1 -> 10, rn=2 -> 20
+    by_rank = {(v, rn): c for v, c, _, rn in arr}
+    assert by_rank[(1, 1)] == 10 and by_rank[(1, 2)] == 20

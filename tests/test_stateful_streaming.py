@@ -320,3 +320,53 @@ def test_corpus_gate_stream_matches_batch(spark, tmp_path):
     assert "5" in survivors
     # gated rows never surface
     assert survivors.isdisjoint({"2", "3"})
+
+
+def test_corpus_gate_stream_watermarked_ttl(spark, tmp_path):
+    """The watermark-TTL'd form: within the watermark a later duplicate
+    still drops; the state is event-time-bounded (the unbounded-ingest
+    configuration), and gates still apply."""
+    import glob
+    import shutil
+    from datetime import datetime
+
+    from qvarn_mr_spark.functions.pipeline import corpus_gate_stream
+
+    feed = tmp_path / "wmfeed"
+    feed.mkdir()
+    DDL = "doc_id string, text string, ts timestamp"
+
+    def emit(name, rows):
+        df = spark.createDataFrame(rows, DDL)
+        df.coalesce(1).write.mode("overwrite") \
+            .parquet(str(tmp_path / f"tmp_{name}"))
+        for i, f in enumerate(glob.glob(
+                str(tmp_path / f"tmp_{name}" / "*.parquet"))):
+            shutil.move(f, str(feed / f"{name}-{i}.parquet"))
+
+    def T(hhmm):
+        return datetime.fromisoformat(f"2024-01-01 {hhmm}:00")
+
+    good = ("the cat and the dog is in the house and it was the best "
+            "of times for all of the people that it knew")
+    got = []
+    ck = str(tmp_path / "wmck")
+
+    def run():
+        stream = spark.readStream.schema(DDL).parquet(str(feed))
+        q = (corpus_gate_stream(stream, min_quality=0.3, min_tokens=5,
+                                watermark="1 hour", ts_col="ts")
+             .writeStream.outputMode("append")
+             .foreachBatch(lambda b, _: got.extend(b.collect()))
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    emit("b1", [("1", good, T("10:00")), ("2", "x", T("10:00"))])
+    run()
+    # in-watermark duplicate (different id, same normalized content) drops
+    emit("b2", [("3", good.upper() + "!!", T("10:30"))])
+    run()
+    survivors = {r["doc_id"] for r in got}
+    assert survivors == {"1"}
+    assert all("ts" in r.asDict() for r in got)
