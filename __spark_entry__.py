@@ -1642,6 +1642,30 @@ def q_documents_table_profile(spark, sf_dir):
 #: that determines the fit; the training is RNG-free so this is safe)
 _CLF_WEIGHTS: dict = {}
 
+#: q_doc_quality_classifier hyperparameters — single source for BOTH the
+#: fit() call and the cache key, so editing one cannot silently serve
+#: stale sidecar weights (they key the sidecar entries too)
+_CLF_SALT = "clf-train"
+_CLF_FRACTION = 0.6
+_CLF_ITERS = 10
+_CLF_LR = 1.0
+
+
+def _clf_key(sf_dir):
+    """Content-addressed cache key: full-file md5 + size of the documents
+    parquet, plus every fit hyperparameter (from the shared constants).
+    Raises OSError if the file is unreadable."""
+    import hashlib
+    import os
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    h = hashlib.md5()
+    with open(p, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return (f"{os.path.getsize(p)}:{h.hexdigest()}:{_CLF_SALT}:"
+            f"{_CLF_FRACTION}:{_CLF_ITERS}:{_CLF_LR}")
+
 
 def _clf_weights_for(sf_dir, fit):
     """Fitted-model cache: the GD fit is fully deterministic in (training
@@ -1649,17 +1673,14 @@ def _clf_weights_for(sf_dir, fit):
     are a derived artifact, memoized in-process AND in a JSON sidecar
     next to this file (the way a real pipeline persists its fitted
     quality model rather than retraining per job). The key fingerprints
-    the data by path + size + md5 of the parquet head, so regenerated or
-    different-scale data refits honestly."""
-    import hashlib
+    the data (full-file md5) and the hyperparameters (shared constants —
+    see _clf_key), so regenerated or different-scale data refits
+    honestly."""
     import json
     import os
 
-    p = os.path.join(sf_dir, "documents.parquet")
     try:
-        with open(p, "rb") as f:
-            head = hashlib.md5(f.read(65536)).hexdigest()
-        key = f"{os.path.getsize(p)}:{head}:clf-train:0.6:10:1.0"
+        key = _clf_key(sf_dir)
     except OSError:
         return fit()
     w = _CLF_WEIGHTS.get(key)
@@ -1686,6 +1707,33 @@ def _clf_weights_for(sf_dir, fit):
     return w
 
 
+def _clf_committed_weights(sf_dir=None):
+    """Fitted weights for the driver's oracle scale from the COMMITTED
+    sidecar (no training, no SparkSession) — lets oracle_sql() inline the
+    exact literals q_doc_quality_classifier will score with. Returns None
+    when no committed entry matches the data fingerprint (the driver then
+    records rows-only, same as before the oracle existed)."""
+    import json
+    import os
+
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_ORACLE_SF",
+                                      "/root/testdata/sf0.01")
+    try:
+        key = _clf_key(sf_dir)
+    except OSError:
+        return None
+    w = _CLF_WEIGHTS.get(key)
+    if w is not None:
+        return w
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           ".clf_weights.json")
+    try:
+        with open(sidecar) as f:
+            return json.load(f).get(key)
+    except (OSError, ValueError):
+        return None
+
+
 def q_doc_quality_classifier(spark, sf_dir):
     """Learned document gate (functions/classifier.py): distill the
     heuristic language gate into a smooth logistic scorer — Spark
@@ -1706,9 +1754,9 @@ def q_doc_quality_classifier(spark, sf_dir):
         from qvarn_mr_spark.functions.text import lang_guess
         train = deterministic_sample(
             _t(spark, sf_dir, "documents")["documents"],
-            "doc_id", 0.6, salt="clf-train")
+            "doc_id", _CLF_FRACTION, salt=_CLF_SALT)
         return clf.train_logreg(train, lang_guess("text") == "en",
-                                iters=10, lr=1.0)
+                                iters=_CLF_ITERS, lr=_CLF_LR)
 
     w = _clf_weights_for(sf_dir, fit)
     docs = _t(spark, sf_dir, "documents")["documents"]
@@ -1939,7 +1987,7 @@ _ASOF_ORACLE = """
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "search_exact_ci": """
             SELECT c_custkey, c_name, c_acctbal FROM customer
             WHERE lower(c_mktsegment) = lower('Building')
@@ -2474,6 +2522,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": oracle.ngram_jaccard_sql(max_df=20),
         "minhash_signatures": oracle.minhash_signatures_sql(),
         "minhash_candidates": oracle.minhash_candidates_sql(),
+        # iterative-CC queries, value-oracled via DuckDB transitive-closure
+        # recursive CTEs (min reachable label == min id in component ==
+        # dup_clusters' fixpoint)
+        "dedup_clusters": oracle.dup_clusters_sql(),
+        "dedup_corpus": oracle.dedup_corpus_sql(jaccard_threshold=0.5),
+        "corpus_prepare": oracle.corpus_prepare_sql(
+            min_quality=0.0, min_tokens=2),
         "simhash": oracle.simhash_sql(),
         "simhash_candidates": oracle.simhash_candidates_sql(),
         "doc_repetition": oracle.repetition_profile_sql(),
@@ -2524,3 +2579,11 @@ def oracle_sql() -> dict[str, str]:
             "vec_id % 100 = 0", "vec_id < 4", k=3),
         "centroid_by_label": oracle.centroid_by_label_agg_sql(),
     }
+    # classifier scoring is a deterministic sigmoid once the fit is pinned:
+    # inline the COMMITTED sidecar weights for the driver's oracle scale as
+    # SQL literals (no committed entry for this data -> rows-only, as before)
+    w = _clf_committed_weights()
+    if w is not None:
+        out["doc_quality_classifier"] = oracle.classifier_score_sql(
+            w, digits=4, threshold=0.5)
+    return out

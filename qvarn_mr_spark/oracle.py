@@ -1021,3 +1021,190 @@ SELECT vec_id, round(scale, 6) AS scale,
               ELSE list_transform(v, x -> 0) END, ',') AS qvec_csv
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# connected-components / composed-pipeline twins (round 6): value oracles for
+# the iterative dedup/corpus queries via DuckDB recursive CTEs
+# ---------------------------------------------------------------------------
+
+def _melted_cte() -> str:
+    """The band-melt union over ``bands`` (one row per (doc, band))."""
+    return " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_pos, band_{b} AS sig FROM bands"
+        for b in range(MINHASH_BANDS))
+
+
+#: Connected components over a symmetric edge list as a transitive-closure
+#: recursive CTE: ``walk`` accumulates every (node, reachable-label) pair
+#: (UNION dedups, so it terminates), then min(label) per node = the smallest
+#: id in the component — exactly dedup.dup_clusters' fixpoint semantics.
+#: O(component_size^2) label rows per component: fine at oracle scale; the
+#: Spark side is the O(log n)-round pointer-doubling form for cluster scale.
+_WALK_CC = """
+edges AS (SELECT a_id AS u, b_id AS v FROM {pairs}
+          UNION SELECT b_id AS u, a_id AS v FROM {pairs}),
+walk(node, label) AS (
+  SELECT u AS node, u AS label FROM edges
+  UNION
+  SELECT e.v AS node, w.label AS label FROM walk w JOIN edges e ON e.u = w.node
+),
+clusters AS (SELECT node, min(label) AS cluster_id FROM walk GROUP BY 1)"""
+
+
+def dup_clusters_sql(table: str = "documents") -> str:
+    """dedup.dup_clusters over dedup.minhash_candidates edges — the full
+    candidate-pairs → connected-components pipeline of
+    ``__spark_entry__.q_dedup_clusters``."""
+    return f"""
+WITH RECURSIVE {_minhash_sig_cte(table)},
+melted AS ({_melted_cte()}),
+cand AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM melted a
+  JOIN melted b ON a.band_pos = b.band_pos AND a.sig = b.sig
+               AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+{_WALK_CC.format(pairs="cand")}
+SELECT node, cluster_id FROM clusters
+"""
+
+
+def _dedup_corpus_ctes(table: str, jaccard_threshold: float) -> str:
+    """The CTE chain of dedup.dedup_corpus over ``table`` (needs doc_id,
+    text): exact fingerprint collapse -> MinHash-LSH candidates over exact
+    keepers -> shingle-Jaccard verify -> connected components. Leaves
+    ``d2k`` (doc_id, keeper_id) and ``clusters`` (node, cluster_id)
+    defined; the caller selects the canonical mapping."""
+    return f"""fpt AS (SELECT doc_id, {fingerprint_sql('text')} AS fp
+       FROM {table}),
+exact AS (SELECT fp, min(doc_id) AS keeper_id FROM fpt GROUP BY 1),
+d2k AS (SELECT f.doc_id, e.keeper_id FROM fpt f JOIN exact e USING (fp)),
+keepers AS (SELECT t.* FROM {table} t
+            WHERE t.doc_id IN (SELECT keeper_id FROM exact)),
+{_minhash_sig_cte("keepers")},
+melted AS ({_melted_cte()}),
+cand AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM melted a
+  JOIN melted b ON a.band_pos = b.band_pos AND a.sig = b.sig
+               AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.a_id, c.b_id, count(*) AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a_id
+  JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+  GROUP BY 1, 2),
+edges0 AS (
+  SELECT i.a_id, i.b_id
+  FROM inter i
+  JOIN counts ca ON ca.doc_id = i.a_id
+  JOIN counts cb ON cb.doc_id = i.b_id
+  WHERE CAST(i.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - i.n_common)
+        >= {jaccard_threshold}),
+{_WALK_CC.format(pairs="edges0")}"""
+
+
+def dedup_corpus_sql(table: str = "documents",
+                     jaccard_threshold: float = 0.5) -> str:
+    """dedup.dedup_corpus — (doc_id, canonical_id, is_canonical)."""
+    return f"""
+WITH RECURSIVE {_dedup_corpus_ctes(table, jaccard_threshold)}
+SELECT d2k.doc_id,
+       COALESCE(c.cluster_id, d2k.keeper_id) AS canonical_id,
+       d2k.doc_id = COALESCE(c.cluster_id, d2k.keeper_id) AS is_canonical
+FROM d2k LEFT JOIN clusters c ON d2k.keeper_id = c.node
+"""
+
+
+def corpus_prepare_sql(min_quality: float = 0.3, min_tokens: int = 5,
+                       max_tokens: int = 100_000,
+                       jaccard_threshold: float = 0.5,
+                       split_weights: dict[str, float] | None = None,
+                       salt: str = "corpus",
+                       table: str = "documents") -> str:
+    """pipeline.corpus_prepare (default gates only): profile -> quality /
+    token filters -> dedup_corpus onto canonicals -> consistent split.
+    One row per surviving canonical doc:
+    (doc_id, lang, n_tokens, quality, n_duplicates, split)."""
+    from qvarn_mr_spark.functions.sampling import assign_split_sql
+    if split_weights is None:
+        split_weights = {"train": 0.98, "val": 0.01, "test": 0.01}
+    n = norm_sql("text")
+    return f"""
+WITH RECURSIVE prof AS (
+  SELECT doc_id, text,
+         {lang_guess_sql(n)} AS lang,
+         {token_count_sql('text')} AS n_tokens,
+         {quality_score_sql('text', n)} AS quality
+  FROM {table}),
+kept AS MATERIALIZED (
+  SELECT * FROM prof
+  WHERE quality >= {min_quality}
+    AND n_tokens >= {min_tokens} AND n_tokens <= {max_tokens}),
+{_dedup_corpus_ctes("kept", jaccard_threshold)},
+mapping AS (
+  SELECT d2k.doc_id,
+         COALESCE(c.cluster_id, d2k.keeper_id) AS canonical_id
+  FROM d2k LEFT JOIN clusters c ON d2k.keeper_id = c.node),
+sizes AS (SELECT canonical_id, count(*) - 1 AS n_duplicates
+          FROM mapping GROUP BY 1)
+SELECT k.doc_id, k.lang, k.n_tokens, k.quality, s.n_duplicates,
+       {assign_split_sql('k.doc_id', split_weights, salt)} AS split
+FROM kept k
+JOIN mapping m ON m.doc_id = k.doc_id AND m.doc_id = m.canonical_id
+JOIN sizes s ON s.canonical_id = k.doc_id
+"""
+
+
+def classifier_score_sql(weights: dict, digits: int = 4,
+                         threshold: float | None = 0.5,
+                         table: str = "documents") -> str:
+    """classifier.score_frame with FITTED WEIGHTS INLINED AS LITERALS —
+    the scoring path is a deterministic sigmoid over the same staged
+    feature expressions (classifier._feature_frame), so once the weights
+    are pinned (the committed ``.clf_weights.json`` sidecar) the whole
+    query is value-oracle-able. z accumulates in the same sorted-name,
+    left-associated order as score_frame so the float sums agree."""
+    names = sorted(["len_score", "punct", "stopword"]
+                   + [f"hits_{lang}" for lang in LANG_MARKERS])
+    hit_cols = ",\n             ".join(
+        f"{marker_hits_sql('norm', words)} AS h_{lang}"
+        for lang, words in LANG_MARKERS.items())
+    feats = {
+        "len_score": "least(CAST(toks AS DOUBLE) / 100.0, 1.0)",
+        "punct": "punct",
+        "stopword": ("CASE WHEN toks = 0 THEN 0.0 ELSE "
+                     "least(CAST(h_stop AS DOUBLE) / toks, 1.0) END"),
+    }
+    for lang in LANG_MARKERS:
+        feats[f"hits_{lang}"] = (
+            f"least(CAST(h_{lang} AS DOUBLE) / "
+            f"CAST(greatest(toks, 1) AS DOUBLE), 1.0)")
+    fcols = ",\n             ".join(
+        f"COALESCE({feats[nm]}, 0.0) AS {nm}" for nm in names)
+    z = repr(float(weights.get("_bias", 0.0)))
+    for nm in names:
+        if nm in weights:
+            z = f"({z} + {float(weights[nm])!r} * {nm})"
+    sel = [f"round(1.0 / (1.0 + exp(-{z})), {digits}) AS score"]
+    if threshold is not None:
+        sel.append(f"(1.0 / (1.0 + exp(-{z})) >= {threshold}) AS kept")
+    cols = ",\n       ".join(sel)
+    return f"""
+WITH st AS (SELECT doc_id, text, {norm_sql('text')} AS norm FROM {table}),
+h AS (SELECT doc_id,
+             {hit_cols},
+             {marker_hits_sql('norm', EN_STOPWORDS)} AS h_stop,
+             {token_count_sql('text')} AS toks,
+             {punct_ratio_sql('text')} AS punct
+      FROM st),
+f AS (SELECT doc_id,
+             {fcols}
+      FROM h)
+SELECT doc_id,
+       {cols}
+FROM f
+"""
