@@ -1235,6 +1235,38 @@ def q_simhash_candidates(spark, sf_dir):
     return dedup.simhash_candidates(docs, "doc_id", "text")
 
 
+def q_minhash_candidates_prod(spark, sf_dir):
+    """PRODUCTION-width MinHash-LSH candidates — 128 hashes in 32 bands of
+    r=4 (collision threshold ~(1/32)^(1/4) ≈ 0.42 Jaccard), the layout a
+    real 100 TB dedup pass runs and the one SCALE.md's candidate-volume
+    measurement uses. Same distributed melt + self-equi-join plan as the
+    toy-width `minhash_candidates`; the oracle is generated at the same
+    width from the same seed scheme, so production parameters are
+    value-verified by the driver, not only by pytest volume tests."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return dedup.minhash_candidates(docs, "doc_id", "text",
+                                    n_hashes=128, n_bands=32)
+
+
+def q_simhash_prod(spark, sf_dir):
+    """PRODUCTION-width 64-bit SimHash (Charikar sketch at the width Manku
+    et al.'s web-dedup system runs). Exercises the sign bit: bit 63 is
+    assembled with shiftleft/or into a signed long, and the oracle's
+    two's-complement twin (-2^63 term) must agree exactly."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return dedup.simhash(docs, "doc_id", "text", bits=64)
+
+
+def q_simhash_candidates_prod(spark, sf_dir):
+    """Banded candidate pairs over the 64-bit production SimHash — 4 bands
+    of 16 bits, exact for hamming ≤ 3 by pigeonhole. Band extraction is
+    shiftrightunsigned on the Spark side and unsigned-HUGEINT division in
+    the oracle — the negative-signature (bit 63) path is value-checked."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return dedup.simhash_candidates(docs, "doc_id", "text",
+                                    max_hamming=3, bits=64, n_bands=4)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """End of the dedup pipeline: LSH candidate pairs → connected
     components (pointer-doubling min-label propagation) → one cluster_id
@@ -1837,6 +1869,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_candidates": q_minhash_candidates,
         "simhash": q_simhash,
         "simhash_candidates": q_simhash_candidates,
+        # --- new in r6: production-width LSH, driver-value-checked ---
+        "minhash_candidates_prod": q_minhash_candidates_prod,
+        "simhash_prod": q_simhash_prod,
+        "simhash_candidates_prod": q_simhash_candidates_prod,
         "dedup_clusters": q_dedup_clusters,
         "dedup_corpus": q_dedup_corpus,
         "doc_repetition": q_doc_repetition,
@@ -1874,9 +1910,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_table_profile": q_documents_table_profile,
         "doc_substring_dedup": q_doc_substring_dedup,
         "doc_surprisal": q_doc_surprisal,
+        "corpus_prepare": q_corpus_prepare,
+        # displaced from the 50-window by the r6 prod-width LSH trio —
+        # both value-oracled and covered by the local mirror regardless
         "doc_stratified_fixed_k": q_doc_stratified_fixed_k,
         "events_asof_tolerance": q_events_asof_tolerance,
-        "corpus_prepare": q_corpus_prepare,
         # --- red in r03 (oracle int-width fixed this round) ---
         "q12_priority_lines": q12_priority_lines,
         "multimodal_signal_features": q_multimodal_signal_features,
@@ -2531,6 +2569,12 @@ def oracle_sql() -> dict[str, str]:
             min_quality=0.0, min_tokens=2),
         "simhash": oracle.simhash_sql(),
         "simhash_candidates": oracle.simhash_candidates_sql(),
+        # production widths — same builders, prod parameters
+        "minhash_candidates_prod": oracle.minhash_candidates_sql(
+            n_hashes=128, n_bands=32),
+        "simhash_prod": oracle.simhash_sql(bits=64),
+        "simhash_candidates_prod": oracle.simhash_candidates_sql(
+            max_hamming=3, bits=64, n_bands=4),
         "doc_repetition": oracle.repetition_profile_sql(),
         "doc_decontaminate": oracle.contamination_sql(
             "CAST(doc_id AS BIGINT) % 20 = 0", k=quality.DECONTAM_K),

@@ -177,18 +177,22 @@ JOIN counts cb ON cb.doc_id = b_id
 """
 
 
-def _minhash_sig_cte(table: str = "documents") -> str:
+def _minhash_sig_cte(table: str = "documents",
+                     n_hashes: int = MINHASH_N,
+                     n_bands: int = MINHASH_BANDS) -> str:
     # hash i = 8-hex slice i%4 of md5(seed_{i//4} || shingle) — in lockstep
-    # with dedup._minhash_cols
+    # with dedup._minhash_cols (same _minhash_seed scheme, any width)
+    from qvarn_mr_spark.functions.dedup import _minhash_seed
+    rows = n_hashes // n_bands
     hashes = ", ".join(
-        f"min(substring(md5('{chr(ord('a') + i // 4)}|' || shingle), "
+        f"min(substring(md5('{_minhash_seed(i // 4)}|' || shingle), "
         f"{1 + 8 * (i % 4)}, 8)) AS h{i}"
-        for i in range(MINHASH_N))
+        for i in range(n_hashes))
     bands = ", ".join(
         "concat_ws('|', " + ", ".join(
-            f"h{b * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS)
+            f"h{b * rows + r}" for r in range(rows)
         ) + f") AS band_{b}"
-        for b in range(MINHASH_BANDS))
+        for b in range(n_bands))
     return f"""{_shingle_cte(table)},
 sig AS (SELECT doc_id, {hashes} FROM sh GROUP BY 1),
 bands AS (SELECT doc_id, {bands} FROM sig)"""
@@ -199,12 +203,14 @@ def minhash_signatures_sql(table: str = "documents") -> str:
     return f"WITH {_minhash_sig_cte(table)} SELECT doc_id, {cols} FROM bands"
 
 
-def minhash_candidates_sql(table: str = "documents") -> str:
+def minhash_candidates_sql(table: str = "documents",
+                           n_hashes: int = MINHASH_N,
+                           n_bands: int = MINHASH_BANDS) -> str:
     unions = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_pos, band_{b} AS sig FROM bands"
-        for b in range(MINHASH_BANDS))
+        for b in range(n_bands))
     return f"""
-WITH {_minhash_sig_cte(table)},
+WITH {_minhash_sig_cte(table, n_hashes, n_bands)},
 melted AS ({unions})
 SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_bands
 FROM melted a
@@ -232,17 +238,22 @@ GROUP BY 1, 2
 """
 
 
-def simhash_sql(table: str = "documents") -> str:
+def simhash_sql(table: str = "documents",
+                bits: int = SIMHASH_BITS) -> str:
+    n_nib = bits // 4
     nibs = ", ".join(
         f"strpos('{HEX_DIGITS}', substring(h4, {j + 1}, 1)) - 1 AS nib{j}"
-        for j in range(4))
+        for j in range(n_nib))
     votes = ", ".join(
-        f"sum((floor(nib{3 - b // 4} / {2 ** (b % 4)})::BIGINT % 2) * 2 - 1)"
-        f" AS v{b}"
-        for b in range(SIMHASH_BITS))
+        f"sum((floor(nib{n_nib - 1 - b // 4} / {2 ** (b % 4)})::BIGINT % 2)"
+        f" * 2 - 1) AS v{b}"
+        for b in range(bits))
+    # two's complement: bit 63 contributes -2^63 (the Spark side assembles
+    # with shiftleft/or on a signed long, so bit 63 set => negative value)
     sig = " + ".join(
-        f"CASE WHEN v{b} >= 0 THEN {2 ** b} ELSE 0 END"
-        for b in range(SIMHASH_BITS))
+        f"CASE WHEN v{b} >= 0 THEN "
+        f"{2 ** b if b < 63 else -(2 ** 63)} ELSE 0 END"
+        for b in range(bits))
     return f"""
 WITH toks AS (
   SELECT DISTINCT doc_id, unnest(
@@ -250,7 +261,7 @@ WITH toks AS (
   ) AS tok
   FROM {table}
 ),
-hashed AS (SELECT doc_id, substring(md5(tok), 1, 4) AS h4 FROM toks),
+hashed AS (SELECT doc_id, substring(md5(tok), 1, {n_nib}) AS h4 FROM toks),
 nibbles AS (SELECT doc_id, {nibs} FROM hashed),
 votes AS (SELECT doc_id, {votes} FROM nibbles GROUP BY 1)
 SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes
@@ -258,18 +269,27 @@ SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes
 
 
 def simhash_candidates_sql(max_hamming: int = 3,
-                           table: str = "documents") -> str:
+                           table: str = "documents",
+                           bits: int | None = None,
+                           n_bands: int | None = None) -> str:
     """dedup.simhash_candidates — banded candidates + bit_count(xor) verify.
 
     The SQL self-joins band rows (the oracle needn't be bucketed, only
-    set-identical: agreeing on ≥1 band ⇔ appearing in a common bucket)."""
+    set-identical: agreeing on ≥1 band ⇔ appearing in a common bucket).
+    Band extraction goes through the UNSIGNED 64-bit value (HUGEINT +
+    2^64 when negative) — the twin of Spark's shiftrightunsigned, exact
+    even when bits=64 sets the sign bit."""
     from qvarn_mr_spark.functions.dedup import SIMHASH_BANDS, SIMHASH_BITS
-    bw = SIMHASH_BITS // SIMHASH_BANDS
+    bits = bits if bits is not None else SIMHASH_BITS
+    n_bands = n_bands if n_bands is not None else SIMHASH_BANDS
+    bw = bits // n_bands
+    usig = ("(CAST(simhash AS HUGEINT) + CASE WHEN simhash < 0 "
+            "THEN 18446744073709551616 ELSE 0 END)")
     bands = ", ".join(
-        f"CAST(floor(simhash / {2 ** (bw * b)}) AS BIGINT) % {2 ** bw}"
-        for b in range(SIMHASH_BANDS))
+        f"CAST(({usig} // {2 ** (bw * b)}) % {2 ** bw} AS BIGINT)"
+        for b in range(n_bands))
     return f"""
-WITH sig AS ({simhash_sql(table)}),
+WITH sig AS ({simhash_sql(table, bits)}),
 bands AS (
   SELECT doc_id, simhash, generate_subscripts(bv, 1) - 1 AS band_pos,
          unnest(bv) AS bv
