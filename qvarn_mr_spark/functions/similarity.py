@@ -40,6 +40,25 @@ def _as_double(df: DataFrame, vec_col: str) -> Column:
     return F.col(vec_col).cast("array<double>")
 
 
+def _unit_rows(m):
+    """Row-normalize a matrix for the Arrow twins, with a zero-norm guard:
+    an all-zero vector keeps norm 1, so it scores cosine 0.0 against
+    everything and deterministically loses every argmax. Bare division
+    would inject a NaN row whose ``np.argmax`` silently returns the first
+    column — the JVM cosine yields NaN there too (0/0), so a zero vector
+    is an input-contract violation on both paths; the guard keeps the
+    Arrow side deterministic instead of argmax-on-NaN.
+
+    Float caveat (shared by every Arrow twin): cosine is computed as
+    normalize-then-matmul here but ``dot/(|a|·|b|)`` in the JVM/oracle
+    forms — algebraically equal, so a similarity landing EXACTLY on a
+    0.5e-6 rounding boundary could round differently between twins. The
+    randomized differentials guard this; no boundary case has surfaced."""
+    import numpy as np
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.where(norms == 0.0, 1.0, norms)
+
+
 def knn_bruteforce(df: DataFrame, id_col: str, vec_col: str,
                    query_filter: Column, k: int = 3) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
@@ -194,7 +213,7 @@ def ivf_assign_arrow(df: DataFrame, id_col: str, vec_col: str,
     c_ids = np.array([r["cluster_id"] for r in cent], dtype=np.int64)
     if cent:
         cm = np.array([r["c_vec"] for r in cent], dtype=np.float64)
-        cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+        cm = _unit_rows(cm)
     else:
         cm = np.zeros((0, 1))
 
@@ -206,7 +225,7 @@ def ivf_assign_arrow(df: DataFrame, id_col: str, vec_col: str,
                 continue
             ids = pdf["_vid"].to_numpy(dtype=np.int64)
             vm = np.stack(pdf["_vvec"].to_numpy())
-            vm = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+            vm = _unit_rows(vm)
             sims = np.round(vm @ cm.T, 6)          # |batch| × nlist
             best = np.argmax(sims, axis=1)         # first max = min id
             yield pd.DataFrame({
@@ -242,7 +261,7 @@ def ivf_assign_topn_arrow(df: DataFrame, id_col: str, vec_col: str,
     c_ids = np.array([r["cluster_id"] for r in cent], dtype=np.int64)
     if cent:
         cm = np.array([r["c_vec"] for r in cent], dtype=np.float64)
-        cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+        cm = _unit_rows(cm)
     else:
         cm = np.zeros((0, 1))
     k = min(nprobe, len(c_ids))
@@ -255,7 +274,7 @@ def ivf_assign_topn_arrow(df: DataFrame, id_col: str, vec_col: str,
                 continue
             ids = pdf["_vid"].to_numpy(dtype=np.int64)
             vm = np.stack(pdf["_vvec"].to_numpy())
-            vm = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+            vm = _unit_rows(vm)
             sims = np.round(vm @ cm.T, 6)
             # stable sort on -sim: ties keep ascending centroid-id order
             order = np.argsort(-sims, axis=1, kind="stable")[:, :k]
@@ -339,7 +358,8 @@ def nearest_neighbor_ivf(df: DataFrame, id_col: str, vec_col: str,
 
 def nearest_neighbor_ivf_arrow(df: DataFrame, id_col: str, vec_col: str,
                                centroid_filter: Column,
-                               nprobe: int = 2) -> DataFrame:
+                               nprobe: int = 2,
+                               max_cluster: int | None = None) -> DataFrame:
     """Fully-Arrow twin of :func:`nearest_neighbor_ivf` — identical
     output (differentially tested), with BOTH heavy stages vectorized:
 
@@ -359,8 +379,14 @@ def nearest_neighbor_ivf_arrow(df: DataFrame, id_col: str, vec_col: str,
     JVM form's tiebreaks reproduce bit-for-bit. Per-cluster state is
     |cluster|·dim doubles — bounded by n/nlist under balanced
     clustering (the same contract IVF itself relies on; a degenerate
-    mega-cluster should raise nlist). Returns ``(q_id, n_id, cos_sim,
-    rn)``, rn always 1."""
+    mega-cluster should raise nlist). ``max_cluster`` enforces that
+    contract IN CODE (the explicit skew valve, mirroring
+    ``dedup.minhash_candidates``): when set, a skinny membership-count
+    aggregate runs first and any cluster larger than the cap aborts with
+    a clear message BEFORE the per-cluster matmul could OOM an executor —
+    the fix is more centroids (raise nlist) or the pair-stream JVM form
+    :func:`nearest_neighbor_ivf`, whose verify never holds a cluster in
+    memory. Returns ``(q_id, n_id, cos_sim, rn)``, rn always 1."""
     import numpy as np
     import pandas as pd
 
@@ -369,6 +395,21 @@ def nearest_neighbor_ivf_arrow(df: DataFrame, id_col: str, vec_col: str,
 
     assign = ivf_assign_topn_arrow(df, id_col, vec_col, centroid_filter,
                                    nprobe=nprobe)
+    if max_cluster is not None:
+        over = (assign.filter(F.col("rn") == 1)
+                .groupBy("cluster_id")
+                .agg(F.count(F.lit(1)).alias("_m"))
+                .filter(F.col("_m") > max_cluster)
+                .limit(1).collect())
+        if over:
+            raise ValueError(
+                f"IVF cluster {over[0]['cluster_id']} has {over[0]['_m']} "
+                f"members > max_cluster={max_cluster}: degenerate "
+                "clustering breaks the per-cluster-matmul memory contract "
+                "(|cluster|*dim doubles per cogroup). Raise nlist / pick "
+                "better-spread centroids, or use the pair-stream "
+                "nearest_neighbor_ivf form, which streams candidates "
+                "instead of holding a cluster in memory.")
     # distinct attribute names per side: probes and members share the
     # assign lineage, and identically-named keys trip the ambiguous-
     # self-join analyzer once both meet the vector table
@@ -393,8 +434,8 @@ def nearest_neighbor_ivf_arrow(df: DataFrame, id_col: str, vec_col: str,
         n_ids = member_pdf["n_id"].to_numpy(dtype=np.int64)
         qm = np.stack(probe_pdf["q_vec"].to_numpy())
         nm = np.stack(member_pdf["n_vec"].to_numpy())
-        qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
-        nm = nm / np.linalg.norm(nm, axis=1, keepdims=True)
+        qm = _unit_rows(qm)
+        nm = _unit_rows(nm)
         # sort members by id so argmax's first-max rule = smallest-n_id
         # tiebreak, matching the JVM window's (desc sim, asc n_id)
         order = np.argsort(n_ids, kind="stable")
@@ -765,7 +806,7 @@ def knn_bruteforce_arrow(df: DataFrame, id_col: str, vec_col: str,
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     if q_rows:
         qm = np.array([r[1] for r in q_rows], dtype=np.float64)
-        qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        qm = _unit_rows(qm)
     else:                    # empty query set → empty result, not a crash
         qm = np.zeros((0, 1))
 
@@ -777,7 +818,7 @@ def knn_bruteforce_arrow(df: DataFrame, id_col: str, vec_col: str,
                 continue
             ids = pdf["_nid"].to_numpy(dtype=np.int64)
             cm = np.stack(pdf["_nvec"].to_numpy())
-            cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            cm = _unit_rows(cm)
             sims = np.round(cm @ qm.T, 6)          # |batch| × |Q|
             parts = []
             for j, qid in enumerate(q_ids):

@@ -1005,3 +1005,45 @@ def test_ivf_assign_topn_arrow_matches_jvm(spark):
     # tie between centroids 10 and 20: rn=1 -> 10, rn=2 -> 20
     by_rank = {(v, rn): c for v, c, _, rn in arr}
     assert by_rank[(1, 1)] == 10 and by_rank[(1, 2)] == 20
+
+
+def test_nearest_neighbor_ivf_arrow_max_cluster_valve(spark):
+    """The degenerate-cluster memory contract is enforced in code, not
+    just documented: one mega-cluster (every vector nearest the same
+    centroid) must trip the max_cluster valve with an actionable error
+    BEFORE the per-cluster matmul runs, while a permissive cap lets the
+    same input through unchanged."""
+    import math
+    import pytest
+    # 20 near-identical vectors + 1 far-away centroid no one maps to:
+    # centroid 0's rn=1 cluster holds all 20 probes.
+    rows = [(i, [1.0, 0.001 * i]) for i in range(20)]
+    rows += [(100, [1.0, 0.0]), (200, [-1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    flt = F.col("vec_id") >= 100
+    with pytest.raises(ValueError, match="max_cluster"):
+        similarity.nearest_neighbor_ivf_arrow(
+            df, "vec_id", "embedding", flt, nprobe=1, max_cluster=5)
+    ok = similarity.nearest_neighbor_ivf_arrow(
+        df, "vec_id", "embedding", flt, nprobe=1, max_cluster=50)
+    jvm = {tuple(r) for r in similarity.nearest_neighbor_ivf(
+        df, "vec_id", "embedding", flt, nprobe=1).collect()}
+    assert {tuple(r) for r in ok.collect()} == jvm and jvm
+
+
+def test_arrow_zero_norm_vectors_deterministic(spark):
+    """A zero vector is a contract violation for cosine (0/0), but the
+    Arrow twins must stay deterministic instead of argmax-ing over NaN:
+    _unit_rows pins its norm to 1, so a zero vector scores 0.0 against
+    every centroid and the assignment falls to the ordinary first-max
+    (= smallest centroid id) rule."""
+    rows = [(10, [1.0, 0.0]), (20, [0.0, 1.0]),
+            (1, [0.0, 0.0]),              # zero-norm probe
+            (2, [0.6, 0.8])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    flt = F.col("vec_id") >= 10
+    out = {r["vec_id"]: (r["cluster_id"], r["cos_sim"]) for r in
+           similarity.ivf_assign_arrow(df, "vec_id", "embedding",
+                                       flt).collect()}
+    assert out[1] == (10, 0.0)            # deterministic, not NaN
+    assert out[2] == (20, 0.8)            # normal rows unaffected
