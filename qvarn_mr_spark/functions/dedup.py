@@ -789,7 +789,8 @@ def minhash_band_keys_col(text_col: Column | str,
 def lsh_index_views(source: str = "documents", id_col: str = "doc_id",
                     text_col: str = "text", n_hashes: int = MINHASH_N,
                     n_bands: int = MINHASH_BANDS,
-                    index_name: str = "lsh_buckets") -> dict:
+                    index_name: str = "lsh_buckets",
+                    map_name: str | None = None) -> dict:
     """ViewEngine config fragment for a MAINTAINED LSH dedup index:
     ``{source}__lsh`` maps each document to its band-bucket keys
     (explode_key over :func:`minhash_band_keys_col`) and ``index_name``
@@ -799,13 +800,21 @@ def lsh_index_views(source: str = "documents", id_col: str = "doc_id",
     docs re-map to ≤ ``n_bands`` keys each, only dirty buckets re-reduce,
     deletes tombstone the doc out of its buckets. The batch equivalent
     (:func:`minhash_candidates`) rescans the corpus; this is the
-    streaming-dedup shape for a 100 TB corpus with a trickle of updates."""
+    streaming-dedup shape for a 100 TB corpus with a trickle of updates.
+
+    ``map_name`` overrides the intermediate view's name (default
+    ``{source}__lsh``) — required when one source table feeds several
+    maintained indexes (e.g. this text index PLUS
+    :func:`~qvarn_mr_spark.functions.similarity.embedding_lsh_index_views`
+    over the same curated corpus), whose fragments would otherwise
+    collide on the map-view key."""
     from qvarn_mr_spark.operators.mapreduce import map_expr, reduce_agg
     keys = minhash_band_keys_col(text_col, n_hashes, n_bands)
+    mname = map_name or f"{source}__lsh"
     return {
-        f"{source}__lsh": {source: map_expr(
+        mname: {source: map_expr(
             key=keys, value=F.col(id_col), explode_key=True)},
-        index_name: {f"{source}__lsh": reduce_agg({
+        index_name: {mname: reduce_agg({
             "members": lambda c: F.array_sort(F.collect_set(c)),
             "n_docs": lambda c: F.count(F.lit(1)),
         })},

@@ -603,18 +603,24 @@ def embedding_lsh_index_views(source: str = "embeddings",
                               planes: int = HYPERPLANES,
                               bands: int = HYPERPLANE_BANDS,
                               dim: int = 64, seed: str = "hp",
-                              index_name: str = "emb_lsh_buckets") -> dict:
+                              index_name: str = "emb_lsh_buckets",
+                              map_name: str | None = None) -> dict:
     """ViewEngine config fragment for a MAINTAINED embedding near-dup
     index — same IVM shape as ``dedup.lsh_index_views``: map each vector
     to its band keys (narrow), reduce buckets to member lists; a CDC
     delta re-maps only changed vectors and re-reduces only dirty
-    buckets. Streaming semantic dedup for an embedding corpus."""
+    buckets. Streaming semantic dedup for an embedding corpus.
+
+    ``map_name`` (default ``{source}__lsh``) disambiguates the map view
+    when the same source feeds both this index and the text
+    ``dedup.lsh_index_views`` fragment in one engine."""
     from qvarn_mr_spark.operators.mapreduce import map_expr, reduce_agg
     keys = embedding_band_keys_col(vec_col, planes, bands, dim, seed)
+    mname = map_name or f"{source}__lsh"
     return {
-        f"{source}__lsh": {source: map_expr(
+        mname: {source: map_expr(
             key=keys, value=F.col(id_col), explode_key=True)},
-        index_name: {f"{source}__lsh": reduce_agg({
+        index_name: {mname: reduce_agg({
             "members": lambda c: F.array_sort(F.collect_set(c)),
             "n_vecs": lambda c: F.count(F.lit(1)),
         })},
