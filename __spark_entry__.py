@@ -1228,6 +1228,30 @@ def q_doc_temperature_mix(spark, sf_dir):
         F.sum("wt").cast("long").alias("kept_weight"))
 
 
+def q_doc_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023): select the 50 raw
+    documents whose hashed-ngram bags look most like the English-target
+    subset, via Gumbel-top-k over add-1 likelihood-ratio weights — the
+    standard target-matched data-selection operator. Fully distributed:
+    two B-row bucket profiles, a B-row ratio join, one doc_id-keyed sum,
+    TakeOrdered(k)."""
+    from qvarn_mr_spark.functions import sampling as smp
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    target = docs.filter(F.col("lang") == "en")
+    return smp.dsir_resample(docs, target, k=50)
+
+
+def q_doc_dsir_weights(spark, sf_dir):
+    """The weight surface under q_doc_dsir_select: per-document hashed-
+    ngram log likelihood ratios toward the English target (6-dp) — kept
+    as its own oracle so the selection and the scores are independently
+    value-checked."""
+    from qvarn_mr_spark.functions import sampling as smp
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    target = docs.filter(F.col("lang") == "en")
+    return smp.dsir_weights(docs, target)
+
+
 def q_simhash_candidates(spark, sf_dir):
     """Banded-bits LSH pairing over SimHash signatures — exact for hamming
     ≤ 3 by pigeonhole (4 bands x 4 bits), bucketed candidate generation."""
@@ -1888,9 +1912,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_top_ngrams": q_corpus_top_ngrams,
         "doc_pack_sequences": q_doc_pack_sequences,
         "inverted_index": q_inverted_index,
-        "doc_split_sample": q_doc_split_sample,
         "doc_stratified_mix": q_doc_stratified_mix,
         "doc_temperature_mix": q_doc_temperature_mix,
+        # --- new in r6: DSIR importance resampling (driver-checked) ---
+        "doc_dsir_select": q_doc_dsir_select,
         "knn_bruteforce": q_knn,
         "knn_bruteforce_arrow": q_knn_arrow,
         "ivf_assign": q_ivf_assign,
@@ -1911,8 +1936,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_substring_dedup": q_doc_substring_dedup,
         "doc_surprisal": q_doc_surprisal,
         "corpus_prepare": q_corpus_prepare,
-        # displaced from the 50-window by the r6 prod-width LSH trio —
-        # both value-oracled and covered by the local mirror regardless
+        # displaced from the 50-window by the r6 prod-width LSH trio and
+        # DSIR — all value-oracled and covered by the local mirror
+        # (tools/check_oracle.py) regardless
+        "doc_dsir_weights": q_doc_dsir_weights,
+        "doc_split_sample": q_doc_split_sample,
         "doc_stratified_fixed_k": q_doc_stratified_fixed_k,
         "events_asof_tolerance": q_events_asof_tolerance,
         # --- red in r03 (oracle int-width fixed this round) ---

@@ -370,3 +370,116 @@ def budget_cap(df: DataFrame, id_col: str, key_col: str, weight_col: str,
     return (df.filter(F.col(weight_col) <= budget)
             .withColumn("cum_weight", cum)
             .filter(F.col("cum_weight") <= budget))
+
+
+#: Hashed n-gram feature width for DSIR. 256 keeps the oracle CTE
+#: driver-stable at test scale; production corpora run 1e4-1e5 buckets
+#: (the width is a pure parameter — nothing below materializes a
+#: buckets-sized structure anywhere but the B-row ratio table).
+DSIR_BUCKETS = 256
+#: Nibbles of md5 used for the bucket hash: 6 → 24 bits, uniform far
+#: beyond any practical bucket width.
+_DSIR_NIBBLES = 6
+
+
+def _gram_bucket(gram: Column, n_buckets: int, salt: str) -> Column:
+    """Portable hash bucket of an n-gram: the first 6 hex nibbles of
+    ``md5(salt|gram)`` decoded via ``ascii()`` arithmetic, mod
+    ``n_buckets``. ``ascii`` (not the ``locate``-in-digit-string decode
+    of :func:`hash_unit`) because this runs INSIDE a ``transform``
+    lambda, where the needle of locate would have to be a lambda-bound
+    Column — ``ascii`` needs only the character itself and has an exact
+    DuckDB twin (``dsir_bucket_sql``)."""
+    d = F.md5(F.concat(F.lit(f"{salt}|"), gram))
+    val = None
+    for j in range(_DSIR_NIBBLES):
+        a = F.ascii(F.substring(d, j + 1, 1))
+        nib = (F.when(a <= 57, a - 48).otherwise(a - 87)).cast("bigint")
+        term = nib * (16 ** (_DSIR_NIBBLES - 1 - j))
+        val = term if val is None else val + term
+    return val % F.lit(n_buckets)
+
+
+def _dsir_grams(df: DataFrame, id_col: str, text_col: str,
+                n_buckets: int, salt: str) -> DataFrame:
+    """``(doc_id, bucket)`` with multiplicity: unigrams + word bigrams
+    (the DSIR paper's feature set) hashed into ``n_buckets``. One narrow
+    projection + explode — tokenization shared with dedup/text via
+    ``tokens_col``/``shingles_col``."""
+    from qvarn_mr_spark.functions.dedup import (ensure_min_partitions,
+                                                shingles_col, tokens_col)
+    grams = F.concat(tokens_col(text_col), shingles_col(text_col, 2))
+    return (ensure_min_partitions(df)
+            .select(F.col(id_col).alias("doc_id"),
+                    F.explode(grams).alias("_g"))
+            .select("doc_id",
+                    _gram_bucket(F.col("_g"), n_buckets, salt)
+                    .alias("bucket")))
+
+
+def dsir_weights(df: DataFrame, target: DataFrame,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 n_buckets: int = DSIR_BUCKETS, smoothing: float = 1.0,
+                 salt: str = "dsir") -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, *Data Selection for
+    Language Models via Importance Resampling*): per raw document, the
+    log likelihood ratio of its hashed-n-gram bag under add-``smoothing``
+    bag-of-ngrams models of the ``target`` corpus vs the raw corpus —
+    the standard "select web data that looks like my curated target"
+    operator. Returns ``(doc_id, n_grams, log_w)`` (natural log, 6-dp);
+    documents with no grams (empty text) carry no evidence and are not
+    scored.
+
+    Shape (fully distributed, mirrors :func:`~qvarn_mr_spark.functions.
+    text.unigram_surprisal` — no driver collect anywhere): two
+    explode+hash-agg passes fit the two B-row bucket profiles, a B-row
+    join + one-row broadcast builds the log-ratio table, and scoring
+    equi-joins the raw gram stream to it (B-row side — AQE broadcasts)
+    and sums per doc. At 100 TB: three shuffles total, two of them
+    B-bounded; the only corpus-sized one is the per-doc sum, keyed on
+    doc_id."""
+    raw_g = _dsir_grams(df, id_col, text_col, n_buckets, salt)
+    tgt_g = _dsir_grams(target, id_col, text_col, n_buckets, salt)
+    rawb = raw_g.groupBy("bucket").agg(F.count(F.lit(1)).alias("_rc"))
+    tgtb = tgt_g.groupBy("bucket").agg(F.count(F.lit(1)).alias("_tc"))
+    tot = (rawb.agg(F.sum("_rc").alias("_R"))
+           .crossJoin(tgtb.agg(F.sum("_tc").alias("_T"))))
+    a, b = float(smoothing), float(smoothing) * n_buckets
+    lr = (rawb.join(tgtb, "bucket", "left")
+          .crossJoin(F.broadcast(tot))
+          .select("bucket",
+                  (F.log((F.coalesce(F.col("_tc"), F.lit(0)) + F.lit(a))
+                         / (F.col("_T") + F.lit(b)))
+                   - F.log((F.col("_rc") + F.lit(a))
+                           / (F.col("_R") + F.lit(b)))).alias("_lr")))
+    return (raw_g.join(lr, "bucket")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.round(F.sum("_lr"), 6).alias("log_w")))
+
+
+def dsir_resample(df: DataFrame, target: DataFrame, k: int,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n_buckets: int = DSIR_BUCKETS, smoothing: float = 1.0,
+                  salt: str = "dsir") -> DataFrame:
+    """DSIR selection: the top-``k`` raw documents by Gumbel-perturbed
+    importance weight — sampling WITHOUT replacement with probability
+    ∝ exp(log_w) via the Gumbel-top-k identity, made deterministic by
+    drawing each document's Gumbel from its consistent hash
+    (``g = -ln(-ln(u))``, ``u`` from :func:`hash_unit` nudged off 0 by
+    half a hash step so the double log never sees an endpoint): stable
+    under retries, reruns, and layout, like every sampler here.
+
+    Returns ``(doc_id, log_w, key)``; ``key`` is the perturbed weight the
+    top-k ordered on (rounded to 6-dp, doc-id tiebreak — both engines cut
+    identically). The plan is TakeOrdered over a narrow projection of
+    :func:`dsir_weights` — no global sort materializes."""
+    # dsir_weights normalizes the id column to "doc_id" — hash that
+    gum = -F.log(-F.log(hash_unit("doc_id", salt + ":g")
+                        + F.lit(0.5 / UNIT_DENOM)))
+    w = dsir_weights(df, target, id_col, text_col, n_buckets, smoothing,
+                     salt)
+    return (w.select("doc_id", "log_w",
+                     F.round(F.col("log_w") + gum, 6).alias("key"))
+            .orderBy(F.desc("key"), F.asc("doc_id"))
+            .limit(int(k)))

@@ -1228,3 +1228,102 @@ SELECT doc_id,
        {cols}
 FROM f
 """
+
+
+# ---------------------------------------------------------------------------
+# sampling.dsir_* twins
+# ---------------------------------------------------------------------------
+
+
+def dsir_bucket_sql(gram: str, n_buckets: int, salt: str) -> str:
+    """sampling._gram_bucket — ascii-decode of the first 6 md5 nibbles,
+    mod the bucket width (same nibble count, same salt framing)."""
+    from qvarn_mr_spark.functions.sampling import _DSIR_NIBBLES
+    terms = " + ".join(
+        f"(CASE WHEN ascii(substring(md5('{salt}|' || {gram}), {j + 1}, 1))"
+        f" <= 57 THEN ascii(substring(md5('{salt}|' || {gram}), {j + 1}, 1))"
+        f" - 48 ELSE ascii(substring(md5('{salt}|' || {gram}), {j + 1}, 1))"
+        f" - 87 END) * {16 ** (_DSIR_NIBBLES - 1 - j)}"
+        for j in range(_DSIR_NIBBLES))
+    return f"(({terms}) % {n_buckets})"
+
+
+def _dsir_grams_cte(raw_pred: str, target_pred: str, n_buckets: int,
+                    salt: str, table: str = "documents") -> str:
+    """(doc_id, bucket) with multiplicity for the raw and target corpora:
+    unigrams + word bigrams (list_concat of tokens and adjacent joins),
+    in lockstep with sampling._dsir_grams."""
+    return f"""
+dsir_t AS (
+  SELECT doc_id, ({raw_pred}) AS is_raw, ({target_pred}) AS is_tgt,
+         list_filter(string_split_regex(lower(text), '{TOKEN_RE}'),
+                     x -> x != '') AS t
+  FROM {table}
+  WHERE ({raw_pred}) OR ({target_pred})
+),
+dsir_g AS (
+  SELECT doc_id, is_raw, is_tgt,
+         {dsir_bucket_sql('g', n_buckets, salt)} AS bucket
+  FROM (
+    SELECT doc_id, is_raw, is_tgt,
+           unnest(list_concat(
+               t, list_transform(range(1, len(t)),
+                                 i -> t[i] || ' ' || t[i+1]))) AS g
+    FROM dsir_t
+  )
+),
+dsir_rawb AS (SELECT bucket, count(*) AS rc FROM dsir_g
+              WHERE is_raw GROUP BY 1),
+dsir_tgtb AS (SELECT bucket, count(*) AS tc FROM dsir_g
+              WHERE is_tgt GROUP BY 1),
+dsir_tot AS (SELECT (SELECT sum(rc) FROM dsir_rawb) AS R,
+                    (SELECT sum(tc) FROM dsir_tgtb) AS T),
+dsir_lr AS (
+  SELECT r.bucket,
+         ln((COALESCE(t.tc, 0) + {{a}}) / (tot.T + {{b}}))
+         - ln((r.rc + {{a}}) / (tot.R + {{b}})) AS lr
+  FROM dsir_rawb r LEFT JOIN dsir_tgtb t USING (bucket)
+  CROSS JOIN dsir_tot tot
+),
+dsir_w AS (
+  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         round(sum(lr.lr), 6) AS log_w
+  FROM dsir_g g JOIN dsir_lr lr USING (bucket)
+  WHERE g.is_raw
+  GROUP BY 1
+)"""
+
+
+def dsir_weights_sql(target_pred: str, raw_pred: str = "TRUE",
+                     n_buckets: int = 256, smoothing: float = 1.0,
+                     salt: str = "dsir", table: str = "documents") -> str:
+    """sampling.dsir_weights — add-k hashed-ngram likelihood-ratio
+    weights of the raw corpus against the ``target_pred`` subset."""
+    a = float(smoothing)
+    b = float(smoothing) * n_buckets
+    cte = _dsir_grams_cte(raw_pred, target_pred, n_buckets, salt, table) \
+        .format(a=repr(a), b=repr(b))
+    return f"WITH {cte} SELECT doc_id, n_grams, log_w FROM dsir_w"
+
+
+def dsir_resample_sql(target_pred: str, k: int, raw_pred: str = "TRUE",
+                      n_buckets: int = 256, smoothing: float = 1.0,
+                      salt: str = "dsir", table: str = "documents") -> str:
+    """sampling.dsir_resample — Gumbel-top-k over the weights, the Gumbel
+    drawn from the same consistent hash (same salt suffix, same
+    half-step-off-zero nudge) so both engines cut the identical set."""
+    from qvarn_mr_spark.functions.sampling import (UNIT_DENOM,
+                                                   sample_unit_sql)
+    a = float(smoothing)
+    b = float(smoothing) * n_buckets
+    cte = _dsir_grams_cte(raw_pred, target_pred, n_buckets, salt, table) \
+        .format(a=repr(a), b=repr(b))
+    u = sample_unit_sql("doc_id", f"{salt}:g")
+    return f"""
+WITH {cte}
+SELECT doc_id, log_w,
+       round(log_w + (-ln(-ln({u} + {0.5 / UNIT_DENOM!r}))), 6) AS key
+FROM dsir_w
+ORDER BY key DESC, doc_id ASC
+LIMIT {int(k)}
+"""

@@ -208,3 +208,99 @@ def test_length_batches_hand_checked(spark):
             for r in length_batches(df, batch_tokens=4,
                                     bucket_width=64).collect()}
     assert (got2[1], got2[2], got2[3]) == (0, 0, 1)   # start 5 -> batch 1
+
+
+def _dsir_model(rows, target_ids, n_buckets=64, smoothing=1.0,
+                salt="dsir"):
+    """Pure-python DSIR model: same tokenization (TOKEN_RE), same
+    md5-nibble bucket hash, same add-k likelihood ratio."""
+    import hashlib
+    import math
+    import re
+
+    from qvarn_mr_spark.functions.dedup import TOKEN_RE
+
+    def grams(text):
+        t = [x for x in re.split(TOKEN_RE, (text or "").lower()) if x]
+        return t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+    def bucket(g):
+        h = hashlib.md5(f"{salt}|{g}".encode()).hexdigest()
+        return int(h[:6], 16) % n_buckets
+
+    raw = {i: [bucket(g) for g in grams(t)] for i, t in rows}
+    rc, tc = {}, {}
+    for i, bs in raw.items():
+        for b in bs:
+            rc[b] = rc.get(b, 0) + 1
+            if i in target_ids:
+                tc[b] = tc.get(b, 0) + 1
+    R, T = sum(rc.values()), sum(tc.values())
+    a, bb = smoothing, smoothing * n_buckets
+    lr = {b: math.log((tc.get(b, 0) + a) / (T + bb))
+          - math.log((rc[b] + a) / (R + bb)) for b in rc}
+    return {i: (len(bs), round(sum(lr[b] for b in bs), 6))
+            for i, bs in raw.items() if bs}
+
+
+def test_dsir_weights_randomized_differential(spark):
+    """Seeded random corpora: Spark dsir_weights must equal the pure
+    hashlib/math model exactly (tokenizer, bucket hash, smoothing and
+    ratio arithmetic all in lockstep)."""
+    import random
+
+    from qvarn_mr_spark.functions.sampling import dsir_weights
+
+    rng = random.Random(20260814)
+    vocab_tgt = ["alpha", "beta", "gamma", "delta", "spark", "query"]
+    vocab_raw = vocab_tgt + ["junk", "noise", "spam", "xx1", "zz9", ""]
+    rows = []
+    for i in range(60):
+        words = [rng.choice(vocab_raw if i % 3 else vocab_tgt)
+                 for _ in range(rng.randint(0, 12))]
+        rows.append((i, " ".join(words)))
+    target_ids = {i for i, _ in rows if i % 5 == 0}
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tgt = df.filter(F.col("doc_id") % 5 == 0)
+    got = {r["doc_id"]: (r["n_grams"], r["log_w"])
+           for r in dsir_weights(df, tgt, n_buckets=64).collect()}
+    want = _dsir_model(rows, target_ids)
+    assert got == want and want
+    # docs whose gram stream is empty are unscored, not zero-scored
+    empties = {i for i, t in rows
+               if not [x for x in t.split() if x]}
+    assert empties.isdisjoint(got)
+
+
+def test_dsir_resample_gumbel_topk(spark):
+    """Gumbel-top-k selection: deterministic (two runs identical), the
+    key equals log_w + the hash-derived Gumbel of the model, and k cuts
+    by (key desc, doc_id asc)."""
+    import hashlib
+    import math
+
+    from qvarn_mr_spark.functions.sampling import (UNIT_DENOM,
+                                                   dsir_resample)
+
+    rows = [(i, "alpha beta gamma" if i % 2 else "junk noise spam xx1")
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tgt = df.filter(F.col("doc_id") % 2 == 1)
+
+    def gumbel(i):
+        h = hashlib.md5(f"dsir:g|{i}".encode()).hexdigest()
+        u = int(h[:8], 16) / UNIT_DENOM + 0.5 / UNIT_DENOM
+        return -math.log(-math.log(u))
+
+    w = _dsir_model(rows, {i for i, _ in rows if i % 2}, n_buckets=256)
+    keys = sorted(((round(lw + gumbel(i), 6), -i) for i, (_, lw)
+                   in w.items()), reverse=True)
+    want_ids = {-ni for _, ni in keys[:10]}
+
+    got = dsir_resample(df, tgt, k=10, n_buckets=256).collect()
+    assert {r["doc_id"] for r in got} == want_ids
+    again = dsir_resample(df, tgt, k=10, n_buckets=256).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    # weight-biased: target-looking docs dominate the selection
+    assert sum(1 for r in got if r["doc_id"] % 2) >= 8
