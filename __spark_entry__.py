@@ -1914,12 +1914,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "doc_stratified_mix": q_doc_stratified_mix,
         "doc_temperature_mix": q_doc_temperature_mix,
-        # --- new in r6: DSIR importance resampling (driver-checked) ---
+        # --- DSIR importance resampling (r6; oracles wired in r7) ---
         "doc_dsir_select": q_doc_dsir_select,
+        "doc_dsir_weights": q_doc_dsir_weights,
+        # restored to the window in r7 (displaced by the r6 DSIR entry)
+        "doc_split_sample": q_doc_split_sample,
         "knn_bruteforce": q_knn,
-        "knn_bruteforce_arrow": q_knn_arrow,
         "ivf_assign": q_ivf_assign,
-        "ivf_assign_arrow": q_ivf_assign_arrow,
         "embedding_nn": q_embedding_nn,
         "embedding_nn_ivf": q_embedding_nn_ivf,
         "embedding_nn_ivf_arrow": q_embedding_nn_ivf_arrow,
@@ -1936,11 +1937,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_substring_dedup": q_doc_substring_dedup,
         "doc_surprisal": q_doc_surprisal,
         "corpus_prepare": q_corpus_prepare,
-        # displaced from the 50-window by the r6 prod-width LSH trio and
-        # DSIR — all value-oracled and covered by the local mirror
-        # (tools/check_oracle.py) regardless
-        "doc_dsir_weights": q_doc_dsir_weights,
-        "doc_split_sample": q_doc_split_sample,
+        # displaced from the 50-window: the Arrow twins share their
+        # non-Arrow counterparts' oracles verbatim (same SQL object), so
+        # the window keeps one driver check per DISTINCT semantics; the
+        # twins stay value-checked by the local mirror
+        # (tools/check_oracle.py)
+        "knn_bruteforce_arrow": q_knn_arrow,
+        "ivf_assign_arrow": q_ivf_assign_arrow,
         "doc_stratified_fixed_k": q_doc_stratified_fixed_k,
         "events_asof_tolerance": q_events_asof_tolerance,
         # --- red in r03 (oracle int-width fixed this round) ---
@@ -2630,6 +2633,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_temperature_mix": sampling.temperature_mix_sql(
             "doc_id", "source", oracle.token_count_sql("text"),
             tau=0.5, budget_frac=0.5),
+        # DSIR pair — same target predicate / k as q_doc_dsir_select;
+        # both value-match exactly (verified manually in the r6 judge
+        # session before being wired here)
+        "doc_dsir_select": oracle.dsir_resample_sql("lang = 'en'", k=50),
+        "doc_dsir_weights": oracle.dsir_weights_sql("lang = 'en'"),
         "knn_bruteforce": oracle.knn_bruteforce_sql("vec_id < 8", k=3),
         "knn_bruteforce_arrow": oracle.knn_bruteforce_sql("vec_id < 8", k=3),
         "ivf_assign": oracle.ivf_assign_sql("vec_id % 100 = 0"),
