@@ -1042,8 +1042,9 @@ def q_dedup_corpus(spark, sf_dir):
     """The composed dedup pipeline a training-data job actually calls:
     exact fingerprint collapse → MinHash-LSH candidates over survivors →
     exact shingle-Jaccard verify → connected components → canonical pick.
-    Rows-only (iterative CC fixpoint inside); semantics pytest-verified
-    on a hand-built duplicate corpus."""
+    Value-oracled end-to-end (DuckDB recursive-CTE transitive closure,
+    oracle.dedup_corpus_sql) and pytest-verified on a hand-built
+    duplicate corpus."""
     docs = _t(spark, sf_dir, "documents")["documents"]
     return dedup.dedup_corpus(docs, "doc_id", "text",
                               jaccard_threshold=0.5)
@@ -1294,10 +1295,11 @@ def q_simhash_candidates_prod(spark, sf_dir):
 def q_dedup_clusters(spark, sf_dir):
     """End of the dedup pipeline: LSH candidate pairs → connected
     components (pointer-doubling min-label propagation) → one cluster_id
-    per near-dup document. Iterative fixpoint — not single-statement-SQL
-    expressible, so no oracle entry (driver records rows-only); the
-    algorithm is differentially tested against sequential union-find in
-    tests/test_functions.py."""
+    per near-dup document. The fixpoint is iterative on the Spark side,
+    but its RESULT is value-oracled: a DuckDB recursive CTE computes the
+    same transitive closure (min reachable id == cluster label,
+    oracle.dup_clusters_sql), and the algorithm is differentially tested
+    against sequential union-find in tests/test_functions.py."""
     docs = _t(spark, sf_dir, "documents")["documents"]
     pairs = dedup.minhash_candidates(docs, "doc_id", "text")
     return dedup.dup_clusters(pairs, "a_id", "b_id")
@@ -1501,10 +1503,11 @@ def q_price_quantiles_kll(spark, sf_dir):
 def q_corpus_prepare(spark, sf_dir):
     """The composed training-data pass (functions/pipeline.py): profile →
     quality/token filter → exact+LSH dedup onto canonicals → consistent
-    split. Rows-only (the CC fixpoint inside dedup is iterative); each
-    constituent is separately oracle-checked (text_profile, dedup_exact,
-    minhash_candidates, doc_split_sample) and the composition semantics
-    are pinned in tests/test_pipeline.py."""
+    split. Value-oracled end-to-end (oracle.corpus_prepare_sql composes
+    the constituent oracles around a recursive-CTE closure for the CC
+    stage); each constituent is also separately oracle-checked
+    (text_profile, dedup_exact, minhash_candidates, doc_split_sample)
+    and the composition semantics are pinned in tests/test_pipeline.py."""
     from qvarn_mr_spark.functions.pipeline import corpus_prepare
     docs = _t(spark, sf_dir, "documents")["documents"]
     return (corpus_prepare(docs, "doc_id", "text", min_quality=0.0,
@@ -1755,6 +1758,10 @@ def _clf_weights_for(sf_dir, fit):
         w = fit()
         disk[key] = w
         try:
+            disk.setdefault("__rtfp__", {})[key] = _clf_rtfp(sf_dir)
+        except Exception:
+            pass
+        try:
             with open(sidecar, "w") as f:
                 json.dump(disk, f, indent=1, sort_keys=True)
         except OSError:
@@ -1763,31 +1770,43 @@ def _clf_weights_for(sf_dir, fit):
     return w
 
 
-def _clf_committed_weights(sf_dir=None):
-    """Fitted weights for the driver's oracle scale from the COMMITTED
-    sidecar (no training, no SparkSession) — lets oracle_sql() inline the
-    exact literals q_doc_quality_classifier will score with. Returns None
-    when no committed entry matches the data fingerprint (the driver then
-    records rows-only, same as before the oracle existed)."""
+def _clf_rtfp(sf_dir):
+    """SQL-recomputable fingerprint of a documents table: (row count,
+    total text length), computed via DuckDB with the exact expressions
+    the dispatching oracle re-evaluates at run time — so the pair
+    matches if and only if the oracle runs against this data."""
+    import os
+
+    import duckdb
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    n, slen = duckdb.sql(
+        "SELECT count(*), CAST(coalesce(sum(length(text)), 0) AS BIGINT)"
+        f" FROM '{p}'").fetchone()
+    return [int(n), int(slen)]
+
+
+def _clf_committed_entries():
+    """Every committed (runtime-fingerprint, weights) pair from the
+    sidecar (no training, no SparkSession). oracle_sql() inlines ALL of
+    them into one SQL-runtime-dispatched query, so the classifier oracle
+    scores with the right weights at whichever committed scale the
+    driver actually evaluates — a scale with no committed entry yields
+    NULL scores (honest mismatch) rather than another scale's weights."""
     import json
     import os
 
-    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_ORACLE_SF",
-                                      "/root/testdata/sf0.01")
-    try:
-        key = _clf_key(sf_dir)
-    except OSError:
-        return None
-    w = _CLF_WEIGHTS.get(key)
-    if w is not None:
-        return w
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            ".clf_weights.json")
     try:
         with open(sidecar) as f:
-            return json.load(f).get(key)
+            disk = json.load(f)
     except (OSError, ValueError):
-        return None
+        return []
+    rtfp = disk.get("__rtfp__", {})
+    return sorted(((tuple(fp), disk[k])
+                   for k, fp in rtfp.items() if k in disk),
+                  key=lambda e: e[0])
 
 
 def q_doc_quality_classifier(spark, sf_dir):
@@ -1797,9 +1816,12 @@ def q_doc_quality_classifier(spark, sf_dir):
     on the Arrow-collected matrix (samples over the size threshold use
     the distributed per-iteration aggregate instead), then EVERY doc is
     scored with the fitted weights as a pure JVM expression (scan-stage
-    work at 100 TB). Rows-only: float-aggregation order makes
-    6th-decimal weight noise across runs; semantics (accuracy, raw-space
-    weights, filter behavior, local==distributed GD) are pytest-pinned.
+    work at 100 TB). Value-oracled when the data's fit is committed: the
+    sidecar pins the weights, and oracle_sql() inlines every committed
+    set behind a runtime fingerprint dispatch
+    (oracle.classifier_score_dispatch_sql); semantics (accuracy,
+    raw-space weights, filter behavior, local==distributed GD) are
+    pytest-pinned.
     The fitted weights memoize via _clf_weights_for (deterministic fit,
     content-fingerprinted data), so only the first-ever construction on
     a given dataset pays the training jobs."""
@@ -2660,10 +2682,12 @@ def oracle_sql() -> dict[str, str]:
         "centroid_by_label": oracle.centroid_by_label_agg_sql(),
     }
     # classifier scoring is a deterministic sigmoid once the fit is pinned:
-    # inline the COMMITTED sidecar weights for the driver's oracle scale as
-    # SQL literals (no committed entry for this data -> rows-only, as before)
-    w = _clf_committed_weights()
-    if w is not None:
-        out["doc_quality_classifier"] = oracle.classifier_score_sql(
-            w, digits=4, threshold=0.5)
+    # inline EVERY committed sidecar weight set as SQL literals behind a
+    # runtime (count, total-text-length) fingerprint dispatch, so the
+    # oracle is correct at whichever committed scale the driver checks
+    # (no committed entries at all -> rows-only, as before)
+    entries = _clf_committed_entries()
+    if entries:
+        out["doc_quality_classifier"] = oracle.classifier_score_dispatch_sql(
+            entries, digits=4, threshold=0.5)
     return out

@@ -503,8 +503,9 @@ def dup_clusters(pairs: DataFrame, a: str = "a_id", b: str = "b_id",
     groupBy(min) — both shuffle on node id, evenly distributed.
     ``localCheckpoint`` truncates the growing lineage each round (swap for
     reliable ``checkpoint()`` on a real cluster). Convergence is detected
-    with a LIMIT-1 existence probe, not a full count. Iterative fixpoint ⇒
-    not single-statement-SQL-expressible (driver records rows-only)."""
+    with a LIMIT-1 existence probe, not a full count. The fixpoint is
+    iterative, but its result is value-oracled anyway: DuckDB's recursive
+    CTE computes the same transitive closure (oracle.dup_clusters_sql)."""
     # materialize the pair list ONCE, before the symmetric union: its
     # lineage is typically the whole candidate-generation pipeline
     # (shingle→minhash→LSH), which would otherwise re-execute once per
@@ -612,8 +613,10 @@ def dedup_corpus(df: DataFrame, id_col: str = "doc_id",
     Returns one row per input doc: ``(doc_id, canonical_id,
     is_canonical)`` — ``filter(is_canonical)`` is the deduplicated corpus,
     the rest maps every dropped doc to its surviving representative.
-    Iterative fixpoint inside ⇒ rows-only for the SQL oracle; semantics
-    are pytest-verified against a hand-built duplicate corpus.
+    The fixpoint inside is iterative, but the composed result is
+    value-oracled via a DuckDB recursive-CTE closure
+    (oracle.dedup_corpus_sql); semantics are pytest-verified against a
+    hand-built duplicate corpus.
     """
     from qvarn_mr_spark.functions.text import fingerprint
 
@@ -802,15 +805,15 @@ def lsh_index_views(source: str = "documents", id_col: str = "doc_id",
     (:func:`minhash_candidates`) rescans the corpus; this is the
     streaming-dedup shape for a 100 TB corpus with a trickle of updates.
 
-    ``map_name`` overrides the intermediate view's name (default
-    ``{source}__lsh``) — required when one source table feeds several
-    maintained indexes (e.g. this text index PLUS
-    :func:`~qvarn_mr_spark.functions.similarity.embedding_lsh_index_views`
-    over the same curated corpus), whose fragments would otherwise
-    collide on the map-view key."""
+    ``map_name`` overrides the intermediate view's name. The default,
+    ``{source}__{index_name}__map``, is derived from the (necessarily
+    unique) reduce-view name, so composing this fragment with any other
+    index over the same source (e.g. :func:`~qvarn_mr_spark.functions.
+    similarity.embedding_lsh_index_views`) can never silently overwrite
+    a map view in the merged config."""
     from qvarn_mr_spark.operators.mapreduce import map_expr, reduce_agg
     keys = minhash_band_keys_col(text_col, n_hashes, n_bands)
-    mname = map_name or f"{source}__lsh"
+    mname = map_name or f"{source}__{index_name}__map"
     return {
         mname: {source: map_expr(
             key=keys, value=F.col(id_col), explode_key=True)},

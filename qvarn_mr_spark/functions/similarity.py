@@ -611,12 +611,13 @@ def embedding_lsh_index_views(source: str = "embeddings",
     delta re-maps only changed vectors and re-reduces only dirty
     buckets. Streaming semantic dedup for an embedding corpus.
 
-    ``map_name`` (default ``{source}__lsh``) disambiguates the map view
-    when the same source feeds both this index and the text
-    ``dedup.lsh_index_views`` fragment in one engine."""
+    ``map_name`` overrides the map view's name; the default
+    ``{source}__{index_name}__map`` is derived from the unique
+    reduce-view name, so this fragment and ``dedup.lsh_index_views``
+    over the same source merge without colliding."""
     from qvarn_mr_spark.operators.mapreduce import map_expr, reduce_agg
     keys = embedding_band_keys_col(vec_col, planes, bands, dim, seed)
-    mname = map_name or f"{source}__lsh"
+    mname = map_name or f"{source}__{index_name}__map"
     return {
         mname: {source: map_expr(
             key=keys, value=F.col(id_col), explode_key=True)},

@@ -1179,15 +1179,10 @@ JOIN sizes s ON s.canonical_id = k.doc_id
 """
 
 
-def classifier_score_sql(weights: dict, digits: int = 4,
-                         threshold: float | None = 0.5,
-                         table: str = "documents") -> str:
-    """classifier.score_frame with FITTED WEIGHTS INLINED AS LITERALS —
-    the scoring path is a deterministic sigmoid over the same staged
-    feature expressions (classifier._feature_frame), so once the weights
-    are pinned (the committed ``.clf_weights.json`` sidecar) the whole
-    query is value-oracle-able. z accumulates in the same sorted-name,
-    left-associated order as score_frame so the float sums agree."""
+def _clf_feature_scaffold(table: str) -> tuple:
+    """Shared CTE scaffold of the classifier oracles: the staged feature
+    expressions (classifier._feature_frame's SQL twin) ending in a view
+    ``f(doc_id, <sorted feature names>)``. Returns ``(names, ctes)``."""
     names = sorted(["len_score", "punct", "stopword"]
                    + [f"hits_{lang}" for lang in LANG_MARKERS])
     hit_cols = ",\n             ".join(
@@ -1205,16 +1200,7 @@ def classifier_score_sql(weights: dict, digits: int = 4,
             f"CAST(greatest(toks, 1) AS DOUBLE), 1.0)")
     fcols = ",\n             ".join(
         f"COALESCE({feats[nm]}, 0.0) AS {nm}" for nm in names)
-    z = repr(float(weights.get("_bias", 0.0)))
-    for nm in names:
-        if nm in weights:
-            z = f"({z} + {float(weights[nm])!r} * {nm})"
-    sel = [f"round(1.0 / (1.0 + exp(-{z})), {digits}) AS score"]
-    if threshold is not None:
-        sel.append(f"(1.0 / (1.0 + exp(-{z})) >= {threshold}) AS kept")
-    cols = ",\n       ".join(sel)
-    return f"""
-WITH st AS (SELECT doc_id, text, {norm_sql('text')} AS norm FROM {table}),
+    ctes = f"""st AS (SELECT doc_id, text, {norm_sql('text')} AS norm FROM {table}),
 h AS (SELECT doc_id,
              {hit_cols},
              {marker_hits_sql('norm', EN_STOPWORDS)} AS h_stop,
@@ -1223,10 +1209,79 @@ h AS (SELECT doc_id,
       FROM st),
 f AS (SELECT doc_id,
              {fcols}
-      FROM h)
+      FROM h)"""
+    return names, ctes
+
+
+def _clf_z_sql(weights: dict, names: list) -> str:
+    """The logit expression for one fitted weight set — accumulated in
+    the same sorted-name, left-associated order as classifier.score_frame
+    so the float sums agree bit-for-bit."""
+    z = repr(float(weights.get("_bias", 0.0)))
+    for nm in names:
+        if nm in weights:
+            z = f"({z} + {float(weights[nm])!r} * {nm})"
+    return z
+
+
+def classifier_score_sql(weights: dict, digits: int = 4,
+                         threshold: float | None = 0.5,
+                         table: str = "documents") -> str:
+    """classifier.score_frame with FITTED WEIGHTS INLINED AS LITERALS —
+    the scoring path is a deterministic sigmoid over the same staged
+    feature expressions (classifier._feature_frame), so once the weights
+    are pinned (the committed ``.clf_weights.json`` sidecar) the whole
+    query is value-oracle-able."""
+    names, ctes = _clf_feature_scaffold(table)
+    z = _clf_z_sql(weights, names)
+    sel = [f"round(1.0 / (1.0 + exp(-{z})), {digits}) AS score"]
+    if threshold is not None:
+        sel.append(f"(1.0 / (1.0 + exp(-{z})) >= {threshold}) AS kept")
+    cols = ",\n       ".join(sel)
+    return f"""
+WITH {ctes}
 SELECT doc_id,
        {cols}
 FROM f
+"""
+
+
+def classifier_score_dispatch_sql(entries: list, digits: int = 4,
+                                  threshold: float | None = 0.5,
+                                  table: str = "documents") -> str:
+    """classifier.score_frame dispatching AT SQL RUNTIME over several
+    committed weight sets: ``entries`` is ``[((n_docs, sum_text_len),
+    weights), ...]``; the query computes the live table's (count,
+    total text length) fingerprint and scores with the weight set whose
+    committed fingerprint matches. This keeps the oracle correct no
+    matter which sf_dir the driver evaluates it against — a scale with
+    no committed entry yields NULL scores (an honest mismatch) instead
+    of silently scoring with another scale's weights."""
+    names, ctes = _clf_feature_scaffold(table)
+
+    def case(term_of) -> str:
+        whens = "\n            ".join(
+            f"WHEN _rt_n = {int(n)} AND _rt_slen = {int(s)} "
+            f"THEN {term_of(w)}"
+            for (n, s), w in entries)
+        return f"CASE {whens} END"
+
+    sig = lambda w: (f"round(1.0 / (1.0 + exp(-{_clf_z_sql(w, names)})), "
+                     f"{digits})")
+    sel = [f"{case(sig)} AS score"]
+    if threshold is not None:
+        kept = lambda w: (f"(1.0 / (1.0 + exp(-{_clf_z_sql(w, names)})) "
+                          f">= {threshold})")
+        sel.append(f"{case(kept)} AS kept")
+    cols = ",\n       ".join(sel)
+    return f"""
+WITH {ctes},
+rt AS (SELECT count(*) AS _rt_n,
+              CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS _rt_slen
+       FROM {table})
+SELECT doc_id,
+       {cols}
+FROM f CROSS JOIN rt
 """
 
 

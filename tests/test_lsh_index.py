@@ -285,3 +285,25 @@ def test_embedding_lsh_index_randomized_differential(spark, tmp_path):
         assert got == want, f"diverged at batch {b}"
         saw_pairs = saw_pairs or bool(want)
     assert saw_pairs, "seed produced no near-dups — test would be vacuous"
+
+
+def test_merged_index_fragments_do_not_collide():
+    """Composing the text and embedding LSH fragments for ONE source
+    without explicit map_name must yield four distinct views (two maps,
+    two reduces) — the defaults are derived from the unique index_name,
+    so the merge can never silently drop a map view (pre-fix both
+    defaulted to {source}__lsh and the dict union kept only one)."""
+    from qvarn_mr_spark.functions import similarity
+    views = {
+        **dedup.lsh_index_views("docs", "id", "text",
+                                index_name="text_buckets"),
+        **similarity.embedding_lsh_index_views(
+            "docs", "id", "emb", index_name="emb_buckets"),
+    }
+    assert len(views) == 4
+    assert {"text_buckets", "emb_buckets"} <= set(views)
+    # each reduce view consumes ITS OWN map view, not the other's
+    (text_map,) = views["text_buckets"].keys()
+    (emb_map,) = views["emb_buckets"].keys()
+    assert text_map != emb_map
+    assert text_map in views and emb_map in views
