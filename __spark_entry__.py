@@ -1094,6 +1094,16 @@ def q_doc_bigram_surprisal(spark, sf_dir):
     return text.bigram_surprisal(docs, "doc_id", "text")
 
 
+def q_doc_trigram_surprisal(spark, sf_dir):
+    """Trigram-LM fluency scoring (functions/text.py): interpolated
+    trigram/bigram/unigram negative log-likelihood per document, fitted
+    on the same corpus — the deepest interpolation rung before an
+    external KenLM; catches locally-plausible-but-globally-scrambled
+    text the bigram model scores as fluent."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return text.trigram_surprisal(docs, "doc_id", "text")
+
+
 def q_dedup_keep_best(spark, sf_dir):
     """Quality-aware dup-cluster survivor selection
     (functions/dedup.py cluster_keepers): exact-dup fingerprint groups
@@ -1927,6 +1937,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r5: fuzzy decontamination, bigram LM, keeper/batching ---
         "doc_decontaminate_fuzzy": q_doc_decontaminate_fuzzy,
         "doc_bigram_surprisal": q_doc_bigram_surprisal,
+        # --- new in r7: trigram LM (driver-value-checked) ---
+        "doc_trigram_surprisal": q_doc_trigram_surprisal,
         "dedup_keep_best": q_dedup_keep_best,
         "doc_epoch_shuffle": q_doc_epoch_shuffle,
         "doc_length_batches": q_doc_length_batches,
@@ -1945,7 +1957,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign": q_ivf_assign,
         "embedding_nn": q_embedding_nn,
         "embedding_nn_ivf": q_embedding_nn_ivf,
-        "embedding_nn_ivf_arrow": q_embedding_nn_ivf_arrow,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "embedding_quantize": q_embedding_quantize,
         "embedding_semantic_dedup": q_embedding_semantic_dedup,
@@ -1966,6 +1977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py)
         "knn_bruteforce_arrow": q_knn_arrow,
         "ivf_assign_arrow": q_ivf_assign_arrow,
+        "embedding_nn_ivf_arrow": q_embedding_nn_ivf_arrow,
         "doc_stratified_fixed_k": q_doc_stratified_fixed_k,
         "events_asof_tolerance": q_events_asof_tolerance,
         # --- red in r03 (oracle int-width fixed this round) ---
@@ -2636,6 +2648,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_decontaminate_fuzzy": oracle.minhash_contamination_sql(
             "CAST(doc_id AS BIGINT) % 20 = 0"),
         "doc_bigram_surprisal": oracle.bigram_surprisal_sql(),
+        "doc_trigram_surprisal": oracle.trigram_surprisal_sql(),
         "dedup_keep_best": oracle.cluster_keepers_sql(),
         "doc_epoch_shuffle": sampling.epoch_shuffle_sql(
             epoch=1, n_shards=8, cols="doc_id"),

@@ -584,6 +584,77 @@ def bigram_surprisal(df, id_col: str = "doc_id", text_col: str = "text",
                  F.round(F.avg("nll"), 6).alias("mean_nll")))
 
 
+def trigram_surprisal(df, id_col: str = "doc_id", text_col: str = "text",
+                      lam3: float = 0.5, lam2: float = 0.3,
+                      smoothing: float = 0.5):
+    """Perplexity-style fluency signal from a corpus-fitted TRIGRAM LM —
+    the last interpolation rung before an external KenLM: per document,
+    the mean negative log-probability of its token triples under::
+
+        P(w | u,v) = lam3 · c(u,v,w)/c(u,v,·)
+                   + lam2 · c(v,w)/c(v,·)
+                   + (1−lam3−lam2) · (c(w)+s)/(N+s·V)
+
+    (trigram MLE backed off into the bigram MLE backed off into the
+    add-``s`` unigram — each component fitted on its own full n-gram
+    stream of the SAME corpus). Catches locally-plausible-but-globally-
+    scrambled text that the bigram model scores as fluent. Documents
+    with fewer than 3 tokens are absent (no triples), mirroring the
+    bigram twin's absent-short-docs. Returns
+    ``(doc_id, n_trigrams, mean_nll)`` (natural log, 6-dp).
+
+    Shape (same scale profile as :func:`bigram_surprisal`, one rung
+    deeper): triples come from a ``zip_with`` of three shifted token
+    slices (narrow — no positional self-join); the trigram and bigram
+    LMs are hash aggs over their n-gram streams (corpus-ngram-bounded,
+    persisted — each feeds the scoring join AND a derived context
+    aggregate), and scoring equi-joins the triple stream to its counts
+    (LM sides vocabulary-bounded — AQE broadcasts when small). All
+    joins on high-cardinality keys; no driver collect.
+    """
+    from qvarn_mr_spark.functions.dedup import (ensure_min_partitions,
+                                                tokens_col)
+
+    base = ensure_min_partitions(df).select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("_t"))
+    n2 = F.greatest(F.size("_t") - 1, F.lit(0))
+    n3 = F.greatest(F.size("_t") - 2, F.lit(0))
+    tri_col = F.zip_with(
+        F.slice("_t", 1, n3),
+        F.zip_with(F.slice("_t", 2, n3), F.slice("_t", 3, n3),
+                   lambda y, z: F.struct(y.alias("v"), z.alias("w"))),
+        lambda x, p: F.struct(x.alias("u"), p["v"].alias("v"),
+                              p["w"].alias("w")))
+    pair_col = F.zip_with(
+        F.slice("_t", 1, n2), F.slice("_t", 2, n2),
+        lambda x, y: F.struct(x.alias("v"), y.alias("w")))
+    tris = (base.select("doc_id", F.explode(tri_col).alias("_g"))
+            .select("doc_id", "_g.u", "_g.v", "_g.w"))
+    bis = (base.select(F.explode(pair_col).alias("_p"))
+           .select("_p.v", "_p.w"))
+    lm_tri = (tris.groupBy("u", "v", "w")
+              .agg(F.count(F.lit(1)).alias("c_uvw")).persist())
+    lm_ctx3 = lm_tri.groupBy("u", "v").agg(F.sum("c_uvw").alias("c_uv"))
+    lm_bi = (bis.groupBy("v", "w")
+             .agg(F.count(F.lit(1)).alias("c_vw")).persist())
+    lm_ctx2 = lm_bi.groupBy("v").agg(F.sum("c_vw").alias("c_v"))
+    uni = (base.select(F.explode("_t").alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c_w")).persist())
+    tot = uni.agg(F.sum("c_w").alias("_N"), F.count(F.lit(1)).alias("_V"))
+    lam1 = 1.0 - lam3 - lam2
+    p = (F.lit(lam3) * F.col("c_uvw") / F.col("c_uv")
+         + F.lit(lam2) * F.col("c_vw") / F.col("c_v")
+         + F.lit(lam1) * (F.col("c_w") + F.lit(smoothing))
+         / (F.col("_N") + F.lit(smoothing) * F.col("_V")))
+    scored = (tris.join(lm_tri, ["u", "v", "w"]).join(lm_ctx3, ["u", "v"])
+              .join(lm_bi, ["v", "w"]).join(lm_ctx2, "v")
+              .join(uni, "w").crossJoin(F.broadcast(tot))
+              .select("doc_id", (-F.log(p)).alias("nll")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_trigrams"),
+                 F.round(F.avg("nll"), 6).alias("mean_nll")))
+
+
 def unigram_surprisal(df, id_col: str = "doc_id", text_col: str = "text",
                       smoothing: float = 0.5):
     """Perplexity-style fluency signal from a corpus-fitted unigram LM:

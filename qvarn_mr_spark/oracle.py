@@ -927,6 +927,56 @@ GROUP BY doc_id
 """
 
 
+def trigram_surprisal_sql(lam3: float = 0.5, lam2: float = 0.3,
+                          smoothing: float = 0.5,
+                          table: str = "documents") -> str:
+    """text.trigram_surprisal — interpolated trigram→bigram→unigram LM
+    fitted on the corpus; triples via a three-way list_zip of shifted
+    slices (DuckDB's list_zip mirrors Spark's nested zip_with). The
+    n-gram CTEs are MATERIALIZED: DuckDB inlines plain CTEs per
+    reference, and with six derived references the re-inlined
+    tokenize+unnest pipelines blow past 3 minutes at sf0.01 —
+    materialized, the whole query runs in ~1 s (mirrors the Spark
+    side's .persist() of the LM tables)."""
+    lam1 = 1.0 - lam3 - lam2
+    return f"""
+WITH tl AS MATERIALIZED (
+  SELECT doc_id, list_filter(
+           string_split_regex(lower(text), '{TOKEN_RE}'),
+           x -> x != '') AS t
+  FROM {table}
+),
+tris AS MATERIALIZED (
+  SELECT doc_id, z[1] AS u, z[2] AS v, z[3] AS w
+  FROM (SELECT doc_id,
+               unnest(list_zip(t[1:len(t) - 2], t[2:len(t) - 1],
+                               t[3:len(t)])) AS z
+        FROM tl WHERE len(t) >= 3)
+),
+bis AS MATERIALIZED (
+  SELECT z[1] AS v, z[2] AS w
+  FROM (SELECT unnest(list_zip(t[1:len(t) - 1], t[2:len(t)])) AS z
+        FROM tl WHERE len(t) >= 2)
+),
+toks AS (SELECT unnest(t) AS w FROM tl),
+lm_tri AS MATERIALIZED (SELECT u, v, w, count(*) AS c_uvw FROM tris GROUP BY 1, 2, 3),
+lm_ctx3 AS (SELECT u, v, sum(c_uvw) AS c_uv FROM lm_tri GROUP BY 1, 2),
+lm_bi AS MATERIALIZED (SELECT v, w, count(*) AS c_vw FROM bis GROUP BY 1, 2),
+lm_ctx2 AS (SELECT v, sum(c_vw) AS c_v FROM lm_bi GROUP BY 1),
+uni AS MATERIALIZED (SELECT w, count(*) AS c_w FROM toks GROUP BY 1),
+tot AS (SELECT sum(c_w) AS n, count(*) AS v_sz FROM uni)
+SELECT doc_id, count(*) AS n_trigrams,
+       round(avg(-ln({lam3} * c_uvw / c_uv
+                     + {lam2} * c_vw / c_v
+                     + {lam1} * (c_w + {smoothing})
+                       / (n + {smoothing} * v_sz))), 6) AS mean_nll
+FROM tris JOIN lm_tri USING (u, v, w) JOIN lm_ctx3 USING (u, v)
+     JOIN lm_bi USING (v, w) JOIN lm_ctx2 USING (v)
+     JOIN uni USING (w) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
 def minhash_contamination_sql(eval_pred: str,
                               table: str = "documents") -> str:
     """quality.minhash_contamination — band-collision counts of every

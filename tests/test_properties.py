@@ -438,3 +438,44 @@ def test_minhash_contamination_boundary_consistency(mk_df, docs):
         if n:
             want[i] = n
     assert got == want
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(texts, min_size=1, max_size=6))
+def test_trigram_surprisal_matches_python_model(mk_df, docs):
+    """trigram_surprisal vs an independent pure-Python interpolated-LM
+    implementation on randomized tiny corpora."""
+    import math
+    from collections import Counter
+
+    from qvarn_mr_spark.functions.text import trigram_surprisal
+
+    df = mk_df(list(enumerate(docs)), "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_trigrams"], r["mean_nll"])
+           for r in trigram_surprisal(df).collect()}
+
+    toks = {i: _tokens(d) for i, d in enumerate(docs)}
+    tris = {i: list(zip(t, t[1:], t[2:])) for i, t in toks.items()}
+    bis = [p for t in toks.values() for p in zip(t, t[1:])]
+    c_uvw = Counter(g for gs in tris.values() for g in gs)
+    c_uv = Counter(g[:2] for gs in tris.values() for g in gs)
+    c_vw = Counter(bis)
+    c_v = Counter(p[0] for p in bis)
+    uni = Counter(w for t in toks.values() for w in t)
+    n, v = sum(uni.values()), len(uni)
+    l3, l2, s = 0.5, 0.3, 0.5
+    l1 = 1.0 - l3 - l2
+    want = {}
+    for i, gs in tris.items():
+        if not gs:
+            continue
+        nll = [-math.log(l3 * c_uvw[g] / c_uv[g[:2]]
+                         + l2 * c_vw[g[1:]] / c_v[g[1]]
+                         + l1 * (uni[g[2]] + s) / (n + s * v))
+               for g in gs]
+        want[i] = (len(gs), round(sum(nll) / len(nll), 6))
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0]
+        assert got[i][1] == pytest.approx(want[i][1], abs=1e-6)

@@ -384,3 +384,46 @@ def test_classifier_local_and_distributed_gd_agree(spark):
     assert sorted(local) == sorted(dist)
     for k in local:
         assert local[k] == pytest.approx(dist[k], rel=1e-8, abs=1e-10)
+
+
+def test_trigram_surprisal_hand_values(spark):
+    from qvarn_mr_spark.functions.text import trigram_surprisal
+    import math
+    # corpus: d0 = "a b c a b c" (triples abc, bca, cab, abc),
+    # d1 = "a b c", d2 = "a b" (2 tokens -> absent)
+    rows = [(0, "a b c a b c"), (1, "a b c"), (2, "a b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in trigram_surprisal(df).collect()}
+    assert set(got) == {0, 1}
+    assert got[0]["n_trigrams"] == 4 and got[1]["n_trigrams"] == 1
+    # trigram counts: abc=3, bca=1, cab=1; ctx ab=3, bc=1, ca=1
+    # bigrams (all docs, incl. d2): ab=4, bc=3, ca=2; ctx a=4, b=3, c=2
+    # unigrams: a=4? d0 has a,b,c twice (6 toks), d1 once, d2 a,b
+    # -> a=4, b=4, c=3; N=11, V=3
+    l3, l2, s = 0.5, 0.3, 0.5
+    l1, n, v = 0.2, 11, 3
+
+    def p(c_uvw, c_uv, c_vw, c_v, c_w):
+        return (l3 * c_uvw / c_uv + l2 * c_vw / c_v
+                + l1 * (c_w + s) / (n + s * v))
+
+    nll_abc = -math.log(p(3, 3, 3, 3, 3))   # (u=a,v=b,w=c)
+    nll_bca = -math.log(p(1, 1, 2, 2, 4))   # (u=b,v=c,w=a)
+    nll_cab = -math.log(p(1, 1, 4, 4, 4))   # (u=c,v=a,w=b)
+    want0 = round((2 * nll_abc + nll_bca + nll_cab) / 4, 6)
+    assert got[0]["mean_nll"] == pytest.approx(want0, abs=1e-6)
+    assert got[1]["mean_nll"] == pytest.approx(round(nll_abc, 6), abs=1e-6)
+
+
+def test_trigram_surprisal_scrambled_scores_higher(spark):
+    """Same bigram structure cannot be faked here: a doc whose WORD
+    TRIPLES are novel out-surprises the repetitive fluent one even when
+    individual transitions are common."""
+    from qvarn_mr_spark.functions.text import trigram_surprisal
+    fluent = "the cat sat on the mat " * 5
+    scrambled = "the cat on sat the mat on the cat mat sat the"
+    df = spark.createDataFrame(
+        [(0, fluent.strip()), (1, scrambled)], "doc_id long, text string")
+    got = {r["doc_id"]: r["mean_nll"]
+           for r in trigram_surprisal(df).collect()}
+    assert got[1] > got[0]
