@@ -1525,6 +1525,34 @@ def q_corpus_prepare(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_corpus_dsir_prepare(spark, sf_dir):
+    """corpus_prepare with the DSIR gate on (functions/pipeline.py):
+    profile → quality/token gates → DSIR top-200 toward the English
+    target (hash-Gumbel selection, broadcast semi-join back) → dedup
+    onto canonicals → consistent split. The target-matched variant of
+    q_corpus_prepare — dedup pays for DSIR survivors only. Value-oracled
+    end-to-end (the DSIR CTE chain composes into corpus_prepare_sql)."""
+    from qvarn_mr_spark.functions.pipeline import corpus_prepare
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    target = docs.filter(F.col("lang") == "en")
+    return (corpus_prepare(docs, "doc_id", "text", min_quality=0.0,
+                           min_tokens=2, dsir_target=target, dsir_k=200)
+            .orderBy("doc_id"))
+
+
+def q_corpus_funnel(spark, sf_dir):
+    """Gate accounting for the DSIR-gated pipeline
+    (pipeline.corpus_funnel): per stage (input → gates → dsir →
+    canonical), how many documents survived — the
+    how-much-did-each-gate-remove table every 100 TB pipeline owner
+    asks for first. One one-row aggregate per stage, unioned."""
+    from qvarn_mr_spark.functions.pipeline import corpus_funnel
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    target = docs.filter(F.col("lang") == "en")
+    return corpus_funnel(docs, "doc_id", "text", min_quality=0.0,
+                         min_tokens=2, dsir_target=target, dsir_k=200)
+
+
 def q_doc_compression_ratio(spark, sf_dir):
     """zlib compression-ratio redundancy signal (functions/quality.py):
     the long-range/sub-token repetition proxy word-gram fractions miss.
@@ -1922,9 +1950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "minhash_signatures": q_minhash_signatures,
-        "minhash_candidates": q_minhash_candidates,
         "simhash": q_simhash,
-        "simhash_candidates": q_simhash_candidates,
         # --- new in r6: production-width LSH, driver-value-checked ---
         "minhash_candidates_prod": q_minhash_candidates_prod,
         "simhash_prod": q_simhash_prod,
@@ -1970,6 +1996,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_substring_dedup": q_doc_substring_dedup,
         "doc_surprisal": q_doc_surprisal,
         "corpus_prepare": q_corpus_prepare,
+        # --- new in r7: DSIR-gated pipeline + funnel accounting ---
+        "corpus_dsir_prepare": q_corpus_dsir_prepare,
+        "corpus_funnel": q_corpus_funnel,
         # displaced from the 50-window: the Arrow twins share their
         # non-Arrow counterparts' oracles verbatim (same SQL object), so
         # the window keeps one driver check per DISTINCT semantics; the
@@ -1978,6 +2007,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce_arrow": q_knn_arrow,
         "ivf_assign_arrow": q_ivf_assign_arrow,
         "embedding_nn_ivf_arrow": q_embedding_nn_ivf_arrow,
+        # displaced from the 50-window in r7 in favor of the DSIR-gated
+        # pipeline pair: the production-width candidate variants stay
+        # in-window; these base-width twins share the same oracle
+        # builders (width parameters aside) and stay value-checked by
+        # the local mirror
+        "minhash_candidates": q_minhash_candidates,
+        "simhash_candidates": q_simhash_candidates,
         "doc_stratified_fixed_k": q_doc_stratified_fixed_k,
         "events_asof_tolerance": q_events_asof_tolerance,
         # --- red in r03 (oracle int-width fixed this round) ---
@@ -2632,6 +2668,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_corpus": oracle.dedup_corpus_sql(jaccard_threshold=0.5),
         "corpus_prepare": oracle.corpus_prepare_sql(
             min_quality=0.0, min_tokens=2),
+        "corpus_dsir_prepare": oracle.corpus_prepare_sql(
+            min_quality=0.0, min_tokens=2,
+            dsir_target_pred="lang = 'en'", dsir_k=200),
+        "corpus_funnel": oracle.corpus_funnel_sql(
+            min_quality=0.0, min_tokens=2,
+            dsir_target_pred="lang = 'en'", dsir_k=200),
         "simhash": oracle.simhash_sql(),
         "simhash_candidates": oracle.simhash_candidates_sql(),
         # production widths — same builders, prod parameters

@@ -35,54 +35,27 @@ from qvarn_mr_spark.functions.sampling import assign_split
 from qvarn_mr_spark.functions.text import profile_frame
 
 
-def corpus_prepare(df: DataFrame, id_col: str = "doc_id",
-                   text_col: str = "text",
-                   min_quality: float = 0.3,
-                   min_tokens: int = 5, max_tokens: int = 100_000,
-                   languages: list[str] | None = None,
-                   max_dup_word_frac: float | None = None,
-                   max_top_word_frac: float | None = None,
-                   decontaminate_against: DataFrame | None = None,
-                   decontam_k: int = 4,
-                   strip_lines_min_frac: float | None = None,
-                   line_delimiter: str = "\n",
-                   classifier_weights: dict | None = None,
-                   classifier_threshold: float = 0.5,
-                   jaccard_threshold: float = 0.5,
-                   split_weights: dict[str, float] | None = None,
-                   salt: str = "corpus") -> DataFrame:
-    """Profile → filter → [repetition gates] → [decontaminate] → dedup →
-    split. Returns one row per surviving (canonical, in-band, in-language)
-    document:
-
-    ``(doc_id, lang, n_tokens, quality, split, n_duplicates)`` —
-    ``n_duplicates`` counts the near/exact duplicates this document
-    absorbed (0 for unique docs), so downsampling-by-duplication-count
-    stays expressible downstream.
-
-    Optional gates (default off — output unchanged when unset):
-
-    - ``max_dup_word_frac`` / ``max_top_word_frac`` — Gopher-style
-      repetition ceilings (:func:`qvarn_mr_spark.functions.quality.
-      repetition_signals`), computed in the same narrow profile stage;
-    - ``decontaminate_against`` — an eval/benchmark DataFrame (same
-      id/text columns); docs sharing any word ``decontam_k``-gram with it
-      are dropped BEFORE the dedup shuffle (anti-join on the hit list,
-      :func:`qvarn_mr_spark.functions.quality.contamination`);
-    - ``strip_lines_min_frac`` — CCNet-style boilerplate stripping
-      (:func:`qvarn_mr_spark.functions.quality.line_dedup`): before
-      anything else, remove every ``line_delimiter``-split segment whose
-      normalized form appears in at least that fraction of documents —
-      so headers/footers neither pollute the quality profile nor glue
-      unrelated documents together in the dedup pass;
-    - ``classifier_weights`` — a fitted model from
-      :func:`qvarn_mr_spark.functions.classifier.train_logreg`: rows
-      scoring below ``classifier_threshold`` are dropped in the SAME
-      narrow gate stage as the heuristic filters (the score is a pure
-      Column over the profiled text — no extra pass).
-    """
-    if split_weights is None:
-        split_weights = {"train": 0.98, "val": 0.01, "test": 0.01}
+def _gate_flow(df: DataFrame, id_col: str, text_col: str,
+               min_quality: float, min_tokens: int, max_tokens: int,
+               languages: list[str] | None,
+               max_dup_word_frac: float | None,
+               max_top_word_frac: float | None,
+               decontaminate_against: DataFrame | None,
+               decontam_k: int,
+               strip_lines_min_frac: float | None,
+               line_delimiter: str,
+               classifier_weights: dict | None,
+               classifier_threshold: float,
+               dsir_target: DataFrame | None,
+               dsir_k: int | None, dsir_frac: float | None,
+               salt: str) -> tuple:
+    """The shared front half of :func:`corpus_prepare` /
+    :func:`corpus_funnel`: profile → heuristic gates → [classifier] →
+    [decontaminate] → [DSIR select]. Returns ``(kept, stages)`` where
+    ``kept`` carries ``(doc_id, _text, lang, n_tokens, quality)`` for
+    every surviving document and ``stages`` is the ordered
+    ``[(stage_name, survivors_df), ...]`` audit trail."""
+    stages = [("input", df)]
     if strip_lines_min_frac is not None:
         from qvarn_mr_spark.functions.quality import line_dedup
         df = line_dedup(df, id_col, text_col, min_chars=2,
@@ -91,6 +64,7 @@ def corpus_prepare(df: DataFrame, id_col: str = "doc_id",
             .withColumnRenamed("doc_id", id_col) \
             .withColumnRenamed("text", text_col) \
             .drop("n_lines", "n_removed")
+        stages.append(("line_strip", df))
     rep_gates = (max_dup_word_frac is not None
                  or max_top_word_frac is not None)
     # staged profile (profile_frame), NOT the per-column helpers: inlining
@@ -132,11 +106,13 @@ def corpus_prepare(df: DataFrame, id_col: str = "doc_id",
         kept = kept.filter(F.col("_top_word_frac") <= max_top_word_frac)
     if rep_gates:
         kept = kept.drop("_dup_word_frac", "_top_word_frac")
+    stages.append(("gates", kept))
     if classifier_weights is not None:
         from qvarn_mr_spark.functions.classifier import score_expr
         kept = kept.filter(score_expr(classifier_weights,
                                       text_col="_text")
                            >= classifier_threshold)
+        stages.append(("classifier", kept))
     if decontaminate_against is not None:
         from qvarn_mr_spark.functions.quality import contamination
         hits = contamination(
@@ -146,6 +122,94 @@ def corpus_prepare(df: DataFrame, id_col: str = "doc_id",
                 F.col(text_col).alias("text")),
             "doc_id", "text", k=decontam_k)
         kept = kept.join(hits.select("doc_id"), "doc_id", "left_anti")
+        stages.append(("decontaminated", kept))
+    if dsir_target is not None:
+        if dsir_k is None and dsir_frac is None:
+            raise ValueError("dsir_target requires dsir_k or dsir_frac")
+        import math
+
+        from qvarn_mr_spark.functions.sampling import dsir_resample
+        k = (int(dsir_k) if dsir_k is not None
+             else max(1, math.ceil(float(dsir_frac) * kept.count())))
+        pick = dsir_resample(
+            kept.select("doc_id", F.col("_text").alias("text")),
+            dsir_target.select(F.col(id_col).alias("doc_id"),
+                               F.col(text_col).alias("text")),
+            k=k, salt=f"{salt}-dsir")
+        # pick is k rows — the join back is a broadcast semi-join, narrow
+        kept = kept.join(F.broadcast(pick.select("doc_id")), "doc_id")
+        stages.append(("dsir", kept))
+    return kept, stages
+
+
+def corpus_prepare(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   min_quality: float = 0.3,
+                   min_tokens: int = 5, max_tokens: int = 100_000,
+                   languages: list[str] | None = None,
+                   max_dup_word_frac: float | None = None,
+                   max_top_word_frac: float | None = None,
+                   decontaminate_against: DataFrame | None = None,
+                   decontam_k: int = 4,
+                   strip_lines_min_frac: float | None = None,
+                   line_delimiter: str = "\n",
+                   classifier_weights: dict | None = None,
+                   classifier_threshold: float = 0.5,
+                   dsir_target: DataFrame | None = None,
+                   dsir_k: int | None = None,
+                   dsir_frac: float | None = None,
+                   jaccard_threshold: float = 0.5,
+                   split_weights: dict[str, float] | None = None,
+                   salt: str = "corpus") -> DataFrame:
+    """Profile → filter → [repetition gates] → [decontaminate] →
+    [DSIR select] → dedup → split. Returns one row per surviving
+    (canonical, in-band, in-language) document:
+
+    ``(doc_id, lang, n_tokens, quality, split, n_duplicates)`` —
+    ``n_duplicates`` counts the near/exact duplicates this document
+    absorbed (0 for unique docs), so downsampling-by-duplication-count
+    stays expressible downstream.
+
+    Optional gates (default off — output unchanged when unset):
+
+    - ``max_dup_word_frac`` / ``max_top_word_frac`` — Gopher-style
+      repetition ceilings (:func:`qvarn_mr_spark.functions.quality.
+      repetition_signals`), computed in the same narrow profile stage;
+    - ``decontaminate_against`` — an eval/benchmark DataFrame (same
+      id/text columns); docs sharing any word ``decontam_k``-gram with it
+      are dropped BEFORE the dedup shuffle (anti-join on the hit list,
+      :func:`qvarn_mr_spark.functions.quality.contamination`);
+    - ``strip_lines_min_frac`` — CCNet-style boilerplate stripping
+      (:func:`qvarn_mr_spark.functions.quality.line_dedup`): before
+      anything else, remove every ``line_delimiter``-split segment whose
+      normalized form appears in at least that fraction of documents —
+      so headers/footers neither pollute the quality profile nor glue
+      unrelated documents together in the dedup pass;
+    - ``classifier_weights`` — a fitted model from
+      :func:`qvarn_mr_spark.functions.classifier.train_logreg`: rows
+      scoring below ``classifier_threshold`` are dropped in the SAME
+      narrow gate stage as the heuristic filters (the score is a pure
+      Column over the profiled text — no extra pass);
+    - ``dsir_target`` (+ ``dsir_k`` or ``dsir_frac``) — DSIR importance
+      resampling (:func:`qvarn_mr_spark.functions.sampling.
+      dsir_resample`, Xie et al. 2023): keep only the ``dsir_k`` (or
+      ``ceil(dsir_frac · |survivors|)``) gated documents whose
+      hashed-ngram bags look most like the target corpus, BEFORE the
+      dedup shuffle — so dedup pays for target-matched survivors only.
+      Selection is deterministic (hash-Gumbel top-k) and the k-row pick
+      joins back as a broadcast semi-join.
+
+    Per-stage drop accounting lives in :func:`corpus_funnel` — same
+    arguments, returns the how-much-did-each-gate-remove table.
+    """
+    if split_weights is None:
+        split_weights = {"train": 0.98, "val": 0.01, "test": 0.01}
+    kept, _ = _gate_flow(
+        df, id_col, text_col, min_quality, min_tokens, max_tokens,
+        languages, max_dup_word_frac, max_top_word_frac,
+        decontaminate_against, decontam_k, strip_lines_min_frac,
+        line_delimiter, classifier_weights, classifier_threshold,
+        dsir_target, dsir_k, dsir_frac, salt)
 
     clusters = dedup_corpus(kept.select("doc_id", F.col("_text").alias("text")),
                             "doc_id", "text",
@@ -163,6 +227,59 @@ def corpus_prepare(df: DataFrame, id_col: str = "doc_id",
                  .select("doc_id", "n_duplicates"))
     out = kept.join(canonical, "doc_id").drop("_text")
     return assign_split(out, "doc_id", split_weights, salt=salt)
+
+
+def corpus_funnel(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  min_quality: float = 0.3,
+                  min_tokens: int = 5, max_tokens: int = 100_000,
+                  languages: list[str] | None = None,
+                  max_dup_word_frac: float | None = None,
+                  max_top_word_frac: float | None = None,
+                  decontaminate_against: DataFrame | None = None,
+                  decontam_k: int = 4,
+                  strip_lines_min_frac: float | None = None,
+                  line_delimiter: str = "\n",
+                  classifier_weights: dict | None = None,
+                  classifier_threshold: float = 0.5,
+                  dsir_target: DataFrame | None = None,
+                  dsir_k: int | None = None,
+                  dsir_frac: float | None = None,
+                  jaccard_threshold: float = 0.5,
+                  salt: str = "corpus") -> DataFrame:
+    """The gate-accounting companion of :func:`corpus_prepare` (same
+    arguments): per pipeline stage, how many documents SURVIVED it —
+    the "how much did each gate remove" table every pipeline owner asks
+    for first at 100 TB. Stages present only when their gate is on::
+
+        input → [line_strip] → gates → [classifier] → [decontaminated]
+              → [dsir] → canonical
+
+    Returns ``(stage_idx, stage, n_docs)``, one row per stage,
+    ``stage_idx`` preserving funnel order. Each count is a one-row
+    aggregate over that stage's surviving frame — an audit job that
+    shares the profile checkpoint with the main pass, so only the
+    post-gate stages (decontaminate, DSIR, dedup) re-execute their own
+    subtrees."""
+    from functools import reduce
+
+    kept, stages = _gate_flow(
+        df, id_col, text_col, min_quality, min_tokens, max_tokens,
+        languages, max_dup_word_frac, max_top_word_frac,
+        decontaminate_against, decontam_k, strip_lines_min_frac,
+        line_delimiter, classifier_weights, classifier_threshold,
+        dsir_target, dsir_k, dsir_frac, salt)
+    canonical = dedup_corpus(
+        kept.select("doc_id", F.col("_text").alias("text")),
+        "doc_id", "text", jaccard_threshold=jaccard_threshold) \
+        .filter(F.col("is_canonical"))
+    stages = stages + [("canonical", canonical)]
+    counts = [
+        s.agg(F.count(F.lit(1)).alias("n_docs"))
+         .select(F.lit(i).alias("stage_idx"), F.lit(name).alias("stage"),
+                 "n_docs")
+        for i, (name, s) in enumerate(stages)]
+    return reduce(DataFrame.unionByName, counts)
 
 
 def corpus_gate_stream(stream: DataFrame, id_col: str = "doc_id",

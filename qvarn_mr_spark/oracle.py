@@ -1189,20 +1189,61 @@ FROM d2k LEFT JOIN clusters c ON d2k.keeper_id = c.node
 """
 
 
+def _dsir_select_ctes(src: str, target_pred: str, k: int, salt: str,
+                      n_buckets: int, smoothing: float,
+                      table: str) -> str:
+    """The DSIR-gate CTE chain of pipeline._gate_flow: fit weights with
+    raw = the ``src`` CTE's survivors, target = ``target_pred`` over the
+    base ``table``, then Gumbel-top-``k`` exactly as dsir_resample_sql
+    (same salt framing ``{salt}-dsir`` / ``{salt}-dsir:g``, same
+    half-step nudge). Leaves ``dsel`` = surviving rows of ``src``."""
+    from qvarn_mr_spark.functions.sampling import (UNIT_DENOM,
+                                                   sample_unit_sql)
+    salt_d = f"{salt}-dsir"
+    a = float(smoothing)
+    b = float(smoothing) * n_buckets
+    cte = _dsir_grams_cte(f"doc_id IN (SELECT doc_id FROM {src})",
+                          target_pred, n_buckets, salt_d, table) \
+        .format(a=repr(a), b=repr(b))
+    u = sample_unit_sql("doc_id", f"{salt_d}:g")
+    return f"""{cte},
+dsel_ids AS MATERIALIZED (
+  SELECT doc_id
+  FROM dsir_w
+  ORDER BY round(log_w + (-ln(-ln({u} + {0.5 / UNIT_DENOM!r}))), 6)
+             DESC, doc_id ASC
+  LIMIT {int(k)}),
+dsel AS MATERIALIZED (
+  SELECT * FROM {src}
+  WHERE doc_id IN (SELECT doc_id FROM dsel_ids))"""
+
+
 def corpus_prepare_sql(min_quality: float = 0.3, min_tokens: int = 5,
                        max_tokens: int = 100_000,
                        jaccard_threshold: float = 0.5,
                        split_weights: dict[str, float] | None = None,
+                       dsir_target_pred: str | None = None,
+                       dsir_k: int | None = None,
+                       dsir_buckets: int | None = None,
                        salt: str = "corpus",
                        table: str = "documents") -> str:
-    """pipeline.corpus_prepare (default gates only): profile -> quality /
-    token filters -> dedup_corpus onto canonicals -> consistent split.
-    One row per surviving canonical doc:
+    """pipeline.corpus_prepare (default gates, optional DSIR select):
+    profile -> quality / token filters -> [DSIR top-k toward
+    ``dsir_target_pred``] -> dedup_corpus onto canonicals -> consistent
+    split. One row per surviving canonical doc:
     (doc_id, lang, n_tokens, quality, n_duplicates, split)."""
-    from qvarn_mr_spark.functions.sampling import assign_split_sql
+    from qvarn_mr_spark.functions.sampling import (DSIR_BUCKETS,
+                                                   assign_split_sql)
     if split_weights is None:
         split_weights = {"train": 0.98, "val": 0.01, "test": 0.01}
     n = norm_sql("text")
+    survivors = "kept"
+    dsir_ctes = ""
+    if dsir_target_pred is not None:
+        survivors = "dsel"
+        dsir_ctes = _dsir_select_ctes(
+            "kept", dsir_target_pred, dsir_k, salt,
+            dsir_buckets or DSIR_BUCKETS, 1.0, table) + ",\n"
     return f"""
 WITH RECURSIVE prof AS (
   SELECT doc_id, text,
@@ -1214,7 +1255,7 @@ kept AS MATERIALIZED (
   SELECT * FROM prof
   WHERE quality >= {min_quality}
     AND n_tokens >= {min_tokens} AND n_tokens <= {max_tokens}),
-{_dedup_corpus_ctes("kept", jaccard_threshold)},
+{dsir_ctes}{_dedup_corpus_ctes(survivors, jaccard_threshold)},
 mapping AS (
   SELECT d2k.doc_id,
          COALESCE(c.cluster_id, d2k.keeper_id) AS canonical_id
@@ -1223,9 +1264,58 @@ sizes AS (SELECT canonical_id, count(*) - 1 AS n_duplicates
           FROM mapping GROUP BY 1)
 SELECT k.doc_id, k.lang, k.n_tokens, k.quality, s.n_duplicates,
        {assign_split_sql('k.doc_id', split_weights, salt)} AS split
-FROM kept k
+FROM {survivors} k
 JOIN mapping m ON m.doc_id = k.doc_id AND m.doc_id = m.canonical_id
 JOIN sizes s ON s.canonical_id = k.doc_id
+"""
+
+
+def corpus_funnel_sql(min_quality: float = 0.3, min_tokens: int = 5,
+                      max_tokens: int = 100_000,
+                      jaccard_threshold: float = 0.5,
+                      dsir_target_pred: str | None = None,
+                      dsir_k: int | None = None,
+                      dsir_buckets: int | None = None,
+                      salt: str = "corpus",
+                      table: str = "documents") -> str:
+    """pipeline.corpus_funnel (default gates, optional DSIR stage):
+    per-stage surviving counts (stage_idx, stage, n_docs) for
+    input -> gates [-> dsir] -> canonical."""
+    from qvarn_mr_spark.functions.sampling import DSIR_BUCKETS
+    n = norm_sql("text")
+    survivors = "kept"
+    dsir_ctes = ""
+    if dsir_target_pred is not None:
+        survivors = "dsel"
+        dsir_ctes = _dsir_select_ctes(
+            "kept", dsir_target_pred, dsir_k, salt,
+            dsir_buckets or DSIR_BUCKETS, 1.0, table) + ",\n"
+    stages = [("input", table), ("gates", "kept")]
+    if dsir_target_pred is not None:
+        stages.append(("dsir", "dsel"))
+    stages.append(("canonical", "canon"))
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {i} AS stage_idx, '{name}' AS stage,"
+        f" count(*) AS n_docs FROM {src}"
+        for i, (name, src) in enumerate(stages))
+    return f"""
+WITH RECURSIVE prof AS (
+  SELECT doc_id, text,
+         {lang_guess_sql(n)} AS lang,
+         {token_count_sql('text')} AS n_tokens,
+         {quality_score_sql('text', n)} AS quality
+  FROM {table}),
+kept AS MATERIALIZED (
+  SELECT * FROM prof
+  WHERE quality >= {min_quality}
+    AND n_tokens >= {min_tokens} AND n_tokens <= {max_tokens}),
+{dsir_ctes}{_dedup_corpus_ctes(survivors, jaccard_threshold)},
+mapping AS (
+  SELECT d2k.doc_id,
+         COALESCE(c.cluster_id, d2k.keeper_id) AS canonical_id
+  FROM d2k LEFT JOIN clusters c ON d2k.keeper_id = c.node),
+canon AS (SELECT doc_id FROM mapping WHERE doc_id = canonical_id)
+{unions}
 """
 
 

@@ -159,3 +159,64 @@ def test_corpus_prepare_classifier_gate(spark):
     assert base.count() == 16
     kept = sorted(r["doc_id"] for r in gated.collect())
     assert kept == [i for i, _ in en]      # only the positive class
+
+
+def test_corpus_prepare_dsir_gate(spark, docs):
+    """The DSIR gate must equal the manual composition: gate → dsir_resample
+    top-k on the gated survivors → corpus_prepare restricted to the picks."""
+    from qvarn_mr_spark.functions.sampling import dsir_resample
+    from qvarn_mr_spark.functions.text import profile_frame
+
+    target = docs.filter(F.col("lang") == "en")
+    out = corpus_prepare(docs, "doc_id", "text", min_quality=0.0,
+                         min_tokens=2, dsir_target=target, dsir_k=50)
+    got_ids = {r["doc_id"] for r in out.collect()}
+
+    # manual composition with the same salt framing
+    prof = profile_frame(
+        docs.select("doc_id", "text"), "text", ("doc_id",),
+        keep_text=True)
+    kept = prof.filter((F.col("quality") >= 0.0)
+                       & F.col("n_tokens").between(2, 100_000)) \
+               .select("doc_id", F.col("_text").alias("text"))
+    picks = {r["doc_id"] for r in dsir_resample(
+        kept, target.select("doc_id", "text"), k=50,
+        salt="corpus-dsir").collect()}
+    assert len(picks) == 50
+    # output = canonical survivors of the picked set
+    assert got_ids <= picks
+    base = corpus_prepare(
+        docs.join(spark.createDataFrame([(i,) for i in sorted(picks)],
+                                        "doc_id string"), "doc_id"),
+        "doc_id", "text", min_quality=0.0, min_tokens=2)
+    assert got_ids == {r["doc_id"] for r in base.collect()}
+
+
+def test_corpus_prepare_dsir_requires_k_or_frac(spark, docs):
+    target = docs.limit(5)
+    with pytest.raises(ValueError, match="dsir_k or dsir_frac"):
+        corpus_prepare(docs, dsir_target=target).collect()
+
+
+def test_corpus_funnel_counts(spark, docs):
+    """Funnel stage counts are monotone non-increasing and agree with
+    the stage operators run independently."""
+    from qvarn_mr_spark.functions.pipeline import corpus_funnel
+
+    target = docs.filter(F.col("lang") == "en")
+    rows = {r["stage"]: (r["stage_idx"], r["n_docs"])
+            for r in corpus_funnel(docs, "doc_id", "text",
+                                   min_quality=0.0, min_tokens=2,
+                                   dsir_target=target, dsir_k=50)
+            .collect()}
+    assert list(rows) == ["input", "gates", "dsir", "canonical"]
+    idxs = [rows[s][0] for s in rows]
+    assert idxs == sorted(idxs)
+    counts = [rows[s][1] for s in ("input", "gates", "dsir", "canonical")]
+    assert counts[0] == docs.count()
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert rows["dsir"][1] == 50
+    # canonical count equals the DSIR-gated corpus_prepare's row count
+    out = corpus_prepare(docs, "doc_id", "text", min_quality=0.0,
+                         min_tokens=2, dsir_target=target, dsir_k=50)
+    assert rows["canonical"][1] == out.count()
