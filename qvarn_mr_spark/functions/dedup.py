@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from qvarn_mr_spark.session import pin
 
 #: Tokenization: lowercase, split on runs of non-alphanumerics, drop empties.
 TOKEN_RE = "[^a-z0-9]+"
@@ -203,7 +204,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     # runtime the stages canonicalize differently and the reuse is lost —
     # an explicit MEMORY_AND_DISK persist pins one computation at any
     # scale (spills gracefully; LRU-evicted when cold).
-    sh = sh.persist()
+    sh = pin(sh)
     if max_df is not None:
         # keep-list via groupBy over the same shingle-table subtree: its
         # Exchange is reused (the distinct already shuffled on shingle),
@@ -328,7 +329,8 @@ def minhash_candidates(df: DataFrame, id_col: str, text_col: str,
         F.posexplode(F.array(*[F.col(f"band_{b}")
                                for b in range(n_bands)]))
         .alias("band_pos", "sig"),
-    ).persist()
+    )
+    melted = pin(melted)
     if max_bucket is not None:
         keep = (melted.groupBy("band_pos", "sig")
                 .agg(F.count(F.lit(1)).alias("_m"))

@@ -17,6 +17,7 @@ import re
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from qvarn_mr_spark.session import pin
 
 # Tiny stopword inventories for the language-ID heuristic. Word-boundary
 # counting of high-frequency function words is the classic cheap lang-ID
@@ -568,10 +569,11 @@ def bigram_surprisal(df, id_col: str = "doc_id", text_col: str = "text",
     # vocabulary-sized pins (same rationale as unigram_surprisal's lm):
     # each LM table feeds the scoring join AND a derived aggregate
     lm_bi = (pairs.groupBy("u", "w")
-             .agg(F.count(F.lit(1)).alias("c_uw")).persist())
+             .agg(F.count(F.lit(1)).alias("c_uw")))
+    lm_bi = pin(lm_bi)
     lm_ctx = lm_bi.groupBy("u").agg(F.sum("c_uw").alias("c_u"))
-    uni = (base.select(F.explode("_t").alias("w"))
-           .groupBy("w").agg(F.count(F.lit(1)).alias("c_w")).persist())
+    uni = pin(base.select(F.explode("_t").alias("w"))
+              .groupBy("w").agg(F.count(F.lit(1)).alias("c_w")))
     tot = uni.agg(F.sum("c_w").alias("_N"), F.count(F.lit(1)).alias("_V"))
     p = (F.lit(lam) * F.col("c_uw") / F.col("c_u")
          + F.lit(1.0 - lam) * (F.col("c_w") + F.lit(smoothing))
@@ -632,14 +634,14 @@ def trigram_surprisal(df, id_col: str = "doc_id", text_col: str = "text",
             .select("doc_id", "_g.u", "_g.v", "_g.w"))
     bis = (base.select(F.explode(pair_col).alias("_p"))
            .select("_p.v", "_p.w"))
-    lm_tri = (tris.groupBy("u", "v", "w")
-              .agg(F.count(F.lit(1)).alias("c_uvw")).persist())
+    lm_tri = pin(tris.groupBy("u", "v", "w")
+                 .agg(F.count(F.lit(1)).alias("c_uvw")))
     lm_ctx3 = lm_tri.groupBy("u", "v").agg(F.sum("c_uvw").alias("c_uv"))
-    lm_bi = (bis.groupBy("v", "w")
-             .agg(F.count(F.lit(1)).alias("c_vw")).persist())
+    lm_bi = pin(bis.groupBy("v", "w")
+                .agg(F.count(F.lit(1)).alias("c_vw")))
     lm_ctx2 = lm_bi.groupBy("v").agg(F.sum("c_vw").alias("c_v"))
-    uni = (base.select(F.explode("_t").alias("w"))
-           .groupBy("w").agg(F.count(F.lit(1)).alias("c_w")).persist())
+    uni = pin(base.select(F.explode("_t").alias("w"))
+              .groupBy("w").agg(F.count(F.lit(1)).alias("c_w")))
     tot = uni.agg(F.sum("c_w").alias("_N"), F.count(F.lit(1)).alias("_V"))
     lam1 = 1.0 - lam3 - lam2
     p = (F.lit(lam3) * F.col("c_uvw") / F.col("c_uv")
@@ -678,7 +680,7 @@ def unigram_surprisal(df, id_col: str = "doc_id", text_col: str = "text",
     # pin the vocabulary-sized LM: the totals aggregate and the scoring
     # join both read it — without the pin each consumer re-tokenizes
     # the corpus from scratch (kilobyte cache vs an extra corpus pass)
-    lm = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c")).persist()
+    lm = pin(toks.groupBy("w").agg(F.count(F.lit(1)).alias("c")))
     # totals via a 1-row aggregate joined back (broadcast)
     tot = lm.agg(F.sum("c").alias("_N"),
                  F.count(F.lit(1)).alias("_V"))

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from qvarn_mr_spark.session import pin
 
 
 def _salt_of(cols: list[str], n: int) -> Column:
@@ -108,9 +109,8 @@ def skew_profile(df: DataFrame, key_cols: list[str],
     # quantile branch otherwise each re-scan and re-aggregate the corpus
     # (union branches don't share the exchange) — with the pin the
     # corpus is read once and both branches read kilobytes
-    counts = (df.groupBy(key.alias("key"))
-              .agg(F.count(F.lit(1)).alias("n_rows"))
-              .persist())
+    counts = pin(df.groupBy(key.alias("key"))
+                 .agg(F.count(F.lit(1)).alias("n_rows")))
     # rank the ≤ top_n survivors without a window: an unpartitioned
     # row_number() here is bounded (post-limit) but still plans a
     # single-partition WindowExec and warns on every run. The sort-limit

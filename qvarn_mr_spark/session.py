@@ -42,6 +42,61 @@ def ship_package(spark: SparkSession) -> None:
     spark.conf.set("spark.qvarn_mr.shipped", "true")
 
 
+#: Stack of active cache scopes (innermost last). Module-level on the
+#: driver only — executors never see it.
+_CACHE_SCOPES: list = []
+
+
+def pin(df):
+    """``df.persist()`` that a :func:`cache_scope` can release.
+
+    Library operators pin reused intermediates (LM tables, melted LSH
+    signatures, shingle tables) so one logical pass computes them once.
+    Spark keeps such blocks until the session dies; in a long-lived
+    session (a notebook, a service, the test driver) that's executor
+    memory leaked one operator call at a time. ``pin`` persists exactly
+    like before, but ALSO registers the frame with the innermost active
+    :func:`cache_scope`, which unpersists everything it saw on exit.
+    With no scope active, behavior is unchanged (session-lifetime
+    cache)."""
+    df = df.persist()
+    if _CACHE_SCOPES:
+        _CACHE_SCOPES[-1].append(df)
+    return df
+
+
+class cache_scope:
+    """Deterministic release of operator-internal persists::
+
+        with cache_scope():
+            out = bigram_surprisal(docs).collect()
+        # the LM tables pinned inside are unpersisted here
+
+    Scopes nest; each releases only the frames pinned while it was the
+    innermost. Unpersist is non-blocking (executors drop blocks
+    asynchronously) and runs even when the body raises. Entering returns
+    the scope, whose ``pinned`` list is visible for tests/debugging."""
+
+    def __init__(self):
+        self.pinned: list = []
+
+    def append(self, df) -> None:
+        self.pinned.append(df)
+
+    def __enter__(self):
+        _CACHE_SCOPES.append(self)
+        return self
+
+    def __exit__(self, *exc) -> None:
+        _CACHE_SCOPES.remove(self)
+        for df in self.pinned:
+            try:
+                df.unpersist(blocking=False)
+            except Exception:
+                pass  # session already stopped — nothing to release
+        self.pinned.clear()
+
+
 def get_spark(
     app_name: str = "qvarn-mr-spark",
     master: str | None = None,

@@ -427,3 +427,26 @@ def test_trigram_surprisal_scrambled_scores_higher(spark):
     got = {r["doc_id"]: r["mean_nll"]
            for r in trigram_surprisal(df).collect()}
     assert got[1] > got[0]
+
+
+def test_cache_scope_releases_lm_pins(spark):
+    """Operator-internal persists (the LM tables) must be dropped when a
+    cache_scope exits, and left session-cached when no scope is active."""
+    from qvarn_mr_spark.session import cache_scope
+    from qvarn_mr_spark.functions.text import bigram_surprisal
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "b a b a")], "doc_id long, text string")
+    with cache_scope() as scope:
+        bigram_surprisal(df).collect()
+        assert len(scope.pinned) == 2           # lm_bi + uni
+        assert all(p.storageLevel.useMemory for p in scope.pinned)
+    assert all(not p.storageLevel.useMemory for p in scope.pinned) \
+        or not scope.pinned                      # released (list cleared)
+    # nesting: inner scope releases its own pins only
+    with cache_scope() as outer:
+        bigram_surprisal(df).collect()
+        n_outer = len(outer.pinned)
+        with cache_scope() as inner:
+            bigram_surprisal(df).collect()
+            assert len(inner.pinned) == 2
+        assert len(outer.pinned) == n_outer
