@@ -229,21 +229,17 @@ def transform_with_state_available() -> bool:
         "transformWithStateInPandas")
 
 
-def latest_per_key_stream_tws(stream: DataFrame, key_col: str = "user_id",
-                              ts_col: str = "ts",
-                              value_col: str = "value") -> DataFrame:
-    """:func:`latest_per_key_stream` on Spark 4's
-    ``transformWithStateInPandas`` — the named-state-variable successor of
-    ``applyInPandasWithState`` (typed ValueState per key, TTL support,
-    initial-state bootstrap). Identical semantics and output schema; the
-    stream==batch differential in tests/test_stateful_streaming.py runs
-    against BOTH forms wherever the runtime supports this one. Gated:
-    raises ``RuntimeError`` when :func:`transform_with_state_available`
-    is false (e.g. this container lacks ``google.protobuf``)."""
-    if not transform_with_state_available():
-        raise RuntimeError(
-            "transformWithStateInPandas unavailable: needs Spark >= 4 and "
-            "the google.protobuf Python package")
+def latest_processor_cls():
+    """The ``transformWithStateInPandas`` processor class behind
+    :func:`latest_per_key_stream_tws`, exposed as a factory so its
+    per-key lifecycle logic stays unit-testable even where the tws
+    STREAM RUNTIME cannot start: ``StatefulProcessor`` itself imports
+    without ``google.protobuf`` (only the state-server protocol needs
+    it at stream start), so tests drive ``init``/``handleInputRows``
+    directly with a fake ValueState handle and pin the emissions
+    against the ``applyInPandasWithState`` twin's lifecycle — the
+    differential this environment's missing protobuf would otherwise
+    skip entirely (tests/test_stateful_streaming.py)."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -273,6 +269,28 @@ def latest_per_key_stream_tws(stream: DataFrame, key_col: str = "user_id",
 
         def close(self) -> None:
             pass
+
+    return Latest
+
+
+def latest_per_key_stream_tws(stream: DataFrame, key_col: str = "user_id",
+                              ts_col: str = "ts",
+                              value_col: str = "value") -> DataFrame:
+    """:func:`latest_per_key_stream` on Spark 4's
+    ``transformWithStateInPandas`` — the named-state-variable successor of
+    ``applyInPandasWithState`` (typed ValueState per key, TTL support,
+    initial-state bootstrap). Identical semantics and output schema; the
+    stream==batch differential in tests/test_stateful_streaming.py runs
+    against BOTH forms wherever the runtime supports this one. Gated:
+    raises ``RuntimeError`` when :func:`transform_with_state_available`
+    is false (e.g. this container lacks ``google.protobuf``); the
+    processor's lifecycle logic is still covered there via
+    :func:`latest_processor_cls` + a fake state handle."""
+    if not transform_with_state_available():
+        raise RuntimeError(
+            "transformWithStateInPandas unavailable: needs Spark >= 4 and "
+            "the google.protobuf Python package")
+    Latest = latest_processor_cls()
 
     prepared = stream.select(
         F.col(key_col).cast("long").alias("user_id"),

@@ -370,3 +370,74 @@ def test_corpus_gate_stream_watermarked_ttl(spark, tmp_path):
     survivors = {r["doc_id"] for r in got}
     assert survivors == {"1"}
     assert all("ts" in r.asDict() for r in got)
+
+
+def test_tws_processor_lifecycle_with_fake_state():
+    """Runtime-free differential for the transformWithStateInPandas
+    processor: StatefulProcessor imports without google.protobuf (only
+    the state-server protocol needs it at stream start), so the exact
+    per-key lifecycle the gated streaming differential would exercise —
+    first-write emits, late row is silent, newer row re-emits — is
+    driven here directly against a fake ValueState. Keeps the tws logic
+    pinned in environments (like this one) where the stream runtime
+    can't start."""
+    import pandas as pd
+
+    from qvarn_mr_spark.streaming.stateful import latest_processor_cls
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, FakeValueState())
+
+    def T(hhmm):
+        return pd.Timestamp(f"2024-01-01 {hhmm}:00")
+
+    def batch(rows):
+        return [pd.DataFrame({"_ts": [T(t) for t, _ in rows],
+                              "_value": [v for _, v in rows]})]
+
+    proc = latest_processor_cls()()
+    handle = FakeHandle()
+    proc.init(handle)
+
+    def us(hhmm):
+        return int(T(hhmm).value) // 1000
+
+    # batch 1: two rows for the key -> one emission with the newest
+    out1 = list(proc.handleInputRows(
+        (1,), batch([("10:00", 1.0), ("10:30", 2.0)]), None))
+    assert len(out1) == 1
+    assert out1[0].iloc[0].tolist() == [1, us("10:30"), 2.0]
+    # state survives the batch boundary
+    assert handle.states["latest"].get() == (us("10:30"), 2.0)
+
+    # batch 2: LATE row (older than stored latest) -> nothing emitted,
+    # state untouched — the exact semantics the GroupState twin pins in
+    # test_latest_per_key_stream_state_across_batches
+    out2 = list(proc.handleInputRows(
+        (1,), batch([("10:15", 9.0)]), None))
+    assert out2 == []
+    assert handle.states["latest"].get() == (us("10:30"), 2.0)
+
+    # batch 3: genuinely newer row -> re-emit and advance state
+    out3 = list(proc.handleInputRows(
+        (1,), batch([("11:00", 7.0)]), None))
+    assert len(out3) == 1
+    assert out3[0].iloc[0].tolist() == [1, us("11:00"), 7.0]
+    proc.close()
