@@ -1239,6 +1239,29 @@ def q_doc_temperature_mix(spark, sf_dir):
         F.sum("wt").cast("long").alias("kept_weight"))
 
 
+#: Temperature grid for q_doc_mixture_search — shared by the Spark query
+#: and the generated oracle so the two cannot drift.
+_MIX_TAUS = (0.0, 0.3, 0.5, 0.7, 1.0)
+
+
+def q_doc_mixture_search(spark, sf_dir):
+    """DoReMi-flavored mixture-weight search (functions/sampling.py):
+    evaluate a grid of temperature mixtures in ONE corpus pass — per
+    (tau, source), the keep fraction, target share T^tau/Z, realized
+    kept token mass/share under consistent-hash membership, and the
+    |realized − target| gap. The engine-side primitive a mixture-weight
+    optimizer (DoReMi-style outer loop or a human) iterates on; the
+    |taus|-fold fan-out is absorbed map-side, only |taus|·|sources|
+    partial rows reach the shuffle."""
+    from qvarn_mr_spark.functions import sampling as smp
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    w = docs.select("doc_id", "source",
+                    text.token_count(F.col("text")).cast("double")
+                    .alias("wt"))
+    return smp.mixture_weight_search(w, "doc_id", "source", "wt",
+                                     taus=_MIX_TAUS, budget_frac=0.5)
+
+
 def q_doc_dsir_select(spark, sf_dir):
     """DSIR importance resampling (Xie et al. 2023): select the 50 raw
     documents whose hashed-ngram bags look most like the English-target
@@ -1973,7 +1996,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_sequences": q_doc_pack_sequences,
         "inverted_index": q_inverted_index,
         "doc_stratified_mix": q_doc_stratified_mix,
-        "doc_temperature_mix": q_doc_temperature_mix,
+        # --- new in r7: temperature-grid mixture search (DoReMi-style)
+        # — subsumes the single-tau doc_temperature_mix, which moves to
+        # the tail (still value-checked by the local mirror) ---
+        "doc_mixture_search": q_doc_mixture_search,
         # --- DSIR importance resampling (r6; oracles wired in r7) ---
         "doc_dsir_select": q_doc_dsir_select,
         "doc_dsir_weights": q_doc_dsir_weights,
@@ -2014,6 +2040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the local mirror
         "minhash_candidates": q_minhash_candidates,
         "simhash_candidates": q_simhash_candidates,
+        "doc_temperature_mix": q_doc_temperature_mix,
         "doc_stratified_fixed_k": q_doc_stratified_fixed_k,
         "events_asof_tolerance": q_events_asof_tolerance,
         # --- red in r03 (oracle int-width fixed this round) ---
@@ -2710,6 +2737,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_temperature_mix": sampling.temperature_mix_sql(
             "doc_id", "source", oracle.token_count_sql("text"),
             tau=0.5, budget_frac=0.5),
+        "doc_mixture_search": sampling.mixture_weight_search_sql(
+            "doc_id", "source", oracle.token_count_sql("text"),
+            taus=_MIX_TAUS, budget_frac=0.5),
         # DSIR pair — same target predicate / k as q_doc_dsir_select;
         # both value-match exactly (verified manually in the r6 judge
         # session before being wired here)

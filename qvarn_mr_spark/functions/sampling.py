@@ -213,6 +213,138 @@ GROUP BY 1
 """
 
 
+def mixture_weight_search(df: DataFrame, id_col: str, source_col: str,
+                          weight_col: str, taus,
+                          budget_frac: float = 0.5,
+                          salt: str = "tmix") -> DataFrame:
+    """DoReMi-flavored mixture-weight search, engine-side: evaluate a
+    GRID of temperature mixtures in ONE corpus pass and report, per
+    ``(tau, source)``, the keep fraction, the target mixture share
+    ``q_s = T_s^tau / Z_tau``, and the REALIZED kept mass/share under
+    the same consistent-hash membership :func:`temperature_mix` uses —
+    plus ``share_gap``, the |realized − target| miss. DoReMi proper
+    learns domain weights with a proxy model; the engine-side primitive
+    it (or any outer loop) needs is exactly this: cheap, deterministic
+    evaluation of many candidate mixtures against the real corpus, so
+    the owner picks the tau (or feeds the reported objective back into
+    the next search round). No RNG anywhere — rerunning reproduces the
+    same grid bit-for-bit.
+
+    Scale shape: per-source totals are one metadata-sized aggregate; the
+    (tau × source) fraction grid is tiny and broadcast; the single
+    corpus-sized pass joins each row to its source's |taus| grid rows
+    and partial-aggregates map-side, so the |taus|-fold fan-out never
+    reaches the shuffle — only |taus|·|sources| partial rows do. Weights
+    should be integer-valued (token counts) so sums are exact on any
+    engine.
+
+    Returns ``(tau, source, keep_frac, target_share, n_kept,
+    kept_weight, realized_share, share_gap)`` — one row per grid point,
+    sources with nothing kept included with zeros."""
+    spark = df.sparkSession
+    taus_df = spark.createDataFrame([(float(t),) for t in taus],
+                                    "tau double")
+    tot = df.groupBy(source_col).agg(
+        F.sum(F.col(weight_col).cast("double")).alias("_T"))
+    per_tau = (tot.crossJoin(taus_df)
+               .select("tau", source_col, "_T",
+                       F.pow("_T", F.col("tau")).alias("_Tt")))
+    z = per_tau.groupBy("tau").agg(F.sum("_Tt").alias("_Z"),
+                                   F.sum("_T").alias("_N"))
+    grid = (per_tau.join(z, "tau")
+            .select("tau", source_col,
+                    F.round(F.col("_Tt") / F.col("_Z"), 9)
+                    .alias("target_share"),
+                    F.round(F.least(
+                        F.lit(1.0),
+                        F.lit(float(budget_frac)) * F.col("_N")
+                        * F.col("_Tt") / F.col("_Z") / F.col("_T")), 9)
+                    .alias("keep_frac")))
+    rows = df.select(F.col(source_col),
+                     F.col(weight_col).cast("double").alias("_wt"),
+                     hash_unit(id_col, salt).alias("_u"))
+    kept = (rows.join(F.broadcast(grid), source_col)
+            .filter(F.col("_u") < F.col("keep_frac"))
+            .groupBy("tau", source_col)
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum("_wt").cast("long").alias("kept_weight")))
+    out = (grid.join(kept, ["tau", source_col], "left")
+           .select("tau", source_col, "keep_frac", "target_share",
+                   F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                   F.coalesce("kept_weight", F.lit(0))
+                   .alias("kept_weight")))
+    tot_kept = out.groupBy("tau").agg(
+        F.sum("kept_weight").alias("_kw"))
+    return (out.join(F.broadcast(tot_kept), "tau")
+            .select("tau", source_col, "keep_frac", "target_share",
+                    "n_kept", "kept_weight",
+                    F.round(F.when(F.col("_kw") > 0,
+                                   F.col("kept_weight") / F.col("_kw"))
+                            .otherwise(F.lit(0.0)), 6)
+                    .alias("realized_share"))
+            .withColumn("share_gap",
+                        F.round(F.abs(F.col("realized_share")
+                                      - F.col("target_share")), 6)))
+
+
+def mixture_weight_search_sql(id_col: str, source_col: str,
+                              weight_expr: str, taus,
+                              budget_frac: float = 0.5,
+                              salt: str = "tmix",
+                              table: str = "documents") -> str:
+    """DuckDB twin of :func:`mixture_weight_search` — same pow/round/
+    threshold pipeline over a VALUES tau grid, integer-exact kept sums,
+    6-dp shares."""
+    values = ", ".join(f"({float(t)})" for t in taus)
+    return f"""
+WITH taus AS (
+  SELECT CAST(v.tau AS DOUBLE) AS tau
+  FROM (VALUES {values}) AS v(tau)
+),
+w AS (
+  SELECT {id_col}, {source_col} AS src,
+         CAST({weight_expr} AS DOUBLE) AS wt
+  FROM {table}
+),
+tot AS (SELECT src, sum(wt) AS t FROM w GROUP BY 1),
+pt AS (SELECT tau, src, t, pow(t, tau) AS tt FROM tot CROSS JOIN taus),
+z AS (SELECT tau, sum(tt) AS zz, sum(t) AS n FROM pt GROUP BY 1),
+grid AS (
+  SELECT pt.tau, pt.src,
+         round(pt.tt / z.zz, 9) AS target_share,
+         round(least(1.0, {float(budget_frac)} * z.n
+                          * pt.tt / z.zz / pt.t), 9) AS keep_frac
+  FROM pt JOIN z USING (tau)
+),
+kept AS (
+  SELECT g.tau, g.src, count(*) AS n_kept,
+         CAST(sum(w.wt) AS BIGINT) AS kept_weight
+  FROM w JOIN grid g ON w.src = g.src
+  WHERE {sample_unit_sql(id_col, salt)} < g.keep_frac
+  GROUP BY 1, 2
+),
+o AS (
+  SELECT g.tau, g.src, g.keep_frac, g.target_share,
+         COALESCE(k.n_kept, 0) AS n_kept,
+         COALESCE(k.kept_weight, 0) AS kept_weight
+  FROM grid g LEFT JOIN kept k ON g.tau = k.tau AND g.src = k.src
+),
+tk AS (SELECT tau, sum(kept_weight) AS kw FROM o GROUP BY 1),
+shares AS (
+  SELECT o.tau, o.src, o.keep_frac, o.target_share, o.n_kept,
+         o.kept_weight,
+         round(CASE WHEN tk.kw > 0
+                    THEN o.kept_weight / CAST(tk.kw AS DOUBLE)
+                    ELSE 0.0 END, 6) AS realized_share
+  FROM o JOIN tk USING (tau)
+)
+SELECT tau, src AS {source_col}, keep_frac, target_share, n_kept,
+       kept_weight, realized_share,
+       round(abs(realized_share - target_share), 6) AS share_gap
+FROM shares
+"""
+
+
 def stratified_fixed_k(df: DataFrame, id_col: str, strata_col: str,
                        k: int, salt: str = "fixk") -> DataFrame:
     """EXACTLY ``k`` rows per stratum (fewer only when the stratum is

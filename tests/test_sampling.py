@@ -304,3 +304,49 @@ def test_dsir_resample_gumbel_topk(spark):
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
     # weight-biased: target-looking docs dominate the selection
     assert sum(1 for r in got if r["doc_id"] % 2) >= 8
+
+
+def test_mixture_weight_search_grid(spark):
+    """Grid invariants + per-tau agreement with the single-tau operator:
+    each grid point's (n_kept, kept_weight) must equal what
+    temperature_mix at that tau (same salt) actually keeps, realized
+    shares sum to ~1 per tau, tau=1.0 targets proportional shares, and
+    tau=0.0 targets uniform shares."""
+    from qvarn_mr_spark.functions.sampling import (mixture_weight_search,
+                                                   temperature_mix)
+
+    rows = [(f"d{i}", f"src{i % 3}", float(10 + (i * 7) % 50))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, wt double")
+    taus = (0.0, 0.5, 1.0)
+    got = mixture_weight_search(df, "doc_id", "source", "wt",
+                                taus=taus, budget_frac=0.5).collect()
+    assert len(got) == 9
+    by_tau = {}
+    for r in got:
+        by_tau.setdefault(r["tau"], {})[r["source"]] = r
+
+    totals = {s: sum(w for _, src, w in rows if src == s)
+              for s in ("src0", "src1", "src2")}
+    n_total = sum(totals.values())
+    for tau, per_src in by_tau.items():
+        # realized shares sum to 1 (all kept mass attributed)
+        assert sum(r["realized_share"] for r in per_src.values()) \
+            == pytest.approx(1.0, abs=2e-6)
+        # grid row == the single-tau operator's actual kept set
+        kept = (temperature_mix(df, "doc_id", "source", "wt",
+                                tau=tau, budget_frac=0.5)
+                .groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("wt").cast("long").alias("w"))).collect()
+        kept = {r["source"]: r for r in kept}
+        for src, r in per_src.items():
+            k = kept.get(src)
+            assert r["n_kept"] == (k["n"] if k else 0)
+            assert r["kept_weight"] == (k["w"] if k else 0)
+    # tau=1.0 -> proportional target shares; tau=0.0 -> uniform
+    for src in totals:
+        assert by_tau[1.0][src]["target_share"] \
+            == pytest.approx(totals[src] / n_total, abs=1e-6)
+        assert by_tau[0.0][src]["target_share"] \
+            == pytest.approx(1 / 3, abs=1e-6)
