@@ -351,3 +351,34 @@ def test_bigram_surprisal_partial_aggs(q):
     df.write.format("noop").mode("overwrite").save()
     txt = df._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in txt
+
+
+def test_trigram_surprisal_partial_aggs(q):
+    """Trigram LM: same contract as the bigram twin one rung deeper —
+    map-side combine on the fits and the per-doc scoring aggregate, LM
+    tables persisted so each consumer reads one computation."""
+    from qvarn_mr_spark.plans import assert_partial_aggregation
+    df = q("doc_trigram_surprisal")
+    assert_partial_aggregation(df)
+    df.write.format("noop").mode("overwrite").save()
+    txt = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in txt
+
+
+def test_mixture_search_broadcasts_grid(q):
+    """The (tau x source) fraction grid joins the corpus as a broadcast —
+    the |taus|-fold fan-out must happen map-side, never through a shuffle
+    join on the corpus."""
+    from qvarn_mr_spark.plans import explain_str
+    df = q("doc_mixture_search")
+    txt = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in txt
+
+
+def test_corpus_dsir_prepare_broadcasts_pick(q):
+    """The DSIR stage's k-row pick must come back as a broadcast join —
+    the gated corpus is filtered to the selection without a corpus-sized
+    shuffle for the semi-join."""
+    from qvarn_mr_spark.plans import explain_str
+    df = q("corpus_dsir_prepare")
+    assert "BroadcastHashJoin" in explain_str(df, "simple")
