@@ -1469,6 +1469,40 @@ def q_centroid_by_label(spark, sf_dir):
     return similarity.centroid_by_label(emb, "label", "embedding")
 
 
+def q_embedding_kmeans_centroids(spark, sf_dir):
+    """Lloyd-trained k-means centroids (2 full rounds from the modulus
+    seed set), exploded to (cluster_id, pos, val). Every round is one
+    k-bounded broadcast assignment (min_by argmax, no sort) plus one
+    (cluster, pos) hash aggregate whose shuffle is k·dim partial sums per
+    partition; only the k·dim centroid table ever reaches the driver.
+    Value-oracled against an unrolled-Lloyd DuckDB CTE chain — the
+    iterative training loop itself is hash-checked, not just the final
+    assignment."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.kmeans_centroids(emb, "vec_id", "embedding",
+                                       F.col("vec_id") % 50 == 0, iters=2)
+
+
+def q_embedding_kmeans_assign(spark, sf_dir):
+    """Corpus assignment under the fitted k-means centroids — the
+    trained-centroid upgrade of ivf_assign (same broadcast + min_by
+    plan; the output cluster_id is the corpus partition key at scale)."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.kmeans_assign(emb, "vec_id", "embedding",
+                                    F.col("vec_id") % 50 == 0, iters=2)
+
+
+def q_embedding_density_sample(spark, sf_dir):
+    """Cluster-density-balanced sampling: keep each vector with
+    probability min(1, cap/|its k-means cluster|) by consistent hash —
+    the density/balanced-sampling stage of cluster-based corpus pruning.
+    Cluster sizes are a k-row broadcast; the hash keep is retry-stable."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.cluster_density_sample(
+        emb, "vec_id", "embedding", F.col("vec_id") % 50 == 0,
+        cap=30, iters=2)
+
+
 def q_events_type_counts_cms(spark, sf_dir):
     """Count-min sketch frequency query (functions/sketches.py): per-day
     CMS counter tables merged up to the whole corpus, then point-queried
@@ -2005,15 +2039,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dsir_weights": q_doc_dsir_weights,
         # restored to the window in r7 (displaced by the r6 DSIR entry)
         "doc_split_sample": q_doc_split_sample,
-        "knn_bruteforce": q_knn,
-        "ivf_assign": q_ivf_assign,
+        # r7: the kmeans trio takes the window slots of knn_bruteforce /
+        # ivf_assign / centroid_by_label — each is the trained-centroid
+        # upgrade of the entry it displaces; the displaced three stay
+        # value-checked in the local mirror just below the window.
+        "embedding_kmeans_centroids": q_embedding_kmeans_centroids,
+        "embedding_kmeans_assign": q_embedding_kmeans_assign,
         "embedding_nn": q_embedding_nn,
         "embedding_nn_ivf": q_embedding_nn_ivf,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "embedding_quantize": q_embedding_quantize,
         "embedding_semantic_dedup": q_embedding_semantic_dedup,
         "ivf_probe_search": q_ivf_probe_search,
-        "centroid_by_label": q_centroid_by_label,
+        "embedding_density_sample": q_embedding_density_sample,
         "events_type_counts_cms": q_events_type_counts_cms,
         "events_user_funnel_theta": q_events_user_funnel_theta,
         "events_skew_profile": q_events_skew_profile,
@@ -2030,6 +2068,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the window keeps one driver check per DISTINCT semantics; the
         # twins stay value-checked by the local mirror
         # (tools/check_oracle.py)
+        "knn_bruteforce": q_knn,
+        "ivf_assign": q_ivf_assign,
+        "centroid_by_label": q_centroid_by_label,
         "knn_bruteforce_arrow": q_knn_arrow,
         "ivf_assign_arrow": q_ivf_assign_arrow,
         "embedding_nn_ivf_arrow": q_embedding_nn_ivf_arrow,
@@ -2765,6 +2806,14 @@ def oracle_sql() -> dict[str, str]:
         "ivf_probe_search": oracle.ivf_probe_search_sql(
             "vec_id % 100 = 0", "vec_id < 4", k=3),
         "centroid_by_label": oracle.centroid_by_label_agg_sql(),
+        # r7 kmeans trio: the unrolled-Lloyd CTE chain hash-checks the
+        # iterative training loop itself, round for round
+        "embedding_kmeans_centroids": oracle.kmeans_centroids_sql(
+            "vec_id % 50 = 0", iters=2),
+        "embedding_kmeans_assign": oracle.kmeans_assign_sql(
+            "vec_id % 50 = 0", iters=2),
+        "embedding_density_sample": oracle.cluster_density_sample_sql(
+            "vec_id % 50 = 0", cap=30, iters=2),
     }
     # classifier scoring is a deterministic sigmoid once the fit is pinned:
     # inline EVERY committed sidecar weight set as SQL literals behind a

@@ -1048,3 +1048,172 @@ def dequantize(qvec: Column, scale: Column) -> Column:
     """Inverse map: ``q * scale / 127`` as array<double> — feed to
     :func:`cosine`/:func:`dot` for compressed-domain scoring."""
     return F.transform(qvec, lambda c: c.cast("double") * scale / 127.0)
+
+
+# ---------------------------------------------------------------------------
+# Lloyd-trained k-means + cluster-density-balanced sampling
+# ---------------------------------------------------------------------------
+
+def _kmeans_literal_cent(spark, cents):
+    """Centroid list → broadcastable DataFrame (cluster_id, c_vec).
+
+    ``cents`` is ``[(cluster_id, [float, ...]), ...]`` — k·dim values,
+    driver-bounded by the same contract as the IVF centroid/PQ codebook
+    collects (k is a config constant, never data-sized)."""
+    return spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in cents],
+        "cluster_id long, c_vec array<double>")
+
+
+def _kmeans_score(v: DataFrame, cent: DataFrame,
+                  keep_vec: bool = False) -> DataFrame:
+    """Nearest-centroid assignment against a literal centroid table.
+
+    Same shape and tiebreak as :func:`ivf_assign` (broadcast cross ×
+    fused JVM cosine, ``min_by`` over (−cos_sim, cluster_id) — one row
+    per vector after map-side combine, no sort). ``keep_vec`` threads the
+    vector through the aggregate so the Lloyd mean update needs no second
+    join back to the corpus."""
+    scored = v.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cluster_id", "v_vec",
+        F.round(cosine(F.col("v_vec"), F.col("c_vec")), 6).alias("cos_sim"))
+    aggs = [F.min_by(F.struct(F.col("cluster_id"), F.col("cos_sim")),
+                     F.struct((-F.col("cos_sim")).alias("neg_sim"),
+                              F.col("cluster_id"))).alias("_best")]
+    if keep_vec:
+        aggs.append(F.first("v_vec").alias("v_vec"))
+    out = scored.groupBy("vec_id").agg(*aggs)
+    cols = ["vec_id", "_best.cluster_id", "_best.cos_sim"]
+    return out.select(*cols, "v_vec") if keep_vec else out.select(*cols)
+
+
+def _kmeans_update(assign_with_vec: DataFrame,
+                   cent: DataFrame) -> DataFrame:
+    """One Lloyd mean update, exploded: ``(cluster_id, pos, val)``.
+
+    ``posexplode`` + hash aggregate on (cluster_id, pos) — identical
+    machinery to :func:`centroid_by_label`: after map-side combine the
+    shuffle carries k·dim partial sums per partition, not n·dim rows.
+    Empty clusters carry their previous centroid forward (left join from
+    the current centroid table, k·dim rows, broadcast)."""
+    means = (assign_with_vec
+             .select("cluster_id", F.posexplode("v_vec").alias("pos", "val"))
+             .groupBy("cluster_id", "pos")
+             .agg(F.round(F.avg("val"), 6).alias("_new")))
+    prev = cent.select("cluster_id",
+                       F.posexplode("c_vec").alias("pos", "_prev"))
+    return (prev.join(F.broadcast(means), ["cluster_id", "pos"], "left")
+            .select("cluster_id", "pos",
+                    F.coalesce("_new", "_prev").alias("val")))
+
+
+def _kmeans_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(F.col(id_col).cast("long").alias("vec_id"),
+                     _as_double(df, vec_col).alias("v_vec"))
+
+
+def _kmeans_init(df: DataFrame, id_col: str, vec_col: str,
+                 init_filter: Column) -> DataFrame:
+    """Iteration-0 centroids: the ``init_filter`` rows, components rounded
+    to 6 (so the carry-forward path and the DuckDB twin see identical
+    literals from the first iteration on)."""
+    return df.filter(init_filter).select(
+        F.col(id_col).cast("long").alias("cluster_id"),
+        F.transform(_as_double(df, vec_col),
+                    lambda x: F.round(x, 6)).alias("c_vec"))
+
+
+def kmeans_fit(df: DataFrame, id_col: str, vec_col: str,
+               init_filter: Column, iters: int = 2) -> list:
+    """Lloyd's k-means with cosine assignment: ``iters`` full
+    assign → mean-update rounds from a deterministic seed set
+    (``init_filter`` picks the iteration-0 centroid rows, same convention
+    as :func:`ivf_assign`). Returns the fitted centroid list
+    ``[(cluster_id, [val, ...]), ...]`` — k·dim driver-bounded.
+
+    Everything data-sized stays distributed: each round is one broadcast
+    assignment pass (k-bounded broadcast, ``min_by`` argmax — no sort, no
+    window) and one (cluster, pos) hash aggregate whose shuffle carries
+    k·dim partial sums per partition. Only the k·dim centroid table is
+    collected between rounds, the same driver-size contract as the IVF
+    centroid and PQ codebook collects. Determinism: similarities and
+    means round to 6 before every argmax/reuse, ties break on ascending
+    cluster_id, so the unrolled DuckDB twin reproduces every iteration
+    exactly; empty clusters keep their previous centroid on both engines.
+
+    The reference has no vector surface (SURVEY §2: extension); this is
+    the training step the IVF family's ``centroid_filter`` contract
+    points at ("a real system would take k-means centroids",
+    :func:`ivf_assign`)."""
+    spark = df.sparkSession
+    v = _kmeans_vectors(df, id_col, vec_col)
+    cent = _kmeans_init(df, id_col, vec_col, init_filter)
+    for _ in range(iters):
+        assign = _kmeans_score(v, cent, keep_vec=True)
+        upd = _kmeans_update(assign, cent)
+        rows = upd.collect()                      # k·dim, bounded
+        by_cluster = {}
+        for r in rows:
+            by_cluster.setdefault(r["cluster_id"], {})[r["pos"]] = r["val"]
+        cents = sorted(
+            (cid, [vals[p] for p in sorted(vals)])
+            for cid, vals in by_cluster.items())
+        cent = _kmeans_literal_cent(spark, cents)
+    return cents
+
+
+def kmeans_centroids(df: DataFrame, id_col: str, vec_col: str,
+                     init_filter: Column, iters: int = 2) -> DataFrame:
+    """Fitted centroids after ``iters`` Lloyd rounds, exploded to
+    ``(cluster_id, pos, val)`` rows (the :func:`centroid_by_label` output
+    convention). The last round's mean update is returned lazily; earlier
+    rounds collect only the k·dim centroid table (see :func:`kmeans_fit`)."""
+    spark = df.sparkSession
+    v = _kmeans_vectors(df, id_col, vec_col)
+    if iters <= 0:
+        return _kmeans_init(df, id_col, vec_col, init_filter).select(
+            "cluster_id", F.posexplode("c_vec").alias("pos", "val"))
+    cents = kmeans_fit(df, id_col, vec_col, init_filter, iters - 1)
+    cent = _kmeans_literal_cent(spark, cents)
+    return _kmeans_update(_kmeans_score(v, cent, keep_vec=True), cent)
+
+
+def kmeans_assign(df: DataFrame, id_col: str, vec_col: str,
+                  init_filter: Column, iters: int = 2) -> DataFrame:
+    """Corpus assignment under the fully-fitted centroids:
+    ``(vec_id, cluster_id, cos_sim)`` — the trained-centroid twin of
+    :func:`ivf_assign`, same broadcast + ``min_by`` plan, so at scale the
+    output column becomes the corpus partition key exactly as there."""
+    spark = df.sparkSession
+    cents = kmeans_fit(df, id_col, vec_col, init_filter, iters)
+    return _kmeans_score(_kmeans_vectors(df, id_col, vec_col),
+                         _kmeans_literal_cent(spark, cents))
+
+
+def cluster_density_sample(df: DataFrame, id_col: str, vec_col: str,
+                           init_filter: Column, cap: int,
+                           iters: int = 2,
+                           salt: str = "density") -> DataFrame:
+    """Cluster-density-balanced sampling: k-means-assign the corpus, then
+    keep each row with probability ``min(1, cap / |its cluster|)`` by
+    consistent hash — dense regions are downsampled toward ``cap`` rows
+    per cluster, sparse clusters survive whole. The standard
+    curation move for de-biasing a crawl toward web boilerplate clusters
+    (the density/balanced-sampling stage of cluster-based corpus
+    pruning), built from parts this engine already proves: trained
+    assignment (:func:`kmeans_assign`) + retry-stable hash membership
+    (``sampling.hash_unit`` — re-running never flips a kept row).
+
+    Scale: the per-cluster size table is k rows → broadcast join back;
+    the only corpus-sized shuffle is the assignment argmax. Returns
+    ``(vec_id, cluster_id, cluster_n, keep_frac)`` for the survivors."""
+    from qvarn_mr_spark.functions.sampling import hash_unit
+    assign = kmeans_assign(df, id_col, vec_col, init_filter, iters)
+    sizes = assign.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_n"))
+    frac = F.least(F.lit(1.0),
+                   F.lit(float(cap)) / F.col("cluster_n").cast("double"))
+    return (assign.join(F.broadcast(sizes), "cluster_id")
+            .withColumn("keep_frac", F.round(frac, 6))
+            .filter(hash_unit("vec_id", salt) < frac)
+            .select("vec_id", "cluster_id", "cluster_n", "keep_frac"))

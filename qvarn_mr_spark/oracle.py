@@ -1522,3 +1522,87 @@ FROM dsir_w
 ORDER BY key DESC, doc_id ASC
 LIMIT {int(k)}
 """
+
+
+def _kmeans_ctes(init_pred: str, iters: int,
+                 table: str = "embeddings") -> str:
+    """Unrolled-Lloyd CTE chain shared by the k-means oracles — one
+    (assignment, mean-update, carry-forward, re-list) block per
+    iteration, mirroring similarity.kmeans_fit round for round: cosine
+    rounds to 6 before the argmax (cluster_id ascending on ties), means
+    round to 6, empty clusters keep the previous centroid."""
+    cos = _COS.format(a="v.e", b="c.c")
+    parts = [
+        f"e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM {table})",
+        ("x AS (SELECT vec_id, generate_subscripts(e, 1) - 1 AS pos, "
+         "unnest(e) AS val FROM e)"),
+        (f"c0 AS (SELECT vec_id AS cluster_id, "
+         f"list_transform(e, z -> round(z, 6)) AS c "
+         f"FROM e WHERE {init_pred})"),
+    ]
+    for i in range(iters):
+        parts.append(f"""a{i} AS (
+  SELECT vec_id, cluster_id, cos_sim FROM (
+    SELECT v.vec_id, c.cluster_id, round({cos}, 6) AS cos_sim,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY round({cos}, 6) DESC,
+                                       c.cluster_id ASC) AS rn
+    FROM e v, c{i} c) WHERE rn = 1)""")
+        parts.append(f"""m{i + 1} AS (
+  SELECT a.cluster_id, x.pos, round(avg(x.val), 6) AS val
+  FROM a{i} a JOIN x ON a.vec_id = x.vec_id GROUP BY 1, 2)""")
+        parts.append(f"""ce{i + 1} AS (
+  SELECT p.cluster_id, p.pos, coalesce(m.val, p.val) AS val
+  FROM (SELECT cluster_id, generate_subscripts(c, 1) - 1 AS pos,
+               unnest(c) AS val FROM c{i}) p
+  LEFT JOIN m{i + 1} m ON m.cluster_id = p.cluster_id AND m.pos = p.pos)""")
+        parts.append(
+            f"c{i + 1} AS (SELECT cluster_id, list(val ORDER BY pos) AS c "
+            f"FROM ce{i + 1} GROUP BY 1)")
+    return ",\n".join(parts)
+
+
+def kmeans_centroids_sql(init_pred: str, iters: int = 2,
+                         table: str = "embeddings") -> str:
+    """similarity.kmeans_centroids — centroids after ``iters`` Lloyd
+    rounds, exploded (cluster_id, pos, val)."""
+    if iters <= 0:
+        return f"""
+WITH {_kmeans_ctes(init_pred, 0, table)}
+SELECT cluster_id, generate_subscripts(c, 1) - 1 AS pos, unnest(c) AS val
+FROM c0
+"""
+    return f"""
+WITH {_kmeans_ctes(init_pred, iters, table)}
+SELECT cluster_id, pos, val FROM ce{iters}
+"""
+
+
+def kmeans_assign_sql(init_pred: str, iters: int = 2,
+                      table: str = "embeddings") -> str:
+    """similarity.kmeans_assign — corpus assignment under the fully
+    fitted centroids (one extra assignment block past the last update)."""
+    return f"""
+WITH {_kmeans_ctes(init_pred, iters + 1, table)}
+SELECT vec_id, cluster_id, cos_sim FROM a{iters}
+"""
+
+
+def cluster_density_sample_sql(init_pred: str, cap: int, iters: int = 2,
+                               salt: str = "density",
+                               table: str = "embeddings") -> str:
+    """similarity.cluster_density_sample — keep-probability
+    min(1, cap/|cluster|) by the shared consistent hash; the filter
+    compares the UNROUNDED double fraction on both engines (identical
+    IEEE division), keep_frac in the output rounds to 6."""
+    from qvarn_mr_spark.functions.sampling import sample_unit_sql
+    unit = sample_unit_sql("a.vec_id", salt)
+    frac = f"least(1.0, {float(cap)!r} / CAST(s.cluster_n AS DOUBLE))"
+    return f"""
+WITH {_kmeans_ctes(init_pred, iters + 1, table)},
+sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_n
+          FROM a{iters} GROUP BY 1)
+SELECT a.vec_id, a.cluster_id, s.cluster_n, round({frac}, 6) AS keep_frac
+FROM a{iters} a JOIN sizes s ON a.cluster_id = s.cluster_id
+WHERE {unit} < {frac}
+"""

@@ -1047,3 +1047,119 @@ def test_arrow_zero_norm_vectors_deterministic(spark):
                                        flt).collect()}
     assert out[1] == (10, 0.0)            # deterministic, not NaN
     assert out[2] == (20, 0.8)            # normal rows unaffected
+
+
+# ---------------------------------------------------------------------------
+# k-means (Lloyd) + cluster-density sampling
+# ---------------------------------------------------------------------------
+
+def _py_kmeans(vecs, init_ids, iters):
+    """Driver-free Python model of similarity.kmeans_fit: cosine argmax
+    (round 6, lowest cluster_id on ties), mean update (round 6), empty
+    clusters carry forward."""
+    import numpy as np
+
+    def unit(v):
+        n = np.linalg.norm(v)
+        return v / (n if n else 1.0)
+
+    cents = {i: np.round(np.asarray(vecs[i], dtype=np.float64), 6)
+             for i in init_ids}
+    assign = {}
+    for _ in range(iters):
+        assign = {}
+        for vid, v in vecs.items():
+            vn = unit(np.asarray(v, dtype=np.float64))
+            best = min(
+                ((-round(float(vn @ unit(c)), 6), cid)
+                 for cid, c in cents.items()))
+            assign[vid] = best[1]
+        new = {}
+        for cid in cents:
+            members = [np.asarray(vecs[v], dtype=np.float64)
+                       for v, a in assign.items() if a == cid]
+            if members:
+                new[cid] = np.round(np.mean(members, axis=0), 6)
+            else:
+                new[cid] = cents[cid]
+        cents = new
+    return cents
+
+
+def test_kmeans_fit_matches_python_model(spark):
+    """Randomized differential: the distributed Lloyd loop must equal the
+    sequential Python model exactly — centroids AND rounds, not just the
+    final assignment."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(77)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(5)] for i in range(40)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>")
+    got = dict(similarity.kmeans_fit(
+        df, "vec_id", "embedding", F.col("vec_id") % 10 == 0, iters=3))
+    want = _py_kmeans(vecs, [0, 10, 20, 30], iters=3)
+    assert set(got) == set(want)
+    for cid in want:
+        np.testing.assert_allclose(got[cid], want[cid], atol=2e-6)
+
+
+def test_kmeans_assign_uses_fitted_centroids(spark):
+    """Two separated blobs, seeds both inside blob A: after one Lloyd
+    round the second centroid must migrate to blob B, so assignment
+    under the FITTED centroids splits the blobs — the raw seed
+    assignment (ivf_assign) cannot."""
+    blob_a = [(i, [1.0 + 0.01 * i, 0.0]) for i in range(0, 4)]
+    blob_b = [(i, [0.0, 1.0 + 0.01 * i]) for i in range(10, 14)]
+    # seeds: 0 (blob A) and 10 (blob B) after modulus 10
+    df = spark.createDataFrame(blob_a + blob_b,
+                               "vec_id long, embedding array<float>")
+    out = similarity.kmeans_assign(df, "vec_id", "embedding",
+                                   F.col("vec_id") % 10 == 0, iters=2)
+    got = {r["vec_id"]: r["cluster_id"] for r in out.collect()}
+    assert {got[i] for i in range(0, 4)} == {0}
+    assert {got[i] for i in range(10, 14)} == {10}
+
+
+def test_kmeans_empty_cluster_carries_forward(spark):
+    """A seed that wins no vectors keeps its previous centroid instead of
+    vanishing or going NaN (same rule as the DuckDB twin's left join)."""
+    vecs = [(0, [1.0, 0.0]), (1, [0.99, 0.01]), (2, [0.98, 0.02]),
+            (10, [-1.0, -1.0])]  # seed 10 loses every cosine argmax to 0
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    cents = dict(similarity.kmeans_fit(
+        df, "vec_id", "embedding",
+        F.col("vec_id").isin(0, 10), iters=2))
+    assert set(cents) == {0, 10}
+    # 10 attracted only itself every round -> stays at its own vector
+    assert cents[10] == [-1.0, -1.0]
+    assert all(v == v for v in cents[0])  # no NaN
+
+
+def test_cluster_density_sample_caps_dense_cluster(spark):
+    """Dense cluster downsamples toward cap, sparse cluster survives
+    whole; keep decisions are retry-stable (re-run identical)."""
+    dense = [(i, [1.0, 0.001 * i]) for i in range(100)]
+    sparse = [(200 + i, [0.0, -1.0 - 0.01 * i]) for i in range(3)]
+    df = spark.createDataFrame(dense + sparse,
+                               "vec_id long, embedding array<float>")
+    init = F.col("vec_id").isin(0, 200)
+    out = similarity.cluster_density_sample(
+        df, "vec_id", "embedding", init, cap=20, iters=1)
+    rows = out.collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    # sparse cluster: keep_frac 1.0, all rows survive
+    assert len(by_cluster[200]) == 3
+    assert all(r["keep_frac"] == 1.0 for r in by_cluster[200])
+    # dense cluster: fraction 0.2 — hash sampling keeps roughly cap rows
+    kept_dense = len(by_cluster[0])
+    assert 5 <= kept_dense <= 40
+    assert all(r["keep_frac"] == 0.2 for r in by_cluster[0])
+    again = {r["vec_id"] for r in similarity.cluster_density_sample(
+        df, "vec_id", "embedding", init, cap=20, iters=1).collect()}
+    assert again == {r["vec_id"] for r in rows}

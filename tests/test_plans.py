@@ -382,3 +382,25 @@ def test_corpus_dsir_prepare_broadcasts_pick(q):
     from qvarn_mr_spark.plans import explain_str
     df = q("corpus_dsir_prepare")
     assert "BroadcastHashJoin" in explain_str(df, "simple")
+
+
+def test_kmeans_assign_broadcast_argmax_no_sort(q):
+    """The fitted-centroid assignment must be the ivf_assign plan shape:
+    broadcast centroid side, min_by hash aggregate — partial+final, and
+    never a sort-merge join or window sort over the corpus."""
+    from qvarn_mr_spark.plans import assert_partial_aggregation, explain_str
+    df = q("embedding_kmeans_assign")
+    txt = explain_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" in txt or "BroadcastExchange" in txt
+    assert "SortMergeJoin" not in txt
+    assert_partial_aggregation(df)
+
+
+def test_density_sample_broadcasts_cluster_sizes(q):
+    """The k-row cluster-size table joins back as a broadcast — the only
+    corpus-sized shuffle in the sampler is the assignment argmax."""
+    from qvarn_mr_spark.plans import explain_str
+    df = q("embedding_density_sample")
+    txt = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in txt
+    assert "SortMergeJoin" not in txt
