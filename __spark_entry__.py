@@ -1503,6 +1503,18 @@ def q_embedding_density_sample(spark, sf_dir):
         cap=30, iters=2)
 
 
+def q_kmeans_probe_search(spark, sf_dir):
+    """ANN serving under the fitted k-means partition: route each query
+    to its trained cluster, rank only there (1/nlist of the corpus per
+    probe). Completes the value-oracled train -> assign -> serve story;
+    the DuckDB twin runs the probe block over the unrolled-Lloyd
+    assignment."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.kmeans_probe_search(
+        emb, "vec_id", "embedding", F.col("vec_id") % 50 == 0,
+        F.col("vec_id") < 4, k=3, iters=2)
+
+
 def q_events_type_counts_cms(spark, sf_dir):
     """Count-min sketch frequency query (functions/sketches.py): per-day
     CMS counter tables merged up to the whole corpus, then point-queried
@@ -2050,7 +2062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "embedding_quantize": q_embedding_quantize,
         "embedding_semantic_dedup": q_embedding_semantic_dedup,
-        "ivf_probe_search": q_ivf_probe_search,
+        "kmeans_probe_search": q_kmeans_probe_search,
         "embedding_density_sample": q_embedding_density_sample,
         "events_type_counts_cms": q_events_type_counts_cms,
         "events_user_funnel_theta": q_events_user_funnel_theta,
@@ -2070,6 +2082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_oracle.py)
         "knn_bruteforce": q_knn,
         "ivf_assign": q_ivf_assign,
+        "ivf_probe_search": q_ivf_probe_search,
         "centroid_by_label": q_centroid_by_label,
         "knn_bruteforce_arrow": q_knn_arrow,
         "ivf_assign_arrow": q_ivf_assign_arrow,
@@ -2814,6 +2827,8 @@ def oracle_sql() -> dict[str, str]:
             "vec_id % 50 = 0", iters=2),
         "embedding_density_sample": oracle.cluster_density_sample_sql(
             "vec_id % 50 = 0", cap=30, iters=2),
+        "kmeans_probe_search": oracle.kmeans_probe_search_sql(
+            "vec_id % 50 = 0", "vec_id < 4", k=3, iters=2),
     }
     # classifier scoring is a deterministic sigmoid once the fit is pinned:
     # inline EVERY committed sidecar weight set as SQL literals behind a

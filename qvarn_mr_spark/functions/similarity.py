@@ -473,6 +473,29 @@ def ivf_probe_search(df: DataFrame, id_col: str, vec_col: str,
     """
     assign = ivf_assign(df, id_col, vec_col, centroid_filter) \
         .select(F.col("vec_id"), F.col("cluster_id"))
+    return _probe_search(df, id_col, vec_col, assign, query_filter, k)
+
+
+def kmeans_probe_search(df: DataFrame, id_col: str, vec_col: str,
+                        init_filter: Column, query_filter: Column,
+                        k: int = 3, iters: int = 2) -> DataFrame:
+    """ANN serving under Lloyd-trained centroids — the end of the
+    train → assign → serve story: :func:`kmeans_fit` learns the
+    partition, :func:`kmeans_assign` keys the corpus by it, and this
+    routes each query to its fitted cluster and ranks only there. Same
+    probe plan as :func:`ivf_probe_search` (broadcast query routing,
+    in-cluster scoring, per-query top-k window), but the cluster
+    boundaries are trained rather than hash-seeded — at equal nlist the
+    trained partition is what raises in-cluster recall."""
+    assign = kmeans_assign(df, id_col, vec_col, init_filter, iters) \
+        .select(F.col("vec_id"), F.col("cluster_id"))
+    return _probe_search(df, id_col, vec_col, assign, query_filter, k)
+
+
+def _probe_search(df: DataFrame, id_col: str, vec_col: str,
+                  assign: DataFrame, query_filter: Column,
+                  k: int) -> DataFrame:
+    """Shared probe plan: route queries via ``assign``, rank in-cluster."""
     q_assign = (assign.join(df.filter(query_filter).select(
         F.col(id_col).alias("vec_id")), "vec_id", "left_semi")
         .select(F.col("vec_id").alias("q_id"),

@@ -1606,3 +1606,30 @@ SELECT a.vec_id, a.cluster_id, s.cluster_n, round({frac}, 6) AS keep_frac
 FROM a{iters} a JOIN sizes s ON a.cluster_id = s.cluster_id
 WHERE {unit} < {frac}
 """
+
+
+def kmeans_probe_search_sql(init_pred: str, query_pred: str, k: int = 3,
+                            iters: int = 2,
+                            table: str = "embeddings") -> str:
+    """similarity.kmeans_probe_search — the ivf_probe_search probe block
+    over the unrolled-Lloyd assignment (a{iters}) instead of the
+    seed-row assignment."""
+    cos = _COS.format(a="qv.e", b="nv.e")
+    return f"""
+WITH {_kmeans_ctes(init_pred, iters + 1, table)},
+q AS (SELECT a.vec_id AS q_id, a.cluster_id AS q_cluster
+      FROM a{iters} a
+      WHERE a.vec_id IN (SELECT vec_id FROM e WHERE {query_pred})),
+scored AS (
+  SELECT q.q_id, m.vec_id AS n_id, round({cos}, 6) AS cos_sim
+  FROM q
+  JOIN e qv ON qv.vec_id = q.q_id
+  JOIN a{iters} m ON m.cluster_id = q.q_cluster
+  JOIN e nv ON nv.vec_id = m.vec_id
+  WHERE q.q_id != m.vec_id
+)
+SELECT q_id, n_id, cos_sim, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos_sim DESC, n_id ASC) AS rn
+  FROM scored) WHERE rn <= {k}
+"""

@@ -1163,3 +1163,19 @@ def test_cluster_density_sample_caps_dense_cluster(spark):
     again = {r["vec_id"] for r in similarity.cluster_density_sample(
         df, "vec_id", "embedding", init, cap=20, iters=1).collect()}
     assert again == {r["vec_id"] for r in rows}
+
+
+def test_kmeans_probe_search_routes_to_trained_cluster(spark):
+    """Both seeds start inside blob A; after training, queries from blob
+    B must rank neighbors from blob B only — the untrained (seed-row)
+    probe would route every query to a blob-A cluster."""
+    blob_a = [(i, [1.0, 0.01 * i]) for i in range(0, 6)]
+    blob_b = [(i, [0.01 * (i - 10), 1.0]) for i in range(10, 16)]
+    df = spark.createDataFrame(blob_a + blob_b,
+                               "vec_id long, embedding array<float>")
+    out = similarity.kmeans_probe_search(
+        df, "vec_id", "embedding", F.col("vec_id") % 10 == 0,
+        F.col("vec_id") == 12, k=3, iters=2)
+    rows = out.collect()
+    assert {r["n_id"] for r in rows} <= set(range(10, 16))
+    assert len(rows) == 3 and [r["rn"] for r in rows] != []
