@@ -94,6 +94,16 @@ BENCH_QUERIES = (
     "embedding_lsh_probe",
     "inverted_index",
     "corpus_prepare",
+    # round 6-7 additions: the composed DSIR pipeline, the mixture grid
+    # search, the trigram LM, and the trained-k-means family
+    "doc_dsir_select",
+    "doc_trigram_surprisal",
+    "doc_mixture_search",
+    "corpus_dsir_prepare",
+    "corpus_funnel",
+    "embedding_kmeans_assign",
+    "embedding_density_sample",
+    "kmeans_probe_search",
 )
 
 #: Deliberate brute-force foils, kept in queries() as labeled baselines
