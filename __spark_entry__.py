@@ -1515,6 +1515,16 @@ def q_kmeans_probe_search(spark, sf_dir):
         F.col("vec_id") < 4, k=3, iters=2)
 
 
+def q_embedding_kmeans_assign_arrow(spark, sf_dir):
+    """Arrow/BLAS twin of embedding_kmeans_assign — every Lloyd round
+    AND the final assignment score as one matmul per batch; shares the
+    plain form's unrolled-Lloyd DuckDB oracle verbatim."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.kmeans_assign(emb, "vec_id", "embedding",
+                                    F.col("vec_id") % 50 == 0, iters=2,
+                                    arrow=True)
+
+
 def q_events_type_counts_cms(spark, sf_dir):
     """Count-min sketch frequency query (functions/sketches.py): per-day
     CMS counter tables merged up to the whole corpus, then point-queried
@@ -2086,6 +2096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_by_label": q_centroid_by_label,
         "knn_bruteforce_arrow": q_knn_arrow,
         "ivf_assign_arrow": q_ivf_assign_arrow,
+        "embedding_kmeans_assign_arrow": q_embedding_kmeans_assign_arrow,
         "embedding_nn_ivf_arrow": q_embedding_nn_ivf_arrow,
         # displaced from the 50-window in r7 in favor of the DSIR-gated
         # pipeline pair: the production-width candidate variants stay
@@ -2829,6 +2840,9 @@ def oracle_sql() -> dict[str, str]:
             "vec_id % 50 = 0", cap=30, iters=2),
         "kmeans_probe_search": oracle.kmeans_probe_search_sql(
             "vec_id % 50 = 0", "vec_id < 4", k=3, iters=2),
+        # the Arrow twin shares the plain form's oracle verbatim
+        "embedding_kmeans_assign_arrow": oracle.kmeans_assign_sql(
+            "vec_id % 50 = 0", iters=2),
     }
     # classifier scoring is a deterministic sigmoid once the fit is pinned:
     # inline EVERY committed sidecar weight set as SQL literals behind a

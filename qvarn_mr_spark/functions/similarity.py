@@ -1147,7 +1147,8 @@ def _kmeans_init(df: DataFrame, id_col: str, vec_col: str,
 
 
 def kmeans_fit(df: DataFrame, id_col: str, vec_col: str,
-               init_filter: Column, iters: int = 2) -> list:
+               init_filter: Column, iters: int = 2,
+               arrow: bool = False) -> list:
     """Lloyd's k-means with cosine assignment: ``iters`` full
     assign → mean-update rounds from a deterministic seed set
     (``init_filter`` picks the iteration-0 centroid rows, same convention
@@ -1167,12 +1168,25 @@ def kmeans_fit(df: DataFrame, id_col: str, vec_col: str,
     The reference has no vector surface (SURVEY §2: extension); this is
     the training step the IVF family's ``centroid_filter`` contract
     points at ("a real system would take k-means centroids",
-    :func:`ivf_assign`)."""
+    :func:`ivf_assign`).
+
+    ``arrow=True`` scores every round through
+    :func:`_kmeans_score_arrow` (one BLAS matmul per batch — the
+    assignment is the n·k·dim hot stage of training); output is
+    bit-identical (differentially tested) and the mean update stays on
+    the JVM."""
     spark = df.sparkSession
     v = _kmeans_vectors(df, id_col, vec_col)
     cent = _kmeans_init(df, id_col, vec_col, init_filter)
+    cents = None
     for _ in range(iters):
-        assign = _kmeans_score(v, cent, keep_vec=True)
+        if arrow:
+            if cents is None:                     # k·dim, bounded
+                cents = sorted((r["cluster_id"], list(r["c_vec"]))
+                               for r in cent.collect())
+            assign = _kmeans_score_arrow(v, cents, keep_vec=True)
+        else:
+            assign = _kmeans_score(v, cent, keep_vec=True)
         upd = _kmeans_update(assign, cent)
         rows = upd.collect()                      # k·dim, bounded
         by_cluster = {}
@@ -1182,6 +1196,9 @@ def kmeans_fit(df: DataFrame, id_col: str, vec_col: str,
             (cid, [vals[p] for p in sorted(vals)])
             for cid, vals in by_cluster.items())
         cent = _kmeans_literal_cent(spark, cents)
+    if cents is None:                             # iters == 0: seeds as-is
+        cents = sorted((r["cluster_id"], list(r["c_vec"]))
+                       for r in cent.collect())
     return cents
 
 
@@ -1202,15 +1219,20 @@ def kmeans_centroids(df: DataFrame, id_col: str, vec_col: str,
 
 
 def kmeans_assign(df: DataFrame, id_col: str, vec_col: str,
-                  init_filter: Column, iters: int = 2) -> DataFrame:
+                  init_filter: Column, iters: int = 2,
+                  arrow: bool = False) -> DataFrame:
     """Corpus assignment under the fully-fitted centroids:
     ``(vec_id, cluster_id, cos_sim)`` — the trained-centroid twin of
     :func:`ivf_assign`, same broadcast + ``min_by`` plan, so at scale the
-    output column becomes the corpus partition key exactly as there."""
+    output column becomes the corpus partition key exactly as there.
+    ``arrow=True`` trains AND serves through the BLAS scorer,
+    bit-identical to the JVM form (shares its DuckDB oracle)."""
     spark = df.sparkSession
-    cents = kmeans_fit(df, id_col, vec_col, init_filter, iters)
-    return _kmeans_score(_kmeans_vectors(df, id_col, vec_col),
-                         _kmeans_literal_cent(spark, cents))
+    cents = kmeans_fit(df, id_col, vec_col, init_filter, iters, arrow=arrow)
+    v = _kmeans_vectors(df, id_col, vec_col)
+    if arrow:
+        return _kmeans_score_arrow(v, cents)
+    return _kmeans_score(v, _kmeans_literal_cent(spark, cents))
 
 
 def cluster_density_sample(df: DataFrame, id_col: str, vec_col: str,
@@ -1240,3 +1262,50 @@ def cluster_density_sample(df: DataFrame, id_col: str, vec_col: str,
             .withColumn("keep_frac", F.round(frac, 6))
             .filter(hash_unit("vec_id", salt) < frac)
             .select("vec_id", "cluster_id", "cluster_n", "keep_frac"))
+
+
+def _kmeans_score_arrow(v: DataFrame, cents,
+                        keep_vec: bool = False) -> DataFrame:
+    """Arrow/BLAS twin of :func:`_kmeans_score` — identical output
+    (differentially tested; the Arrow fit shares the JVM form's DuckDB
+    oracles verbatim), one ``B @ C.T`` matmul per Arrow batch instead of
+    k interpreted ``zip_with`` dot products per vector.
+
+    Same determinism recipe as :func:`ivf_assign_arrow`: similarities
+    round to 6 BEFORE the argmax and the literal centroids are sorted by
+    cluster_id, so numpy's first-max rule reproduces ``min_by``'s
+    (−cos_sim, cluster_id) tiebreak exactly. No shuffle — the argmax
+    happens inside the batch."""
+    import numpy as np
+    import pandas as pd
+
+    from qvarn_mr_spark.session import ship_package
+    ship_package(v.sparkSession)
+
+    cents = sorted(cents)
+    c_ids = np.array([c for c, _ in cents], dtype=np.int64)
+    if cents:
+        cm = _unit_rows(np.array([vec for _, vec in cents],
+                                 dtype=np.float64))
+    else:
+        cm = np.zeros((0, 1))
+
+    schema = "vec_id long, cluster_id long, cos_sim double"
+    if keep_vec:
+        schema += ", v_vec array<double>"
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or len(c_ids) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            vm = _unit_rows(np.stack(pdf["v_vec"].to_numpy()))
+            sims = np.round(vm @ cm.T, 6)
+            best = np.argmax(sims, axis=1)
+            out = {"vec_id": ids, "cluster_id": c_ids[best],
+                   "cos_sim": sims[np.arange(len(ids)), best]}
+            if keep_vec:
+                out["v_vec"] = pdf["v_vec"]
+            yield pd.DataFrame(out)
+
+    return v.mapInPandas(assign, schema)

@@ -1179,3 +1179,23 @@ def test_kmeans_probe_search_routes_to_trained_cluster(spark):
     rows = out.collect()
     assert {r["n_id"] for r in rows} <= set(range(10, 16))
     assert len(rows) == 3 and [r["rn"] for r in rows] != []
+
+
+def test_kmeans_arrow_matches_jvm(spark):
+    """The BLAS fit+assign path must equal the JVM form exactly —
+    centroids and final assignment, including rounding and tiebreaks."""
+    import random
+
+    rng = random.Random(123)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(60)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    flt = F.col("vec_id") % 15 == 0
+    jvm_c = similarity.kmeans_fit(df, "vec_id", "embedding", flt, iters=2)
+    arr_c = similarity.kmeans_fit(df, "vec_id", "embedding", flt, iters=2,
+                                  arrow=True)
+    assert jvm_c == arr_c
+    jvm = {tuple(r) for r in similarity.kmeans_assign(
+        df, "vec_id", "embedding", flt, iters=2).collect()}
+    arr = {tuple(r) for r in similarity.kmeans_assign(
+        df, "vec_id", "embedding", flt, iters=2, arrow=True).collect()}
+    assert jvm == arr
