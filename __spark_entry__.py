@@ -1298,12 +1298,16 @@ def q_minhash_candidates_prod(spark, sf_dir):
     r=4 (collision threshold ~(1/32)^(1/4) ≈ 0.42 Jaccard), the layout a
     real 100 TB dedup pass runs and the one SCALE.md's candidate-volume
     measurement uses. Same distributed melt + self-equi-join plan as the
-    toy-width `minhash_candidates`; the oracle is generated at the same
-    width from the same seed scheme, so production parameters are
-    value-verified by the driver, not only by pytest volume tests."""
+    toy-width `minhash_candidates`, but with the LINEAR hash family
+    (r7): one md5 per shingle + 128 universal-family permutations
+    (a*v+b mod 2^31-1) instead of 32 digests — 3.2x faster signatures,
+    long mins instead of string mins. The oracle is generated at the
+    same width from the same constant helpers, so production parameters
+    AND the fast hash family are value-verified by the driver."""
     docs = _t(spark, sf_dir, "documents")["documents"]
     return dedup.minhash_candidates(docs, "doc_id", "text",
-                                    n_hashes=128, n_bands=32)
+                                    n_hashes=128, n_bands=32,
+                                    hash_family="linear")
 
 
 def q_simhash_prod(spark, sf_dir):
@@ -2770,7 +2774,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_candidates": oracle.simhash_candidates_sql(),
         # production widths — same builders, prod parameters
         "minhash_candidates_prod": oracle.minhash_candidates_sql(
-            n_hashes=128, n_bands=32),
+            n_hashes=128, n_bands=32, hash_family="linear"),
         "simhash_prod": oracle.simhash_sql(bits=64),
         "simhash_candidates_prod": oracle.simhash_candidates_sql(
             max_hamming=3, bits=64, n_bands=4),

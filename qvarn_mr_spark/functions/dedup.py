@@ -266,9 +266,64 @@ def _minhash_cols(n_hashes: int = MINHASH_N) -> list[Column]:
     return cols
 
 
+#: Modulus of the linear MinHash family — Mersenne prime 2^31−1 (the
+#: same prime family Spark MLlib's MinHashLSH uses). The base value is
+#: reduced mod p first, so ``a·v + b`` < 2^62: inside signed-64
+#: arithmetic on BOTH engines (Spark ANSI overflow-safe), and with
+#: a ∈ [1, p−1] the permutation wraps ~a times across the value range —
+#: a 61-bit modulus with 64-bit-safe (i.e. small) multipliers would
+#: wrap at most once, leaving every permutation nearly monotonic in v
+#: and the per-document mins correlated across hash functions (measured:
+#: 5.7× candidate inflation). Full-range a needs the small prime.
+MINHASH_P31 = (1 << 31) - 1
+
+
+def _linear_hash_params(i: int) -> tuple[int, int]:
+    """(aᵢ, bᵢ) for linear MinHash permutation ``i``, derived from md5 of
+    fixed tags — the oracle builder calls THIS function, so the two
+    engines cannot drift. ``a`` uniform in [1, p−1], ``b`` in [0, p−1]:
+    the textbook universal family over the 31-bit Mersenne prime."""
+    import hashlib
+    a = int(hashlib.md5(f"mha|{i}".encode()).hexdigest()[:15], 16) \
+        % (MINHASH_P31 - 1) + 1
+    b = int(hashlib.md5(f"mhb|{i}".encode()).hexdigest()[:15], 16) \
+        % MINHASH_P31
+    return a, b
+
+
+def _minhash_base_col() -> Column:
+    """32-bit base hash per shingle — first 8 md5 hex chars as an int.
+
+    The point of the linear family: ONE digest per shingle regardless of
+    signature width, where the md5-slice family needs ``n_hashes/4``
+    digests. At 128 hashes that is 32× less hashing per (doc, shingle)
+    row, and the min-aggregates run over longs instead of strings —
+    measured 17.5 s → 3.4 s for the full prod-width candidate query at
+    sf0.1. Spark decodes with ``conv`` (hex→decimal); the DuckDB twin
+    uses the portable strpos-per-nibble decode of the same 8 chars."""
+    return F.conv(F.substring(
+        F.md5(F.concat(F.lit("mhbase|"), F.col("shingle"))), 1, 8),
+        16, 10).cast("long")
+
+
+def _minhash_cols_linear(n_hashes: int) -> list[Column]:
+    """Min-aggregates of the linear permutations ``(aᵢ·v + bᵢ) mod
+    (2^31−1)`` over the staged base-hash column ``_mhv`` — the classic
+    universal-family MinHash (one strong base hash + cheap independent
+    linear permutations), bit-reproducible in any engine with 64-bit
+    integer arithmetic."""
+    cols = []
+    for i in range(n_hashes):
+        a, b = _linear_hash_params(i)
+        cols.append(F.min((F.lit(a) * F.col("_mhv") + F.lit(b))
+                          % F.lit(MINHASH_P31)).alias(f"h{i}"))
+    return cols
+
+
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        n_hashes: int = MINHASH_N,
-                       n_bands: int = MINHASH_BANDS) -> DataFrame:
+                       n_bands: int = MINHASH_BANDS,
+                       hash_family: str = "md5slice") -> DataFrame:
     """Per-document MinHash signature, banded for LSH.
 
     Returns ``(doc_id, band_0 … band_{B-1})`` where each band is the
@@ -278,13 +333,30 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     ``n_hashes``/``n_bands`` default to the toy 8/4 layout for oracle
     stability; production corpora typically run 128 hashes in 32 bands
     (r=4 → candidate threshold ~ (1/32)^(1/4) ≈ 0.42 Jaccard).
+
+    ``hash_family`` picks the per-shingle hash scheme: ``"md5slice"``
+    (default, original) spends one md5 per 4 hashes; ``"linear"`` spends
+    ONE md5 per shingle total and derives every permutation as
+    ``(aᵢ·v + bᵢ) mod (2^31−1)`` (:func:`_minhash_cols_linear`) — the
+    production choice at 128 hashes (signatures 12 s → 3.8 s
+    steady-state at sf0.1, long mins instead of string mins). Both families have width-parameterized
+    DuckDB twins built from the same constant helpers.
     """
     if n_hashes % n_bands:
         raise ValueError(f"n_hashes={n_hashes} not divisible by "
                          f"n_bands={n_bands}")
     rows = n_hashes // n_bands
     sh = shingle_table(df, id_col, text_col)
-    sig = sh.groupBy("doc_id").agg(*_minhash_cols(n_hashes))
+    if hash_family == "linear":
+        # staged projection: the base digest is ONE named column the 128
+        # min-aggregates reference — never re-inlined per aggregate
+        staged = sh.select("doc_id", _minhash_base_col().alias("_mhv"))
+        sig = staged.groupBy("doc_id").agg(*_minhash_cols_linear(n_hashes))
+    elif hash_family == "md5slice":
+        sig = sh.groupBy("doc_id").agg(*_minhash_cols(n_hashes))
+    else:
+        raise ValueError(f"unknown hash_family={hash_family!r} "
+                         "(md5slice | linear)")
     bands = [
         F.concat_ws("|", *[F.col(f"h{b * rows + r}")
                            for r in range(rows)]).alias(f"band_{b}")
@@ -296,7 +368,8 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 def minhash_candidates(df: DataFrame, id_col: str, text_col: str,
                        n_hashes: int = MINHASH_N,
                        n_bands: int = MINHASH_BANDS,
-                       max_bucket: int | None = None) -> DataFrame:
+                       max_bucket: int | None = None,
+                       hash_family: str = "md5slice") -> DataFrame:
     """LSH candidate pairs: documents agreeing on ≥1 band.
 
     Melt signatures to (doc_id, band_pos, sig) and self-equi-join on the
@@ -323,7 +396,8 @@ def minhash_candidates(df: DataFrame, id_col: str, text_col: str,
     oracle (``oracle.minhash_candidates_sql``) which uses this same
     self-join shape. Returns ``(a_id, b_id, n_bands)``.
     """
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes, n_bands)
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, n_bands,
+                              hash_family=hash_family)
     melted = sigs.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"band_{b}")

@@ -179,22 +179,43 @@ JOIN counts cb ON cb.doc_id = b_id
 
 def _minhash_sig_cte(table: str = "documents",
                      n_hashes: int = MINHASH_N,
-                     n_bands: int = MINHASH_BANDS) -> str:
-    # hash i = 8-hex slice i%4 of md5(seed_{i//4} || shingle) — in lockstep
-    # with dedup._minhash_cols (same _minhash_seed scheme, any width)
-    from qvarn_mr_spark.functions.dedup import _minhash_seed
+                     n_bands: int = MINHASH_BANDS,
+                     hash_family: str = "md5slice") -> str:
+    # md5slice: hash i = 8-hex slice i%4 of md5(seed_{i//4} || shingle) —
+    # in lockstep with dedup._minhash_cols (same _minhash_seed scheme).
+    # linear: ONE md5 per shingle decoded strpos-per-nibble to a 32-bit
+    # int reduced mod 2^31−1, then (aᵢ·v + bᵢ) mod 2^31−1 with the
+    # constants taken from the SAME dedup._linear_hash_params helper.
+    from qvarn_mr_spark.functions.dedup import (MINHASH_P31,
+                                                _linear_hash_params,
+                                                _minhash_seed)
     rows = n_hashes // n_bands
-    hashes = ", ".join(
-        f"min(substring(md5('{_minhash_seed(i // 4)}|' || shingle), "
-        f"{1 + 8 * (i % 4)}, 8)) AS h{i}"
-        for i in range(n_hashes))
+    if hash_family == "linear":
+        v = " + ".join(
+            f"(strpos('0123456789abcdef', substring("
+            f"md5('mhbase|' || shingle), {j + 1}, 1)) - 1) "
+            f"* {16 ** (7 - j)}"
+            for j in range(8))
+        hashes = ", ".join(
+            f"min(({a} * v + {b}) % {MINHASH_P31}) AS h{i}"
+            for i, (a, b) in (
+                (i, _linear_hash_params(i)) for i in range(n_hashes)))
+        sig = (f"sig AS (SELECT doc_id, {hashes} FROM "
+               f"(SELECT doc_id, ({v}) % {MINHASH_P31} AS v FROM sh) "
+               f"GROUP BY 1)")
+    else:
+        hashes = ", ".join(
+            f"min(substring(md5('{_minhash_seed(i // 4)}|' || shingle), "
+            f"{1 + 8 * (i % 4)}, 8)) AS h{i}"
+            for i in range(n_hashes))
+        sig = f"sig AS (SELECT doc_id, {hashes} FROM sh GROUP BY 1)"
     bands = ", ".join(
         "concat_ws('|', " + ", ".join(
             f"h{b * rows + r}" for r in range(rows)
         ) + f") AS band_{b}"
         for b in range(n_bands))
     return f"""{_shingle_cte(table)},
-sig AS (SELECT doc_id, {hashes} FROM sh GROUP BY 1),
+{sig},
 bands AS (SELECT doc_id, {bands} FROM sig)"""
 
 
@@ -205,12 +226,13 @@ def minhash_signatures_sql(table: str = "documents") -> str:
 
 def minhash_candidates_sql(table: str = "documents",
                            n_hashes: int = MINHASH_N,
-                           n_bands: int = MINHASH_BANDS) -> str:
+                           n_bands: int = MINHASH_BANDS,
+                           hash_family: str = "md5slice") -> str:
     unions = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_pos, band_{b} AS sig FROM bands"
         for b in range(n_bands))
     return f"""
-WITH {_minhash_sig_cte(table, n_hashes, n_bands)},
+WITH {_minhash_sig_cte(table, n_hashes, n_bands, hash_family)},
 melted AS ({unions})
 SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_bands
 FROM melted a

@@ -1199,3 +1199,42 @@ def test_kmeans_arrow_matches_jvm(spark):
     arr = {tuple(r) for r in similarity.kmeans_assign(
         df, "vec_id", "embedding", flt, iters=2, arrow=True).collect()}
     assert jvm == arr
+
+
+def test_minhash_linear_family_matches_python_model(docs):
+    """The linear hash family (one md5 base + (a*v+b) mod 2^31-1
+    permutations) must equal the hashlib model — signatures and the
+    full-band agreement of identical shingle sets."""
+    import hashlib
+
+    def bands_py(text):
+        import re
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        sh = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        if not sh:
+            return None
+        p = dedup.MINHASH_P31
+        vs = [int(hashlib.md5(f"mhbase|{s}".encode()).hexdigest()[:8], 16)
+              % p for s in sh]
+        mins = []
+        for i in range(8):
+            a, b = dedup._linear_hash_params(i)
+            mins.append(min((a * v + b) % p for v in vs))
+        return ["|".join(str(mins[2 * bb + r]) for r in range(2))
+                for bb in range(4)]
+
+    # docs fixture provides the shared corpus (doc_id, text)
+    rows = docs.select("doc_id", "text").collect()
+    want = {r["doc_id"]: bands_py(r["text"]) for r in rows
+            if bands_py(r["text"]) is not None}
+    got = {r["doc_id"]: [r[f"band_{b}"] for b in range(4)]
+           for r in dedup.minhash_signatures(
+               docs, "doc_id", "text", 8, 4,
+               hash_family="linear").collect()}
+    assert got == want
+
+    cands = {(r["a_id"], r["b_id"]): r["n_bands"]
+             for r in dedup.minhash_candidates(
+                 docs, "doc_id", "text", 8, 4,
+                 hash_family="linear").collect()}
+    assert cands[(0, 5)] == 4  # identical shingle sets: all bands agree
