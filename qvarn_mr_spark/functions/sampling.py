@@ -569,8 +569,16 @@ def dsir_weights(df: DataFrame, target: DataFrame,
     equi-joins the raw gram stream to it (B-row side — AQE broadcasts)
     and sums per doc. At 100 TB: three shuffles total, two of them
     B-bounded; the only corpus-sized one is the per-doc sum, keyed on
-    doc_id."""
-    raw_g = _dsir_grams(df, id_col, text_col, n_buckets, salt)
+    doc_id.
+
+    The raw gram stream feeds BOTH the profile aggregate and the scoring
+    join with no exchange between them to reuse, so it is pinned
+    (releasable via ``session.cache_scope``) — one tokenize+hash pass
+    instead of two. At 100 TB the cache spills or is dropped and the
+    recompute is the fallback, so the pin is a local-memory win, never a
+    correctness or capacity dependence."""
+    from qvarn_mr_spark.session import pin
+    raw_g = pin(_dsir_grams(df, id_col, text_col, n_buckets, salt))
     tgt_g = _dsir_grams(target, id_col, text_col, n_buckets, salt)
     rawb = raw_g.groupBy("bucket").agg(F.count(F.lit(1)).alias("_rc"))
     tgtb = tgt_g.groupBy("bucket").agg(F.count(F.lit(1)).alias("_tc"))
