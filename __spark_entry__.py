@@ -1665,6 +1665,29 @@ def q_doc_surprisal(spark, sf_dir):
     return text.unigram_surprisal(docs, "doc_id", "text")
 
 
+def q_doc_perplexity_buckets(spark, sf_dir):
+    """CCNet perplexity bucketing (functions/quality.py, Wenzek et al.
+    2020): unigram-LM surprisal per doc, then an equal-frequency
+    head/middle/tail split per language — ntile over (mean_nll, doc_id)
+    so the assignment is total and the DuckDB twin hash-matches. The
+    percentile-threshold scale variant (no per-group sort) is covered
+    rows-only by doc_perplexity_buckets_scale."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return quality.perplexity_buckets(docs, "doc_id", "text", by="lang")
+
+
+def q_doc_perplexity_buckets_scale(spark, sf_dir):
+    """The 100 TB path of perplexity bucketing: per-language cut points
+    from ONE percentile_approx aggregate (B-bounded sketch state),
+    broadcast back, bucket assigned in the scan stage — no per-group
+    global sort. Deterministic but sketch-approximate at the cuts, so
+    the driver check is rows-only; the exact-split semantics are
+    value-oracled via doc_perplexity_buckets."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return quality.perplexity_buckets(docs, "doc_id", "text", by="lang",
+                                      method="thresholds")
+
+
 def q_doc_stratified_fixed_k(spark, sf_dir):
     """Exact-k-per-stratum sampling (functions/sampling.py): exactly 3
     docs per language by consistent hash order — deterministic,
@@ -2110,6 +2133,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_candidates": q_minhash_candidates,
         "simhash_candidates": q_simhash_candidates,
         "doc_temperature_mix": q_doc_temperature_mix,
+        # --- new in r7: CCNet perplexity bucketing (below the window;
+        # the exact ntile form is value-oracled, the percentile-
+        # threshold scale form is rows-only by design) ---
+        "doc_perplexity_buckets": q_doc_perplexity_buckets,
+        "doc_perplexity_buckets_scale": q_doc_perplexity_buckets_scale,
         "doc_stratified_fixed_k": q_doc_stratified_fixed_k,
         "events_asof_tolerance": q_events_asof_tolerance,
         # --- red in r03 (oracle int-width fixed this round) ---
@@ -2787,6 +2815,9 @@ def oracle_sql() -> dict[str, str]:
             "CAST(doc_id AS BIGINT) % 20 = 0"),
         "doc_bigram_surprisal": oracle.bigram_surprisal_sql(),
         "doc_trigram_surprisal": oracle.trigram_surprisal_sql(),
+        # doc_perplexity_buckets_scale is deliberately absent: the
+        # percentile_approx cuts are sketch-approximate (rows-only)
+        "doc_perplexity_buckets": oracle.perplexity_buckets_sql(),
         "dedup_keep_best": oracle.cluster_keepers_sql(),
         "doc_epoch_shuffle": sampling.epoch_shuffle_sql(
             epoch=1, n_shards=8, cols="doc_id"),

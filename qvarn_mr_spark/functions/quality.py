@@ -358,3 +358,69 @@ def compression_ratio(df: DataFrame, id_col: str = "doc_id",
     src = df.select(F.col(id_col).alias("_id"),
                     F.col(text_col).alias("_text"))
     return src.mapInPandas(batches, "doc_id long, n_bytes long, ratio double")
+
+
+def perplexity_buckets(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", by: str = "lang",
+                       n_buckets: int = 3, smoothing: float = 0.5,
+                       method: str = "ntile") -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    document with the corpus-fitted unigram-LM surprisal
+    (:func:`~qvarn_mr_spark.functions.text.unigram_surprisal` — the
+    engine-native stand-in for CCNet's KenLM) and split each ``by``
+    group (language, in CCNet) into ``n_buckets`` equal-frequency
+    buckets of rising surprisal. ``n_buckets=3`` labels them
+    ``head``/``middle``/``tail`` — CCNet trains on head+middle and
+    drops the tail. Documents with no tokens have no surprisal and are
+    absent, mirroring the surprisal operators. Returns
+    ``(doc_id, <by>, n_tokens, mean_nll, bucket, bucket_label)`` with
+    ``bucket`` in ``1..n_buckets``.
+
+    Two methods, one semantics dial:
+
+    - ``method="ntile"`` (default, value-oracled): exact equal-frequency
+      split via ``ntile`` ordered by ``(mean_nll, doc_id)`` — the
+      doc_id tiebreak makes the assignment total and deterministic, so
+      a DuckDB twin hash-matches. The window partitions by ``by``:
+      every group sorts in ONE task, which is exact but group-skewed —
+      fine up to ~10^8 docs per language, not the 100 TB shape.
+    - ``method="thresholds"`` (the scale path): per-group surprisal
+      cut points from one ``percentile_approx`` aggregate (B-bounded
+      sketch state), broadcast back, bucket = 1 + #cuts below the doc's
+      score — assignment happens in the scan stage with no per-group
+      sort at all. Deterministic, but the sketch cuts are approximate
+      (ties share a bucket; bucket sizes are ~equal, not exactly
+      equal), so this form is rows-only against the oracle.
+
+    No reference analogue (the reference has no scoring operators); the
+    closest shape is its map/reduce word statistics
+    (``/root/reference/qvarnmr/func.py``)."""
+    from pyspark.sql import Window
+
+    from qvarn_mr_spark.functions.text import unigram_surprisal
+
+    sur = unigram_surprisal(df, id_col, text_col, smoothing=smoothing)
+    keyed = sur.join(
+        df.select(F.col(id_col).alias("doc_id"), F.col(by)), "doc_id")
+    if method == "ntile":
+        w = Window.partitionBy(by).orderBy("mean_nll", "doc_id")
+        bucket = F.ntile(n_buckets).over(w)
+    elif method == "thresholds":
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        cuts = keyed.groupBy(by).agg(F.percentile_approx(
+            "mean_nll", qs, 100_000).alias("_cuts"))
+        keyed = keyed.join(F.broadcast(cuts), by)
+        bucket = F.lit(1) + F.aggregate(
+            "_cuts", F.lit(0),
+            lambda acc, c: acc + F.when(F.col("mean_nll") > c,
+                                        F.lit(1)).otherwise(F.lit(0)))
+    else:
+        raise ValueError(f"unknown method: {method!r}")
+    if n_buckets == 3:
+        label = (F.when(bucket == 1, "head")
+                 .when(bucket == 2, "middle").otherwise("tail"))
+    else:
+        label = F.concat(F.lit("b"), bucket.cast("string"))
+    return keyed.select("doc_id", by, "n_tokens", "mean_nll",
+                        bucket.cast("int").alias("bucket"),
+                        label.alias("bucket_label"))

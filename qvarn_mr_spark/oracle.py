@@ -999,6 +999,33 @@ GROUP BY doc_id
 """
 
 
+def perplexity_buckets_sql(n_buckets: int = 3, by: str = "lang",
+                           smoothing: float = 0.5,
+                           table: str = "documents") -> str:
+    """quality.perplexity_buckets (method='ntile') — CCNet head/middle/
+    tail split: the unigram-surprisal twin as a nested CTE, then an
+    equal-frequency ntile per ``by`` group ordered by
+    ``(mean_nll, doc_id)`` (total order, so the split is deterministic
+    in both engines; SQL-standard ntile gives the first ``n mod k``
+    buckets the extra row in DuckDB and Spark alike)."""
+    if n_buckets == 3:
+        label = ("CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' "
+                 "ELSE 'tail' END")
+    else:
+        label = "'b' || CAST(b AS VARCHAR)"
+    return f"""
+WITH sur AS ({unigram_surprisal_sql(smoothing, table)}),
+j AS (
+  SELECT s.doc_id, d.{by}, s.n_tokens, s.mean_nll
+  FROM sur s JOIN {table} d USING (doc_id)
+)
+SELECT doc_id, {by}, n_tokens, mean_nll, CAST(b AS INT) AS bucket,
+       {label} AS bucket_label
+FROM (SELECT *, ntile({n_buckets}) OVER (PARTITION BY {by}
+        ORDER BY mean_nll, doc_id) AS b FROM j)
+"""
+
+
 def minhash_contamination_sql(eval_pred: str,
                               table: str = "documents") -> str:
     """quality.minhash_contamination — band-collision counts of every

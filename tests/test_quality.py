@@ -450,3 +450,67 @@ def test_cache_scope_releases_lm_pins(spark):
             bigram_surprisal(df).collect()
             assert len(inner.pinned) == 2
         assert len(outer.pinned) == n_outer
+
+
+def _ppl_corpus(spark):
+    # two langs, sizes 7 and 5; rare-word docs get higher surprisal
+    rows = []
+    for i in range(7):
+        rows.append((i, "common words " * (i + 1) + f"rare{i} " * i, "en"))
+    for i in range(5):
+        rows.append((100 + i, "palabras comunes " * 2 + f"raro{i} " * i,
+                     "es"))
+    return spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "lang string")
+
+
+def test_perplexity_buckets_ntile_matches_python_split(spark):
+    """Bucket assignment == a Python ntile over the operator's own
+    surprisal output ordered by (mean_nll, doc_id) — the LM itself is
+    differentially tested elsewhere; this pins the split semantics."""
+    from qvarn_mr_spark.functions.text import unigram_surprisal
+    df = _ppl_corpus(spark)
+    got = quality.perplexity_buckets(df).collect()
+    sur = {r["doc_id"]: r["mean_nll"]
+           for r in unigram_surprisal(df).collect()}
+    langs = {r["doc_id"]: r["lang"] for r in df.collect()}
+    expect = {}
+    for lang in {"en", "es"}:
+        ids = sorted((d for d in sur if langs[d] == lang),
+                     key=lambda d: (sur[d], d))
+        n, k = len(ids), 3
+        base, extra = divmod(n, k)
+        pos = 0
+        for b in range(1, k + 1):
+            size = base + (1 if b <= extra else 0)
+            for d in ids[pos:pos + size]:
+                expect[d] = b
+            pos += size
+    assert {r["doc_id"]: r["bucket"] for r in got} == expect
+    labels = {r["bucket"]: r["bucket_label"] for r in got}
+    assert labels == {1: "head", 2: "middle", 3: "tail"}
+    # head docs are the most fluent (lowest surprisal) within each lang
+    for lang in {"en", "es"}:
+        rows = [r for r in got if r["lang"] == lang]
+        assert (max(r["mean_nll"] for r in rows if r["bucket"] == 1)
+                <= min(r["mean_nll"] for r in rows if r["bucket"] == 3))
+
+
+def test_perplexity_buckets_thresholds_scale_path(spark):
+    """The percentile-threshold form: monotone in surprisal, complete,
+    every bucket populated, no per-group sort exactness required."""
+    df = _ppl_corpus(spark)
+    got = quality.perplexity_buckets(df, method="thresholds").collect()
+    assert len(got) == 12 and {r["bucket"] for r in got} <= {1, 2, 3}
+    for lang in {"en", "es"}:
+        rows = sorted((r for r in got if r["lang"] == lang),
+                      key=lambda r: (r["mean_nll"], r["doc_id"]))
+        buckets = [r["bucket"] for r in rows]
+        assert buckets == sorted(buckets)      # monotone step function
+        assert {1, 2, 3} == set(buckets)       # all buckets non-empty
+
+
+def test_perplexity_buckets_rejects_unknown_method(spark):
+    df = _ppl_corpus(spark)
+    with pytest.raises(ValueError, match="unknown method"):
+        quality.perplexity_buckets(df, method="nope")
