@@ -1623,6 +1623,22 @@ def q_corpus_dsir_prepare(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_corpus_ppl_prepare(spark, sf_dir):
+    """corpus_prepare with the CCNet perplexity gate on
+    (functions/pipeline.py): profile → quality/token gates → fit a
+    unigram LM on the survivors, split each profiled language into
+    head/middle/tail by surprisal, keep head+middle (Wenzek et al.
+    2020) → dedup onto canonicals → consistent split. Value-oracled
+    end-to-end — the surprisal+ntile CTE chain composes into
+    corpus_prepare_sql, so the unigram-LM semantics stay window-checked
+    through this query."""
+    from qvarn_mr_spark.functions.pipeline import corpus_prepare
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return (corpus_prepare(docs, "doc_id", "text", min_quality=0.0,
+                           min_tokens=2, perplexity_keep_buckets=2)
+            .orderBy("doc_id"))
+
+
 def q_corpus_funnel(spark, sf_dir):
     """Gate accounting for the DSIR-gated pipeline
     (pipeline.corpus_funnel): per stage (input → gates → dsir →
@@ -2107,10 +2123,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_classifier": q_doc_quality_classifier,
         "documents_table_profile": q_documents_table_profile,
         "doc_substring_dedup": q_doc_substring_dedup,
-        "doc_surprisal": q_doc_surprisal,
         "corpus_prepare": q_corpus_prepare,
         # --- new in r7: DSIR-gated pipeline + funnel accounting ---
         "corpus_dsir_prepare": q_corpus_dsir_prepare,
+        # --- new in r7: CCNet-perplexity-gated pipeline; its oracle
+        # embeds the unigram-surprisal CTEs, so doc_surprisal (which
+        # this entry displaces from the window) stays value-checked
+        # in-window transitively and in full by the local mirror ---
+        "corpus_ppl_prepare": q_corpus_ppl_prepare,
         "corpus_funnel": q_corpus_funnel,
         # displaced from the 50-window: the Arrow twins share their
         # non-Arrow counterparts' oracles verbatim (same SQL object), so
@@ -2133,6 +2153,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_candidates": q_minhash_candidates,
         "simhash_candidates": q_simhash_candidates,
         "doc_temperature_mix": q_doc_temperature_mix,
+        # displaced from the window in r7 by corpus_ppl_prepare (whose
+        # oracle embeds these unigram-LM semantics); still value-checked
+        # by the local mirror
+        "doc_surprisal": q_doc_surprisal,
         # --- new in r7: CCNet perplexity bucketing (below the window;
         # the exact ntile form is value-oracled, the percentile-
         # threshold scale form is rows-only by design) ---
@@ -2795,6 +2819,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_dsir_prepare": oracle.corpus_prepare_sql(
             min_quality=0.0, min_tokens=2,
             dsir_target_pred="lang = 'en'", dsir_k=200),
+        "corpus_ppl_prepare": oracle.corpus_prepare_sql(
+            min_quality=0.0, min_tokens=2, perplexity_keep_buckets=2),
         "corpus_funnel": oracle.corpus_funnel_sql(
             min_quality=0.0, min_tokens=2,
             dsir_target_pred="lang = 'en'", dsir_k=200),

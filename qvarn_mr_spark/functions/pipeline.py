@@ -46,12 +46,16 @@ def _gate_flow(df: DataFrame, id_col: str, text_col: str,
                line_delimiter: str,
                classifier_weights: dict | None,
                classifier_threshold: float,
+               perplexity_keep_buckets: int | None,
+               perplexity_n_buckets: int,
+               perplexity_method: str,
                dsir_target: DataFrame | None,
                dsir_k: int | None, dsir_frac: float | None,
                salt: str) -> tuple:
     """The shared front half of :func:`corpus_prepare` /
     :func:`corpus_funnel`: profile → heuristic gates → [classifier] →
-    [decontaminate] → [DSIR select]. Returns ``(kept, stages)`` where
+    [perplexity] → [decontaminate] → [DSIR select]. Returns
+    ``(kept, stages)`` where
     ``kept`` carries ``(doc_id, _text, lang, n_tokens, quality)`` for
     every surviving document and ``stages`` is the ordered
     ``[(stage_name, survivors_df), ...]`` audit trail."""
@@ -113,6 +117,19 @@ def _gate_flow(df: DataFrame, id_col: str, text_col: str,
                                       text_col="_text")
                            >= classifier_threshold)
         stages.append(("classifier", kept))
+    if perplexity_keep_buckets is not None:
+        from qvarn_mr_spark.functions.quality import perplexity_buckets
+        pb = perplexity_buckets(
+            kept.select("doc_id", F.col("_text").alias("text"), "lang"),
+            "doc_id", "text", by="lang",
+            n_buckets=perplexity_n_buckets, method=perplexity_method)
+        # the LM is fitted on the survivors themselves (the corpus the
+        # gate protects), buckets split per PROFILED language; the keep
+        # set is corpus-sized, so the join back is a plain semi-join
+        kept = kept.join(
+            pb.filter(F.col("bucket") <= perplexity_keep_buckets)
+              .select("doc_id"), "doc_id")
+        stages.append(("perplexity", kept))
     if decontaminate_against is not None:
         from qvarn_mr_spark.functions.quality import contamination
         hits = contamination(
@@ -155,6 +172,9 @@ def corpus_prepare(df: DataFrame, id_col: str = "doc_id",
                    line_delimiter: str = "\n",
                    classifier_weights: dict | None = None,
                    classifier_threshold: float = 0.5,
+                   perplexity_keep_buckets: int | None = None,
+                   perplexity_n_buckets: int = 3,
+                   perplexity_method: str = "ntile",
                    dsir_target: DataFrame | None = None,
                    dsir_k: int | None = None,
                    dsir_frac: float | None = None,
@@ -209,6 +229,7 @@ def corpus_prepare(df: DataFrame, id_col: str = "doc_id",
         languages, max_dup_word_frac, max_top_word_frac,
         decontaminate_against, decontam_k, strip_lines_min_frac,
         line_delimiter, classifier_weights, classifier_threshold,
+        perplexity_keep_buckets, perplexity_n_buckets, perplexity_method,
         dsir_target, dsir_k, dsir_frac, salt)
 
     clusters = dedup_corpus(kept.select("doc_id", F.col("_text").alias("text")),
@@ -242,6 +263,9 @@ def corpus_funnel(df: DataFrame, id_col: str = "doc_id",
                   line_delimiter: str = "\n",
                   classifier_weights: dict | None = None,
                   classifier_threshold: float = 0.5,
+                  perplexity_keep_buckets: int | None = None,
+                  perplexity_n_buckets: int = 3,
+                  perplexity_method: str = "ntile",
                   dsir_target: DataFrame | None = None,
                   dsir_k: int | None = None,
                   dsir_frac: float | None = None,
@@ -268,6 +292,7 @@ def corpus_funnel(df: DataFrame, id_col: str = "doc_id",
         languages, max_dup_word_frac, max_top_word_frac,
         decontaminate_against, decontam_k, strip_lines_min_frac,
         line_delimiter, classifier_weights, classifier_threshold,
+        perplexity_keep_buckets, perplexity_n_buckets, perplexity_method,
         dsir_target, dsir_k, dsir_frac, salt)
     canonical = dedup_corpus(
         kept.select("doc_id", F.col("_text").alias("text")),

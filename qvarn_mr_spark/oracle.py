@@ -1267,17 +1267,51 @@ dsel AS MATERIALIZED (
   WHERE doc_id IN (SELECT doc_id FROM dsel_ids))"""
 
 
+def _perplexity_gate_ctes(src: str, keep: int, n_buckets: int,
+                          smoothing: float = 0.5) -> str:
+    """The CCNet perplexity-gate CTE chain of pipeline._gate_flow
+    (``perplexity_keep_buckets``): unigram-LM surprisal fitted on the
+    ``src`` survivors themselves, ntile per PROFILED lang ordered by
+    ``(mean_nll, doc_id)``, keep buckets ``1..keep``. Leaves ``pk`` =
+    surviving rows of ``src`` (tokenless docs drop out via the inner
+    join, same as the Spark side)."""
+    return f"""ptoks AS MATERIALIZED (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(text), '{TOKEN_RE}'),
+           x -> x != '')) AS w
+  FROM {src}),
+plm AS (SELECT w, count(*) AS c FROM ptoks GROUP BY 1),
+ptot AS (SELECT sum(c) AS n, count(*) AS v FROM plm),
+psur AS MATERIALIZED (
+  SELECT doc_id,
+         round(avg(-ln((c + {smoothing}) / (n + {smoothing} * v))), 6)
+           AS _pnll
+  FROM ptoks JOIN plm USING (w) CROSS JOIN ptot
+  GROUP BY doc_id),
+pkeep AS (
+  SELECT doc_id FROM (
+    SELECT s.doc_id, ntile({n_buckets}) OVER (PARTITION BY k2.lang
+             ORDER BY s._pnll, s.doc_id) AS b
+    FROM psur s JOIN {src} k2 USING (doc_id))
+  WHERE b <= {keep}),
+pk AS MATERIALIZED (
+  SELECT k.* FROM {src} k JOIN pkeep USING (doc_id))"""
+
+
 def corpus_prepare_sql(min_quality: float = 0.3, min_tokens: int = 5,
                        max_tokens: int = 100_000,
                        jaccard_threshold: float = 0.5,
                        split_weights: dict[str, float] | None = None,
+                       perplexity_keep_buckets: int | None = None,
+                       perplexity_n_buckets: int = 3,
                        dsir_target_pred: str | None = None,
                        dsir_k: int | None = None,
                        dsir_buckets: int | None = None,
                        salt: str = "corpus",
                        table: str = "documents") -> str:
-    """pipeline.corpus_prepare (default gates, optional DSIR select):
-    profile -> quality / token filters -> [DSIR top-k toward
+    """pipeline.corpus_prepare (default gates, optional perplexity gate
+    and/or DSIR select): profile -> quality / token filters ->
+    [perplexity head/middle keep] -> [DSIR top-k toward
     ``dsir_target_pred``] -> dedup_corpus onto canonicals -> consistent
     split. One row per surviving canonical doc:
     (doc_id, lang, n_tokens, quality, n_duplicates, split)."""
@@ -1288,11 +1322,16 @@ def corpus_prepare_sql(min_quality: float = 0.3, min_tokens: int = 5,
     n = norm_sql("text")
     survivors = "kept"
     dsir_ctes = ""
+    if perplexity_keep_buckets is not None:
+        dsir_ctes += _perplexity_gate_ctes(
+            survivors, perplexity_keep_buckets,
+            perplexity_n_buckets) + ",\n"
+        survivors = "pk"
     if dsir_target_pred is not None:
-        survivors = "dsel"
-        dsir_ctes = _dsir_select_ctes(
-            "kept", dsir_target_pred, dsir_k, salt,
+        dsir_ctes += _dsir_select_ctes(
+            survivors, dsir_target_pred, dsir_k, salt,
             dsir_buckets or DSIR_BUCKETS, 1.0, table) + ",\n"
+        survivors = "dsel"
     return f"""
 WITH RECURSIVE prof AS (
   SELECT doc_id, text,
@@ -1322,24 +1361,33 @@ JOIN sizes s ON s.canonical_id = k.doc_id
 def corpus_funnel_sql(min_quality: float = 0.3, min_tokens: int = 5,
                       max_tokens: int = 100_000,
                       jaccard_threshold: float = 0.5,
+                      perplexity_keep_buckets: int | None = None,
+                      perplexity_n_buckets: int = 3,
                       dsir_target_pred: str | None = None,
                       dsir_k: int | None = None,
                       dsir_buckets: int | None = None,
                       salt: str = "corpus",
                       table: str = "documents") -> str:
-    """pipeline.corpus_funnel (default gates, optional DSIR stage):
-    per-stage surviving counts (stage_idx, stage, n_docs) for
-    input -> gates [-> dsir] -> canonical."""
+    """pipeline.corpus_funnel (default gates, optional perplexity /
+    DSIR stages): per-stage surviving counts (stage_idx, stage, n_docs)
+    for input -> gates [-> perplexity] [-> dsir] -> canonical."""
     from qvarn_mr_spark.functions.sampling import DSIR_BUCKETS
     n = norm_sql("text")
     survivors = "kept"
     dsir_ctes = ""
+    if perplexity_keep_buckets is not None:
+        dsir_ctes += _perplexity_gate_ctes(
+            survivors, perplexity_keep_buckets,
+            perplexity_n_buckets) + ",\n"
+        survivors = "pk"
     if dsir_target_pred is not None:
-        survivors = "dsel"
-        dsir_ctes = _dsir_select_ctes(
-            "kept", dsir_target_pred, dsir_k, salt,
+        dsir_ctes += _dsir_select_ctes(
+            survivors, dsir_target_pred, dsir_k, salt,
             dsir_buckets or DSIR_BUCKETS, 1.0, table) + ",\n"
+        survivors = "dsel"
     stages = [("input", table), ("gates", "kept")]
+    if perplexity_keep_buckets is not None:
+        stages.append(("perplexity", "pk"))
     if dsir_target_pred is not None:
         stages.append(("dsir", "dsel"))
     stages.append(("canonical", "canon"))

@@ -220,3 +220,51 @@ def test_corpus_funnel_counts(spark, docs):
     out = corpus_prepare(docs, "doc_id", "text", min_quality=0.0,
                          min_tokens=2, dsir_target=target, dsir_k=50)
     assert rows["canonical"][1] == out.count()
+
+
+def test_corpus_prepare_perplexity_gate(spark, docs):
+    """The CCNet perplexity gate must equal the manual composition:
+    gates → perplexity_buckets(keep head+middle) on the gated
+    survivors → corpus_prepare restricted to the keeps."""
+    from qvarn_mr_spark.functions.quality import perplexity_buckets
+    from qvarn_mr_spark.functions.text import profile_frame
+
+    out = corpus_prepare(docs, "doc_id", "text", min_quality=0.0,
+                         min_tokens=2, perplexity_keep_buckets=2)
+    got_ids = {r["doc_id"] for r in out.collect()}
+
+    prof = profile_frame(
+        docs.select("doc_id", "text"), "text", ("doc_id",),
+        keep_text=True)
+    kept = prof.filter((F.col("quality") >= 0.0)
+                       & F.col("n_tokens").between(2, 100_000)) \
+               .select("doc_id", F.col("_text").alias("text"),
+                       F.col("lang_guess").alias("lang"))
+    keeps = {r["doc_id"] for r in perplexity_buckets(kept)
+             .filter(F.col("bucket") <= 2).collect()}
+    assert got_ids <= keeps
+    base = corpus_prepare(
+        docs.join(spark.createDataFrame([(i,) for i in sorted(keeps)],
+                                        "doc_id long"), "doc_id"),
+        "doc_id", "text", min_quality=0.0, min_tokens=2)
+    assert got_ids == {r["doc_id"] for r in base.collect()}
+    # tail bucket really removed: keep fraction ~ 2/3 of gate survivors
+    n_kept = kept.count()
+    assert len(keeps) < n_kept
+    assert abs(len(keeps) - 2 * n_kept / 3) <= docs.select(
+        "lang").distinct().count() + 1
+
+
+def test_corpus_funnel_perplexity_stage(spark, docs):
+    from qvarn_mr_spark.functions.pipeline import corpus_funnel
+
+    rows = {r["stage"]: r["n_docs"]
+            for r in corpus_funnel(docs, "doc_id", "text",
+                                   min_quality=0.0, min_tokens=2,
+                                   perplexity_keep_buckets=2).collect()}
+    assert list(rows) == ["input", "gates", "perplexity", "canonical"]
+    counts = list(rows.values())
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    out = corpus_prepare(docs, "doc_id", "text", min_quality=0.0,
+                         min_tokens=2, perplexity_keep_buckets=2)
+    assert rows["canonical"] == out.count()
