@@ -404,3 +404,17 @@ def test_density_sample_broadcasts_cluster_sizes(q):
     txt = explain_str(df, "simple")
     assert "BroadcastHashJoin" in txt
     assert "SortMergeJoin" not in txt
+
+
+def test_perplexity_buckets_scale_path_has_no_window(q):
+    """method='thresholds' is the 100 TB form: cut points come from one
+    percentile_approx aggregate broadcast back, so the plan has NO
+    Window operator (the exact ntile twin pays a per-language sort; the
+    scale path must not)."""
+    from qvarn_mr_spark.plans import explain_str
+    df = q("doc_perplexity_buckets_scale")
+    txt = explain_str(df, "simple")
+    assert "Window" not in txt
+    assert "BroadcastHashJoin" in txt     # the cuts join back broadcast
+    exact = explain_str(q("doc_perplexity_buckets"), "simple")
+    assert "Window" in exact              # the oracle-parity twin sorts
