@@ -2045,6 +2045,39 @@ def q_multimodal_features(spark, sf_dir):
                         .alias("feature_sum"))
 
 
+def _sf_tag(sf_dir):
+    """Filesystem-safe tag for per-scale scratch table names."""
+    import os
+    import re as _re
+    return _re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(
+        os.path.normpath(sf_dir)))
+
+
+def q_segment_sales_bucketed(spark, sf_dir):
+    """Shuffle-free repeated join via bucketed materialization
+    (sources/bucketed.py): orders and customer are written ONCE as
+    parquet tables hash-bucketed + sorted on their join keys (the
+    exchange happens at write time), after which every join between
+    them — this query, and any number of downstream jobs — plans a
+    sort-merge join with ZERO Exchange and ZERO Sort
+    (tests/test_bucketed.py pins the plan). The reference re-reads and
+    re-joins its collections per handler pass with no physical layout
+    at all (qvarnmr/processor.py); at 100 TB, bucketing the fact
+    tables on the dominant join key is the difference between paying
+    the big-side shuffle once and paying it N times. Values are layout
+    -independent, so the oracle is the plain join."""
+    from qvarn_mr_spark.sources import bucketed as B
+    t = _t(spark, sf_dir, "orders", "customer")
+    tag = _sf_tag(sf_dir)
+    o, c = B.bucketed_pair(t["orders"], t["customer"],
+                           "o_custkey", "c_custkey", 8, f"oc_{tag}")
+    return (o.join(c, o.o_custkey == c.c_custkey)
+             .groupBy("c_mktsegment")
+             .agg(F.count("*").alias("n_orders"),
+                  F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+                  F.countDistinct("o_custkey").alias("n_customers")))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2068,7 +2101,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "text_subword_tokens": q_text_subword_tokens,
         "tfidf_top_terms": q_tfidf_top_terms,
-        "events_json_stats": q_events_json_stats,
+        # --- new in r7: bucketed-materialization join (shuffle paid at
+        # write time; this and every later join on the key plan with
+        # zero Exchange — tests/test_bucketed.py pins the plan). Takes
+        # the window slot of events_json_stats (a thrice-green basic,
+        # still value-checked by the local mirror at the tail) ---
+        "segment_sales_bucketed": q_segment_sales_bucketed,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "minhash_signatures": q_minhash_signatures,
@@ -2207,6 +2245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_error_window": q_events_error_window,
         "topk_per_key": q_topk_per_key,
         # --- tail: thrice-driver-green basics + TPC-H family ---
+        "events_json_stats": q_events_json_stats,
         "search_exact_ci": q_search_exact_ci,
         "search_range_sort_limit": q_search_range_sort_limit,
         "search_like": q_search_like,
@@ -2275,6 +2314,18 @@ _ASOF_ORACLE = """
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        # layout-independent values: the Spark side reads bucketed
+        # materializations (zero-exchange join), the oracle is the
+        # plain join — matching values prove bucketing changes the
+        # physical plan only
+        "segment_sales_bucketed": """
+            SELECT c_mktsegment,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price,
+                   count(DISTINCT o_custkey) AS n_customers
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
         "search_exact_ci": """
             SELECT c_custkey, c_name, c_acctbal FROM customer
             WHERE lower(c_mktsegment) = lower('Building')
