@@ -2078,6 +2078,175 @@ def q_segment_sales_bucketed(spark, sf_dir):
                   F.countDistinct("o_custkey").alias("n_customers")))
 
 
+def _cs_edges(spark, sf_dir):
+    """Deterministic bipartite graph: customer <-> supplier edges wherever
+    an order's lineitem connects them, both directions (Spark twin of
+    oracle.CS_EDGES_SQL)."""
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    cs = (t["orders"]
+          .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+          .select(F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+                  .alias("src"),
+                  F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+                  .alias("dst"))
+          .distinct())
+    return cs.union(
+        cs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def q_graph_pagerank(spark, sf_dir):
+    """Link-graph centrality (operators/graph.py): 6 fixed power-iteration
+    supersteps over the customer<->supplier purchase graph — per
+    superstep one edge-sized shuffle (contributions groupBy dst), a
+    one-row broadcast for dangling mass, node-sized state persisted and
+    the previous superstep released. Full value oracle: the identical
+    damped update unrolled as a DuckDB CTE chain
+    (oracle.pagerank_sql)."""
+    from qvarn_mr_spark.operators.graph import pagerank
+    return pagerank(_cs_edges(spark, sf_dir), iters=6)
+
+
+def q_graph_degrees(spark, sf_dir):
+    """Per-node in/out degree over the same purchase graph — the cheap
+    link-farm / orphan companion signal to q_graph_pagerank. Two
+    map-side-combined aggregates; full value oracle."""
+    from qvarn_mr_spark.operators.graph import degree_profile
+    return degree_profile(_cs_edges(spark, sf_dir))
+
+
+# --- embedding dimensionality reduction (functions/reduction.py) ----------
+
+_PCA_K = 4
+_PCA_MODELS: dict[str, dict] = {}
+
+
+def _pca_key(sf_dir):
+    """Content fingerprint of the fit data + hyperparams (same discipline
+    as _clf_key: regenerated or different-scale data refits honestly)."""
+    import hashlib
+    import os
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    h = hashlib.md5()
+    with open(p, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return f"{os.path.getsize(p)}:{h.hexdigest()}:k={_PCA_K}"
+
+
+def _pca_rtfp(sf_dir):
+    """SQL-recomputable fingerprint of an embeddings table — the pair the
+    dispatching oracle re-evaluates at run time (oracle.
+    pca_project_dispatch_sql)."""
+    import os
+
+    import duckdb
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    n, s = duckdb.sql(
+        "SELECT count(*), CAST(coalesce(sum(vec_id), 0) AS BIGINT)"
+        f" FROM '{p}'").fetchone()
+    return [int(n), int(s)]
+
+
+def _pca_model_for(sf_dir, fit):
+    """Fitted-PCA cache: deterministic fit (one-pass covariance + eigh
+    with a fixed sign convention), memoized in-process and in a JSON
+    sidecar next to this file — the committed-artifact pattern shared
+    with the quality classifier (_clf_weights_for)."""
+    import json
+    import os
+
+    try:
+        key = _pca_key(sf_dir)
+    except OSError:
+        return fit()
+    m = _PCA_MODELS.get(key)
+    if m is not None:
+        return m
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           ".pca_components.json")
+    disk = {}
+    try:
+        with open(sidecar) as f:
+            disk = json.load(f)
+    except (OSError, ValueError):
+        pass
+    m = disk.get(key)
+    if m is None:
+        m = fit()
+        disk[key] = m
+        try:
+            disk.setdefault("__rtfp__", {})[key] = _pca_rtfp(sf_dir)
+        except Exception:
+            pass
+        try:
+            with open(sidecar, "w") as f:
+                json.dump(disk, f, indent=1, sort_keys=True)
+        except OSError:
+            pass
+    _PCA_MODELS[key] = m
+    return m
+
+
+def _pca_committed_entries():
+    """Every committed (runtime-fingerprint, model) pair from the sidecar
+    (no fitting, no SparkSession) — inlined by oracle_sql() into one
+    runtime-dispatched query."""
+    import json
+    import os
+
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           ".pca_components.json")
+    try:
+        with open(sidecar) as f:
+            disk = json.load(f)
+    except (OSError, ValueError):
+        return []
+    rtfp = disk.get("__rtfp__", {})
+    return sorted(((tuple(fp), disk[k])
+                   for k, fp in rtfp.items() if k in disk),
+                  key=lambda e: e[0])
+
+
+def q_embedding_pca(spark, sf_dir):
+    """One-pass PCA projection (functions/reduction.py): the fit is a
+    single distributed pass emitting (n, sum, gram) partials per
+    partition — driver work is d x d eigh, bounded by the embedding
+    width like the IVF centroid table — and the projection is k pure JVM
+    fold-expressions at scan stage. Value-oracled when the data's fit is
+    committed (sidecar + runtime fingerprint dispatch, the classifier
+    pattern)."""
+    from qvarn_mr_spark.functions import reduction
+
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    model = _pca_model_for(
+        sf_dir, lambda: reduction.pca_fit(emb, "embedding", k=_PCA_K))
+    return reduction.pca_project(emb, model)
+
+
+def q_embedding_pca_arrow(spark, sf_dir):
+    """Arrow twin of q_embedding_pca: one (X - mean) @ C^T matmul per
+    batch. Same committed model, same rounding — shares the oracle."""
+    from qvarn_mr_spark.functions import reduction
+
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    model = _pca_model_for(
+        sf_dir, lambda: reduction.pca_fit(emb, "embedding", k=_PCA_K))
+    return reduction.pca_project_arrow(emb, model)
+
+
+def q_embedding_random_project(spark, sf_dir):
+    """Johnson-Lindenstrauss projection with a hash-derived sparse-sign
+    matrix (Achlioptas): no fit pass, no RNG, no broadcast state — the
+    matrix is a pure function of (d, k, salt) regenerated identically by
+    the SQL oracle. Scan-stage JVM dot products."""
+    from qvarn_mr_spark.functions import reduction
+
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return reduction.random_project(emb, d=64, k=8)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2107,10 +2276,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the window slot of events_json_stats (a thrice-green basic,
         # still value-checked by the local mirror at the tail) ---
         "segment_sales_bucketed": q_segment_sales_bucketed,
+        # --- new in r7: link-graph centrality (fixed-superstep PageRank
+        # with dangling-mass redistribution; oracle = the same damped
+        # update unrolled as a DuckDB CTE chain). Takes the window slot
+        # of documents_table_profile (a profiling basic, still
+        # value-checked by the local mirror at the tail) ---
+        "graph_pagerank": q_graph_pagerank,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "minhash_signatures": q_minhash_signatures,
-        "simhash": q_simhash,
+        # r7: the hash-derived JL projection takes toy simhash's slot
+        # (prod-width simhash_prod stays in-window; the toy form remains
+        # locally value-checked at the tail)
+        "embedding_random_project": q_embedding_random_project,
         # --- new in r6: production-width LSH, driver-value-checked ---
         "minhash_candidates_prod": q_minhash_candidates_prod,
         "simhash_prod": q_simhash_prod,
@@ -2148,7 +2326,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # value-checked in the local mirror just below the window.
         "embedding_kmeans_centroids": q_embedding_kmeans_centroids,
         "embedding_kmeans_assign": q_embedding_kmeans_assign,
-        "embedding_nn": q_embedding_nn,
+        # r7: the PCA projection takes the brute-force foil's slot
+        # (embedding_nn shares its oracle with embedding_nn_ivf, which
+        # stays in-window, so the semantics remain driver-checked)
+        "embedding_pca": q_embedding_pca,
         "embedding_nn_ivf": q_embedding_nn_ivf,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "embedding_quantize": q_embedding_quantize,
@@ -2159,7 +2340,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_funnel_theta": q_events_user_funnel_theta,
         "events_skew_profile": q_events_skew_profile,
         "doc_quality_classifier": q_doc_quality_classifier,
-        "documents_table_profile": q_documents_table_profile,
         "doc_substring_dedup": q_doc_substring_dedup,
         "corpus_prepare": q_corpus_prepare,
         # --- new in r7: DSIR-gated pipeline + funnel accounting ---
@@ -2246,6 +2426,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_key": q_topk_per_key,
         # --- tail: thrice-driver-green basics + TPC-H family ---
         "events_json_stats": q_events_json_stats,
+        "documents_table_profile": q_documents_table_profile,
+        "graph_degrees": q_graph_degrees,
+        "simhash": q_simhash,
+        "embedding_nn": q_embedding_nn,
+        "embedding_pca_arrow": q_embedding_pca_arrow,
         "search_exact_ci": q_search_exact_ci,
         "search_range_sort_limit": q_search_range_sort_limit,
         "search_like": q_search_like,
@@ -2326,6 +2511,9 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
         """,
+        "graph_pagerank": oracle.pagerank_sql(oracle.CS_EDGES_SQL, iters=6),
+        "embedding_random_project": oracle.random_project_sql(64, k=8),
+        "graph_degrees": oracle.degree_profile_sql(oracle.CS_EDGES_SQL),
         "search_exact_ci": """
             SELECT c_custkey, c_name, c_acctbal FROM customer
             WHERE lower(c_mktsegment) = lower('Building')
@@ -2965,4 +3153,12 @@ def oracle_sql() -> dict[str, str]:
     if entries:
         out["doc_quality_classifier"] = oracle.classifier_score_dispatch_sql(
             entries, digits=4, threshold=0.5)
+    # PCA: same committed-artifact discipline — inline every committed
+    # model behind a runtime (count, sum(vec_id)) fingerprint dispatch;
+    # no committed models -> rows-only (honest)
+    pca_entries = _pca_committed_entries()
+    if pca_entries:
+        sql = oracle.pca_project_dispatch_sql(pca_entries, digits=6)
+        out["embedding_pca"] = sql
+        out["embedding_pca_arrow"] = sql
     return out

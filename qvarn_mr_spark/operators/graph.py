@@ -1,0 +1,114 @@
+"""Link-graph centrality: PageRank as iterated DataFrame joins.
+
+Web-corpus curation ranks documents by the link graph before any text is
+read (the original PageRank use case; Common Crawl derivatives ship
+centrality scores per host and curation pipelines gate on them). The
+reference engine has nothing iterative at all — its closest shape is the
+single-pass map/reduce join (``qvarnmr/processor.py``), so this is an
+extension operator, same as the dedup/similarity families.
+
+Execution model (per iteration, all declarative):
+
+- ``contribs``: edges ⋈ ranks (on src) ⋈ out-degree → ``rank/outdeg`` per
+  edge, then one ``groupBy(dst).sum`` — the only corpus-sized shuffle.
+- ``dangling mass``: ranks of sink nodes (no out-edges) summed into a
+  ONE-ROW frame, cross-joined (broadcast of a single row) back onto the
+  node table — the textbook correction that keeps total rank at 1.0
+  without a driver-side collect inside the loop.
+- new rank = ``(1-d)/N + d * (contrib + dangling/N)``.
+
+Each iteration's ranks are persisted and materialized, and the previous
+iteration is unpersisted — at 100 TB this is the standard Pregel-lite
+cadence (checkpoint per superstep bounds lineage and recompute; ranks and
+degrees are node-sized, edges are scanned once per iteration). Iteration
+count is FIXED (no convergence test), which keeps the operator
+deterministic and oracle-able; 6-10 iterations is the conventional
+curation-quality setting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from qvarn_mr_spark.session import pin
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 6,
+    damping: float = 0.85,
+    digits: int | None = 6,
+) -> DataFrame:
+    """Rank every node of the directed graph ``edges`` (duplicate edges
+    collapse; self-loops count). Returns ``(node, rank)`` with
+    ``sum(rank) == 1`` up to float noise. ``digits`` rounds the final
+    rank only — intermediates stay full double so Spark and a SQL oracle
+    agree to well past the rounding point."""
+    # the edge list is rescanned every iteration — pin it so the distinct
+    # (its one shuffle) happens once, not per superstep
+    e = pin(edges.select(F.col(src).alias("src"),
+                         F.col(dst).alias("dst")).distinct())
+    nodes = (e.select(F.col("src").alias("node"))
+              .union(e.select(F.col("dst").alias("node")))
+              .distinct())
+    nodes = pin(nodes)
+    n = nodes.count()  # bounded driver scalar: |V|, needed in the formula
+    outdeg = pin(e.groupBy("src").agg(F.count("*").alias("outdeg")))
+
+    ranks = pin(nodes.withColumn("rank", F.lit(1.0 / n)))
+    ranks.count()
+    for _ in range(iters):
+        contribs = (e.join(ranks, e.src == ranks.node)
+                      .join(outdeg, "src")
+                      .select(e.dst.alias("node"),
+                              (F.col("rank") / F.col("outdeg"))
+                              .alias("share"))
+                      .groupBy("node")
+                      .agg(F.sum("share").alias("contrib")))
+        # sinks hold rank but emit no shares; their mass redistributes
+        # uniformly. One-row aggregate, broadcast back via cross join —
+        # no driver round-trip inside the loop.
+        dangling = (ranks.join(outdeg, ranks.node == outdeg.src,
+                               "left_anti")
+                         .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                              .alias("dangling")))
+        nxt = (nodes.join(contribs, "node", "left")
+                    .crossJoin(F.broadcast(dangling))
+                    .select(
+                        "node",
+                        (F.lit((1.0 - damping) / n)
+                         + F.lit(damping)
+                         * (F.coalesce(F.col("contrib"), F.lit(0.0))
+                            + F.col("dangling") / F.lit(float(n))))
+                        .alias("rank"))
+                    )
+        nxt = pin(nxt)
+        nxt.count()  # materialize before dropping the previous iteration
+        ranks.unpersist()
+        ranks = nxt
+
+    out = ranks
+    if digits is not None:
+        out = out.select("node", F.round("rank", digits).alias("rank"))
+    return out
+
+
+def degree_profile(edges: DataFrame, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Per-node (out_degree, in_degree) in one pass over the edge list —
+    the cheap companion signal (link-farm / orphan detection) to
+    :func:`pagerank`. Two map-side-combined aggregates, node-sized
+    output."""
+    e = edges.select(F.col(src).alias("src"),
+                     F.col(dst).alias("dst")).distinct()
+    out = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("out_degree"))
+    inn = e.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").alias("in_degree"))
+    return (out.join(inn, "node", "full")
+               .select("node",
+                       F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+                       F.coalesce("in_degree", F.lit(0)).alias("in_degree")))

@@ -1730,3 +1730,124 @@ SELECT q_id, n_id, cos_sim, rn FROM (
                                ORDER BY cos_sim DESC, n_id ASC) AS rn
   FROM scored) WHERE rn <= {k}
 """
+
+
+# --- link-graph centrality (operators/graph.py) ------------------------
+
+#: Deterministic bipartite test graph from the TPC-H-ish tables: customer
+#: <-> supplier edges wherever an order's lineitem connects them, both
+#: directions (so the driver-query graph has no sinks; sink handling is
+#: pytest-pinned separately on a synthetic graph).
+CS_EDGES_SQL = """
+SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                's' || CAST(l_suppkey AS VARCHAR) AS dst
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+UNION
+SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                'c' || CAST(o_custkey AS VARCHAR) AS dst
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+"""
+
+
+def pagerank_sql(edges_sql: str, iters: int = 6, damping: float = 0.85,
+                 digits: int = 6) -> str:
+    """graph.pagerank — the power iteration unrolled into one CTE chain
+    per superstep (dm{i} = dangling mass, c{i} = inbound contributions,
+    pr{i} = the damped update). Fixed iteration count keeps the unroll
+    finite and the arithmetic identical to the Spark loop."""
+    parts = [
+        f"edges AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "nodes AS (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges)",
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        p = f"pr{i - 1}"
+        parts.append(
+            f"dm{i} AS (SELECT coalesce(sum(rank), 0.0) AS dm FROM {p} "
+            f"LEFT JOIN deg ON {p}.node = deg.src WHERE deg.src IS NULL)")
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS node, sum(p.rank / g.outdeg) AS c "
+            f"FROM edges e JOIN {p} p ON e.src = p.node "
+            f"JOIN deg g ON e.src = g.src GROUP BY e.dst)")
+        parts.append(
+            f"pr{i} AS (SELECT n.node, "
+            f"{(1.0 - damping)!r} / (SELECT n FROM nn) + {damping!r} * "
+            f"(coalesce(c.c, 0.0) + (SELECT dm FROM dm{i}) / "
+            f"(SELECT n FROM nn)) AS rank "
+            f"FROM nodes n LEFT JOIN c{i} c ON n.node = c.node)")
+    return ("WITH " + ",\n".join(parts) +
+            f"\nSELECT node, round(rank, {digits}) AS rank FROM pr{iters}")
+
+
+def degree_profile_sql(edges_sql: str) -> str:
+    """graph.degree_profile — per-node in/out degree over distinct edges."""
+    return f"""
+WITH edges AS (SELECT DISTINCT src, dst FROM ({edges_sql})),
+o AS (SELECT src AS node, count(*) AS out_degree FROM edges GROUP BY src),
+i AS (SELECT dst AS node, count(*) AS in_degree FROM edges GROUP BY dst)
+SELECT coalesce(o.node, i.node) AS node,
+       coalesce(out_degree, 0) AS out_degree,
+       coalesce(in_degree, 0) AS in_degree
+FROM o FULL JOIN i ON o.node = i.node
+"""
+
+
+# --- embedding dimensionality reduction (functions/reduction.py) --------
+
+def _dlist(xs) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in xs) + "]"
+
+
+def pca_project_dispatch_sql(entries: list, digits: int = 6,
+                             prefix: str = "pc",
+                             table: str = "embeddings") -> str:
+    """reduction.pca_project dispatching at SQL runtime over committed
+    PCA models, same discipline as classifier_score_dispatch_sql:
+    ``entries`` is ``[((n_rows, sum_vec_id), model), ...]``; the live
+    table's fingerprint picks the model whose fit data this is, and a
+    scale with no committed model yields NULL projections (honest
+    mismatch). Projection math mirrors the Spark expression exactly:
+    ``dot(vec, c) - dot(mean, c)`` with the mean-side dot folded into a
+    literal."""
+    if not entries:
+        return None
+    k = len(entries[0][1]["components"])
+    cols = []
+    for i in range(k):
+        whens = []
+        for (n, s), model in entries:
+            comp = model["components"][i]
+            c0 = sum(float(x) * float(y)
+                     for x, y in zip(model["mean"], comp))
+            whens.append(
+                f"WHEN _rt_n = {int(n)} AND _rt_s = {int(s)} THEN "
+                f"round(list_dot_product(CAST(embedding AS DOUBLE[]), "
+                f"{_dlist(comp)}) - {c0!r}, {digits})")
+        cols.append("CASE " + " ".join(whens) + f" END AS {prefix}{i}")
+    sel = ",\n       ".join(cols)
+    return f"""
+WITH rt AS (SELECT count(*) AS _rt_n,
+                   CAST(coalesce(sum(vec_id), 0) AS BIGINT) AS _rt_s
+            FROM {table})
+SELECT vec_id,
+       {sel}
+FROM {table} CROSS JOIN rt
+"""
+
+
+def random_project_sql(d: int, k: int = 8, salt: str = "rp",
+                       digits: int = 6, prefix: str = "rp",
+                       table: str = "embeddings") -> str:
+    """reduction.random_project — the hash-derived JL matrix is a pure
+    function of (d, k, salt), so both engines inline the SAME literal
+    rows; no fitted artifact, no dispatch."""
+    from qvarn_mr_spark.functions.reduction import random_projection_matrix
+    M = random_projection_matrix(d, k, salt)
+    cols = ",\n       ".join(
+        f"round(list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"{_dlist(row)}), {digits}) AS {prefix}{i}"
+        for i, row in enumerate(M))
+    return f"SELECT vec_id,\n       {cols}\nFROM {table}"

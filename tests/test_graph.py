@@ -1,0 +1,87 @@
+"""Link-graph centrality (operators/graph.py).
+
+The driver query value-oracles the damped update against a DuckDB CTE
+unroll; these tests pin the semantics the oracle alone can't see — sink
+(dangling) handling, mass conservation, and a reference implementation
+differential on graphs the TPC-H-shaped driver graph doesn't contain.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from qvarn_mr_spark.operators.graph import degree_profile, pagerank
+
+
+def _py_pagerank(edges, iters, damping=0.85):
+    """Row-at-a-time reference: same fixed-iteration damped update."""
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        contrib = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            contrib[d] += rank[s] / out[s]
+        dangling = sum(rank[v] for v in nodes if v not in out)
+        rank = {v: (1.0 - damping) / n
+                + damping * (contrib[v] + dangling / n) for v in nodes}
+    return rank
+
+
+#: 12-node graph with a sink (n11), a 2-cycle, a hub, and a self-loop —
+#: deterministic, no RNG.
+GRAPH = [(f"n{i}", f"n{(i * 7 + 3) % 11}") for i in range(11)] + [
+    ("n0", "n11"),      # n11 is a sink: only inbound edges
+    ("n5", "n5"),       # self-loop
+    ("n1", "n2"), ("n2", "n1"),   # 2-cycle
+    ("n3", "n0"), ("n4", "n0"), ("n6", "n0"),  # hub
+]
+
+
+@pytest.fixture(scope="module")
+def edges_df(spark):
+    return spark.createDataFrame(GRAPH, ["src", "dst"])
+
+
+def test_differential_vs_python(spark, edges_df):
+    got = {r["node"]: r["rank"]
+           for r in pagerank(edges_df, iters=5, digits=None).collect()}
+    want = _py_pagerank(GRAPH, iters=5)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12), v
+
+
+def test_mass_conserved_with_sink(edges_df):
+    total = (pagerank(edges_df, iters=4, digits=None)
+             .agg(F.sum("rank")).collect()[0][0])
+    assert total == pytest.approx(1.0, abs=1e-9)
+
+
+def test_star_center_dominates(spark):
+    star = [(f"leaf{i}", "center") for i in range(6)] + \
+           [("center", f"leaf{i}") for i in range(6)]
+    ranks = {r["node"]: r["rank"]
+             for r in pagerank(spark.createDataFrame(
+                 star, ["src", "dst"]), iters=6, digits=None).collect()}
+    assert ranks["center"] > max(v for k, v in ranks.items() if k != "center")
+
+
+def test_duplicate_edges_collapse(spark, edges_df):
+    doubled = edges_df.union(edges_df)
+    a = sorted(pagerank(edges_df, iters=3).collect())
+    b = sorted(pagerank(doubled, iters=3).collect())
+    assert a == b
+
+
+def test_degree_profile(spark, edges_df):
+    prof = {r["node"]: (r["out_degree"], r["in_degree"])
+            for r in degree_profile(edges_df).collect()}
+    assert prof["n11"] == (0, 1)          # sink
+    e = sorted(set(GRAPH))
+    for v, (o, i) in prof.items():
+        assert o == sum(1 for s, _ in e if s == v)
+        assert i == sum(1 for _, d in e if d == v)
