@@ -2114,6 +2114,27 @@ def q_graph_degrees(spark, sf_dir):
     return degree_profile(_cs_edges(spark, sf_dir))
 
 
+def q_graph_hits(spark, sf_dir):
+    """Kleinberg HITS over the purchase graph (operators/graph.py): on
+    the bipartite customer<->supplier edges, hubs = breadth buyers,
+    authorities = pull suppliers — the complementary link signal to
+    PageRank's stationary mass. L1-normalized half-steps so the DuckDB
+    unroll (oracle.hits_sql) reproduces the arithmetic exactly."""
+    from qvarn_mr_spark.operators.graph import hits
+    return hits(_cs_edges(spark, sf_dir), iters=4)
+
+
+def q_doc_c4_rules(spark, sf_dir):
+    """C4 page-level rule profile (functions/quality.py c4_rule_profile):
+    word-count bounds, lorem-ipsum / curly-brace / policy-phrase /
+    blocklist markers, per-line terminal-punctuation and >=5-word
+    fractions, and the composed kept verdict — all whole-stage-codegen
+    Column expressions at scan stage. Full value oracle
+    (oracle.c4_rules_sql)."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return quality.c4_rule_profile(docs, min_words=25)
+
+
 # --- embedding dimensionality reduction (functions/reduction.py) ----------
 
 _PCA_K = 4
@@ -2431,6 +2452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "embedding_nn": q_embedding_nn,
         "embedding_pca_arrow": q_embedding_pca_arrow,
+        "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
+        "doc_decontaminate_fuzzy": q_doc_decontaminate_fuzzy,
         "search_exact_ci": q_search_exact_ci,
         "search_range_sort_limit": q_search_range_sort_limit,
         "search_like": q_search_like,
@@ -2513,6 +2536,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_pagerank": oracle.pagerank_sql(oracle.CS_EDGES_SQL, iters=6),
         "embedding_random_project": oracle.random_project_sql(64, k=8),
+        "graph_hits": oracle.hits_sql(oracle.CS_EDGES_SQL, iters=4),
+        "doc_c4_rules": oracle.c4_rules_sql(min_words=25),
         "graph_degrees": oracle.degree_profile_sql(oracle.CS_EDGES_SQL),
         "search_exact_ci": """
             SELECT c_custkey, c_name, c_acctbal FROM customer

@@ -424,3 +424,105 @@ def perplexity_buckets(df: DataFrame, id_col: str = "doc_id",
     return keyed.select("doc_id", by, "n_tokens", "mean_nll",
                         bucket.cast("int").alias("bucket"),
                         label.alias("bucket_label"))
+
+
+# ---------------------------------------------------------------------------
+# C4-style rule filters (Raffel et al. 2020, §2.2 "Colossal Clean Crawled
+# Corpus" heuristics) — pure Column expressions, scan-stage at any scale.
+# ---------------------------------------------------------------------------
+
+#: Minimal standalone-word blocklist (the C4 paper gates on the public
+#: "List of Dirty, Naughty ..." list; a handful of its safest entries is
+#: enough to pin the mechanism — deployments swap in the full list).
+C4_BLOCKLIST = ("porn", "casino", "viagra", "xxx")
+
+#: Boilerplate phrases whose presence marks a policy/consent page.
+C4_POLICY_PHRASES = ("terms of use", "privacy policy", "cookie policy",
+                     "uses cookies")
+
+
+def c4_signals(text_col: str = "text") -> dict:
+    """The C4 paper's page-level heuristics as named Column expressions:
+    word count and mean word length (Gopher also bounds these), the
+    "lorem ipsum" and curly-brace (code) markers, policy-phrase hits,
+    blocklist hits, and the per-line statistics (fraction of non-empty
+    lines ending in terminal punctuation / holding >= 5 words). All
+    whole-stage-codegen JVM; no UDF, no shuffle."""
+    t = F.col(text_col)
+    low = F.lower(t)
+    words = F.filter(F.split(t, r"\s+"), lambda w: F.length(w) > 0)
+    n_words = F.size(words).cast("long")
+    sum_len = F.aggregate(words, F.lit(0).cast("long"),
+                          lambda acc, w: acc + F.length(w))
+    mean_word_len = F.when(n_words > 0,
+                           sum_len.cast("double") / n_words) \
+                     .otherwise(F.lit(0.0))
+    lines = F.filter(F.split(t, "\n"),
+                     lambda l: F.length(F.trim(l)) > 0)
+    n_lines = F.size(lines).cast("long")
+    term = F.size(F.filter(
+        lines, lambda l: F.trim(l).rlike('[.!?"]$'))).cast("long")
+    ge5 = F.size(F.filter(
+        lines,
+        lambda l: F.size(F.filter(F.split(F.trim(l), r"\s+"),
+                                  lambda w: F.length(w) > 0)) >= 5)
+        ).cast("long")
+    frac = lambda num: F.when(n_lines > 0,
+                              num.cast("double") / n_lines) \
+                        .otherwise(F.lit(0.0))
+    policy_hits = sum(
+        (F.when(F.contains(low, F.lit(p)), 1).otherwise(0)
+         for p in C4_POLICY_PHRASES), F.lit(0)).cast("long")
+    bad_pat = r"\b(" + "|".join(C4_BLOCKLIST) + r")\b"
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "has_lorem": F.contains(low, F.lit("lorem ipsum")),
+        "has_brace": F.contains(t, F.lit("{")),
+        "policy_hits": policy_hits,
+        "has_blockword": low.rlike(bad_pat),
+        "frac_lines_terminal": frac(term),
+        "frac_lines_ge5_words": frac(ge5),
+    }
+
+
+def c4_rule_profile(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    min_words: int = 25, max_words: int = 100000,
+                    min_terminal_frac: float = 0.0,
+                    digits: int = 4) -> DataFrame:
+    """Per-document C4 signal profile + the composed ``kept`` verdict.
+    One projection over the scan; the driver query value-oracles every
+    signal against the DuckDB twin (oracle.c4_rules_sql)."""
+    s = c4_signals(text_col)
+    kept = ((s["n_words"] >= min_words) & (s["n_words"] <= max_words)
+            & ~s["has_lorem"] & ~s["has_brace"]
+            & (s["policy_hits"] == 0) & ~s["has_blockword"]
+            & (s["frac_lines_terminal"] >= min_terminal_frac))
+    return df.select(
+        F.col(id_col),
+        s["n_words"].alias("n_words"),
+        F.round(s["mean_word_len"], digits).alias("mean_word_len"),
+        s["has_lorem"].alias("has_lorem"),
+        s["has_brace"].alias("has_brace"),
+        s["policy_hits"].alias("policy_hits"),
+        s["has_blockword"].alias("has_blockword"),
+        F.round(s["frac_lines_terminal"], digits)
+         .alias("frac_lines_terminal"),
+        F.round(s["frac_lines_ge5_words"], digits)
+         .alias("frac_lines_ge5_words"),
+        kept.alias("kept"))
+
+
+def c4_filter(df: DataFrame, text_col: str = "text",
+              min_words: int = 25, max_words: int = 100000,
+              min_terminal_frac: float = 0.0) -> DataFrame:
+    """Keep only documents passing the composed C4 rules — the gate form
+    for pipelines (scan-stage predicate; stacks with corpus_prepare's
+    quality gate so rejected docs never reach the dedup shuffle)."""
+    s = c4_signals(text_col)
+    return df.filter(
+        (s["n_words"] >= min_words) & (s["n_words"] <= max_words)
+        & ~s["has_lorem"] & ~s["has_brace"]
+        & (s["policy_hits"] == 0) & ~s["has_blockword"]
+        & (s["frac_lines_terminal"] >= min_terminal_frac))

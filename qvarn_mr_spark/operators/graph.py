@@ -17,13 +17,15 @@ Execution model (per iteration, all declarative):
   without a driver-side collect inside the loop.
 - new rank = ``(1-d)/N + d * (contrib + dangling/N)``.
 
-Each iteration's ranks are persisted and materialized, and the previous
-iteration is unpersisted — at 100 TB this is the standard Pregel-lite
-cadence (checkpoint per superstep bounds lineage and recompute; ranks and
-degrees are node-sized, edges are scanned once per iteration). Iteration
-count is FIXED (no convergence test), which keeps the operator
-deterministic and oracle-able; 6-10 iterations is the conventional
-curation-quality setting.
+Each iteration's ranks are ``localCheckpoint``'ed (cluster: reliable
+``checkpoint()``) — at 100 TB this is the standard Pregel-lite cadence,
+and it is REQUIRED, not an optimization: every superstep references the
+previous state more than once, so an un-truncated logical plan doubles
+per iteration and the driver OOMs stringifying it long before the data
+is a problem. Ranks and degrees are node-sized, edges are scanned once
+per iteration. Iteration count is FIXED (no convergence test), which
+keeps the operator deterministic and oracle-able; 6-10 iterations is the
+conventional curation-quality setting.
 """
 
 from __future__ import annotations
@@ -58,8 +60,13 @@ def pagerank(
     n = nodes.count()  # bounded driver scalar: |V|, needed in the formula
     outdeg = pin(e.groupBy("src").agg(F.count("*").alias("outdeg")))
 
-    ranks = pin(nodes.withColumn("rank", F.lit(1.0 / n)))
-    ranks.count()
+    # Superstep state is localCheckpoint'ed (cluster: checkpoint()) — NOT
+    # merely persisted: each update references the previous ranks twice
+    # (contributions + dangling mass), so without truncation the LOGICAL
+    # plan doubles per iteration (2^iters nodes; AQE stringifies it per
+    # job and OOMs the driver around 10 supersteps). Checkpointing cuts
+    # the lineage at node-sized state, the Pregel norm.
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
     for _ in range(iters):
         contribs = (e.join(ranks, e.src == ranks.node)
                       .join(outdeg, "src")
@@ -85,10 +92,9 @@ def pagerank(
                             + F.col("dangling") / F.lit(float(n))))
                         .alias("rank"))
                     )
-        nxt = pin(nxt)
-        nxt.count()  # materialize before dropping the previous iteration
-        ranks.unpersist()
-        ranks = nxt
+        # eager by default: materializes now, truncates lineage; the
+        # previous step's blocks are released by the context cleaner
+        ranks = nxt.localCheckpoint()
 
     out = ranks
     if digits is not None:
@@ -112,3 +118,61 @@ def degree_profile(edges: DataFrame, src: str = "src",
                .select("node",
                        F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
                        F.coalesce("in_degree", F.lit(0)).alias("in_degree")))
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 4,
+    digits: int | None = 6,
+) -> DataFrame:
+    """Kleinberg's HITS: hub/authority scores by alternating power
+    iteration — ``authority(v) = sum of hub(u) over u->v edges``, then
+    ``hub(u) = sum of authority(v) over u->v``, each L1-normalized per
+    half-step (L1 keeps the update division-only, so a SQL oracle
+    reproduces it exactly; the fixpoint direction is the same as the
+    usual L2 form). On a bipartite purchase graph this separates
+    "breadth" customers (hubs) from "pull" suppliers (authorities) —
+    a different curation signal than PageRank's stationary mass.
+
+    Same execution cadence as :func:`pagerank`: per half-step one
+    edge-sized shuffle, node-sized state checkpointed per superstep;
+    fixed iteration count for determinism."""
+    e = pin(edges.select(F.col(src).alias("src"),
+                         F.col(dst).alias("dst")).distinct())
+    nodes = pin(e.select(F.col("src").alias("node"))
+                 .union(e.select(F.col("dst").alias("node")))
+                 .distinct())
+    # same lineage discipline as pagerank: each superstep references the
+    # previous state several times (auth update, hub update, output
+    # join), so state is localCheckpoint'ed per superstep
+    state = nodes.select("node", F.lit(1.0).alias("hub"),
+                         F.lit(1.0).alias("auth")).localCheckpoint()
+    for _ in range(iters):
+        a = (e.join(state.select(F.col("node").alias("src"), "hub"), "src")
+              .groupBy(F.col("dst").alias("node"))
+              .agg(F.sum("hub").alias("auth")))
+        a_tot = a.agg(F.sum("auth").alias("tot"))
+        # referenced twice below (hub update + output join) — checkpoint
+        # so it computes once and the plan doesn't nest
+        a = (nodes.join(a, "node", "left")
+                  .crossJoin(F.broadcast(a_tot))
+                  .select("node", (F.coalesce(F.col("auth"), F.lit(0.0))
+                                   / F.col("tot")).alias("auth"))
+             .localCheckpoint())
+        h = (e.join(a.select(F.col("node").alias("dst"), "auth"), "dst")
+              .groupBy(F.col("src").alias("node"))
+              .agg(F.sum("auth").alias("hub")))
+        h_tot = h.agg(F.sum("hub").alias("tot"))
+        nxt = (nodes.join(h, "node", "left")
+                    .crossJoin(F.broadcast(h_tot))
+                    .select("node", (F.coalesce(F.col("hub"), F.lit(0.0))
+                                     / F.col("tot")).alias("hub"))
+                    .join(a, "node"))
+        state = nxt.localCheckpoint()
+    out = state
+    if digits is not None:
+        out = out.select("node", F.round("hub", digits).alias("hub"),
+                         F.round("auth", digits).alias("auth"))
+    return out

@@ -1851,3 +1851,91 @@ def random_project_sql(d: int, k: int = 8, salt: str = "rp",
         f"{_dlist(row)}), {digits}) AS {prefix}{i}"
         for i, row in enumerate(M))
     return f"SELECT vec_id,\n       {cols}\nFROM {table}"
+
+
+def hits_sql(edges_sql: str, iters: int = 4, digits: int = 6) -> str:
+    """graph.hits — alternating hub/authority updates unrolled per
+    half-step, L1-normalized exactly as the Spark loop."""
+    parts = [
+        f"edges AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "nodes AS (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges)",
+        "st0 AS (SELECT node, 1.0 AS hub, 1.0 AS auth FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        p = f"st{i - 1}"
+        parts.append(
+            f"ar{i} AS (SELECT e.dst AS node, sum(s.hub) AS a "
+            f"FROM edges e JOIN {p} s ON e.src = s.node GROUP BY e.dst)")
+        parts.append(
+            f"an{i} AS (SELECT n.node, coalesce(ar.a, 0.0) / "
+            f"(SELECT sum(a) FROM ar{i}) AS auth "
+            f"FROM nodes n LEFT JOIN ar{i} ar ON n.node = ar.node)")
+        parts.append(
+            f"hr{i} AS (SELECT e.src AS node, sum(an.auth) AS h "
+            f"FROM edges e JOIN an{i} an ON e.dst = an.node GROUP BY e.src)")
+        parts.append(
+            f"st{i} AS (SELECT n.node, coalesce(hr.h, 0.0) / "
+            f"(SELECT sum(h) FROM hr{i}) AS hub, an.auth "
+            f"FROM nodes n LEFT JOIN hr{i} hr ON n.node = hr.node "
+            f"JOIN an{i} an ON n.node = an.node)")
+    return ("WITH " + ",\n".join(parts) +
+            f"\nSELECT node, round(hub, {digits}) AS hub, "
+            f"round(auth, {digits}) AS auth FROM st{iters}")
+
+
+# --- C4 rule filters (functions/quality.py c4_*) -------------------------
+
+def c4_rules_sql(min_words: int = 25, max_words: int = 100000,
+                 min_terminal_frac: float = 0.0, digits: int = 4,
+                 table: str = "documents") -> str:
+    """quality.c4_rule_profile — every signal recomputed with DuckDB list
+    lambdas over the same splits."""
+    from qvarn_mr_spark.functions.quality import (C4_BLOCKLIST,
+                                                  C4_POLICY_PHRASES)
+    policy = " + ".join(
+        f"CASE WHEN contains(lower(text), '{p}') THEN 1 ELSE 0 END"
+        for p in C4_POLICY_PHRASES)
+    bad = "|".join(C4_BLOCKLIST)
+    return f"""
+WITH w AS (
+  SELECT *,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> length(x) > 0) AS words,
+         list_filter(string_split(text, chr(10)),
+                     l -> length(trim(l)) > 0) AS lines
+  FROM {table}
+),
+s AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         CASE WHEN len(words) > 0 THEN
+           CAST(list_sum(list_transform(words, x -> length(x)))
+                AS DOUBLE) / len(words) ELSE 0.0 END AS mean_word_len,
+         contains(lower(text), 'lorem ipsum') AS has_lorem,
+         contains(text, '{{') AS has_brace,
+         CAST({policy} AS BIGINT) AS policy_hits,
+         regexp_matches(lower(text), '\\b({bad})\\b') AS has_blockword,
+         CASE WHEN len(lines) > 0 THEN
+           CAST(len(list_filter(lines,
+                l -> regexp_matches(trim(l), '[.!?"]$')))
+                AS DOUBLE) / len(lines) ELSE 0.0 END
+           AS frac_lines_terminal,
+         CASE WHEN len(lines) > 0 THEN
+           CAST(len(list_filter(lines,
+                l -> len(list_filter(regexp_split_to_array(trim(l),
+                     '\\s+'), x -> length(x) > 0)) >= 5))
+                AS DOUBLE) / len(lines) ELSE 0.0 END
+           AS frac_lines_ge5_words
+  FROM w
+)
+SELECT doc_id, n_words, round(mean_word_len, {digits}) AS mean_word_len,
+       has_lorem, has_brace, policy_hits, has_blockword,
+       round(frac_lines_terminal, {digits}) AS frac_lines_terminal,
+       round(frac_lines_ge5_words, {digits}) AS frac_lines_ge5_words,
+       (n_words >= {min_words} AND n_words <= {max_words}
+        AND NOT has_lorem AND NOT has_brace AND policy_hits = 0
+        AND NOT has_blockword
+        AND frac_lines_terminal >= {min_terminal_frac}) AS kept
+FROM s
+"""

@@ -85,3 +85,49 @@ def test_degree_profile(spark, edges_df):
     for v, (o, i) in prof.items():
         assert o == sum(1 for s, _ in e if s == v)
         assert i == sum(1 for _, d in e if d == v)
+
+
+def _py_hits(edges, iters):
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    hub = {v: 1.0 for v in nodes}
+    auth = {}
+    for _ in range(iters):
+        auth = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            auth[d] += hub[s]
+        tot = sum(auth.values())
+        auth = {v: x / tot for v, x in auth.items()}
+        hub = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            hub[s] += auth[d]
+        tot = sum(hub.values())
+        hub = {v: x / tot for v, x in hub.items()}
+    return hub, auth
+
+
+def test_hits_differential_vs_python(spark, edges_df):
+    from qvarn_mr_spark.operators.graph import hits
+    got = {r["node"]: (r["hub"], r["auth"])
+           for r in hits(edges_df, iters=3, digits=None).collect()}
+    hub, auth = _py_hits(GRAPH, iters=3)
+    for v in hub:
+        assert got[v][0] == pytest.approx(hub[v], abs=1e-12), v
+        assert got[v][1] == pytest.approx(auth[v], abs=1e-12), v
+
+
+def test_hits_bipartite_split(spark):
+    """On a pure bipartite graph (edges only left->right), all authority
+    sits on the right and all hub mass on the left."""
+    from qvarn_mr_spark.operators.graph import hits
+    edges = [(f"l{i}", f"r{i % 2}") for i in range(6)]
+    out = {r["node"]: (r["hub"], r["auth"])
+           for r in hits(spark.createDataFrame(
+               edges, ["src", "dst"]), iters=3, digits=None).collect()}
+    for v, (h, a) in out.items():
+        if v.startswith("l"):
+            assert a == 0.0 and h > 0
+        else:
+            assert h == 0.0 and a > 0
+    assert sum(h for h, _ in out.values()) == pytest.approx(1.0, abs=1e-9)
+    assert sum(a for _, a in out.values()) == pytest.approx(1.0, abs=1e-9)

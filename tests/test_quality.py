@@ -514,3 +514,29 @@ def test_perplexity_buckets_rejects_unknown_method(spark):
     df = _ppl_corpus(spark)
     with pytest.raises(ValueError, match="unknown method"):
         quality.perplexity_buckets(df, method="nope")
+
+
+def test_c4_rule_profile_hand_cases(spark):
+    from qvarn_mr_spark.functions.quality import c4_filter, c4_rule_profile
+    docs = spark.createDataFrame([
+        (1, "A clean page.\nIt has sentences ending properly.\n"
+            "Five words in this line."),
+        (2, "lorem ipsum dolor sit amet " * 10),
+        (3, "function f() { return 1; }"),
+        (4, "please read our privacy policy and terms of use"),
+        (5, "buy viagra now " * 10),
+        (6, "too short"),
+    ], ["doc_id", "text"])
+    prof = {r["doc_id"]: r for r in
+            c4_rule_profile(docs, min_words=5).collect()}
+    assert prof[1]["kept"] and prof[1]["frac_lines_terminal"] == 1.0
+    assert prof[2]["has_lorem"] and not prof[2]["kept"]
+    assert prof[3]["has_brace"] and not prof[3]["kept"]
+    assert prof[4]["policy_hits"] == 2 and not prof[4]["kept"]
+    assert prof[5]["has_blockword"] and not prof[5]["kept"]
+    assert prof[6]["n_words"] == 2 and not prof[6]["kept"]
+    kept_ids = [r["doc_id"] for r in
+                c4_filter(docs, min_words=5).select("doc_id").collect()]
+    assert kept_ids == [1]
+    # line stats: doc 1 has 3 non-empty lines, all terminal, one with >=5
+    assert prof[1]["frac_lines_ge5_words"] == pytest.approx(2 / 3, abs=1e-4)
