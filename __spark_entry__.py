@@ -1639,9 +1639,26 @@ def q_corpus_ppl_prepare(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_corpus_c4_prepare(spark, sf_dir):
+    """corpus_prepare with the C4 rule gate on (functions/pipeline.py):
+    profile → quality/token gates → C4 page rules (word-count floor,
+    lorem/brace/policy/blocklist markers, terminal-punctuation floor —
+    quality.c4_filter, a second narrow scan-stage gate) → dedup onto
+    canonicals → consistent split. Value-oracled end-to-end: the C4
+    predicate composes into corpus_prepare_sql as a CTE
+    (oracle._c4_gate_ctes). Exercises the base corpus_prepare path plus
+    the gate, so the base query moves below the driver window (still
+    value-checked by the local mirror)."""
+    from qvarn_mr_spark.functions.pipeline import corpus_prepare
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return (corpus_prepare(docs, "doc_id", "text", min_quality=0.0,
+                           min_tokens=2, c4_min_words=20)
+            .orderBy("doc_id"))
+
+
 def q_corpus_funnel(spark, sf_dir):
-    """Gate accounting for the DSIR-gated pipeline
-    (pipeline.corpus_funnel): per stage (input → gates → dsir →
+    """Gate accounting for the C4+DSIR-gated pipeline
+    (pipeline.corpus_funnel): per stage (input → gates → c4 → dsir →
     canonical), how many documents survived — the
     how-much-did-each-gate-remove table every 100 TB pipeline owner
     asks for first. One one-row aggregate per stage, unioned."""
@@ -1649,7 +1666,8 @@ def q_corpus_funnel(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")["documents"]
     target = docs.filter(F.col("lang") == "en")
     return corpus_funnel(docs, "doc_id", "text", min_quality=0.0,
-                         min_tokens=2, dsir_target=target, dsir_k=200)
+                         min_tokens=2, c4_min_words=20,
+                         dsir_target=target, dsir_k=200)
 
 
 def q_doc_compression_ratio(spark, sf_dir):
@@ -2318,9 +2336,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_corpus": q_dedup_corpus,
         "doc_repetition": q_doc_repetition,
         "doc_decontaminate": q_doc_decontaminate,
-        "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
-        # --- new in r5: fuzzy decontamination, bigram LM, keeper/batching ---
-        "doc_decontaminate_fuzzy": q_doc_decontaminate_fuzzy,
+        # r7: HITS + the C4 rule profile take the two decontamination-
+        # variant window slots (the base exact decontaminate stays
+        # in-window; the Bloom and fuzzy-MinHash variants move to the
+        # tail, still value-checked by the local mirror)
+        "graph_hits": q_graph_hits,
+        "doc_c4_rules": q_doc_c4_rules,
         "doc_bigram_surprisal": q_doc_bigram_surprisal,
         # --- new in r7: trigram LM (driver-value-checked) ---
         "doc_trigram_surprisal": q_doc_trigram_surprisal,
@@ -2362,7 +2383,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_skew_profile": q_events_skew_profile,
         "doc_quality_classifier": q_doc_quality_classifier,
         "doc_substring_dedup": q_doc_substring_dedup,
-        "corpus_prepare": q_corpus_prepare,
+        # r7: the C4-gated composed pass takes the base corpus_prepare
+        # slot (its oracle embeds the base pipeline CTEs, so the base
+        # semantics stay driver-checked transitively; the base query
+        # remains value-checked by the local mirror at the tail)
+        "corpus_c4_prepare": q_corpus_c4_prepare,
         # --- new in r7: DSIR-gated pipeline + funnel accounting ---
         "corpus_dsir_prepare": q_corpus_dsir_prepare,
         # --- new in r7: CCNet-perplexity-gated pipeline; its oracle
@@ -2454,6 +2479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca_arrow": q_embedding_pca_arrow,
         "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
         "doc_decontaminate_fuzzy": q_doc_decontaminate_fuzzy,
+        "corpus_prepare": q_corpus_prepare,
         "search_exact_ci": q_search_exact_ci,
         "search_range_sort_limit": q_search_range_sort_limit,
         "search_like": q_search_like,
@@ -3085,8 +3111,10 @@ def oracle_sql() -> dict[str, str]:
             dsir_target_pred="lang = 'en'", dsir_k=200),
         "corpus_ppl_prepare": oracle.corpus_prepare_sql(
             min_quality=0.0, min_tokens=2, perplexity_keep_buckets=2),
+        "corpus_c4_prepare": oracle.corpus_prepare_sql(
+            min_quality=0.0, min_tokens=2, c4_min_words=20),
         "corpus_funnel": oracle.corpus_funnel_sql(
-            min_quality=0.0, min_tokens=2,
+            min_quality=0.0, min_tokens=2, c4_min_words=20,
             dsir_target_pred="lang = 'en'", dsir_k=200),
         "simhash": oracle.simhash_sql(),
         "simhash_candidates": oracle.simhash_candidates_sql(),

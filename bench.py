@@ -104,6 +104,16 @@ BENCH_QUERIES = (
     "embedding_kmeans_assign",
     "embedding_density_sample",
     "kmeans_probe_search",
+    # round 7 additions: bucketed-materialization join, link-graph
+    # centrality, dimensionality reduction, C4 rule gate
+    "segment_sales_bucketed",
+    "graph_pagerank",
+    "graph_hits",
+    "graph_degrees",
+    "embedding_pca",
+    "embedding_pca_arrow",
+    "embedding_random_project",
+    "doc_c4_rules",
 )
 
 #: Deliberate brute-force foils, kept in queries() as labeled baselines

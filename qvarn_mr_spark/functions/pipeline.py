@@ -46,6 +46,8 @@ def _gate_flow(df: DataFrame, id_col: str, text_col: str,
                line_delimiter: str,
                classifier_weights: dict | None,
                classifier_threshold: float,
+               c4_min_words: int | None,
+               c4_min_terminal_frac: float,
                perplexity_keep_buckets: int | None,
                perplexity_n_buckets: int,
                perplexity_method: str,
@@ -111,6 +113,12 @@ def _gate_flow(df: DataFrame, id_col: str, text_col: str,
     if rep_gates:
         kept = kept.drop("_dup_word_frac", "_top_word_frac")
     stages.append(("gates", kept))
+    if c4_min_words is not None:
+        from qvarn_mr_spark.functions.quality import c4_filter
+        kept = c4_filter(kept, text_col="_text",
+                         min_words=c4_min_words,
+                         min_terminal_frac=c4_min_terminal_frac)
+        stages.append(("c4", kept))
     if classifier_weights is not None:
         from qvarn_mr_spark.functions.classifier import score_expr
         kept = kept.filter(score_expr(classifier_weights,
@@ -172,6 +180,8 @@ def corpus_prepare(df: DataFrame, id_col: str = "doc_id",
                    line_delimiter: str = "\n",
                    classifier_weights: dict | None = None,
                    classifier_threshold: float = 0.5,
+                   c4_min_words: int | None = None,
+                   c4_min_terminal_frac: float = 0.0,
                    perplexity_keep_buckets: int | None = None,
                    perplexity_n_buckets: int = 3,
                    perplexity_method: str = "ntile",
@@ -210,6 +220,11 @@ def corpus_prepare(df: DataFrame, id_col: str = "doc_id",
       scoring below ``classifier_threshold`` are dropped in the SAME
       narrow gate stage as the heuristic filters (the score is a pure
       Column over the profiled text — no extra pass);
+    - ``c4_min_words`` (+ ``c4_min_terminal_frac``) — the C4 page rules
+      (:func:`qvarn_mr_spark.functions.quality.c4_filter`): word-count
+      floor, lorem-ipsum / curly-brace / policy-phrase / blocklist
+      markers, and the per-line terminal-punctuation floor — a second
+      narrow scan-stage gate between the heuristics and the classifier;
     - ``dsir_target`` (+ ``dsir_k`` or ``dsir_frac``) — DSIR importance
       resampling (:func:`qvarn_mr_spark.functions.sampling.
       dsir_resample`, Xie et al. 2023): keep only the ``dsir_k`` (or
@@ -229,6 +244,7 @@ def corpus_prepare(df: DataFrame, id_col: str = "doc_id",
         languages, max_dup_word_frac, max_top_word_frac,
         decontaminate_against, decontam_k, strip_lines_min_frac,
         line_delimiter, classifier_weights, classifier_threshold,
+        c4_min_words, c4_min_terminal_frac,
         perplexity_keep_buckets, perplexity_n_buckets, perplexity_method,
         dsir_target, dsir_k, dsir_frac, salt)
 
@@ -263,6 +279,8 @@ def corpus_funnel(df: DataFrame, id_col: str = "doc_id",
                   line_delimiter: str = "\n",
                   classifier_weights: dict | None = None,
                   classifier_threshold: float = 0.5,
+                  c4_min_words: int | None = None,
+                  c4_min_terminal_frac: float = 0.0,
                   perplexity_keep_buckets: int | None = None,
                   perplexity_n_buckets: int = 3,
                   perplexity_method: str = "ntile",
@@ -276,8 +294,8 @@ def corpus_funnel(df: DataFrame, id_col: str = "doc_id",
     the "how much did each gate remove" table every pipeline owner asks
     for first at 100 TB. Stages present only when their gate is on::
 
-        input → [line_strip] → gates → [classifier] → [decontaminated]
-              → [dsir] → canonical
+        input → [line_strip] → gates → [c4] → [classifier]
+              → [perplexity] → [decontaminated] → [dsir] → canonical
 
     Returns ``(stage_idx, stage, n_docs)``, one row per stage,
     ``stage_idx`` preserving funnel order. Each count is a one-row
@@ -292,6 +310,7 @@ def corpus_funnel(df: DataFrame, id_col: str = "doc_id",
         languages, max_dup_word_frac, max_top_word_frac,
         decontaminate_against, decontam_k, strip_lines_min_frac,
         line_delimiter, classifier_weights, classifier_threshold,
+        c4_min_words, c4_min_terminal_frac,
         perplexity_keep_buckets, perplexity_n_buckets, perplexity_method,
         dsir_target, dsir_k, dsir_frac, salt)
     canonical = dedup_corpus(

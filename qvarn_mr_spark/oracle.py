@@ -1298,10 +1298,44 @@ pk AS MATERIALIZED (
   SELECT k.* FROM {src} k JOIN pkeep USING (doc_id))"""
 
 
+def _c4_gate_ctes(survivors: str, min_words: int,
+                  min_terminal_frac: float = 0.0,
+                  max_words: int = 100000) -> str:
+    """CTE block for the C4 gate inside the composed pipeline oracles:
+    filters ``survivors`` with the same predicate quality.c4_filter
+    applies (word-count band, lorem/brace/policy/blocklist markers,
+    terminal-punctuation floor); exposes ``c4k``."""
+    from qvarn_mr_spark.functions.quality import (C4_BLOCKLIST,
+                                                  C4_POLICY_PHRASES)
+    policy = " + ".join(
+        f"CASE WHEN contains(lower(k.text), '{p}') THEN 1 ELSE 0 END"
+        for p in C4_POLICY_PHRASES)
+    bad = "|".join(C4_BLOCKLIST)
+    nw = ("len(list_filter(regexp_split_to_array(k.text, '\\s+'), "
+          "x -> length(x) > 0))")
+    lines = ("list_filter(string_split(k.text, chr(10)), "
+             "l -> length(trim(l)) > 0)")
+    term_frac = (f"CASE WHEN len({lines}) > 0 THEN "
+                 f"CAST(len(list_filter({lines}, "
+                 f"l -> regexp_matches(trim(l), '[.!?\"]$'))) AS DOUBLE)"
+                 f" / len({lines}) ELSE 0.0 END")
+    return f"""c4k AS MATERIALIZED (
+  SELECT k.* FROM {survivors} k
+  WHERE {nw} >= {min_words} AND {nw} <= {max_words}
+    AND NOT contains(lower(k.text), 'lorem ipsum')
+    AND NOT contains(k.text, '{{')
+    AND ({policy}) = 0
+    AND NOT regexp_matches(lower(k.text), '\\b({bad})\\b')
+    AND {term_frac} >= {min_terminal_frac})"""
+
+
+
 def corpus_prepare_sql(min_quality: float = 0.3, min_tokens: int = 5,
                        max_tokens: int = 100_000,
                        jaccard_threshold: float = 0.5,
                        split_weights: dict[str, float] | None = None,
+                       c4_min_words: int | None = None,
+                       c4_min_terminal_frac: float = 0.0,
                        perplexity_keep_buckets: int | None = None,
                        perplexity_n_buckets: int = 3,
                        dsir_target_pred: str | None = None,
@@ -1322,6 +1356,10 @@ def corpus_prepare_sql(min_quality: float = 0.3, min_tokens: int = 5,
     n = norm_sql("text")
     survivors = "kept"
     dsir_ctes = ""
+    if c4_min_words is not None:
+        dsir_ctes += _c4_gate_ctes(survivors, c4_min_words,
+                                   c4_min_terminal_frac) + ",\n"
+        survivors = "c4k"
     if perplexity_keep_buckets is not None:
         dsir_ctes += _perplexity_gate_ctes(
             survivors, perplexity_keep_buckets,
@@ -1361,6 +1399,8 @@ JOIN sizes s ON s.canonical_id = k.doc_id
 def corpus_funnel_sql(min_quality: float = 0.3, min_tokens: int = 5,
                       max_tokens: int = 100_000,
                       jaccard_threshold: float = 0.5,
+                      c4_min_words: int | None = None,
+                      c4_min_terminal_frac: float = 0.0,
                       perplexity_keep_buckets: int | None = None,
                       perplexity_n_buckets: int = 3,
                       dsir_target_pred: str | None = None,
@@ -1375,6 +1415,10 @@ def corpus_funnel_sql(min_quality: float = 0.3, min_tokens: int = 5,
     n = norm_sql("text")
     survivors = "kept"
     dsir_ctes = ""
+    if c4_min_words is not None:
+        dsir_ctes += _c4_gate_ctes(survivors, c4_min_words,
+                                   c4_min_terminal_frac) + ",\n"
+        survivors = "c4k"
     if perplexity_keep_buckets is not None:
         dsir_ctes += _perplexity_gate_ctes(
             survivors, perplexity_keep_buckets,
@@ -1386,6 +1430,8 @@ def corpus_funnel_sql(min_quality: float = 0.3, min_tokens: int = 5,
             dsir_buckets or DSIR_BUCKETS, 1.0, table) + ",\n"
         survivors = "dsel"
     stages = [("input", table), ("gates", "kept")]
+    if c4_min_words is not None:
+        stages.append(("c4", "c4k"))
     if perplexity_keep_buckets is not None:
         stages.append(("perplexity", "pk"))
     if dsir_target_pred is not None:
@@ -1756,10 +1802,12 @@ def pagerank_sql(edges_sql: str, iters: int = 6, damping: float = 0.85,
     pr{i} = the damped update). Fixed iteration count keeps the unroll
     finite and the arithmetic identical to the Spark loop."""
     parts = [
-        f"edges AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
-        "nodes AS (SELECT src AS node FROM edges"
+        f"edges AS MATERIALIZED (SELECT DISTINCT src, dst"
+        f" FROM ({edges_sql}))",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM edges"
         " UNION SELECT dst FROM edges)",
-        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        "deg AS MATERIALIZED (SELECT src, count(*) AS outdeg"
+        " FROM edges GROUP BY src)",
         "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
         "pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)",
     ]
@@ -1773,7 +1821,7 @@ def pagerank_sql(edges_sql: str, iters: int = 6, damping: float = 0.85,
             f"FROM edges e JOIN {p} p ON e.src = p.node "
             f"JOIN deg g ON e.src = g.src GROUP BY e.dst)")
         parts.append(
-            f"pr{i} AS (SELECT n.node, "
+            f"pr{i} AS MATERIALIZED (SELECT n.node, "
             f"{(1.0 - damping)!r} / (SELECT n FROM nn) + {damping!r} * "
             f"(coalesce(c.c, 0.0) + (SELECT dm FROM dm{i}) / "
             f"(SELECT n FROM nn)) AS rank "
@@ -1856,26 +1904,32 @@ def random_project_sql(d: int, k: int = 8, salt: str = "rp",
 def hits_sql(edges_sql: str, iters: int = 4, digits: int = 6) -> str:
     """graph.hits — alternating hub/authority updates unrolled per
     half-step, L1-normalized exactly as the Spark loop."""
+    # every CTE that is referenced more than once is MATERIALIZED —
+    # DuckDB otherwise re-executes the subtree per reference, which
+    # re-opens the base parquet for every superstep reference and blows
+    # the process fd limit on deep unrolls (the SQL mirror of the Spark
+    # loop's localCheckpoint)
     parts = [
-        f"edges AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
-        "nodes AS (SELECT src AS node FROM edges"
+        f"edges AS MATERIALIZED (SELECT DISTINCT src, dst"
+        f" FROM ({edges_sql}))",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM edges"
         " UNION SELECT dst FROM edges)",
         "st0 AS (SELECT node, 1.0 AS hub, 1.0 AS auth FROM nodes)",
     ]
     for i in range(1, iters + 1):
         p = f"st{i - 1}"
         parts.append(
-            f"ar{i} AS (SELECT e.dst AS node, sum(s.hub) AS a "
+            f"ar{i} AS MATERIALIZED (SELECT e.dst AS node, sum(s.hub) AS a "
             f"FROM edges e JOIN {p} s ON e.src = s.node GROUP BY e.dst)")
         parts.append(
-            f"an{i} AS (SELECT n.node, coalesce(ar.a, 0.0) / "
+            f"an{i} AS MATERIALIZED (SELECT n.node, coalesce(ar.a, 0.0) / "
             f"(SELECT sum(a) FROM ar{i}) AS auth "
             f"FROM nodes n LEFT JOIN ar{i} ar ON n.node = ar.node)")
         parts.append(
-            f"hr{i} AS (SELECT e.src AS node, sum(an.auth) AS h "
+            f"hr{i} AS MATERIALIZED (SELECT e.src AS node, sum(an.auth) AS h "
             f"FROM edges e JOIN an{i} an ON e.dst = an.node GROUP BY e.src)")
         parts.append(
-            f"st{i} AS (SELECT n.node, coalesce(hr.h, 0.0) / "
+            f"st{i} AS MATERIALIZED (SELECT n.node, coalesce(hr.h, 0.0) / "
             f"(SELECT sum(h) FROM hr{i}) AS hub, an.auth "
             f"FROM nodes n LEFT JOIN hr{i} hr ON n.node = hr.node "
             f"JOIN an{i} an ON n.node = an.node)")

@@ -268,3 +268,32 @@ def test_corpus_funnel_perplexity_stage(spark, docs):
     out = corpus_prepare(docs, "doc_id", "text", min_quality=0.0,
                          min_tokens=2, perplexity_keep_buckets=2)
     assert rows["canonical"] == out.count()
+
+
+def test_corpus_prepare_c4_gate(spark):
+    from qvarn_mr_spark.functions.pipeline import corpus_funnel, corpus_prepare
+    clean = [(i, "the quick brown fox w%da x%db y%dc z%dd and more "
+                 "words to clear the floor." % (i, i, i, i))
+             for i in range(6)]
+    dirty = [
+        (100, "lorem ipsum dolor " + "pad%d " % 1 * 12),
+        (101, "code sample { return 1; } " + " ".join(
+            "tok%d" % j for j in range(12))),
+        (102, "please accept our privacy policy " + " ".join(
+            "unq%d" % j for j in range(10))),
+    ]
+    df = spark.createDataFrame(clean + dirty, "doc_id long, text string")
+    base = corpus_prepare(df, min_quality=0.0, min_tokens=2)
+    gated = corpus_prepare(df, min_quality=0.0, min_tokens=2,
+                           c4_min_words=5)
+    assert base.count() == 9
+    assert sorted(r["doc_id"] for r in gated.collect()) == \
+        [i for i, _ in clean]
+    # funnel accounting exposes the c4 stage between gates and canonical
+    funnel = {r["stage"]: r["n_docs"]
+              for r in corpus_funnel(df, min_quality=0.0, min_tokens=2,
+                                     c4_min_words=5).collect()}
+    assert funnel["input"] == 9
+    assert funnel["gates"] == 9
+    assert funnel["c4"] == 6
+    assert funnel["canonical"] == 6

@@ -418,3 +418,35 @@ def test_perplexity_buckets_scale_path_has_no_window(q):
     assert "BroadcastHashJoin" in txt     # the cuts join back broadcast
     exact = explain_str(q("doc_perplexity_buckets"), "simple")
     assert "Window" in exact              # the oracle-parity twin sorts
+
+
+def test_c4_rules_scan_stage_no_shuffle_no_udf(q):
+    """The C4 rule profile is pure Column work: zero exchanges, zero
+    Python evals — the gate must cost a scan, nothing more."""
+    from qvarn_mr_spark.plans import assert_max_shuffles, explain_str
+    df = q("doc_c4_rules")
+    assert_max_shuffles(df, 0)
+    txt = explain_str(df, "simple")
+    assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
+
+
+def test_random_project_scan_stage(q):
+    """JL projection: literal matrix folded into scan-stage expressions —
+    no shuffle, no Python, no join (nothing to broadcast)."""
+    from qvarn_mr_spark.plans import assert_max_shuffles, explain_str
+    df = q("embedding_random_project")
+    assert_max_shuffles(df, 0)
+    txt = explain_str(df, "simple")
+    assert "Join" not in txt
+    assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
+
+
+def test_pca_project_scan_stage(q):
+    """PCA projection with a committed model is scan-stage JVM work —
+    the one-pass fit happened offline; the projection plan must show
+    no shuffle and no Python eval."""
+    from qvarn_mr_spark.plans import assert_max_shuffles, explain_str
+    df = q("embedding_pca")
+    assert_max_shuffles(df, 0)
+    txt = explain_str(df, "simple")
+    assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
