@@ -2132,6 +2132,47 @@ def q_graph_degrees(spark, sf_dir):
     return degree_profile(_cs_edges(spark, sf_dir))
 
 
+def _cs_edges_weighted(spark, sf_dir):
+    """Weighted twin of _cs_edges: w = how many lineitems connect the
+    customer and supplier (Spark twin of oracle.CS_EDGES_W_SQL)."""
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    cs = (t["orders"]
+          .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+          .groupBy(F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+                   .alias("src"),
+                   F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+                   .alias("dst"))
+          .agg(F.count("*").alias("w")))
+    return cs.unionByName(
+        cs.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                  "w"))
+
+
+def q_graph_pagerank_weighted(spark, sf_dir):
+    """Weighted PageRank (operators/graph.py pagerank(weight_col=...)):
+    shares split by out-strength — a customer's rank flows toward the
+    suppliers it actually buys the most lines from. Same superstep
+    cadence as the uniform form; full value oracle (the weighted CTE
+    unroll)."""
+    from qvarn_mr_spark.operators.graph import pagerank
+    return pagerank(_cs_edges_weighted(spark, sf_dir), iters=6,
+                    weight_col="w")
+
+
+def q_graph_pagerank_personalized(spark, sf_dir):
+    """Personalized PageRank (pagerank(seeds=...)): teleport + dangling
+    mass go only to BUILDING-segment customers, so rank measures
+    proximity to that seed set — the related-items / recommendation
+    form. Full value oracle (teleport-vector CTE unroll)."""
+    from qvarn_mr_spark.operators.graph import pagerank
+    t = _t(spark, sf_dir, "customer")
+    seeds = (t["customer"]
+             .filter(F.lower(F.col("c_mktsegment")) == "building")
+             .select(F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+                     .alias("node")))
+    return pagerank(_cs_edges(spark, sf_dir), iters=6, seeds=seeds)
+
+
 def q_graph_hits(spark, sf_dir):
     """Kleinberg HITS over the purchase graph (operators/graph.py): on
     the bipartite customer<->supplier edges, hubs = breadth buyers,
@@ -2477,6 +2518,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "embedding_nn": q_embedding_nn,
         "embedding_pca_arrow": q_embedding_pca_arrow,
+        "graph_pagerank_weighted": q_graph_pagerank_weighted,
+        "graph_pagerank_personalized": q_graph_pagerank_personalized,
         "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
         "doc_decontaminate_fuzzy": q_doc_decontaminate_fuzzy,
         "corpus_prepare": q_corpus_prepare,
@@ -2563,6 +2606,11 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": oracle.pagerank_sql(oracle.CS_EDGES_SQL, iters=6),
         "embedding_random_project": oracle.random_project_sql(64, k=8),
         "graph_hits": oracle.hits_sql(oracle.CS_EDGES_SQL, iters=4),
+        "graph_pagerank_weighted": oracle.pagerank_sql(
+            oracle.CS_EDGES_W_SQL, iters=6, weighted=True),
+        "graph_pagerank_personalized": oracle.pagerank_sql(
+            oracle.CS_EDGES_SQL, iters=6,
+            seeds_sql=oracle.BUILDING_SEEDS_SQL),
         "doc_c4_rules": oracle.c4_rules_sql(min_words=25),
         "graph_degrees": oracle.degree_profile_sql(oracle.CS_EDGES_SQL),
         "search_exact_ci": """

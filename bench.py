@@ -108,6 +108,8 @@ BENCH_QUERIES = (
     # centrality, dimensionality reduction, C4 rule gate
     "segment_sales_bucketed",
     "graph_pagerank",
+    "graph_pagerank_weighted",
+    "graph_pagerank_personalized",
     "graph_hits",
     "graph_degrees",
     "embedding_pca",

@@ -43,55 +43,112 @@ def pagerank(
     iters: int = 6,
     damping: float = 0.85,
     digits: int | None = 6,
+    weight_col: str | None = None,
+    seeds: DataFrame | None = None,
+    seed_col: str = "node",
 ) -> DataFrame:
     """Rank every node of the directed graph ``edges`` (duplicate edges
     collapse; self-loops count). Returns ``(node, rank)`` with
     ``sum(rank) == 1`` up to float noise. ``digits`` rounds the final
     rank only — intermediates stay full double so Spark and a SQL oracle
-    agree to well past the rounding point."""
+    agree to well past the rounding point.
+
+    - ``weight_col``: edge weights (duplicate (src, dst) rows SUM); a
+      node's share splits proportionally to weight instead of uniformly
+      — out-strength replaces out-degree, nothing else changes.
+    - ``seeds``: personalized PageRank — teleport (and dangling) mass
+      goes only to the seed node set (``seed_col`` of ``seeds``) instead
+      of uniformly, and ranks start at the teleport vector. The
+      recommendation / related-docs form; seeds outside the graph's node
+      set still receive teleport mass by construction of the teleport
+      vector but hold no edges (they're not added as nodes — pass them
+      as self-loop edges if that is wanted)."""
     # the edge list is rescanned every iteration — pin it so the distinct
     # (its one shuffle) happens once, not per superstep
-    e = pin(edges.select(F.col(src).alias("src"),
-                         F.col(dst).alias("dst")).distinct())
+    if weight_col is None:
+        e = pin(edges.select(F.col(src).alias("src"),
+                             F.col(dst).alias("dst")).distinct()
+                     .withColumn("w", F.lit(1.0)))
+    else:
+        e = pin(edges.select(F.col(src).alias("src"),
+                             F.col(dst).alias("dst"),
+                             F.col(weight_col).cast("double").alias("w"))
+                     .groupBy("src", "dst")
+                     .agg(F.sum("w").alias("w")))
     nodes = (e.select(F.col("src").alias("node"))
               .union(e.select(F.col("dst").alias("node")))
               .distinct())
     nodes = pin(nodes)
     n = nodes.count()  # bounded driver scalar: |V|, needed in the formula
-    outdeg = pin(e.groupBy("src").agg(F.count("*").alias("outdeg")))
+    # out-strength; == out-degree when unweighted (w = 1.0 per edge)
+    outdeg = pin(e.groupBy("src").agg(F.sum("w").alias("outdeg")))
+    if seeds is not None:
+        seed_set = pin(seeds.select(F.col(seed_col).alias("node"))
+                            .distinct())
+        ns = seed_set.count()  # bounded driver scalar: |seeds|
+        if ns == 0:
+            raise ValueError("pagerank: empty seed set")
+        # teleport vector t(v): 1/|seeds| on seeds, 0 elsewhere —
+        # node-sized, joined once, reused by every superstep
+        nodes_t = pin(nodes.join(
+            seed_set.withColumn("_s", F.lit(1.0)), "node", "left")
+            .select("node", (F.coalesce(F.col("_s"), F.lit(0.0))
+                             / F.lit(float(ns))).alias("t")))
+        return _pagerank_loop(e, nodes_t, outdeg, iters, damping, digits,
+                              personalized=True, n=n)
 
-    # Superstep state is localCheckpoint'ed (cluster: checkpoint()) — NOT
-    # merely persisted: each update references the previous ranks twice
-    # (contributions + dangling mass), so without truncation the LOGICAL
-    # plan doubles per iteration (2^iters nodes; AQE stringifies it per
-    # job and OOMs the driver around 10 supersteps). Checkpointing cuts
-    # the lineage at node-sized state, the Pregel norm.
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    return _pagerank_loop(e, nodes, outdeg, iters, damping, digits,
+                          personalized=False, n=n)
+
+
+def _pagerank_loop(e, nodes, outdeg, iters, damping, digits,
+                   personalized, n):
+    """The shared damped power iteration. ``nodes`` carries a teleport
+    column ``t`` in the personalized case (teleport + dangling mass go
+    to ``t``; ranks start at ``t``); uniform otherwise (1/n everywhere).
+
+    Superstep state is localCheckpoint'ed (cluster: checkpoint()) — NOT
+    merely persisted: each update references the previous ranks twice
+    (contributions + dangling mass), so without truncation the LOGICAL
+    plan doubles per iteration (2^iters nodes; AQE stringifies it per
+    job and OOMs the driver around 10 supersteps). Checkpointing cuts
+    the lineage at node-sized state, the Pregel norm."""
+    if personalized:
+        init = F.col("t")
+    else:
+        init = F.lit(1.0 / n)
+    ranks = nodes.withColumn("rank", init).localCheckpoint()
+    node_cols = [c for c in nodes.columns]
     for _ in range(iters):
-        contribs = (e.join(ranks, e.src == ranks.node)
+        contribs = (e.join(ranks.select("node", "rank"),
+                           e.src == F.col("node"))
                       .join(outdeg, "src")
                       .select(e.dst.alias("node"),
-                              (F.col("rank") / F.col("outdeg"))
-                              .alias("share"))
+                              (F.col("rank") * F.col("w")
+                               / F.col("outdeg")).alias("share"))
                       .groupBy("node")
                       .agg(F.sum("share").alias("contrib")))
         # sinks hold rank but emit no shares; their mass redistributes
-        # uniformly. One-row aggregate, broadcast back via cross join —
-        # no driver round-trip inside the loop.
+        # to the teleport vector (uniform / seeds). One-row aggregate,
+        # broadcast back via cross join — no driver round-trip inside
+        # the loop.
         dangling = (ranks.join(outdeg, ranks.node == outdeg.src,
                                "left_anti")
                          .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
                               .alias("dangling")))
-        nxt = (nodes.join(contribs, "node", "left")
-                    .crossJoin(F.broadcast(dangling))
-                    .select(
-                        "node",
-                        (F.lit((1.0 - damping) / n)
+        if personalized:
+            rank_expr = (F.lit(1.0 - damping) * F.col("t")
+                         + F.lit(damping)
+                         * (F.coalesce(F.col("contrib"), F.lit(0.0))
+                            + F.col("dangling") * F.col("t")))
+        else:
+            rank_expr = (F.lit((1.0 - damping) / n)
                          + F.lit(damping)
                          * (F.coalesce(F.col("contrib"), F.lit(0.0))
                             + F.col("dangling") / F.lit(float(n))))
-                        .alias("rank"))
-                    )
+        nxt = (nodes.join(contribs, "node", "left")
+                    .crossJoin(F.broadcast(dangling))
+                    .select(*node_cols, rank_expr.alias("rank")))
         # eager by default: materializes now, truncates lineage; the
         # previous step's blocks are released by the context cleaner
         ranks = nxt.localCheckpoint()
@@ -99,6 +156,8 @@ def pagerank(
     out = ranks
     if digits is not None:
         out = out.select("node", F.round("rank", digits).alias("rank"))
+    else:
+        out = out.select("node", "rank")
     return out
 
 

@@ -1796,36 +1796,74 @@ FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 
 
 def pagerank_sql(edges_sql: str, iters: int = 6, damping: float = 0.85,
-                 digits: int = 6) -> str:
+                 digits: int = 6, weighted: bool = False,
+                 seeds_sql: str | None = None) -> str:
     """graph.pagerank — the power iteration unrolled into one CTE chain
     per superstep (dm{i} = dangling mass, c{i} = inbound contributions,
     pr{i} = the damped update). Fixed iteration count keeps the unroll
-    finite and the arithmetic identical to the Spark loop."""
+    finite and the arithmetic identical to the Spark loop. Reused CTEs
+    are MATERIALIZED (DuckDB otherwise re-executes the subtree per
+    reference — the SQL mirror of the Spark loop's localCheckpoint).
+
+    ``weighted``: ``edges_sql`` carries a ``w`` column; duplicate
+    (src, dst) rows sum and shares split by out-strength.
+    ``seeds_sql``: personalized form — a query yielding the seed
+    ``node`` set; teleport + dangling mass go to the seeds and ranks
+    start at the teleport vector, mirroring graph.pagerank(seeds=...)."""
+    if weighted:
+        edge_cte = (f"edges AS MATERIALIZED (SELECT src, dst,"
+                    f" sum(CAST(w AS DOUBLE)) AS w"
+                    f" FROM ({edges_sql}) GROUP BY src, dst)")
+    else:
+        edge_cte = (f"edges AS MATERIALIZED (SELECT DISTINCT src, dst,"
+                    f" 1.0 AS w FROM ({edges_sql}))")
     parts = [
-        f"edges AS MATERIALIZED (SELECT DISTINCT src, dst"
-        f" FROM ({edges_sql}))",
+        edge_cte,
         "nodes AS MATERIALIZED (SELECT src AS node FROM edges"
         " UNION SELECT dst FROM edges)",
-        "deg AS MATERIALIZED (SELECT src, count(*) AS outdeg"
+        "deg AS MATERIALIZED (SELECT src, sum(w) AS outdeg"
         " FROM edges GROUP BY src)",
         "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
-        "pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)",
     ]
+    if seeds_sql is not None:
+        parts.append(f"seeds AS MATERIALIZED (SELECT DISTINCT node"
+                     f" FROM ({seeds_sql}))")
+        parts.append("sn AS (SELECT CAST(count(*) AS DOUBLE) AS ns"
+                     " FROM seeds)")
+        parts.append(
+            "tp AS MATERIALIZED (SELECT n.node, "
+            "CASE WHEN s.node IS NOT NULL THEN 1.0 ELSE 0.0 END"
+            " / (SELECT ns FROM sn) AS t "
+            "FROM nodes n LEFT JOIN seeds s ON n.node = s.node)")
+        parts.append("pr0 AS (SELECT node, t AS rank FROM tp)")
+    else:
+        parts.append("pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn)"
+                     " AS rank FROM nodes)")
     for i in range(1, iters + 1):
         p = f"pr{i - 1}"
         parts.append(
             f"dm{i} AS (SELECT coalesce(sum(rank), 0.0) AS dm FROM {p} "
             f"LEFT JOIN deg ON {p}.node = deg.src WHERE deg.src IS NULL)")
         parts.append(
-            f"c{i} AS (SELECT e.dst AS node, sum(p.rank / g.outdeg) AS c "
+            f"c{i} AS (SELECT e.dst AS node,"
+            f" sum(p.rank * e.w / g.outdeg) AS c "
             f"FROM edges e JOIN {p} p ON e.src = p.node "
             f"JOIN deg g ON e.src = g.src GROUP BY e.dst)")
-        parts.append(
-            f"pr{i} AS MATERIALIZED (SELECT n.node, "
-            f"{(1.0 - damping)!r} / (SELECT n FROM nn) + {damping!r} * "
-            f"(coalesce(c.c, 0.0) + (SELECT dm FROM dm{i}) / "
-            f"(SELECT n FROM nn)) AS rank "
-            f"FROM nodes n LEFT JOIN c{i} c ON n.node = c.node)")
+        if seeds_sql is not None:
+            parts.append(
+                f"pr{i} AS MATERIALIZED (SELECT n.node, "
+                f"{(1.0 - damping)!r} * tp.t + {damping!r} * "
+                f"(coalesce(c.c, 0.0) + (SELECT dm FROM dm{i}) * tp.t)"
+                f" AS rank "
+                f"FROM nodes n JOIN tp ON n.node = tp.node "
+                f"LEFT JOIN c{i} c ON n.node = c.node)")
+        else:
+            parts.append(
+                f"pr{i} AS MATERIALIZED (SELECT n.node, "
+                f"{(1.0 - damping)!r} / (SELECT n FROM nn) + {damping!r} * "
+                f"(coalesce(c.c, 0.0) + (SELECT dm FROM dm{i}) / "
+                f"(SELECT n FROM nn)) AS rank "
+                f"FROM nodes n LEFT JOIN c{i} c ON n.node = c.node)")
     return ("WITH " + ",\n".join(parts) +
             f"\nSELECT node, round(rank, {digits}) AS rank FROM pr{iters}")
 
@@ -1992,4 +2030,26 @@ SELECT doc_id, n_words, round(mean_word_len, {digits}) AS mean_word_len,
         AND NOT has_blockword
         AND frac_lines_terminal >= {min_terminal_frac}) AS kept
 FROM s
+"""
+
+
+#: Weighted twin of CS_EDGES_SQL: w = lineitem count connecting the pair.
+CS_EDGES_W_SQL = """
+SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+       's' || CAST(l_suppkey AS VARCHAR) AS dst,
+       count(*) AS w
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1, 2
+UNION ALL
+SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+       'c' || CAST(o_custkey AS VARCHAR) AS dst,
+       count(*) AS w
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1, 2
+"""
+
+#: Seed set for the personalized-PageRank driver query.
+BUILDING_SEEDS_SQL = """
+SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node
+FROM customer WHERE lower(c_mktsegment) = 'building'
 """

@@ -131,3 +131,55 @@ def test_hits_bipartite_split(spark):
             assert h == 0.0 and a > 0
     assert sum(h for h, _ in out.values()) == pytest.approx(1.0, abs=1e-9)
     assert sum(a for _, a in out.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_weighted_pagerank_differential(spark):
+    """Weighted form vs an edge-multiplicity expansion: integer weight w
+    is EXACTLY an edge repeated w times under the share formula, so the
+    weighted operator must match plain pagerank over the expanded
+    multigraph's per-pair aggregate."""
+    from qvarn_mr_spark.operators.graph import pagerank
+    w_edges = [("a", "b", 3), ("a", "c", 1), ("b", "c", 2), ("c", "a", 1)]
+    wdf = spark.createDataFrame(w_edges, ["src", "dst", "w"])
+    got = {r["node"]: r["rank"]
+           for r in pagerank(wdf, iters=4, weight_col="w",
+                             digits=None).collect()}
+    # python reference with weighted shares
+    nodes = {"a", "b", "c"}
+    out_s = {}
+    for s, _, w in w_edges:
+        out_s[s] = out_s.get(s, 0.0) + w
+    rank = {v: 1.0 / 3 for v in nodes}
+    for _ in range(4):
+        contrib = {v: 0.0 for v in nodes}
+        for s, d, w in w_edges:
+            contrib[d] += rank[s] * w / out_s[s]
+        rank = {v: 0.15 / 3 + 0.85 * contrib[v] for v in nodes}
+    for v in nodes:
+        assert got[v] == pytest.approx(rank[v], abs=1e-12), v
+    # sanity: b gets more than c's direct share ordering changes with w
+    assert got["b"] != got["c"]
+
+
+def test_personalized_pagerank_concentrates_on_seeds(spark, edges_df):
+    from qvarn_mr_spark.operators.graph import pagerank
+    seeds = spark.createDataFrame([("n0",)], ["node"])
+    out = {r["node"]: r["rank"]
+           for r in pagerank(edges_df, iters=6, seeds=seeds,
+                             digits=None).collect()}
+    uni = {r["node"]: r["rank"]
+           for r in pagerank(edges_df, iters=6, digits=None).collect()}
+    # mass still conserved; the seed's rank strictly above its uniform rank
+    assert sum(out.values()) == pytest.approx(1.0, abs=1e-9)
+    assert out["n0"] > uni["n0"]
+    # after k supersteps, rank covers walks of length <= k from the
+    # seed: every node within BFS depth 6 of n0 must hold positive rank
+    # (nodes further away legitimately sit at 0 until more iterations)
+    e = sorted(set(GRAPH))
+    reachable = {"n0"}
+    frontier = {"n0"}
+    for _ in range(6):
+        frontier = {d for s, d in e if s in frontier} - reachable
+        reachable |= frontier
+    for v in reachable:
+        assert out[v] > 0, v
