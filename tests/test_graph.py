@@ -183,3 +183,65 @@ def test_personalized_pagerank_concentrates_on_seeds(spark, edges_df):
         reachable |= frontier
     for v in reachable:
         assert out[v] > 0, v
+
+
+def test_degree_views_maintain_through_cdc(spark, tmp_path):
+    """Maintained degree/adjacency views (graph.degree_views through the
+    IVM engine) must agree with the batch degree_profile after every
+    create / update / delete — O(delta) per CDC batch."""
+    from qvarn_mr_spark.catalog import Catalog
+    from qvarn_mr_spark.operators import (IncrementalEngine,
+                                          ParquetStateStore, ViewEngine)
+    from qvarn_mr_spark.operators.graph import degree_profile, degree_views
+    from qvarn_mr_spark.operators.incremental import notifications
+
+    cat = Catalog(spark)
+    rows = [("e1", "a", "b"), ("e2", "b", "c"), ("e3", "c", "a")]
+
+    def set_source(rs):
+        cat.register("edges", spark.createDataFrame(
+            rs, "id string, src string, dst string"))
+
+    set_source(rows)
+    eng = ViewEngine(cat, degree_views("edges"), id_cols={"edges": "id"})
+    inc = IncrementalEngine(eng,
+                            ParquetStateStore(spark, str(tmp_path / "s")))
+    inc.apply_changes(notifications(
+        spark, [("edges", "created", i) for i, _, _ in rows]))
+
+    def conforms():
+        batch = {r["node"]: (r["out_degree"], r["in_degree"])
+                 for r in degree_profile(spark.createDataFrame(
+                     rows, "id string, src string, dst string")).collect()}
+        out_v = {r["_mr_key"]: (r["degree"], list(r["neighbors"]))
+                 for r in inc.read("out_degrees").collect()}
+        in_v = {r["_mr_key"]: (r["degree"], list(r["neighbors"]))
+                for r in inc.read("in_degrees").collect()}
+        for node, (o, i) in batch.items():
+            assert out_v.get(node, (0, []))[0] == o, node
+            assert in_v.get(node, (0, []))[0] == i, node
+        # adjacency lists match the edge set exactly
+        e = {(s, d) for _, s, d in rows}
+        for node, (_, nbrs) in out_v.items():
+            assert sorted({d for s, d in e if s == node}) == nbrs, node
+
+    conforms()
+
+    # CDC insert: new hub edges from 'a'
+    rows += [("e4", "a", "c"), ("e5", "a", "d")]
+    set_source(rows)
+    inc.apply_changes(notifications(
+        spark, [("edges", "created", "e4"), ("edges", "created", "e5")]))
+    conforms()
+
+    # CDC update: e2 rewires b->c to b->d
+    rows = [r if r[0] != "e2" else ("e2", "b", "d") for r in rows]
+    set_source(rows)
+    inc.apply_changes(notifications(spark, [("edges", "updated", "e2")]))
+    conforms()
+
+    # CDC delete: drop e1; node 'b' loses its in-edge entirely
+    rows = [r for r in rows if r[0] != "e1"]
+    set_source(rows)
+    inc.apply_changes(notifications(spark, [("edges", "deleted", "e1")]))
+    conforms()
