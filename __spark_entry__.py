@@ -2316,6 +2316,20 @@ def q_embedding_pca_arrow(spark, sf_dir):
     return reduction.pca_project_arrow(emb, model)
 
 
+def q_embedding_pca_whiten(spark, sf_dir):
+    """Whitened PCA projection (reduction.pca_project(whiten=True)):
+    each axis divided by sqrt(its eigenvalue) — unit variance per output
+    dimension, the isotropy pre-step for downstream cosine/Euclidean
+    machinery. Same committed model and fingerprint dispatch as
+    q_embedding_pca; full value oracle."""
+    from qvarn_mr_spark.functions import reduction
+
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    model = _pca_model_for(
+        sf_dir, lambda: reduction.pca_fit(emb, "embedding", k=_PCA_K))
+    return reduction.pca_project(emb, model, whiten=True)
+
+
 def q_embedding_random_project(spark, sf_dir):
     """Johnson-Lindenstrauss projection with a hash-derived sparse-sign
     matrix (Achlioptas): no fit pass, no RNG, no broadcast state — the
@@ -2520,6 +2534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca_arrow": q_embedding_pca_arrow,
         "graph_pagerank_weighted": q_graph_pagerank_weighted,
         "graph_pagerank_personalized": q_graph_pagerank_personalized,
+        "embedding_pca_whiten": q_embedding_pca_whiten,
         "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
         "doc_decontaminate_fuzzy": q_doc_decontaminate_fuzzy,
         "corpus_prepare": q_corpus_prepare,
@@ -3262,4 +3277,6 @@ def oracle_sql() -> dict[str, str]:
         sql = oracle.pca_project_dispatch_sql(pca_entries, digits=6)
         out["embedding_pca"] = sql
         out["embedding_pca_arrow"] = sql
+        out["embedding_pca_whiten"] = oracle.pca_project_dispatch_sql(
+            pca_entries, digits=6, whiten=True)
     return out

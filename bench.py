@@ -114,6 +114,7 @@ BENCH_QUERIES = (
     "graph_degrees",
     "embedding_pca",
     "embedding_pca_arrow",
+    "embedding_pca_whiten",
     "embedding_random_project",
     "doc_c4_rules",
 )

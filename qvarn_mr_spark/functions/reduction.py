@@ -95,12 +95,16 @@ def pca_fit(df: DataFrame, vec_col: str = "embedding", k: int = 4) -> dict:
 
 def pca_project(df: DataFrame, model: dict, vec_col: str = "embedding",
                 id_col: str = "vec_id", digits: int | None = 6,
-                prefix: str = "pc") -> DataFrame:
+                prefix: str = "pc", whiten: bool = False) -> DataFrame:
     """Project onto the fitted components as pure JVM expressions:
     ``pc_i = dot(vec, c_i) - dot(mean, c_i)`` — the mean-side dot is a
     Python-computed literal, the vec-side dot is
     ``aggregate(zip_with(...))`` over the double-cast array. Scan-stage
-    work: no shuffle, no Python in the row path."""
+    work: no shuffle, no Python in the row path.
+
+    ``whiten``: divide each axis by sqrt(its eigenvalue), giving unit
+    variance per output dimension (ZCA-without-rotation) — the usual
+    pre-step before cosine/Euclidean machinery that assumes isotropy."""
     vec = F.col(vec_col).cast("array<double>")
     cols = [F.col(id_col)]
     for i, comp in enumerate(model["components"]):
@@ -108,6 +112,8 @@ def pca_project(df: DataFrame, model: dict, vec_col: str = "embedding",
         dot = F.aggregate(F.zip_with(vec, c, lambda x, w: x * w),
                           F.lit(0.0), lambda a, x: a + x)
         proj = dot - F.lit(_dot(model["mean"], comp))
+        if whiten:
+            proj = proj / F.lit(math.sqrt(model["explained_var"][i]))
         if digits is not None:
             proj = F.round(proj, digits)
         cols.append(proj.alias(f"{prefix}{i}"))

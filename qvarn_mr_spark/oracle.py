@@ -1889,7 +1889,8 @@ def _dlist(xs) -> str:
 
 def pca_project_dispatch_sql(entries: list, digits: int = 6,
                              prefix: str = "pc",
-                             table: str = "embeddings") -> str:
+                             table: str = "embeddings",
+                             whiten: bool = False) -> str:
     """reduction.pca_project dispatching at SQL runtime over committed
     PCA models, same discipline as classifier_score_dispatch_sql:
     ``entries`` is ``[((n_rows, sum_vec_id), model), ...]``; the live
@@ -1908,10 +1909,14 @@ def pca_project_dispatch_sql(entries: list, digits: int = 6,
             comp = model["components"][i]
             c0 = sum(float(x) * float(y)
                      for x, y in zip(model["mean"], comp))
+            term = (f"(list_dot_product(CAST(embedding AS DOUBLE[]), "
+                    f"{_dlist(comp)}) - {c0!r})")
+            if whiten:
+                import math as _math
+                term = f"({term} / {_math.sqrt(model['explained_var'][i])!r})"
             whens.append(
                 f"WHEN _rt_n = {int(n)} AND _rt_s = {int(s)} THEN "
-                f"round(list_dot_product(CAST(embedding AS DOUBLE[]), "
-                f"{_dlist(comp)}) - {c0!r}, {digits})")
+                f"round({term}, {digits})")
         cols.append("CASE " + " ".join(whens) + f" END AS {prefix}{i}")
     sel = ",\n       ".join(cols)
     return f"""

@@ -103,3 +103,11 @@ def test_pca_reconstruction_error_is_residual_eigenmass(emb, model):
     mse = float(np.mean(np.sum((X - recon) ** 2, axis=1)))
     residual = float(np.trace(cov)) - sum(model["explained_var"])
     assert mse == pytest.approx(residual, rel=1e-9)
+
+
+def test_whitened_projection_has_unit_variance(emb, model):
+    import numpy as np
+    rows = reduction.pca_project(emb, model, digits=None,
+                                 whiten=True).collect()
+    P = np.asarray([[r[f"pc{i}"] for i in range(3)] for r in rows])
+    assert np.allclose(P.var(axis=0), 1.0, rtol=1e-9)
