@@ -331,6 +331,8 @@ def corpus_gate_stream(stream: DataFrame, id_col: str = "doc_id",
                        min_quality: float = 0.3,
                        min_tokens: int = 5, max_tokens: int = 100_000,
                        languages: list[str] | None = None,
+                       c4_min_words: int | None = None,
+                       c4_min_terminal_frac: float = 0.0,
                        watermark: str | None = None,
                        ts_col: str | None = None) -> DataFrame:
     """Streaming twin of :func:`corpus_prepare`'s gate + exact-dedup
@@ -364,6 +366,15 @@ def corpus_gate_stream(stream: DataFrame, id_col: str = "doc_id",
         & F.col("n_tokens").between(min_tokens, max_tokens))
     if languages:
         gated = gated.filter(F.col("lang_guess").isin(list(languages)))
+    if c4_min_words is not None:
+        # the C4 rules are stateless Column expressions — they apply to
+        # a stream unchanged, same as the profile gates above
+        from qvarn_mr_spark.functions.quality import c4_filter
+        # the upper size bound is the token band above; C4's own word
+        # ceiling stays disengaged so the two caps don't double-count
+        gated = c4_filter(gated, text_col="_text",
+                          min_words=c4_min_words, max_words=10 ** 9,
+                          min_terminal_frac=c4_min_terminal_frac)
     out = gated.select(
         "doc_id", F.col("_text").alias("text"),
         F.col("lang_guess").alias("lang"), "n_tokens", "quality", "fp",

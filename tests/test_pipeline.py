@@ -297,3 +297,43 @@ def test_corpus_prepare_c4_gate(spark):
     assert funnel["gates"] == 9
     assert funnel["c4"] == 6
     assert funnel["canonical"] == 6
+
+
+def test_corpus_gate_stream_c4_matches_batch(spark, tmp_path):
+    """The C4 rules are stateless Columns, so the streamed gate with
+    c4_min_words must keep exactly the docs batch c4_filter keeps (after
+    the shared quality/token gates)."""
+    import glob
+    import shutil
+
+    from qvarn_mr_spark.functions.pipeline import corpus_gate_stream
+    from qvarn_mr_spark.functions.quality import c4_filter
+
+    rows = [
+        ("k1", "the quick brown fox jumps over the lazy dog in the sun."),
+        ("k2", "a man of the people told the story for all of the town."),
+        ("x1", "lorem ipsum dolor sit amet the quick brown fox again ok"),
+        ("x2", "code { the quick brown fox jumps over the lazy dog } ok"),
+    ]
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "tmp"))
+    for i, f in enumerate(glob.glob(str(tmp_path / "tmp" / "*.parquet"))):
+        shutil.move(f, str(feed / f"b-{i}.parquet"))
+
+    arrived = []
+    stream = spark.readStream.schema("doc_id string, text string") \
+        .parquet(str(feed))
+    q = (corpus_gate_stream(stream, min_quality=0.0, min_tokens=3,
+                            c4_min_words=5)
+         .writeStream.outputMode("append")
+         .foreachBatch(lambda b, _: arrived.extend(b.collect()))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    streamed = sorted(r["doc_id"] for r in arrived)
+    batch = sorted(r["doc_id"] for r in
+                   c4_filter(df, min_words=5).select("doc_id").collect())
+    assert streamed == batch == ["k1", "k2"]
