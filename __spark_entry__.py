@@ -2173,6 +2173,25 @@ def q_graph_pagerank_personalized(spark, sf_dir):
     return pagerank(_cs_edges(spark, sf_dir), iters=6, seeds=seeds)
 
 
+def q_graph_triangles(spark, sf_dir):
+    """Per-node triangle participation (operators/graph.py
+    triangle_count) over the part co-purchase graph (parts linked when
+    one order contains both — unlike the bipartite purchase graph this
+    one has triangles). Degree-ordered orientation bounds the wedge
+    join at sum(out_deg^2) <= m^1.5 regardless of hub size. Full value
+    oracle (oracle.triangle_count_sql)."""
+    from qvarn_mr_spark.operators.graph import triangle_count
+    t = _t(spark, sf_dir, "lineitem")["lineitem"]
+    a = t.select(F.col("l_orderkey").alias("ok"),
+                 F.col("l_partkey").alias("pa"))
+    b = t.select(F.col("l_orderkey").alias("ok"),
+                 F.col("l_partkey").alias("pb"))
+    edges = (a.join(b, "ok").filter(F.col("pa") < F.col("pb"))
+              .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+              .distinct())
+    return triangle_count(edges)
+
+
 def q_graph_hits(spark, sf_dir):
     """Kleinberg HITS over the purchase graph (operators/graph.py): on
     the bipartite customer<->supplier edges, hubs = breadth buyers,
@@ -2534,6 +2553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca_arrow": q_embedding_pca_arrow,
         "graph_pagerank_weighted": q_graph_pagerank_weighted,
         "graph_pagerank_personalized": q_graph_pagerank_personalized,
+        "graph_triangles": q_graph_triangles,
         "embedding_pca_whiten": q_embedding_pca_whiten,
         "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
         "doc_decontaminate_fuzzy": q_doc_decontaminate_fuzzy,
@@ -2621,6 +2641,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": oracle.pagerank_sql(oracle.CS_EDGES_SQL, iters=6),
         "embedding_random_project": oracle.random_project_sql(64, k=8),
         "graph_hits": oracle.hits_sql(oracle.CS_EDGES_SQL, iters=4),
+        "graph_triangles": oracle.triangle_count_sql(
+            oracle.PART_CO_EDGES_SQL),
         "graph_pagerank_weighted": oracle.pagerank_sql(
             oracle.CS_EDGES_W_SQL, iters=6, weighted=True),
         "graph_pagerank_personalized": oracle.pagerank_sql(

@@ -112,6 +112,7 @@ BENCH_QUERIES = (
     "graph_pagerank_personalized",
     "graph_hits",
     "graph_degrees",
+    "graph_triangles",
     "embedding_pca",
     "embedding_pca_arrow",
     "embedding_pca_whiten",

@@ -273,3 +273,62 @@ def degree_views(source: str = "edges", src_col: str = "src",
         out_name: {om: reduce_agg(deg)},
         in_name: {im: reduce_agg(deg)},
     }
+
+
+def triangle_count(edges: DataFrame, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Per-node triangle participation over the UNDIRECTED collapse of
+    ``edges`` (direction and duplicates ignored; self-loops dropped) —
+    the classic cohesion/link-spam signal (a farm of pages linking each
+    other is triangle-dense; organically linked pages are not).
+
+    Skew-bounded by degree-ordered orientation: every undirected edge is
+    directed from its lower endpoint to its higher endpoint under the
+    total order (degree, node), so a hub of degree D fans out only to
+    HIGHER-degree neighbors — max oriented out-degree is O(sqrt(m)) and
+    the wedge self-join's row count is bounded by sum(out_deg^2) <=
+    m^1.5, the standard bound, instead of the unbounded d_hub^2 a naive
+    neighbor self-join pays. Each triangle materializes exactly once:
+    both wedge directions (x; b, c) and (x; c, b) are generated, but the
+    closure join demands the ORIENTED edge between the two tips, which
+    exists in exactly one direction. One self-join + one closure join +
+    one explode-aggregate; no iteration, no driver state.
+
+    Returns ``(node, triangles)`` for every node (0 for triangle-free
+    nodes)."""
+    und = pin(edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+                   .filter(F.col("a") != F.col("b"))
+                   .select(F.least("a", "b").alias("u"),
+                           F.greatest("a", "b").alias("v"))
+                   .distinct())
+    deg = pin(und.select(F.col("u").alias("node"))
+                 .union(und.select(F.col("v").alias("node")))
+                 .groupBy("node").agg(F.count("*").alias("deg")))
+    lower = ((F.col("du") < F.col("dv"))
+             | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))))
+    oriented = pin(
+        und.join(deg.select(F.col("node").alias("u"),
+                            F.col("deg").alias("du")), "u")
+           .join(deg.select(F.col("node").alias("v"),
+                            F.col("deg").alias("dv")), "v")
+           .select(F.when(lower, F.col("u")).otherwise(F.col("v"))
+                    .alias("x"),
+                   F.when(lower, F.col("v")).otherwise(F.col("u"))
+                    .alias("y")))
+    wedges = (oriented.select("x", F.col("y").alias("b"))
+                      .join(oriented.select("x", F.col("y").alias("c")),
+                            "x")
+                      .filter(F.col("b") != F.col("c")))
+    tri = wedges.join(
+        oriented.select(F.col("x").alias("b"), F.col("y").alias("c")),
+        ["b", "c"]).select("x", "b", "c")
+    # ONE scan of the (expensive) triangle join: explode each triangle
+    # into its three members in-row — a 3-branch union would re-run the
+    # wedge+closure joins once per branch (measured 3.5x the whole
+    # operator at sf0.1)
+    members = tri.select(
+        F.explode(F.array("x", "b", "c")).alias("node"))
+    counts = members.groupBy("node").agg(F.count("*").alias("triangles"))
+    return (deg.select("node").join(counts, "node", "left")
+               .select("node", F.coalesce("triangles", F.lit(0))
+                       .alias("triangles")))

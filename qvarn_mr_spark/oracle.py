@@ -2058,3 +2058,51 @@ BUILDING_SEEDS_SQL = """
 SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node
 FROM customer WHERE lower(c_mktsegment) = 'building'
 """
+
+
+#: Part co-purchase graph: parts are linked when some order contains both
+#: (market-basket edges — unlike the bipartite purchase graph, this one
+#: has triangles).
+PART_CO_EDGES_SQL = """
+SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+"""
+
+
+def triangle_count_sql(edges_sql: str) -> str:
+    """graph.triangle_count — same degree-ordered orientation: each
+    triangle closes exactly once through the oriented tip edge, then
+    credits its three members."""
+    return f"""
+WITH und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM ({edges_sql}) WHERE src != dst),
+deg AS MATERIALIZED (
+  SELECT node, count(*) AS deg FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+  GROUP BY node),
+oriented AS MATERIALIZED (
+  SELECT CASE WHEN du.deg < dv.deg
+              OR (du.deg = dv.deg AND und.u < und.v)
+         THEN und.u ELSE und.v END AS x,
+         CASE WHEN du.deg < dv.deg
+              OR (du.deg = dv.deg AND und.u < und.v)
+         THEN und.v ELSE und.u END AS y
+  FROM und JOIN deg du ON und.u = du.node
+           JOIN deg dv ON und.v = dv.node),
+tri AS MATERIALIZED (
+  SELECT w.x, w.b, w.c
+  FROM (SELECT p.x, p.y AS b, q.y AS c
+        FROM oriented p JOIN oriented q ON p.x = q.x
+        WHERE p.y != q.y) w
+  JOIN oriented o ON o.x = w.b AND o.y = w.c),
+members AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri)
+SELECT d.node, CAST(coalesce(m.triangles, 0) AS BIGINT) AS triangles
+FROM deg d LEFT JOIN (
+  SELECT node, count(*) AS triangles FROM members GROUP BY node) m
+ON d.node = m.node
+"""

@@ -245,3 +245,39 @@ def test_degree_views_maintain_through_cdc(spark, tmp_path):
     set_source(rows)
     inc.apply_changes(notifications(spark, [("edges", "deleted", "e1")]))
     conforms()
+
+
+def test_triangle_count_known_graphs(spark):
+    from qvarn_mr_spark.operators.graph import triangle_count
+    # K4: 4 triangles, every node in 3
+    k4 = [(a, b) for a in "wxyz" for b in "wxyz" if a < b]
+    out = dict(map(tuple, triangle_count(
+        spark.createDataFrame(k4, ["src", "dst"])).collect()))
+    assert out == {v: 3 for v in "wxyz"}
+    # C5 (5-cycle): triangle-free, every node 0
+    c5 = [(f"v{i}", f"v{(i + 1) % 5}") for i in range(5)]
+    out = dict(map(tuple, triangle_count(
+        spark.createDataFrame(c5, ["src", "dst"])).collect()))
+    assert out == {f"v{i}": 0 for i in range(5)}
+    # direction/duplicates/self-loops ignored
+    messy = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"),
+             ("a", "a"), ("a", "b")]
+    out = dict(map(tuple, triangle_count(
+        spark.createDataFrame(messy, ["src", "dst"])).collect()))
+    assert out == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangle_count_differential(spark, edges_df):
+    from itertools import combinations
+
+    from qvarn_mr_spark.operators.graph import triangle_count
+    got = dict(map(tuple, triangle_count(edges_df).collect()))
+    und = {tuple(sorted(e)) for e in GRAPH if e[0] != e[1]}
+    nodes = sorted({x for e in und for x in e})
+    want = {v: 0 for v in nodes}
+    for a, b, c in combinations(nodes, 3):
+        if ({(a, b), (a, c), (b, c)} <= und):
+            want[a] += 1
+            want[b] += 1
+            want[c] += 1
+    assert got == want
