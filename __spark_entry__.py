@@ -2181,15 +2181,28 @@ def q_graph_triangles(spark, sf_dir):
     join at sum(out_deg^2) <= m^1.5 regardless of hub size. Full value
     oracle (oracle.triangle_count_sql)."""
     from qvarn_mr_spark.operators.graph import triangle_count
+    return triangle_count(_part_co_edges(spark, sf_dir))
+
+
+def _part_co_edges(spark, sf_dir):
+    """Part co-purchase graph (Spark twin of oracle.PART_CO_EDGES_SQL)."""
     t = _t(spark, sf_dir, "lineitem")["lineitem"]
     a = t.select(F.col("l_orderkey").alias("ok"),
                  F.col("l_partkey").alias("pa"))
     b = t.select(F.col("l_orderkey").alias("ok"),
                  F.col("l_partkey").alias("pb"))
-    edges = (a.join(b, "ok").filter(F.col("pa") < F.col("pb"))
-              .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-              .distinct())
-    return triangle_count(edges)
+    return (a.join(b, "ok").filter(F.col("pa") < F.col("pb"))
+             .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+             .distinct())
+
+
+def q_graph_clustering(spark, sf_dir):
+    """Local clustering coefficient (graph.clustering_coefficient):
+    2*T/(d*(d-1)) per node over the part co-purchase graph — the
+    clique-vs-star cohesion signal on top of triangle_count's
+    degree-ordered wedge join. Full value oracle."""
+    from qvarn_mr_spark.operators.graph import clustering_coefficient
+    return clustering_coefficient(_part_co_edges(spark, sf_dir))
 
 
 def q_graph_hits(spark, sf_dir):
@@ -2554,6 +2567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank_weighted": q_graph_pagerank_weighted,
         "graph_pagerank_personalized": q_graph_pagerank_personalized,
         "graph_triangles": q_graph_triangles,
+        "graph_clustering": q_graph_clustering,
         "embedding_pca_whiten": q_embedding_pca_whiten,
         "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
         "doc_decontaminate_fuzzy": q_doc_decontaminate_fuzzy,
@@ -2642,6 +2656,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_random_project": oracle.random_project_sql(64, k=8),
         "graph_hits": oracle.hits_sql(oracle.CS_EDGES_SQL, iters=4),
         "graph_triangles": oracle.triangle_count_sql(
+            oracle.PART_CO_EDGES_SQL),
+        "graph_clustering": oracle.clustering_coefficient_sql(
             oracle.PART_CO_EDGES_SQL),
         "graph_pagerank_weighted": oracle.pagerank_sql(
             oracle.CS_EDGES_W_SQL, iters=6, weighted=True),

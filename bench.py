@@ -113,6 +113,7 @@ BENCH_QUERIES = (
     "graph_hits",
     "graph_degrees",
     "graph_triangles",
+    "graph_clustering",
     "embedding_pca",
     "embedding_pca_arrow",
     "embedding_pca_whiten",

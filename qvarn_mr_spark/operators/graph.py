@@ -332,3 +332,32 @@ def triangle_count(edges: DataFrame, src: str = "src",
     return (deg.select("node").join(counts, "node", "left")
                .select("node", F.coalesce("triangles", F.lit(0))
                        .alias("triangles")))
+
+
+def clustering_coefficient(edges: DataFrame, src: str = "src",
+                           dst: str = "dst",
+                           digits: int | None = 6) -> DataFrame:
+    """Local clustering coefficient per node: ``2*T / (d*(d-1))`` —
+    what fraction of a node's neighbor pairs are themselves linked
+    (1.0 = clique-like, 0.0 = star-like). Composes
+    :func:`triangle_count` with the undirected degree; nodes of degree
+    < 2 report 0.0. Same cost profile as triangle_count (the join and
+    the degree aggregate are already in its plan)."""
+    und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+                .filter(F.col("a") != F.col("b"))
+                .select(F.least("a", "b").alias("u"),
+                        F.greatest("a", "b").alias("v"))
+                .distinct())
+    deg = (und.select(F.col("u").alias("node"))
+              .union(und.select(F.col("v").alias("node")))
+              .groupBy("node").agg(F.count("*").alias("deg")))
+    tri = triangle_count(edges, src, dst)
+    coef = F.when(F.col("deg") >= 2,
+                  2.0 * F.col("triangles")
+                  / (F.col("deg") * (F.col("deg") - 1))) \
+            .otherwise(F.lit(0.0))
+    if digits is not None:
+        coef = F.round(coef, digits)
+    return (tri.join(deg, "node")
+               .select("node", "triangles", F.col("deg").alias("degree"),
+                       coef.alias("clustering_coef")))

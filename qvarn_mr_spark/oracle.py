@@ -2106,3 +2106,24 @@ FROM deg d LEFT JOIN (
   SELECT node, count(*) AS triangles FROM members GROUP BY node) m
 ON d.node = m.node
 """
+
+
+def clustering_coefficient_sql(edges_sql: str, digits: int = 6) -> str:
+    """graph.clustering_coefficient — the triangle CTE chain joined back
+    to the undirected degree: 2*T / (d*(d-1)), 0.0 below degree 2."""
+    inner = triangle_count_sql(edges_sql).strip()
+    return f"""
+WITH t AS MATERIALIZED ({inner}),
+und2 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM ({edges_sql}) WHERE src != dst),
+deg2 AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT u AS node FROM und2 UNION ALL SELECT v FROM und2)
+  GROUP BY node)
+SELECT t.node, t.triangles, deg2.deg AS degree,
+       round(CASE WHEN deg2.deg >= 2 THEN
+         2.0 * t.triangles / (deg2.deg * (deg2.deg - 1))
+       ELSE 0.0 END, {digits}) AS clustering_coef
+FROM t JOIN deg2 ON t.node = deg2.node
+"""

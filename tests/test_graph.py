@@ -281,3 +281,16 @@ def test_triangle_count_differential(spark, edges_df):
             want[b] += 1
             want[c] += 1
     assert got == want
+
+
+def test_clustering_coefficient_hand_cases(spark):
+    from qvarn_mr_spark.operators.graph import clustering_coefficient
+    # triangle + pendant: a-b-c triangle, d hangs off a
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")]
+    out = {r["node"]: (r["triangles"], r["degree"], r["clustering_coef"])
+           for r in clustering_coefficient(
+               spark.createDataFrame(edges, ["src", "dst"])).collect()}
+    assert out["a"] == (1, 3, pytest.approx(2 / 6, abs=1e-6))
+    assert out["b"] == (1, 2, 1.0)
+    assert out["c"] == (1, 2, 1.0)
+    assert out["d"] == (0, 1, 0.0)
