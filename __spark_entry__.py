@@ -2247,18 +2247,23 @@ def _pca_key(sf_dir):
 
 
 def _pca_rtfp(sf_dir):
-    """SQL-recomputable fingerprint of an embeddings table — the pair the
-    dispatching oracle re-evaluates at run time (oracle.
-    pca_project_dispatch_sql)."""
+    """SQL-recomputable fingerprint of an embeddings table — the triple
+    the dispatching oracle re-evaluates at run time (oracle.
+    pca_project_dispatch_sql). Includes a rounded content sum
+    (oracle.PCA_RTFP_CONTENT): (count, sum(vec_id)) alone collided
+    between sf0.001 and sf0.01, which reuse ids 0..499 at the same row
+    count — the cross-scale mirror caught the oracle scoring with the
+    other scale's model."""
     import os
 
     import duckdb
 
     p = os.path.join(sf_dir, "embeddings.parquet")
-    n, s = duckdb.sql(
-        "SELECT count(*), CAST(coalesce(sum(vec_id), 0) AS BIGINT)"
+    n, s, c = duckdb.sql(
+        "SELECT count(*), CAST(coalesce(sum(vec_id), 0) AS BIGINT),"
+        f" {oracle.PCA_RTFP_CONTENT}"
         f" FROM '{p}'").fetchone()
-    return [int(n), int(s)]
+    return [int(n), int(s), int(c)]
 
 
 def _pca_model_for(sf_dir, fit):

@@ -1887,6 +1887,16 @@ def _dlist(xs) -> str:
     return "[" + ", ".join(repr(float(x)) for x in xs) + "]"
 
 
+#: SQL-recomputable CONTENT component of the PCA runtime fingerprint.
+#: (count, sum(vec_id)) alone collides across scales that reuse ids with
+#: the same row count (sf0.001 and sf0.01 both ship 500 vectors with ids
+#: 0..499) — caught by the cross-scale mirror; the rounded first-element
+#: sum separates datasets by value while staying flip-proof against
+#: summation-order noise (round to 1e-3 on an O(10) sum).
+PCA_RTFP_CONTENT = ("CAST(floor(round(coalesce(sum(embedding[1]), 0), 3)"
+                    " * 1000) AS BIGINT)")
+
+
 def pca_project_dispatch_sql(entries: list, digits: int = 6,
                              prefix: str = "pc",
                              table: str = "embeddings",
@@ -1905,7 +1915,9 @@ def pca_project_dispatch_sql(entries: list, digits: int = 6,
     cols = []
     for i in range(k):
         whens = []
-        for (n, s), model in entries:
+        for fp, model in entries:
+            n, s, c = (list(fp) + [None, None, None])[:3]
+
             comp = model["components"][i]
             c0 = sum(float(x) * float(y)
                      for x, y in zip(model["mean"], comp))
@@ -1914,14 +1926,16 @@ def pca_project_dispatch_sql(entries: list, digits: int = 6,
             if whiten:
                 import math as _math
                 term = f"({term} / {_math.sqrt(model['explained_var'][i])!r})"
-            whens.append(
-                f"WHEN _rt_n = {int(n)} AND _rt_s = {int(s)} THEN "
-                f"round({term}, {digits})")
+            cond = f"_rt_n = {int(n)} AND _rt_s = {int(s)}"
+            if c is not None:
+                cond += f" AND _rt_c = {int(c)}"
+            whens.append(f"WHEN {cond} THEN round({term}, {digits})")
         cols.append("CASE " + " ".join(whens) + f" END AS {prefix}{i}")
     sel = ",\n       ".join(cols)
     return f"""
 WITH rt AS (SELECT count(*) AS _rt_n,
-                   CAST(coalesce(sum(vec_id), 0) AS BIGINT) AS _rt_s
+                   CAST(coalesce(sum(vec_id), 0) AS BIGINT) AS _rt_s,
+                   {PCA_RTFP_CONTENT} AS _rt_c
             FROM {table})
 SELECT vec_id,
        {sel}

@@ -450,3 +450,12 @@ def test_pca_project_scan_stage(q):
     assert_max_shuffles(df, 0)
     txt = explain_str(df, "simple")
     assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
+
+
+def test_triangle_count_no_cartesian(q):
+    """The wedge join must be an equi-join on x and the closure an
+    equi-join on (b, c) — never a cartesian/nested-loop product."""
+    from qvarn_mr_spark.plans import explain_str
+    txt = explain_str(q("graph_triangles"), "simple")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
