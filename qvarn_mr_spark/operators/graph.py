@@ -306,6 +306,9 @@ def triangle_count(edges: DataFrame, src: str = "src",
                  .groupBy("node").agg(F.count("*").alias("deg")))
     lower = ((F.col("du") < F.col("dv"))
              | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))))
+    # yk = the tip's position in the same total order: lets the wedge
+    # join emit each {b, c} pair once (b below c) instead of both
+    # directions — halves the operator's dominant intermediate
     oriented = pin(
         und.join(deg.select(F.col("node").alias("u"),
                             F.col("deg").alias("du")), "u")
@@ -314,11 +317,19 @@ def triangle_count(edges: DataFrame, src: str = "src",
            .select(F.when(lower, F.col("u")).otherwise(F.col("v"))
                     .alias("x"),
                    F.when(lower, F.col("v")).otherwise(F.col("u"))
-                    .alias("y")))
-    wedges = (oriented.select("x", F.col("y").alias("b"))
-                      .join(oriented.select("x", F.col("y").alias("c")),
+                    .alias("y"),
+                   F.when(lower,
+                          F.struct(F.col("dv").alias("d"),
+                                   F.col("v").alias("n")))
+                    .otherwise(F.struct(F.col("du").alias("d"),
+                                        F.col("u").alias("n")))
+                    .alias("yk")))
+    wedges = (oriented.select("x", F.col("y").alias("b"),
+                              F.col("yk").alias("bk"))
+                      .join(oriented.select("x", F.col("y").alias("c"),
+                                            F.col("yk").alias("ck")),
                             "x")
-                      .filter(F.col("b") != F.col("c")))
+                      .filter(F.col("bk") < F.col("ck")))
     tri = wedges.join(
         oriented.select(F.col("x").alias("b"), F.col("y").alias("c")),
         ["b", "c"]).select("x", "b", "c")
