@@ -2215,6 +2215,18 @@ def q_graph_hits(spark, sf_dir):
     return hits(_cs_edges(spark, sf_dir), iters=4)
 
 
+def q_doc_paragraph_dedup(spark, sf_dir):
+    """WITHIN-document duplicate-paragraph removal (quality.
+    paragraph_dedup, the Gopher cleaning rule): first occurrence of
+    each normalized segment survives, original order preserved. The
+    only shuffle keys on (doc, paragraph) — a document's repeats spread
+    across tasks, same discipline as cross-doc line_dedup. Full value
+    oracle (oracle.paragraph_dedup_sql)."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return quality.paragraph_dedup(docs, "doc_id", "text",
+                                   delimiter="\n")
+
+
 def q_doc_c4_rules(spark, sf_dir):
     """C4 page-level rule profile (functions/quality.py c4_rule_profile):
     word-count bounds, lorem-ipsum / curly-brace / policy-phrase /
@@ -2426,7 +2438,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_candidates_prod": q_simhash_candidates_prod,
         "dedup_clusters": q_dedup_clusters,
         "dedup_corpus": q_dedup_corpus,
-        "doc_repetition": q_doc_repetition,
         "doc_decontaminate": q_doc_decontaminate,
         # r7: HITS + the C4 rule profile take the two decontamination-
         # variant window slots (the base exact decontaminate stays
@@ -2434,6 +2445,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tail, still value-checked by the local mirror)
         "graph_hits": q_graph_hits,
         "doc_c4_rules": q_doc_c4_rules,
+        # r7: within-doc paragraph dedup takes doc_repetition's window
+        # slot (repetition signals are transitively exercised by the
+        # in-window corpus pipelines' gates; the query stays
+        # value-checked by the local mirror at the tail)
+        "doc_paragraph_dedup": q_doc_paragraph_dedup,
         "doc_bigram_surprisal": q_doc_bigram_surprisal,
         # --- new in r7: trigram LM (driver-value-checked) ---
         "doc_trigram_surprisal": q_doc_trigram_surprisal,
@@ -2576,6 +2592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca_whiten": q_embedding_pca_whiten,
         "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
         "doc_decontaminate_fuzzy": q_doc_decontaminate_fuzzy,
+        "doc_repetition": q_doc_repetition,
         "corpus_prepare": q_corpus_prepare,
         "search_exact_ci": q_search_exact_ci,
         "search_range_sort_limit": q_search_range_sort_limit,
@@ -2670,6 +2687,8 @@ def oracle_sql() -> dict[str, str]:
             oracle.CS_EDGES_SQL, iters=6,
             seeds_sql=oracle.BUILDING_SEEDS_SQL),
         "doc_c4_rules": oracle.c4_rules_sql(min_words=25),
+        "doc_paragraph_dedup": oracle.paragraph_dedup_sql(
+            delimiter="\n"),
         "graph_degrees": oracle.degree_profile_sql(oracle.CS_EDGES_SQL),
         "search_exact_ci": """
             SELECT c_custkey, c_name, c_acctbal FROM customer

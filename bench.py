@@ -119,6 +119,7 @@ BENCH_QUERIES = (
     "embedding_pca_whiten",
     "embedding_random_project",
     "doc_c4_rules",
+    "doc_paragraph_dedup",
 )
 
 #: Deliberate brute-force foils, kept in queries() as labeled baselines

@@ -526,3 +526,47 @@ def c4_filter(df: DataFrame, text_col: str = "text",
         & ~s["has_lorem"] & ~s["has_brace"]
         & (s["policy_hits"] == 0) & ~s["has_blockword"]
         & (s["frac_lines_terminal"] >= min_terminal_frac))
+
+
+def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", delimiter: str = "\n\n",
+                    min_chars: int = 2) -> DataFrame:
+    """WITHIN-document duplicate-paragraph removal (the Gopher cleaning
+    rule "remove duplicate paragraphs within a document" — repeated
+    boilerplate blocks, chorus lines, copy-paste artifacts): split on
+    ``delimiter``, keep only the FIRST occurrence of each normalized
+    (lowercased, trimmed) paragraph, reassemble in original order.
+    Paragraphs shorter than ``min_chars`` after trimming are structural
+    (blank separators) and always kept. Complements :func:`line_dedup`,
+    which removes segments duplicated ACROSS documents.
+
+    Scale shape: posexplode → per-(doc, key) window keeps rank 1 →
+    re-aggregate ordered by position. The only shuffle keys on
+    (doc, paragraph-key), so a document's paragraphs spread across the
+    cluster and no single task holds more than one document's worth of
+    any one paragraph — same discipline as line_dedup.
+
+    Returns ``(doc_id, text, n_paras, n_removed)``."""
+    from pyspark.sql import Window
+
+    paras = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), delimiter))
+         .alias("pos", "para"))
+    key = F.lower(F.trim(F.col("para")))
+    w = Window.partitionBy("doc_id", key).orderBy("pos")
+    flagged = paras.select(
+        "doc_id", "pos", "para",
+        ((F.length(key) < min_chars)
+         | (F.row_number().over(w) == 1)).alias("_keep"))
+    return (flagged.groupBy("doc_id")
+            .agg(F.concat_ws(
+                     delimiter,
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(F.col("_keep"),
+                                    F.struct("pos", "para")))),
+                         lambda s: s["para"])).alias("text"),
+                 F.count(F.lit(1)).alias("n_paras"),
+                 F.sum(F.when(~F.col("_keep"), 1).otherwise(0))
+                  .cast("long").alias("n_removed")))

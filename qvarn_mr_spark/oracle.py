@@ -2141,3 +2141,33 @@ SELECT t.node, t.triangles, deg2.deg AS degree,
        ELSE 0.0 END, {digits}) AS clustering_coef
 FROM t JOIN deg2 ON t.node = deg2.node
 """
+
+
+def paragraph_dedup_sql(delimiter: str = "\n\n", min_chars: int = 2,
+                        table: str = "documents") -> str:
+    """quality.paragraph_dedup — unnest with positions, keep rank-1 per
+    (doc, normalized paragraph) or short/structural segments, string_agg
+    back in position order. ``delimiter`` is the PYTHON string (e.g.
+    a real newline); it is emitted as a DuckDB E-string so control
+    characters survive ('\n' in a plain SQL literal is backslash-n)."""
+    d = "E'" + delimiter.encode("unicode_escape").decode("ascii") + "'"
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         unnest(string_split(text, {d})) AS para,
+         generate_subscripts(string_split(text, {d}), 1) AS pos
+  FROM {table}),
+f AS (
+  SELECT doc_id, para, pos,
+         (length(trim(para)) < {min_chars}
+          OR row_number() OVER (
+               PARTITION BY doc_id, lower(trim(para))
+               ORDER BY pos) = 1) AS keep
+  FROM p)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN keep THEN para END, {d}
+                           ORDER BY pos), '') AS text,
+       count(*) AS n_paras,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+FROM f GROUP BY doc_id
+"""

@@ -540,3 +540,19 @@ def test_c4_rule_profile_hand_cases(spark):
     assert kept_ids == [1]
     # line stats: doc 1 has 3 non-empty lines, all terminal, one with >=5
     assert prof[1]["frac_lines_ge5_words"] == pytest.approx(2 / 3, abs=1e-4)
+
+
+def test_paragraph_dedup_within_doc(spark):
+    from qvarn_mr_spark.functions.quality import paragraph_dedup
+    docs = spark.createDataFrame([
+        (1, "chorus line\n\nverse one\n\nchorus line\n\nverse two\n\n"
+            "Chorus Line "),          # normalized dup (case/trim) removed
+        (2, "a\n\nunique one\n\na"),  # 'a' is structural (< min_chars): kept twice
+        (3, "only paragraph"),
+    ], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    assert out[1]["text"] == "chorus line\n\nverse one\n\nverse two"
+    assert out[1]["n_paras"] == 5 and out[1]["n_removed"] == 2
+    assert out[2]["text"] == "a\n\nunique one\n\na"
+    assert out[2]["n_removed"] == 0
+    assert out[3]["text"] == "only paragraph" and out[3]["n_removed"] == 0
