@@ -2205,6 +2205,25 @@ def q_graph_clustering(spark, sf_dir):
     return clustering_coefficient(_part_co_edges(spark, sf_dir))
 
 
+def q_graph_components(spark, sf_dir):
+    """Connected components over an arbitrary edge list (operators/
+    graph.py connected_components — the dedup cluster stage's
+    min-label pointer-doubling, graph-facing): suppliers linked by
+    shared nation collapse to one component per nation, labeled by the
+    smallest member id. Full value oracle: DuckDB recursive-CTE
+    transitive closure over the symmetric edge set
+    (oracle.connected_components_sql)."""
+    from qvarn_mr_spark.operators.graph import connected_components
+    t = _t(spark, sf_dir, "supplier")["supplier"]
+    a = t.select(F.col("s_nationkey").alias("nk"),
+                 F.col("s_suppkey").alias("sa"))
+    b = t.select(F.col("s_nationkey").alias("nk"),
+                 F.col("s_suppkey").alias("sb"))
+    edges = (a.join(b, "nk").filter(F.col("sa") < F.col("sb"))
+              .select(F.col("sa").alias("src"), F.col("sb").alias("dst")))
+    return connected_components(edges)
+
+
 def q_graph_hits(spark, sf_dir):
     """Kleinberg HITS over the purchase graph (operators/graph.py): on
     the bipartite customer<->supplier edges, hubs = breadth buyers,
@@ -2589,6 +2608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank_personalized": q_graph_pagerank_personalized,
         "graph_triangles": q_graph_triangles,
         "graph_clustering": q_graph_clustering,
+        "graph_components": q_graph_components,
         "embedding_pca_whiten": q_embedding_pca_whiten,
         "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
         "doc_decontaminate_fuzzy": q_doc_decontaminate_fuzzy,
@@ -2681,6 +2701,8 @@ def oracle_sql() -> dict[str, str]:
             oracle.PART_CO_EDGES_SQL),
         "graph_clustering": oracle.clustering_coefficient_sql(
             oracle.PART_CO_EDGES_SQL),
+        "graph_components": oracle.connected_components_sql(
+            oracle.SUPP_NATION_EDGES_SQL),
         "graph_pagerank_weighted": oracle.pagerank_sql(
             oracle.CS_EDGES_W_SQL, iters=6, weighted=True),
         "graph_pagerank_personalized": oracle.pagerank_sql(

@@ -114,6 +114,7 @@ BENCH_QUERIES = (
     "graph_degrees",
     "graph_triangles",
     "graph_clustering",
+    "graph_components",
     "embedding_pca",
     "embedding_pca_arrow",
     "embedding_pca_whiten",

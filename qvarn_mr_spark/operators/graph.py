@@ -372,3 +372,18 @@ def clustering_coefficient(edges: DataFrame, src: str = "src",
     return (tri.join(deg, "node")
                .select("node", "triangles", F.col("deg").alias("degree"),
                        coef.alias("clustering_coef")))
+
+
+def connected_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst") -> DataFrame:
+    """Connected components over the undirected collapse of ``edges``:
+    every node gets ``component`` = the smallest node id in its
+    component. Thin graph-facing form of
+    :func:`qvarn_mr_spark.functions.dedup.dup_clusters` (the dedup
+    pipeline's cluster stage IS general CC over an arbitrary pair list —
+    distributed min-label propagation with pointer-doubling, O(log n)
+    rounds, per-round lineage checkpointed); see its docstring for the
+    scale analysis."""
+    from qvarn_mr_spark.functions.dedup import dup_clusters
+    return (dup_clusters(edges, a=src, b=dst)
+            .select(F.col("node"), F.col("cluster_id").alias("component")))

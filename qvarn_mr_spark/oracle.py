@@ -2171,3 +2171,33 @@ SELECT doc_id,
        CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
 FROM f GROUP BY doc_id
 """
+
+
+def connected_components_sql(edges_sql: str) -> str:
+    """graph.connected_components — transitive closure over the
+    symmetric edge set via a recursive CTE; component = min reachable
+    id (same oracle shape as dup_clusters_sql, over an arbitrary edge
+    query instead of document fingerprints)."""
+    return f"""
+WITH RECURSIVE base AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM ({edges_sql}) WHERE src != dst),
+sym AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM base
+  UNION
+  SELECT dst, src FROM base),
+nodes AS (SELECT DISTINCT u AS node FROM sym),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT s.v, r.label FROM reach r JOIN sym s ON r.node = s.u)
+SELECT node, min(label) AS component FROM reach GROUP BY node
+"""
+
+
+#: Sparse deterministic CC test graph: suppliers linked when they share a
+#: nation — one clique component per nation.
+SUPP_NATION_EDGES_SQL = """
+SELECT a.s_suppkey AS src, b.s_suppkey AS dst
+FROM supplier a JOIN supplier b
+  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+"""

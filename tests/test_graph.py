@@ -294,3 +294,12 @@ def test_clustering_coefficient_hand_cases(spark):
     assert out["b"] == (1, 2, 1.0)
     assert out["c"] == (1, 2, 1.0)
     assert out["d"] == (0, 1, 0.0)
+
+
+def test_connected_components_wrapper(spark):
+    from qvarn_mr_spark.operators.graph import connected_components
+    edges = [("a", "b"), ("b", "c"), ("x", "y"), ("z", "z")]
+    out = dict(map(tuple, connected_components(
+        spark.createDataFrame(edges, ["src", "dst"])).collect()))
+    assert out == {"a": "a", "b": "a", "c": "a",
+                   "x": "x", "y": "x", "z": "z"}
