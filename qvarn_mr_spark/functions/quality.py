@@ -549,9 +549,14 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
     Returns ``(doc_id, text, n_paras, n_removed)``."""
     from pyspark.sql import Window
 
+    # F.split's pattern is a Java regex while the DuckDB oracle twin
+    # uses literal string_split — quote the delimiter (Pattern.quote
+    # semantics: \Q..\E with embedded \E handled) so both engines split
+    # on the literal string even when it contains regex metacharacters
+    quoted = "\\Q" + delimiter.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     paras = df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), delimiter))
+        F.posexplode(F.split(F.col(text_col), quoted))
          .alias("pos", "para"))
     key = F.lower(F.trim(F.col("para")))
     w = Window.partitionBy("doc_id", key).orderBy("pos")

@@ -59,10 +59,12 @@ def pagerank(
     - ``seeds``: personalized PageRank — teleport (and dangling) mass
       goes only to the seed node set (``seed_col`` of ``seeds``) instead
       of uniformly, and ranks start at the teleport vector. The
-      recommendation / related-docs form; seeds outside the graph's node
-      set still receive teleport mass by construction of the teleport
-      vector but hold no edges (they're not added as nodes — pass them
-      as self-loop edges if that is wanted)."""
+      recommendation / related-docs form. Seeds outside the graph's node
+      set are IGNORED: the teleport vector lives on the graph's nodes,
+      so the 1/|seeds ∩ nodes| shares are normalized over the seeds that
+      actually exist — otherwise off-graph seeds' shares would vanish
+      and total rank would decay below 1 each iteration. Pass off-graph
+      seeds as self-loop edges if they should participate as nodes."""
     # the edge list is rescanned every iteration — pin it so the distinct
     # (its one shuffle) happens once, not per superstep
     if weight_col is None:
@@ -83,11 +85,16 @@ def pagerank(
     # out-strength; == out-degree when unweighted (w = 1.0 per edge)
     outdeg = pin(e.groupBy("src").agg(F.sum("w").alias("outdeg")))
     if seeds is not None:
+        # intersect with the node set BEFORE counting: ns must be the
+        # number of seeds that can actually hold teleport mass, else
+        # sum(t) < 1 and total rank decays every iteration
         seed_set = pin(seeds.select(F.col(seed_col).alias("node"))
-                            .distinct())
-        ns = seed_set.count()  # bounded driver scalar: |seeds|
+                            .distinct()
+                            .join(nodes, "node"))
+        ns = seed_set.count()  # bounded driver scalar: |seeds ∩ nodes|
         if ns == 0:
-            raise ValueError("pagerank: empty seed set")
+            raise ValueError(
+                "pagerank: no seed is a node of the graph")
         # teleport vector t(v): 1/|seeds| on seeds, 0 elsewhere —
         # node-sized, joined once, reused by every superstep
         nodes_t = pin(nodes.join(

@@ -1828,8 +1828,11 @@ def pagerank_sql(edges_sql: str, iters: int = 6, damping: float = 0.85,
     if seeds_sql is not None:
         parts.append(f"seeds AS MATERIALIZED (SELECT DISTINCT node"
                      f" FROM ({seeds_sql}))")
+        # ns over seeds ∩ nodes, mirroring graph.pagerank: off-graph
+        # seeds hold no teleport mass, so counting them would make
+        # sum(t) < 1 and decay total rank per iteration
         parts.append("sn AS (SELECT CAST(count(*) AS DOUBLE) AS ns"
-                     " FROM seeds)")
+                     " FROM seeds JOIN nodes USING (node))")
         parts.append(
             "tp AS MATERIALIZED (SELECT n.node, "
             "CASE WHEN s.node IS NOT NULL THEN 1.0 ELSE 0.0 END"
@@ -2177,15 +2180,19 @@ def connected_components_sql(edges_sql: str) -> str:
     """graph.connected_components — transitive closure over the
     symmetric edge set via a recursive CTE; component = min reachable
     id (same oracle shape as dup_clusters_sql, over an arbitrary edge
-    query instead of document fingerprints)."""
+    query instead of document fingerprints). Nodes are derived BEFORE
+    the self-loop filter so a node connected only by a self-loop is
+    still its own component — matching the Spark side (pinned by
+    test_graph.py's ('z','z') case)."""
     return f"""
-WITH RECURSIVE base AS MATERIALIZED (
-  SELECT DISTINCT src, dst FROM ({edges_sql}) WHERE src != dst),
+WITH RECURSIVE raw AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM ({edges_sql})),
+base AS MATERIALIZED (SELECT src, dst FROM raw WHERE src != dst),
 sym AS MATERIALIZED (
   SELECT src AS u, dst AS v FROM base
   UNION
   SELECT dst, src FROM base),
-nodes AS (SELECT DISTINCT u AS node FROM sym),
+nodes AS (SELECT src AS node FROM raw UNION SELECT dst FROM raw),
 reach(node, label) AS (
   SELECT node, node FROM nodes
   UNION

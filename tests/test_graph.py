@@ -185,6 +185,72 @@ def test_personalized_pagerank_concentrates_on_seeds(spark, edges_df):
         assert out[v] > 0, v
 
 
+def test_personalized_pagerank_off_graph_seeds(spark, edges_df):
+    """Seeds absent from the graph's node set must not leak teleport
+    mass: ns is normalized over seeds ∩ nodes, so sum(rank) stays 1 and
+    the result is identical to seeding only the in-graph subset."""
+    from qvarn_mr_spark.operators.graph import pagerank
+    mixed = spark.createDataFrame(
+        [("n0",), ("n3",), ("ghost1",), ("ghost2",)], ["node"])
+    out = {r["node"]: r["rank"]
+           for r in pagerank(edges_df, iters=5, seeds=mixed,
+                             digits=None).collect()}
+    assert sum(out.values()) == pytest.approx(1.0, abs=1e-9)
+    # off-graph seeds are ignored, not added as nodes
+    assert "ghost1" not in out and "ghost2" not in out
+    in_graph = spark.createDataFrame([("n0",), ("n3",)], ["node"])
+    want = {r["node"]: r["rank"]
+            for r in pagerank(edges_df, iters=5, seeds=in_graph,
+                              digits=None).collect()}
+    assert out == pytest.approx(want, abs=1e-12)
+    # all-off-graph seed set is an explicit error, not a silent zero
+    ghosts = spark.createDataFrame([("ghost1",)], ["node"])
+    with pytest.raises(ValueError, match="no seed is a node"):
+        pagerank(edges_df, iters=2, seeds=ghosts)
+
+
+def test_personalized_pagerank_oracle_agrees_off_graph(spark, edges_df):
+    """The DuckDB CTE unroll must mirror the seeds∩nodes normalization —
+    this is the exact construction the driver query uses (seeding a
+    customer segment where some customers hold no orders)."""
+    import duckdb
+
+    from qvarn_mr_spark.operators.graph import pagerank
+    from qvarn_mr_spark.oracle import pagerank_sql
+
+    edges_sql = " UNION ALL ".join(
+        f"SELECT '{s}' AS src, '{d}' AS dst" for s, d in sorted(set(GRAPH)))
+    seeds_sql = ("SELECT 'n0' AS node UNION ALL SELECT 'n3'"
+                 " UNION ALL SELECT 'ghost1'")
+    want = dict(duckdb.sql(
+        pagerank_sql(edges_sql, iters=4, digits=9,
+                     seeds_sql=seeds_sql)).fetchall())
+    mixed = spark.createDataFrame(
+        [("n0",), ("n3",), ("ghost1",)], ["node"])
+    got = {r["node"]: r["rank"]
+           for r in pagerank(edges_df, iters=4, seeds=mixed,
+                             digits=9).collect()}
+    assert got == pytest.approx(want, abs=1e-9)
+
+
+def test_connected_components_oracle_self_loop_parity(spark):
+    """Oracle derives nodes BEFORE the self-loop filter, so a node
+    connected only by a self-loop appears in both engines."""
+    import duckdb
+
+    from qvarn_mr_spark.operators.graph import connected_components
+    from qvarn_mr_spark.oracle import connected_components_sql
+
+    edges = [("a", "b"), ("b", "c"), ("x", "y"), ("z", "z")]
+    edges_sql = " UNION ALL ".join(
+        f"SELECT '{s}' AS src, '{d}' AS dst" for s, d in edges)
+    want = dict(duckdb.sql(connected_components_sql(edges_sql)).fetchall())
+    got = dict(map(tuple, connected_components(
+        spark.createDataFrame(edges, ["src", "dst"])).collect()))
+    assert got == want
+    assert want["z"] == "z"
+
+
 def test_degree_views_maintain_through_cdc(spark, tmp_path):
     """Maintained degree/adjacency views (graph.degree_views through the
     IVM engine) must agree with the batch degree_profile after every

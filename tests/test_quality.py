@@ -556,3 +556,30 @@ def test_paragraph_dedup_within_doc(spark):
     assert out[2]["text"] == "a\n\nunique one\n\na"
     assert out[2]["n_removed"] == 0
     assert out[3]["text"] == "only paragraph" and out[3]["n_removed"] == 0
+
+
+def test_paragraph_dedup_regex_metachar_delimiter(spark):
+    """The delimiter is a LITERAL string on both engines: Spark's
+    F.split takes a Java regex, so metacharacters ('|', '.') must be
+    quoted — and the result must match the DuckDB twin's literal
+    string_split byte for byte."""
+    import duckdb
+
+    from qvarn_mr_spark.functions.quality import paragraph_dedup
+    from qvarn_mr_spark.oracle import paragraph_dedup_sql
+
+    rows = [(1, "dup|unique|dup|x.y"), (2, "a.b|a.b|solo")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["text"], r["n_paras"], r["n_removed"])
+           for r in paragraph_dedup(docs, delimiter="|",
+                                    min_chars=2).collect()}
+    # unquoted '|' would be regex alternation -> char-by-char split
+    assert got[1] == ("dup|unique|x.y", 4, 1)
+    assert got[2] == ("a.b|solo", 3, 1)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                "(1, 'dup|unique|dup|x.y'), (2, 'a.b|a.b|solo')) "
+                "t(doc_id, text)")
+    want = {r[0]: (r[1], r[2], r[3]) for r in con.execute(
+        paragraph_dedup_sql(delimiter="|", min_chars=2)).fetchall()}
+    assert got == want
