@@ -1,11 +1,19 @@
 """Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+compact JSON line (summary fields only; per-query detail goes to the
+sidecar, which the line names).
 
-Each query is forced end-to-end with the no-op sink (full physical execution,
-no driver collect bottleneck — the same way a cluster job would be bounded by
-the job, not the result transfer).
+Each query is timed END-TO-END: operator invocation (construction) PLUS
+the no-op-sink execution, per attempt, with all persisted state dropped
+between attempts. Construction is inside the timed region because the
+iterative operators (PageRank/HITS supersteps, composed corpus funnels)
+materialize eagerly while building — r7 reported graph_pagerank at
+0.03 s because its 13.7 s of real work happened during construction,
+outside the old timed region. A separate plan-only split per query is
+still recorded in the sidecar for attribution, but the headline number
+is real wall time. (History note: BENCH_r01..r07 used run-only
+accounting; r08 onward is construct+run — r07's comparable total under
+this accounting was ~275 s = 82.3 run + 193.2 construct.)
 """
 
 from __future__ import annotations
@@ -177,27 +185,32 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     for name in names:
-        drop_persisted()
-        # construction timed separately: some operators eagerly materialize
-        # a reused intermediate (dedup shingles) during construction, and
-        # lumping it into run time made JVM/AQE warmup look like query cost
-        c0 = time.time()
-        df = qs[name](spark, sf_dir)
-        construct[name] = round(time.time() - c0, 3)
-        # min of N executions: steady-state time, so a round-over-round
-        # regression is attributable to the plan, not to warmup jitter
-        execs = []
+        # each ATTEMPT is end-to-end: drop persisted state, invoke the
+        # operator (eager construction included), force execution with
+        # the no-op sink. min of N attempts: steady-state wall time, so
+        # a round-over-round regression is attributable to the plan,
+        # not warmup jitter — and nothing an operator does during
+        # construction escapes the measurement.
+        attempts = []
+        plan_only = []
         for _ in range(runs):
+            drop_persisted()
             t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            plan_only.append(time.time() - t0)
             df.write.format("noop").mode("overwrite").save()
-            execs.append(time.time() - t0)
-        times[name] = round(min(execs), 3)
+            attempts.append(time.time() - t0)
+        times[name] = round(min(attempts), 3)
+        # attribution split (sidecar only): construction share of the
+        # fastest attempt — NOT subtracted from the headline
+        construct[name] = round(plan_only[attempts.index(min(attempts))], 3)
 
     out = {
         "metric": ("all_queries_total_wall" if bench_all
                    else "headline_queries_total_wall"),
         "value": round(sum(times.values()), 3),
         "unit": "sec",
+        "accounting": "construct+run",
         "queries": times,
         "construct": construct,
         "construct_total": round(sum(construct.values()), 3),
@@ -206,16 +219,20 @@ def main() -> None:
     }
     if skipped_baselines:
         out["skipped_baselines"] = skipped_baselines
-    # Full summary to a sidecar the driver (or a human) can read whole...
+    # Full per-query detail to a sidecar the driver (or a human) can read
+    # whole...
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            sidecar_name)
     with open(sidecar, "w") as f:
         json.dump(out, f, indent=1)
-    # ...and a compact line LAST on stdout. The driver keeps only a ~2000
-    # char tail of stdout; the per-query construct dict pushed the full line
-    # past that in r3 (BENCH_r03.json recorded parsed:null with rc:0), so
-    # the stdout line carries everything except per-query construct detail.
-    compact = {k: v for k, v in out.items() if k != "construct"}
+    # ...and a compact summary-only line LAST on stdout. The driver keeps
+    # only a ~2000 char tail of stdout; per-query dicts overflowed it in
+    # r3 and again in r7 (both recorded parsed:null with rc:0), so the
+    # stdout line now carries NO per-query data at all — just the
+    # headline and a pointer to the sidecar.
+    compact = {k: v for k, v in out.items()
+               if k not in ("queries", "construct")}
+    compact["n_queries"] = len(times)
     compact["sidecar"] = sidecar_name
     line = json.dumps(compact, separators=(",", ":"))
     sys.stdout.flush()
