@@ -2196,6 +2196,18 @@ def _part_co_edges(spark, sf_dir):
              .distinct())
 
 
+def q_graph_triangles_approx(spark, sf_dir):
+    """DOULION approximate triangle counting (graph.
+    triangle_count_approx): hash-coin edge sparsification at p=0.25,
+    exact count on the kept edges, 1/p³ scaling — the scale valve's
+    escape path when the exact wedge join (m^1.5) is too big. The coin
+    is the shared md5 hash, so the estimate is deterministic and FULLY
+    value-oracled (oracle.triangle_count_approx_sql), unusual for an
+    approximate operator."""
+    from qvarn_mr_spark.operators.graph import triangle_count_approx
+    return triangle_count_approx(_part_co_edges(spark, sf_dir), p=0.25)
+
+
 def q_graph_clustering(spark, sf_dir):
     """Local clustering coefficient (graph.clustering_coefficient):
     2*T/(d*(d-1)) per node over the part co-purchase graph — the
@@ -2439,6 +2451,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # teleport normalization and the CC self-loop oracle were both
         # fixed this round — window placement proves the fixes.) ---
         "graph_triangles": q_graph_triangles,
+        # new in r8: the exact form's scale-valve escape path — DOULION
+        # hash-coin sparsification, deterministic and fully value-oracled
+        "graph_triangles_approx": q_graph_triangles_approx,
         "graph_clustering": q_graph_clustering,
         "graph_components": q_graph_components,
         "graph_degrees": q_graph_degrees,
@@ -2658,6 +2673,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_hits": oracle.hits_sql(oracle.CS_EDGES_SQL, iters=4),
         "graph_triangles": oracle.triangle_count_sql(
             oracle.PART_CO_EDGES_SQL),
+        "graph_triangles_approx": oracle.triangle_count_approx_sql(
+            oracle.PART_CO_EDGES_SQL, p=0.25),
         "graph_clustering": oracle.clustering_coefficient_sql(
             oracle.PART_CO_EDGES_SQL),
         "graph_components": oracle.connected_components_sql(

@@ -283,7 +283,8 @@ def degree_views(source: str = "edges", src_col: str = "src",
 
 
 def triangle_count(edges: DataFrame, src: str = "src",
-                   dst: str = "dst") -> DataFrame:
+                   dst: str = "dst",
+                   max_wedges: int | None = None) -> DataFrame:
     """Per-node triangle participation over the UNDIRECTED collapse of
     ``edges`` (direction and duplicates ignored; self-loops dropped) —
     the classic cohesion/link-spam signal (a farm of pages linking each
@@ -300,6 +301,17 @@ def triangle_count(edges: DataFrame, src: str = "src",
     closure join demands the ORIENTED edge between the two tips, which
     exists in exactly one direction. One self-join + one closure join +
     one explode-aggregate; no iteration, no driver state.
+
+    ``max_wedges`` is the explicit scale valve (same role as
+    ``max_bucket`` in the LSH family): the wedge join's exact row count
+    — sum over x of C(out_deg(x), 2) on the ORIENTED graph — is computed
+    from the pinned orientation (one node-sized aggregate, a bounded
+    driver scalar) and the operator REFUSES to run past the cap rather
+    than silently launching an m^1.5 join that a 100×-denser graph turns
+    into the cluster's biggest stage. The escape path is
+    :func:`triangle_count_approx` (DOULION edge sampling: ~p²-fewer
+    wedges at 1/p³-scaled counts), which the error message names.
+    ``None`` (default) never trips — exact output, matching the oracle.
 
     Returns ``(node, triangles)`` for every node (0 for triangle-free
     nodes)."""
@@ -331,6 +343,19 @@ def triangle_count(edges: DataFrame, src: str = "src",
                     .otherwise(F.struct(F.col("du").alias("d"),
                                         F.col("u").alias("n")))
                     .alias("yk")))
+    if max_wedges is not None:
+        n_wedges = (oriented.groupBy("x")
+                    .agg(F.count(F.lit(1)).alias("d"))
+                    .agg(F.coalesce(
+                        F.sum(F.col("d") * (F.col("d") - 1) / 2),
+                        F.lit(0.0)).alias("w"))
+                    .collect()[0]["w"])
+        if n_wedges > max_wedges:
+            raise ValueError(
+                f"triangle_count: {int(n_wedges)} wedges exceed "
+                f"max_wedges={max_wedges}; the wedge join would "
+                f"dominate the job. Use triangle_count_approx "
+                f"(DOULION edge sampling) or raise the cap.")
     wedges = (oriented.select("x", F.col("y").alias("b"),
                               F.col("yk").alias("bk"))
                       .join(oriented.select("x", F.col("y").alias("c"),
@@ -350,6 +375,55 @@ def triangle_count(edges: DataFrame, src: str = "src",
     return (deg.select("node").join(counts, "node", "left")
                .select("node", F.coalesce("triangles", F.lit(0))
                        .alias("triangles")))
+
+
+def triangle_count_approx(edges: DataFrame, src: str = "src",
+                          dst: str = "dst", p: float = 0.25,
+                          salt: str = "doulion",
+                          digits: int | None = 6) -> DataFrame:
+    """DOULION approximate triangle counting (Tsourakakis, Kang, Miller,
+    Faloutsos, KDD 2009): sparsify the undirected graph by keeping each
+    edge independently with probability ``p``, count triangles EXACTLY
+    on the sparsified graph, scale per-node counts by ``1/p³``. Each
+    surviving triangle needed all three edges kept (probability p³), so
+    the estimator is unbiased: ``E[est] = true count``, per node and in
+    total. The wedge join runs on ~p·m edges — ~p² fewer wedge rows and
+    (p·m)^1.5 worst case — which is the escape path
+    :func:`triangle_count`'s ``max_wedges`` valve points at.
+
+    The coin is a consistent hash (``sampling.hash_unit`` of the
+    canonical edge key under ``salt``), NOT an RNG: reruns, retries and
+    repartitioning keep the same edges, the estimate is deterministic,
+    and a DuckDB twin (``oracle.triangle_count_approx_sql``) reproduces
+    it value-for-value. Different salts give independent sparsifications
+    — averaging over salts is the variance-reduction knob, and the
+    unbiasedness pytest differential drives exactly that. ``p=1.0``
+    degenerates to the exact count.
+
+    Returns ``(node, triangles_est)`` over the FULL node set (nodes
+    whose edges were all dropped report 0.0)."""
+    from qvarn_mr_spark.functions.sampling import hash_unit
+
+    if not 0.0 < p <= 1.0:
+        raise ValueError(f"triangle_count_approx: p must be in (0, 1], "
+                         f"got {p}")
+    und = pin(edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+                   .filter(F.col("a") != F.col("b"))
+                   .select(F.least("a", "b").alias("u"),
+                           F.greatest("a", "b").alias("v"))
+                   .distinct())
+    nodes = (und.select(F.col("u").alias("node"))
+                .union(und.select(F.col("v").alias("node")))
+                .distinct())
+    kept = (und.withColumn("_ek", F.concat_ws("#", "u", "v"))
+               .filter(hash_unit("_ek", salt) < F.lit(float(p)))
+               .select("u", "v"))
+    tri = triangle_count(kept, src="u", dst="v")
+    est = F.coalesce(F.col("triangles"), F.lit(0)) / F.lit(float(p) ** 3)
+    if digits is not None:
+        est = F.round(est, digits)
+    return (nodes.join(tri, "node", "left")
+                 .select("node", est.alias("triangles_est")))
 
 
 def clustering_coefficient(edges: DataFrame, src: str = "src",

@@ -2125,6 +2125,35 @@ ON d.node = m.node
 """
 
 
+def triangle_count_approx_sql(edges_sql: str, p: float = 0.25,
+                              salt: str = "doulion",
+                              digits: int = 6) -> str:
+    """graph.triangle_count_approx — the DOULION sparsify-then-count
+    estimator, value-reproducible because the edge coin is the shared
+    md5 hash (``sampling.sample_unit_sql``, generated from the same
+    constants as the Spark side's ``hash_unit``), not an RNG. The exact
+    triangle CTE chain runs over the kept edges; counts scale by 1/p³
+    over the FULL node set."""
+    from qvarn_mr_spark.functions.sampling import sample_unit_sql
+
+    keep = sample_unit_sql("concat(u, '#', v)", salt)
+    inner = triangle_count_sql(
+        "SELECT u AS src, v AS dst FROM kept").strip()
+    return f"""
+WITH und0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM ({edges_sql}) WHERE src != dst),
+kept AS MATERIALIZED (
+  SELECT u, v FROM und0 WHERE {keep} < {float(p)!r}),
+tri AS MATERIALIZED ({inner}),
+allnodes AS (SELECT u AS node FROM und0 UNION SELECT v FROM und0)
+SELECT n.node,
+       round(coalesce(t.triangles, 0) / {float(p) ** 3!r}, {digits})
+         AS triangles_est
+FROM allnodes n LEFT JOIN tri t ON n.node = t.node
+"""
+
+
 def clustering_coefficient_sql(edges_sql: str, digits: int = 6) -> str:
     """graph.clustering_coefficient — the triangle CTE chain joined back
     to the undirected degree: 2*T / (d*(d-1)), 0.0 below degree 2."""

@@ -362,6 +362,72 @@ def test_clustering_coefficient_hand_cases(spark):
     assert out["d"] == (0, 1, 0.0)
 
 
+def test_triangle_max_wedges_valve(spark):
+    """The valve refuses to launch the wedge join past the cap on a
+    dense (clique) graph and names the escape path; under the cap the
+    result is identical to the unvalved run."""
+    from qvarn_mr_spark.operators.graph import triangle_count
+    # K12 under degree-ordered orientation: out-degrees 0..11, wedges
+    # = sum C(i,2) = C(12,3) = 220
+    k12 = [(f"p{a:02d}", f"p{b:02d}") for a in range(12)
+           for b in range(12) if a < b]
+    clique = spark.createDataFrame(k12, ["src", "dst"])
+    with pytest.raises(ValueError, match="triangle_count_approx"):
+        triangle_count(clique, max_wedges=100)
+    ok = dict(map(tuple, triangle_count(clique, max_wedges=500).collect()))
+    assert ok == {f"p{i:02d}": 55 for i in range(12)}  # C(11,2) each
+
+
+def test_triangle_approx_p1_is_exact(spark, edges_df):
+    from qvarn_mr_spark.operators.graph import (triangle_count,
+                                                triangle_count_approx)
+    exact = dict(map(tuple, triangle_count(edges_df).collect()))
+    est = dict(map(tuple,
+                   triangle_count_approx(edges_df, p=1.0).collect()))
+    assert est == {k: float(v) for k, v in exact.items()}
+
+
+def test_triangle_approx_unbiased_over_salts(spark):
+    """DOULION unbiasedness: E[est] = true count. The coin is a
+    deterministic hash, so 'expectation' is realized by averaging over
+    independent salts — 24 sparsifications at p=0.5 of K8 (56
+    triangles) must average within 25% of truth. Deterministic: no RNG,
+    same salts every run."""
+    from qvarn_mr_spark.operators.graph import triangle_count_approx
+    k8 = spark.createDataFrame(
+        [(f"v{a}", f"v{b}") for a in range(8) for b in range(8) if a < b],
+        ["src", "dst"])
+    true_total = 56.0  # C(8,3)
+    means = []
+    for s in range(24):
+        rows = triangle_count_approx(k8, p=0.5, salt=f"s{s}",
+                                     digits=None).collect()
+        means.append(sum(r["triangles_est"] for r in rows) / 3.0)
+    avg = sum(means) / len(means)
+    assert abs(avg - true_total) / true_total < 0.25, (avg, means)
+
+
+def test_triangle_approx_oracle_parity(spark):
+    """Spark estimate == DuckDB twin value-for-value (the hash coin is
+    shared, so even the sparsification agrees)."""
+    import duckdb
+
+    from qvarn_mr_spark.operators.graph import triangle_count_approx
+    from qvarn_mr_spark.oracle import triangle_count_approx_sql
+
+    edges = [(f"v{a}", f"v{b}") for a in range(9)
+             for b in range(9) if a < b and (a + b) % 3 != 0]
+    edges_sql = " UNION ALL ".join(
+        f"SELECT '{s}' AS src, '{d}' AS dst" for s, d in edges)
+    want = dict(duckdb.sql(
+        triangle_count_approx_sql(edges_sql, p=0.5, salt="x")).fetchall())
+    got = {r["node"]: r["triangles_est"]
+           for r in triangle_count_approx(
+               spark.createDataFrame(edges, ["src", "dst"]),
+               p=0.5, salt="x").collect()}
+    assert got == pytest.approx(want, abs=1e-9)
+
+
 def test_connected_components_wrapper(spark):
     from qvarn_mr_spark.operators.graph import connected_components
     edges = [("a", "b"), ("b", "c"), ("x", "y"), ("z", "z")]
