@@ -323,7 +323,8 @@ def _minhash_cols_linear(n_hashes: int) -> list[Column]:
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        n_hashes: int = MINHASH_N,
                        n_bands: int = MINHASH_BANDS,
-                       hash_family: str = "md5slice") -> DataFrame:
+                       hash_family: str = "md5slice",
+                       shingles: DataFrame | None = None) -> DataFrame:
     """Per-document MinHash signature, banded for LSH.
 
     Returns ``(doc_id, band_0 … band_{B-1})`` where each band is the
@@ -346,7 +347,12 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
         raise ValueError(f"n_hashes={n_hashes} not divisible by "
                          f"n_bands={n_bands}")
     rows = n_hashes // n_bands
-    sh = shingle_table(df, id_col, text_col)
+    # ``shingles``: a caller-supplied (doc_id, shingle) table — composed
+    # pipelines (dedup_corpus) pin ONE shingle table and feed both the
+    # signature path and the Jaccard-verify path from it, saving a full
+    # tokenize+shingle+distinct corpus pass
+    sh = (shingles if shingles is not None
+          else shingle_table(df, id_col, text_col))
     if hash_family == "linear":
         # staged projection: the base digest is ONE named column the 128
         # min-aggregates reference — never re-inlined per aggregate
@@ -369,7 +375,8 @@ def minhash_candidates(df: DataFrame, id_col: str, text_col: str,
                        n_hashes: int = MINHASH_N,
                        n_bands: int = MINHASH_BANDS,
                        max_bucket: int | None = None,
-                       hash_family: str = "md5slice") -> DataFrame:
+                       hash_family: str = "md5slice",
+                       shingles: DataFrame | None = None) -> DataFrame:
     """LSH candidate pairs: documents agreeing on ≥1 band.
 
     Melt signatures to (doc_id, band_pos, sig) and self-equi-join on the
@@ -397,7 +404,7 @@ def minhash_candidates(df: DataFrame, id_col: str, text_col: str,
     self-join shape. Returns ``(a_id, b_id, n_bands)``.
     """
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, n_bands,
-                              hash_family=hash_family)
+                              hash_family=hash_family, shingles=shingles)
     melted = sigs.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"band_{b}")
@@ -706,9 +713,13 @@ def dedup_corpus(df: DataFrame, id_col: str = "doc_id",
         .select(F.col("doc_id").alias("_keep_id")),
         F.col(id_col) == F.col("_keep_id"), "left_semi")
 
-    cand = minhash_candidates(keepers, id_col, text_col) \
+    # ONE pinned shingle table feeds both the LSH signature path and the
+    # Jaccard-verify path below — previously each built its own
+    # identical subtree, i.e. two tokenize+shingle+distinct corpus
+    # passes per dedup call
+    sh = pin(shingle_table(keepers, id_col, text_col))
+    cand = minhash_candidates(keepers, id_col, text_col, shingles=sh) \
         .select("a_id", "b_id")
-    sh = shingle_table(keepers, id_col, text_col)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("a_id"), "shingle")
     sb = sh.select(F.col("doc_id").alias("b_id"), "shingle")
