@@ -2124,6 +2124,35 @@ def q_graph_pagerank(spark, sf_dir):
     return pagerank(_cs_edges(spark, sf_dir), iters=6)
 
 
+def _cs_edges_pre(spark, sf_dir):
+    """Pre-delta snapshot of _cs_edges (Spark twin of
+    oracle.CS_EDGES_PRE_SQL): the purchase graph BEFORE urgent orders."""
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    cs = (t["orders"].filter(F.col("o_orderpriority") != "1-URGENT")
+          .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+          .select(F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+                  .alias("src"),
+                  F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+                  .alias("dst"))
+          .distinct())
+    return cs.union(
+        cs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def q_graph_pagerank_warm(spark, sf_dir):
+    """Incremental PageRank maintenance (graph.pagerank(init_ranks=)):
+    rank the PRE-delta purchase graph (non-urgent orders, 6 supersteps),
+    then absorb the delta (urgent orders' edges) by warm-restarting from
+    the previous rank vector for only 3 supersteps — the IVM move for
+    fixpoint state: power iteration converges to the same answer from
+    any start, and a near-converged start needs a fraction of the
+    supersteps. Fully value-oracled: oracle.pagerank_sql composes — the
+    pre-delta unroll feeds the post-delta unroll as its init CTE."""
+    from qvarn_mr_spark.operators.graph import pagerank
+    old = pagerank(_cs_edges_pre(spark, sf_dir), iters=6)
+    return pagerank(_cs_edges(spark, sf_dir), iters=3, init_ranks=old)
+
+
 def q_graph_degrees(spark, sf_dir):
     """Per-node in/out degree over the same purchase graph — the cheap
     link-farm / orphan companion signal to q_graph_pagerank. Two
@@ -2459,6 +2488,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degrees": q_graph_degrees,
         "graph_pagerank_weighted": q_graph_pagerank_weighted,
         "graph_pagerank_personalized": q_graph_pagerank_personalized,
+        # new in r8: warm-start PageRank — IVM for fixpoint state; the
+        # oracle composes the pre-delta unroll into the post-delta one
+        "graph_pagerank_warm": q_graph_pagerank_warm,
         # PCA whiten + the two Arrow twins: same committed models as the
         # in-window base forms, distinct execution paths worth one
         # driver proof each
@@ -2681,6 +2713,10 @@ def oracle_sql() -> dict[str, str]:
             oracle.SUPP_NATION_EDGES_SQL),
         "graph_pagerank_weighted": oracle.pagerank_sql(
             oracle.CS_EDGES_W_SQL, iters=6, weighted=True),
+        "graph_pagerank_warm": oracle.pagerank_sql(
+            oracle.CS_EDGES_SQL, iters=3,
+            init_sql=oracle.pagerank_sql(oracle.CS_EDGES_PRE_SQL,
+                                         iters=6, prefix="w_")),
         "graph_pagerank_personalized": oracle.pagerank_sql(
             oracle.CS_EDGES_SQL, iters=6,
             seeds_sql=oracle.BUILDING_SEEDS_SQL),

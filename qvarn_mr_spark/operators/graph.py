@@ -46,6 +46,8 @@ def pagerank(
     weight_col: str | None = None,
     seeds: DataFrame | None = None,
     seed_col: str = "node",
+    init_ranks: DataFrame | None = None,
+    init_rank_col: str = "rank",
 ) -> DataFrame:
     """Rank every node of the directed graph ``edges`` (duplicate edges
     collapse; self-loops count). Returns ``(node, rank)`` with
@@ -64,7 +66,20 @@ def pagerank(
       so the 1/|seeds ∩ nodes| shares are normalized over the seeds that
       actually exist — otherwise off-graph seeds' shares would vanish
       and total rank would decay below 1 each iteration. Pass off-graph
-      seeds as self-loop edges if they should participate as nodes."""
+      seeds as self-loop edges if they should participate as nodes.
+    - ``init_ranks``: WARM START — a ``(node, rank)`` frame (column
+      names via ``init_rank_col``), typically the previous run's output
+      before a CDC edge delta. Ranks start from it instead of uniform /
+      teleport: nodes absent from it (newly appeared) get ``1/n``, then
+      the vector renormalizes to sum 1 (one one-row aggregate +
+      broadcast), preserving the per-iteration mass contract. Power
+      iteration converges to the SAME fixpoint from any start; a
+      near-converged start just gets there in 2-3 supersteps instead of
+      6+ — the incremental-view-maintenance move for graphs, extending
+      the engine's O(delta) identity (``operators/incremental.py``) to
+      the one operator whose state is a fixpoint rather than an
+      aggregate. Compose with :func:`degree_views` for O(delta) degree/
+      adjacency upkeep between reruns."""
     # the edge list is rescanned every iteration — pin it so the distinct
     # (its one shuffle) happens once, not per superstep
     if weight_col is None:
@@ -102,14 +117,18 @@ def pagerank(
             .select("node", (F.coalesce(F.col("_s"), F.lit(0.0))
                              / F.lit(float(ns))).alias("t")))
         return _pagerank_loop(e, nodes_t, outdeg, iters, damping, digits,
-                              personalized=True, n=n)
+                              personalized=True, n=n,
+                              init_ranks=init_ranks,
+                              init_rank_col=init_rank_col)
 
     return _pagerank_loop(e, nodes, outdeg, iters, damping, digits,
-                          personalized=False, n=n)
+                          personalized=False, n=n, init_ranks=init_ranks,
+                          init_rank_col=init_rank_col)
 
 
 def _pagerank_loop(e, nodes, outdeg, iters, damping, digits,
-                   personalized, n):
+                   personalized, n, init_ranks=None,
+                   init_rank_col="rank"):
     """The shared damped power iteration. ``nodes`` carries a teleport
     column ``t`` in the personalized case (teleport + dangling mass go
     to ``t``; ranks start at ``t``); uniform otherwise (1/n everywhere).
@@ -120,12 +139,28 @@ def _pagerank_loop(e, nodes, outdeg, iters, damping, digits,
     plan doubles per iteration (2^iters nodes; AQE stringifies it per
     job and OOMs the driver around 10 supersteps). Checkpointing cuts
     the lineage at node-sized state, the Pregel norm."""
-    if personalized:
-        init = F.col("t")
-    else:
-        init = F.lit(1.0 / n)
-    ranks = nodes.withColumn("rank", init).localCheckpoint()
     node_cols = [c for c in nodes.columns]
+    if init_ranks is not None:
+        # warm start: previous ranks where known, 1/n for new nodes,
+        # renormalized to sum 1 (one-row aggregate, broadcast back) so
+        # the mass-conservation contract holds from superstep 0
+        joined = (nodes.join(
+            init_ranks.select(F.col("node"),
+                              F.col(init_rank_col).cast("double")
+                               .alias("_r0")), "node", "left")
+            .withColumn("_r0", F.coalesce(F.col("_r0"),
+                                          F.lit(1.0 / n))))
+        tot = joined.agg(F.sum("_r0").alias("_tot"))
+        ranks = (joined.crossJoin(F.broadcast(tot))
+                 .select(*node_cols,
+                         (F.col("_r0") / F.col("_tot")).alias("rank"))
+                 .localCheckpoint())
+    else:
+        if personalized:
+            init = F.col("t")
+        else:
+            init = F.lit(1.0 / n)
+        ranks = nodes.withColumn("rank", init).localCheckpoint()
     for _ in range(iters):
         contribs = (e.join(ranks.select("node", "rank"),
                            e.src == F.col("node"))

@@ -1794,10 +1794,27 @@ SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 """
 
+#: Pre-delta snapshot of CS_EDGES_SQL for the warm-start driver query:
+#: the graph BEFORE the urgent orders arrive. The delta (urgent orders'
+#: edges) is what the warm restart absorbs in few supersteps.
+CS_EDGES_PRE_SQL = """
+SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                's' || CAST(l_suppkey AS VARCHAR) AS dst
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderpriority <> '1-URGENT'
+UNION
+SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                'c' || CAST(o_custkey AS VARCHAR) AS dst
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderpriority <> '1-URGENT'
+"""
+
 
 def pagerank_sql(edges_sql: str, iters: int = 6, damping: float = 0.85,
                  digits: int = 6, weighted: bool = False,
-                 seeds_sql: str | None = None) -> str:
+                 seeds_sql: str | None = None,
+                 init_sql: str | None = None,
+                 prefix: str = "") -> str:
     """graph.pagerank — the power iteration unrolled into one CTE chain
     per superstep (dm{i} = dangling mass, c{i} = inbound contributions,
     pr{i} = the damped update). Fixed iteration count keeps the unroll
@@ -1809,66 +1826,87 @@ def pagerank_sql(edges_sql: str, iters: int = 6, damping: float = 0.85,
     (src, dst) rows sum and shares split by out-strength.
     ``seeds_sql``: personalized form — a query yielding the seed
     ``node`` set; teleport + dangling mass go to the seeds and ranks
-    start at the teleport vector, mirroring graph.pagerank(seeds=...)."""
+    start at the teleport vector, mirroring graph.pagerank(seeds=...).
+    ``init_sql``: warm start — a query yielding ``(node, rank)``; pr0
+    becomes coalesce(init, 1/n) renormalized to sum 1, mirroring
+    graph.pagerank(init_ranks=...). Compose by passing a full
+    pagerank_sql(..., prefix="w_") over the PRE-delta edge set as
+    ``init_sql`` — DuckDB forbids redefining a CTE name even in a
+    nested scope, so the inner unroll must carry its own ``prefix``."""
+    P = prefix
     if weighted:
-        edge_cte = (f"edges AS MATERIALIZED (SELECT src, dst,"
+        edge_cte = (f"{P}edges AS MATERIALIZED (SELECT src, dst,"
                     f" sum(CAST(w AS DOUBLE)) AS w"
                     f" FROM ({edges_sql}) GROUP BY src, dst)")
     else:
-        edge_cte = (f"edges AS MATERIALIZED (SELECT DISTINCT src, dst,"
+        edge_cte = (f"{P}edges AS MATERIALIZED (SELECT DISTINCT src, dst,"
                     f" 1.0 AS w FROM ({edges_sql}))")
     parts = [
         edge_cte,
-        "nodes AS MATERIALIZED (SELECT src AS node FROM edges"
-        " UNION SELECT dst FROM edges)",
-        "deg AS MATERIALIZED (SELECT src, sum(w) AS outdeg"
-        " FROM edges GROUP BY src)",
-        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        f"{P}nodes AS MATERIALIZED (SELECT src AS node FROM {P}edges"
+        f" UNION SELECT dst FROM {P}edges)",
+        f"{P}deg AS MATERIALIZED (SELECT src, sum(w) AS outdeg"
+        f" FROM {P}edges GROUP BY src)",
+        f"{P}nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM {P}nodes)",
     ]
     if seeds_sql is not None:
-        parts.append(f"seeds AS MATERIALIZED (SELECT DISTINCT node"
+        parts.append(f"{P}seeds AS MATERIALIZED (SELECT DISTINCT node"
                      f" FROM ({seeds_sql}))")
         # ns over seeds ∩ nodes, mirroring graph.pagerank: off-graph
         # seeds hold no teleport mass, so counting them would make
         # sum(t) < 1 and decay total rank per iteration
-        parts.append("sn AS (SELECT CAST(count(*) AS DOUBLE) AS ns"
-                     " FROM seeds JOIN nodes USING (node))")
+        parts.append(f"{P}sn AS (SELECT CAST(count(*) AS DOUBLE) AS ns"
+                     f" FROM {P}seeds JOIN {P}nodes USING (node))")
         parts.append(
-            "tp AS MATERIALIZED (SELECT n.node, "
-            "CASE WHEN s.node IS NOT NULL THEN 1.0 ELSE 0.0 END"
-            " / (SELECT ns FROM sn) AS t "
-            "FROM nodes n LEFT JOIN seeds s ON n.node = s.node)")
-        parts.append("pr0 AS (SELECT node, t AS rank FROM tp)")
+            f"{P}tp AS MATERIALIZED (SELECT n.node, "
+            f"CASE WHEN s.node IS NOT NULL THEN 1.0 ELSE 0.0 END"
+            f" / (SELECT ns FROM {P}sn) AS t "
+            f"FROM {P}nodes n LEFT JOIN {P}seeds s ON n.node = s.node)")
+    if init_sql is not None:
+        parts.append(f"{P}init AS MATERIALIZED (SELECT node, "
+                     f"CAST(rank AS DOUBLE) AS rank FROM ({init_sql}))")
+        parts.append(f"{P}ij AS (SELECT n.node, coalesce(i.rank, "
+                     f"1.0 / (SELECT n FROM {P}nn)) AS r0 "
+                     f"FROM {P}nodes n LEFT JOIN {P}init i"
+                     f" ON n.node = i.node)")
+        parts.append(f"{P}itot AS (SELECT sum(r0) AS t0 FROM {P}ij)")
+        parts.append(f"{P}pr0 AS MATERIALIZED (SELECT node, "
+                     f"r0 / (SELECT t0 FROM {P}itot) AS rank FROM {P}ij)")
+    elif seeds_sql is not None:
+        parts.append(f"{P}pr0 AS (SELECT node, t AS rank FROM {P}tp)")
     else:
-        parts.append("pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn)"
-                     " AS rank FROM nodes)")
+        parts.append(f"{P}pr0 AS (SELECT node, "
+                     f"1.0 / (SELECT n FROM {P}nn) AS rank FROM {P}nodes)")
     for i in range(1, iters + 1):
-        p = f"pr{i - 1}"
+        p = f"{P}pr{i - 1}"
         parts.append(
-            f"dm{i} AS (SELECT coalesce(sum(rank), 0.0) AS dm FROM {p} "
-            f"LEFT JOIN deg ON {p}.node = deg.src WHERE deg.src IS NULL)")
+            f"{P}dm{i} AS (SELECT coalesce(sum(rank), 0.0) AS dm FROM {p} "
+            f"LEFT JOIN {P}deg ON {p}.node = {P}deg.src"
+            f" WHERE {P}deg.src IS NULL)")
         parts.append(
-            f"c{i} AS (SELECT e.dst AS node,"
+            f"{P}c{i} AS (SELECT e.dst AS node,"
             f" sum(p.rank * e.w / g.outdeg) AS c "
-            f"FROM edges e JOIN {p} p ON e.src = p.node "
-            f"JOIN deg g ON e.src = g.src GROUP BY e.dst)")
+            f"FROM {P}edges e JOIN {p} p ON e.src = p.node "
+            f"JOIN {P}deg g ON e.src = g.src GROUP BY e.dst)")
         if seeds_sql is not None:
             parts.append(
-                f"pr{i} AS MATERIALIZED (SELECT n.node, "
+                f"{P}pr{i} AS MATERIALIZED (SELECT n.node, "
                 f"{(1.0 - damping)!r} * tp.t + {damping!r} * "
-                f"(coalesce(c.c, 0.0) + (SELECT dm FROM dm{i}) * tp.t)"
+                f"(coalesce(c.c, 0.0) + (SELECT dm FROM {P}dm{i}) * tp.t)"
                 f" AS rank "
-                f"FROM nodes n JOIN tp ON n.node = tp.node "
-                f"LEFT JOIN c{i} c ON n.node = c.node)")
+                f"FROM {P}nodes n JOIN {P}tp tp ON n.node = tp.node "
+                f"LEFT JOIN {P}c{i} c ON n.node = c.node)")
         else:
             parts.append(
-                f"pr{i} AS MATERIALIZED (SELECT n.node, "
-                f"{(1.0 - damping)!r} / (SELECT n FROM nn) + {damping!r} * "
-                f"(coalesce(c.c, 0.0) + (SELECT dm FROM dm{i}) / "
-                f"(SELECT n FROM nn)) AS rank "
-                f"FROM nodes n LEFT JOIN c{i} c ON n.node = c.node)")
+                f"{P}pr{i} AS MATERIALIZED (SELECT n.node, "
+                f"{(1.0 - damping)!r} / (SELECT n FROM {P}nn)"
+                f" + {damping!r} * "
+                f"(coalesce(c.c, 0.0) + (SELECT dm FROM {P}dm{i}) / "
+                f"(SELECT n FROM {P}nn)) AS rank "
+                f"FROM {P}nodes n LEFT JOIN {P}c{i} c ON n.node = c.node)")
     return ("WITH " + ",\n".join(parts) +
-            f"\nSELECT node, round(rank, {digits}) AS rank FROM pr{iters}")
+            f"\nSELECT node, round(rank, {digits}) AS rank"
+            f" FROM {P}pr{iters}")
 
 
 def degree_profile_sql(edges_sql: str) -> str:

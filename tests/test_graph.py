@@ -251,6 +251,133 @@ def test_connected_components_oracle_self_loop_parity(spark):
     assert want["z"] == "z"
 
 
+def test_pagerank_warm_start_uniform_init_is_identity(spark, edges_df):
+    """init_ranks with the uniform vector must reproduce the default
+    run exactly (the normalization path changes nothing)."""
+    from qvarn_mr_spark.operators.graph import pagerank
+    nodes = sorted({x for e in GRAPH for x in e})
+    uni = spark.createDataFrame([(v, 1.0 / len(nodes)) for v in nodes],
+                                ["node", "rank"])
+    base = sorted(pagerank(edges_df, iters=4, digits=None).collect())
+    warm = sorted(pagerank(edges_df, iters=4, digits=None,
+                           init_ranks=uni).collect())
+    for (bn, bv), (wn, wv) in zip(base, warm):
+        assert bn == wn and bv == pytest.approx(wv, abs=1e-12)
+
+
+def test_pagerank_warm_start_converges_faster(spark):
+    """The IVM property: after a SMALL edge delta, restarting from the
+    previous fixpoint reaches the new fixpoint in fewer supersteps than
+    a cold start — and new nodes (absent from init) are handled. The
+    graph is 40 nodes so the delta (one new node, 2 edges) is a few
+    percent of the mass, the realistic maintenance regime."""
+    from qvarn_mr_spark.operators.graph import pagerank
+    # heterogeneous (hub + chain) so the stationary distribution is far
+    # from uniform — on a near-regular graph a cold uniform start is
+    # already converged and warm starting cannot show its advantage
+    big = ([(f"m{i}", "hub") for i in range(40)]
+           + [("hub", "m0"), ("hub", "m1")]
+           + [(f"m{i}", f"m{i + 1}") for i in range(10)])
+    prev = pagerank(spark.createDataFrame(big, ["src", "dst"]),
+                    iters=14, digits=None)
+    delta = big + [("m40", "m0"), ("m3", "m40")]
+    new_edges = spark.createDataFrame(delta, ["src", "dst"])
+    truth = {r["node"]: r["rank"]
+             for r in pagerank(new_edges, iters=20, digits=None).collect()}
+    warm = {r["node"]: r["rank"]
+            for r in pagerank(new_edges, iters=2, digits=None,
+                              init_ranks=prev).collect()}
+    cold = {r["node"]: r["rank"]
+            for r in pagerank(new_edges, iters=2, digits=None).collect()}
+    assert set(warm) == set(truth) and "m40" in warm
+    assert sum(warm.values()) == pytest.approx(1.0, abs=1e-9)
+    l1_warm = sum(abs(warm[v] - truth[v]) for v in truth)
+    l1_cold = sum(abs(cold[v] - truth[v]) for v in truth)
+    assert l1_warm < l1_cold / 3, (l1_warm, l1_cold)
+
+
+def test_pagerank_warm_start_oracle_parity(spark, edges_df):
+    """Spark warm restart == the composed DuckDB unroll (pre-delta
+    pagerank CTE chain feeding the post-delta chain's init)."""
+    import duckdb
+
+    from qvarn_mr_spark.operators.graph import pagerank
+    from qvarn_mr_spark.oracle import pagerank_sql
+
+    old_edges = [e for e in GRAPH if e[0] != "n3"]
+    old_sql = " UNION ALL ".join(
+        f"SELECT '{s}' AS src, '{d}' AS dst"
+        for s, d in sorted(set(old_edges)))
+    new_sql = " UNION ALL ".join(
+        f"SELECT '{s}' AS src, '{d}' AS dst" for s, d in sorted(set(GRAPH)))
+    want = dict(duckdb.sql(pagerank_sql(
+        new_sql, iters=3,
+        init_sql=pagerank_sql(old_sql, iters=5, prefix="w_"))).fetchall())
+    old = pagerank(spark.createDataFrame(old_edges, ["src", "dst"]),
+                   iters=5)
+    got = {r["node"]: r["rank"]
+           for r in pagerank(edges_df, iters=3,
+                             init_ranks=old).collect()}
+    assert got == pytest.approx(want, abs=1e-9)
+
+
+def test_pagerank_warm_composes_with_maintained_edges(spark, tmp_path):
+    """The full incremental loop: edges live in an IVM-maintained store,
+    a CDC delta updates them O(delta), and PageRank re-converges warm
+    from the previous vector — matching a cold full recompute on the
+    post-delta graph within fixpoint tolerance."""
+    from qvarn_mr_spark.catalog import Catalog
+    from qvarn_mr_spark.operators import (IncrementalEngine,
+                                          ParquetStateStore, ViewEngine)
+    from qvarn_mr_spark.operators.graph import degree_views, pagerank
+    from qvarn_mr_spark.operators.incremental import notifications
+
+    cat = Catalog(spark)
+    rows = [("e1", "a", "b"), ("e2", "b", "a"), ("e3", "b", "c"),
+            ("e4", "c", "a")]
+
+    def set_source(rs):
+        cat.register("edges", spark.createDataFrame(
+            rs, "id string, src string, dst string"))
+
+    set_source(rows)
+    eng = ViewEngine(cat, degree_views("edges"), id_cols={"edges": "id"})
+    inc = IncrementalEngine(eng,
+                            ParquetStateStore(spark, str(tmp_path / "s")))
+    inc.apply_changes(notifications(
+        spark, [("edges", "created", i) for i, _, _ in rows]))
+
+    def edge_frame():
+        # adjacency straight from the maintained view — no edge rescan
+        out = inc.read("out_degrees").select(
+            F.col("_mr_key").alias("src"),
+            F.explode("neighbors").alias("dst"))
+        return out
+
+    prev = pagerank(edge_frame(), iters=10, digits=None)
+
+    # CDC delta: new node d wires in, one edge is deleted
+    rows += [("e5", "c", "d"), ("e6", "d", "b")]
+    rows = [r for r in rows if r[0] != "e3"]
+    set_source(rows)
+    inc.apply_changes(notifications(
+        spark, [("edges", "created", "e5"), ("edges", "created", "e6"),
+                ("edges", "deleted", "e3")]))
+
+    # the delta rewires a 4-node graph (a large relative perturbation);
+    # 8 warm supersteps must land at the new fixpoint
+    warm = {r["node"]: r["rank"]
+            for r in pagerank(edge_frame(), iters=8, digits=None,
+                              init_ranks=prev).collect()}
+    truth = {r["node"]: r["rank"]
+             for r in pagerank(edge_frame(), iters=20,
+                               digits=None).collect()}
+    assert set(warm) == set(truth) and "d" in warm
+    assert sum(warm.values()) == pytest.approx(1.0, abs=1e-9)
+    l1 = sum(abs(warm[v] - truth[v]) for v in truth)
+    assert l1 < 2e-2, l1
+
+
 def test_degree_views_maintain_through_cdc(spark, tmp_path):
     """Maintained degree/adjacency views (graph.degree_views through the
     IVM engine) must agree with the batch degree_profile after every
