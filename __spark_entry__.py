@@ -1262,6 +1262,24 @@ def q_doc_mixture_search(spark, sf_dir):
                                      taus=_MIX_TAUS, budget_frac=0.5)
 
 
+def q_doc_doremi_mixture(spark, sf_dir):
+    """The DoReMi outer loop (functions/sampling.py doremi_mixture,
+    Xie et al. 2023): 3 rounds of multiplicative-weights updates of the
+    per-source mixture — each round realizes the current α as hash-coin
+    keep fractions, makes ONE corpus pass for per-source sample stats,
+    and updates α driver-side on the |sources|-row table from relative
+    excess loss (per-row loss = token count; the wiring point for a
+    real proxy model's scores). Deterministic end to end; the full
+    trajectory is value-oracled by a per-round DuckDB CTE unroll
+    (sampling.doremi_mixture_sql)."""
+    from qvarn_mr_spark.functions.sampling import doremi_mixture
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    w = docs.select("doc_id", "source", "n_chars",
+                    text.token_count(F.col("text")).alias("n_toks"))
+    return doremi_mixture(w, "doc_id", "source", "n_chars", "n_toks",
+                          rounds=3)
+
+
 def q_doc_dsir_select(spark, sf_dir):
     """DSIR importance resampling (Xie et al. 2023): select the 50 raw
     documents whose hashed-ngram bags look most like the English-target
@@ -2530,6 +2548,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_top_ngrams": q_corpus_top_ngrams,
         "inverted_index": q_inverted_index,
         "doc_mixture_search": q_doc_mixture_search,
+        # new in r8: the DoReMi outer loop on the one-pass mixture
+        # primitive — full trajectory value-oracled via CTE unroll
+        "doc_doremi_mixture": q_doc_doremi_mixture,
         "doc_dsir_select": q_doc_dsir_select,
         "embedding_kmeans_assign": q_embedding_kmeans_assign,
         "embedding_pca": q_embedding_pca,
@@ -3317,6 +3338,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_mixture_search": sampling.mixture_weight_search_sql(
             "doc_id", "source", oracle.token_count_sql("text"),
             taus=_MIX_TAUS, budget_frac=0.5),
+        "doc_doremi_mixture": sampling.doremi_mixture_sql(
+            "doc_id", "source", "n_chars",
+            oracle.token_count_sql("text"), rounds=3),
         # DSIR pair — same target predicate / k as q_doc_dsir_select;
         # both value-match exactly (verified manually in the r6 judge
         # session before being wired here)

@@ -345,6 +345,177 @@ FROM shares
 """
 
 
+def doremi_mixture(df: DataFrame, id_col: str, source_col: str,
+                   weight_col: str, loss_col: str,
+                   rounds: int = 4, step: float = 1.0,
+                   smoothing: float = 0.1,
+                   budget_frac: float = 0.5,
+                   salt: str = "doremi") -> DataFrame:
+    """The DoReMi OUTER LOOP (Xie et al. 2023) on top of the one-pass
+    mixture-evaluation primitive: iterate multiplicative-weights updates
+    of the per-source mixture α, one corpus pass per round.
+
+    Per round ``r``:
+
+    1. realize the current α as keep fractions
+       ``f_s = min(1, budget_frac · N · α_s / T_s)`` (the same
+       hash-membership realization as :func:`temperature_mix`, salted
+       per round so resamples are independent);
+    2. ONE corpus pass: per-source ``(n_kept, kept_weight, mean loss)``
+       over the kept sample — the only data-sized work in the round;
+    3. driver-side on the |sources|-row table (bounded by contract,
+       like the k-means centroid collect): relative excess loss
+       ``e_s = (mean_s − overall_mean)/overall_mean``, multiplicative
+       update ``α_s ∝ α_s · exp(step · e_s)``, then uniform smoothing
+       ``α ← (1−smoothing)·α + smoothing/k`` — DoReMi's Algorithm 1
+       update with the per-domain proxy-vs-reference excess replaced by
+       the engine-computable per-row ``loss_col`` (unigram surprisal,
+       length, a committed classifier margin — the wiring point for a
+       real proxy model's scores).
+
+    Deterministic end to end: hash membership (no RNG), integer-valued
+    ``weight_col``/``loss_col`` keep every sum order-independent, and
+    fractions/excess/α round to 9 decimals each round so the DuckDB
+    unroll (:func:`doremi_mixture_sql`) reproduces the whole trajectory
+    value-for-value. Sources with an empty sample in a round keep their
+    α (excess 0) — smoothing still pulls them back toward uniform, so
+    no source starves permanently.
+
+    Returns the audit trail, one row per (round, source):
+    ``(round, source, alpha, keep_frac, n_kept, kept_weight, mean_loss,
+    excess, alpha_next)`` — ``alpha`` entering the round, ``alpha_next``
+    leaving it; the last round's ``alpha_next`` is the learned mixture."""
+    import math
+
+    from qvarn_mr_spark.session import pin
+
+    spark = df.sparkSession
+    base = pin(df.select(
+        F.col(id_col).alias("_id"),
+        F.col(source_col).cast("string").alias("source"),
+        F.col(weight_col).cast("double").alias("_wt"),
+        F.col(loss_col).cast("double").alias("_loss")))
+    tot = {r["source"]: r["_T"]
+           for r in base.groupBy("source")
+                        .agg(F.sum("_wt").alias("_T")).collect()}
+    sources = sorted(tot)
+    k = len(sources)
+    if k == 0:
+        raise ValueError("doremi_mixture: empty corpus")
+    n_total = sum(tot.values())
+    alpha = {s: round(1.0 / k, 9) for s in sources}
+    audit = []
+    for r in range(1, rounds + 1):
+        fr = {s: round(min(1.0, budget_frac * n_total * alpha[s]
+                           / tot[s]), 9) for s in sources}
+        fr_df = spark.createDataFrame(
+            [(s, fr[s]) for s in sources], "source string, _f double")
+        stats = {row["source"]: row for row in
+                 (base.join(F.broadcast(fr_df), "source")
+                  .filter(hash_unit("_id", f"{salt}-r{r}") < F.col("_f"))
+                  .groupBy("source")
+                  .agg(F.count(F.lit(1)).alias("n_kept"),
+                       F.sum("_wt").cast("long").alias("kept_weight"),
+                       F.sum("_loss").alias("_sl"))).collect()}
+        n_all = sum(row["n_kept"] for row in stats.values())
+        sl_all = sum(row["_sl"] for row in stats.values())
+        overall = sl_all / n_all if n_all else 0.0
+        excess, raw = {}, {}
+        for s in sources:
+            row = stats.get(s)
+            if row is not None and row["n_kept"] > 0 and overall != 0.0:
+                mean_s = row["_sl"] / row["n_kept"]
+                excess[s] = round((mean_s - overall) / overall, 9)
+            else:
+                excess[s] = 0.0
+            raw[s] = alpha[s] * math.exp(step * excess[s])
+        z = sum(raw.values())
+        nxt = {s: round((1.0 - smoothing) * raw[s] / z
+                        + smoothing / k, 9) for s in sources}
+        for s in sources:
+            row = stats.get(s)
+            mean_s = (round(row["_sl"] / row["n_kept"], 6)
+                      if row is not None and row["n_kept"] else 0.0)
+            audit.append((r, s, alpha[s], fr[s],
+                          int(row["n_kept"]) if row else 0,
+                          int(row["kept_weight"]) if row else 0,
+                          mean_s, excess[s], nxt[s]))
+        alpha = nxt
+    return spark.createDataFrame(
+        audit, "round int, source string, alpha double, keep_frac double,"
+               " n_kept long, kept_weight long, mean_loss double,"
+               " excess double, alpha_next double")
+
+
+def doremi_mixture_sql(id_col: str, source_col: str, weight_expr: str,
+                       loss_expr: str, rounds: int = 4,
+                       step: float = 1.0, smoothing: float = 0.1,
+                       budget_frac: float = 0.5, salt: str = "doremi",
+                       table: str = "documents") -> str:
+    """DuckDB twin of :func:`doremi_mixture` — the multiplicative-weights
+    trajectory unrolled one CTE chain per round (fr{r} → k{r} → x{r} →
+    a{r}), same 9-dp rounding points, same hash membership, UNION ALL of
+    the per-round audit rows. ``weight_expr``/``loss_expr`` should be
+    integer-valued for order-independent sums (same contract as the
+    Spark side)."""
+    bf, sm, st = float(budget_frac), float(smoothing), float(step)
+    parts = [
+        f"w AS MATERIALIZED (SELECT {id_col} AS _id, "
+        f"CAST({source_col} AS VARCHAR) AS source, "
+        f"CAST({weight_expr} AS DOUBLE) AS wt, "
+        f"CAST({loss_expr} AS DOUBLE) AS loss FROM {table})",
+        "tot AS MATERIALIZED (SELECT source, sum(wt) AS t"
+        " FROM w GROUP BY 1)",
+        "kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM tot)",
+        "nn AS (SELECT sum(t) AS n FROM tot)",
+        "a0 AS (SELECT source, round(1.0 / (SELECT k FROM kk), 9) AS a"
+        " FROM tot)",
+    ]
+    unit = sample_unit_sql("w._id", "{SALT}")
+    for r in range(1, rounds + 1):
+        u = unit.replace("{SALT}", f"{salt}-r{r}")
+        p = f"a{r - 1}"
+        parts.append(
+            f"fr{r} AS (SELECT tot.source, round(least(1.0, {bf!r} * "
+            f"(SELECT n FROM nn) * {p}.a / tot.t), 9) AS f, {p}.a AS a "
+            f"FROM tot JOIN {p} ON tot.source = {p}.source)")
+        parts.append(
+            f"k{r} AS MATERIALIZED (SELECT g.source, count(*) AS n_kept, "
+            f"CAST(sum(w.wt) AS BIGINT) AS kept_weight, "
+            f"sum(w.loss) AS sl "
+            f"FROM w JOIN fr{r} g ON w.source = g.source "
+            f"WHERE {u} < g.f GROUP BY 1)")
+        parts.append(
+            f"ov{r} AS (SELECT CASE WHEN sum(n_kept) > 0 "
+            f"THEN sum(sl) / sum(n_kept) ELSE 0.0 END AS m FROM k{r})")
+        parts.append(
+            f"x{r} AS MATERIALIZED (SELECT g.source, g.a, g.f, "
+            f"coalesce(k.n_kept, 0) AS n_kept, "
+            f"coalesce(k.kept_weight, 0) AS kept_weight, "
+            f"CASE WHEN coalesce(k.n_kept, 0) > 0 "
+            f"THEN round(k.sl / k.n_kept, 6) ELSE 0.0 END AS mean_loss, "
+            f"CASE WHEN coalesce(k.n_kept, 0) > 0 "
+            f"AND (SELECT m FROM ov{r}) != 0.0 "
+            f"THEN round((k.sl / k.n_kept - (SELECT m FROM ov{r})) "
+            f"/ (SELECT m FROM ov{r}), 9) ELSE 0.0 END AS excess "
+            f"FROM fr{r} g LEFT JOIN k{r} k ON g.source = k.source)")
+        parts.append(
+            f"z{r} AS (SELECT sum(a * exp({st!r} * excess)) AS z"
+            f" FROM x{r})")
+        parts.append(
+            f"a{r} AS MATERIALIZED (SELECT source, "
+            f"round({1.0 - sm!r} * a * exp({st!r} * excess) "
+            f"/ (SELECT z FROM z{r}) + {sm!r} / (SELECT k FROM kk), 9)"
+            f" AS a FROM x{r})")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, x{r}.source, x{r}.a AS alpha, x{r}.f AS"
+        f" keep_frac, x{r}.n_kept, x{r}.kept_weight, x{r}.mean_loss,"
+        f" x{r}.excess, a{r}.a AS alpha_next"
+        f" FROM x{r} JOIN a{r} ON x{r}.source = a{r}.source"
+        for r in range(1, rounds + 1))
+    return "WITH " + ",\n".join(parts) + "\n" + unions
+
+
 def stratified_fixed_k(df: DataFrame, id_col: str, strata_col: str,
                        k: int, salt: str = "fixk") -> DataFrame:
     """EXACTLY ``k`` rows per stratum (fewer only when the stratum is

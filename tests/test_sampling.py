@@ -306,6 +306,92 @@ def test_dsir_resample_gumbel_topk(spark):
     assert sum(1 for r in got if r["doc_id"] % 2) >= 8
 
 
+def test_doremi_mixture_differential_vs_python(spark):
+    """The full multiplicative-weights trajectory (keep fractions, per
+    round sample stats, excess, α updates) must match a row-at-a-time
+    Python reference implementing DoReMi's update with the same
+    consistent hash — every audit field, every round."""
+    import hashlib
+    import math
+
+    from qvarn_mr_spark.functions.sampling import doremi_mixture
+
+    rows = [(f"d{i}", f"s{i % 4}", float(20 + (i * 13) % 80),
+             float(1 + (i * 7) % 9)) for i in range(400)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, source string, wt double, loss double")
+    rounds, step, sm, bf, salt = 3, 1.0, 0.1, 0.5, "dm-test"
+    got = {(r["round"], r["source"]): r
+           for r in doremi_mixture(df, "doc_id", "source", "wt", "loss",
+                                   rounds=rounds, step=step, smoothing=sm,
+                                   budget_frac=bf, salt=salt).collect()}
+
+    def hunit(value, s):
+        h = hashlib.md5(f"{s}|{value}".encode()).hexdigest()
+        return int(h[:8], 16) / 16 ** 8
+
+    sources = sorted({s for _, s, _, _ in rows})
+    tot = {s: sum(w for _, src, w, _ in rows if src == s)
+           for s in sources}
+    n_total = sum(tot.values())
+    k = len(sources)
+    alpha = {s: round(1.0 / k, 9) for s in sources}
+    for r in range(1, rounds + 1):
+        fr = {s: round(min(1.0, bf * n_total * alpha[s] / tot[s]), 9)
+              for s in sources}
+        kept = [(i, s, w, l) for i, s, w, l in rows
+                if hunit(i, f"{salt}-r{r}") < fr[s]]
+        n_all = len(kept)
+        overall = sum(l for *_, l in kept) / n_all
+        excess, raw = {}, {}
+        for s in sources:
+            ks = [(w, l) for _, src, w, l in kept if src == s]
+            if ks and overall != 0.0:
+                mean_s = sum(l for _, l in ks) / len(ks)
+                excess[s] = round((mean_s - overall) / overall, 9)
+            else:
+                excess[s] = 0.0
+            raw[s] = alpha[s] * math.exp(step * excess[s])
+        z = sum(raw.values())
+        nxt = {s: round((1.0 - sm) * raw[s] / z + sm / k, 9)
+               for s in sources}
+        for s in sources:
+            ks = [(w, l) for _, src, w, l in kept if src == s]
+            row = got[(r, s)]
+            assert row["alpha"] == pytest.approx(alpha[s], abs=1e-12)
+            assert row["keep_frac"] == pytest.approx(fr[s], abs=1e-12)
+            assert row["n_kept"] == len(ks)
+            assert row["kept_weight"] == int(sum(w for w, _ in ks))
+            assert row["excess"] == pytest.approx(excess[s], abs=1e-12)
+            assert row["alpha_next"] == pytest.approx(nxt[s], abs=1e-12)
+        alpha = nxt
+    # α stays a distribution every round, and smoothing floors it
+    for r in range(1, rounds + 1):
+        a = [got[(r, s)]["alpha_next"] for s in sources]
+        assert sum(a) == pytest.approx(1.0, abs=1e-6)
+        assert min(a) >= sm / k - 1e-9
+
+
+def test_doremi_mixture_moves_alpha_toward_low_loss(spark):
+    """Directionality: with step < 0 (prefer LOW loss, the down-weight-
+    hard-domains convention) the low-loss source's α must grow and the
+    high-loss source's shrink; with step > 0 the opposite."""
+    from qvarn_mr_spark.functions.sampling import doremi_mixture
+
+    rows = ([(f"a{i}", "lo", 10.0, 1.0) for i in range(100)]
+            + [(f"b{i}", "hi", 10.0, 9.0) for i in range(100)])
+    df = spark.createDataFrame(
+        rows, "doc_id string, source string, wt double, loss double")
+    out = {(r["round"], r["source"]): r
+           for r in doremi_mixture(df, "doc_id", "source", "wt", "loss",
+                                   rounds=2, step=-1.0).collect()}
+    assert out[(2, "lo")]["alpha_next"] > 0.5 > out[(2, "hi")]["alpha_next"]
+    up = {(r["round"], r["source"]): r
+          for r in doremi_mixture(df, "doc_id", "source", "wt", "loss",
+                                  rounds=2, step=1.0).collect()}
+    assert up[(2, "hi")]["alpha_next"] > 0.5 > up[(2, "lo")]["alpha_next"]
+
+
 def test_mixture_weight_search_grid(spark):
     """Grid invariants + per-tau agreement with the single-tau operator:
     each grid point's (n_kept, kept_weight) must equal what
