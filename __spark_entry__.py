@@ -2707,6 +2707,58 @@ _ASOF_ORACLE = """
 """
 
 
+def bound_oracles():
+    """Exact-twin BOUND checks for the two sketch queries whose values
+    have no deterministic SQL twin (a different engine's sketch is a
+    different estimator, so a value hash can never match). Each entry is
+    ``(exact_sql, check)``: the SQL computes the exact answer on DuckDB
+    and ``check(spark_rows, exact_rows)`` raises AssertionError when the
+    sketch's published error bound is violated. Consumed by
+    tools/check_oracle.py (reported as ``PASS (bound)``); the driver's
+    own gate still records these rows-only — this layer is what makes
+    that rows-only check meaningful rather than vacuous.
+
+    Bounds checked:
+    - HLL (lg_k=12): relative standard error 1.04/sqrt(2^12) ≈ 1.63%;
+      the estimate must sit within 4 RSE of the exact distinct count
+      (+2 absolute slack for tiny cardinalities).
+    - KLL (k=200): DISTRIBUTION-FREE normalized rank error ≈ 1.65%
+      (two-sided); the exact rank of each returned quantile value must
+      sit within ±(eps + 1/n) of its target rank."""
+    def hll_check(spark_rows, exact_rows):
+        exact = {r[0]: r[1] for r in exact_rows}
+        got = {r["event_type"]: r["distinct_est"] for r in spark_rows}
+        assert set(got) == set(exact), (sorted(got), sorted(exact))
+        rse = 1.04 / (2 ** 12) ** 0.5
+        for et, est in got.items():
+            tol = max(4 * rse * exact[et], 2)
+            assert abs(est - exact[et]) <= tol, (et, est, exact[et], tol)
+
+    def kll_check(spark_rows, exact_rows):
+        import bisect
+        vals = sorted(r[0] for r in exact_rows)
+        n = len(vals)
+        assert len(spark_rows) == 1
+        row = spark_rows[0]
+        eps = 0.0165 + 1.0 / n
+        for p, col in ((0.1, "q_0_1"), (0.5, "q_0_5"), (0.9, "q_0_9")):
+            est = row[col]
+            # realized rank of the returned value (KLL returns actual
+            # stream values, so the rank is well-defined)
+            lo = bisect.bisect_left(vals, est) / n
+            hi = bisect.bisect_right(vals, est) / n
+            assert lo - eps <= p <= hi + eps, (p, est, lo, hi)
+
+    return {
+        "events_distinct_users_hll": (
+            "SELECT event_type, count(DISTINCT user_id) FROM events"
+            " GROUP BY 1", hll_check),
+        "price_quantiles_kll": (
+            "SELECT CAST(l_extendedprice AS DOUBLE) FROM lineitem",
+            kll_check),
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     out = {
         # layout-independent values: the Spark side reads bucketed

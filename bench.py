@@ -129,6 +129,11 @@ BENCH_QUERIES = (
     "embedding_random_project",
     "doc_c4_rules",
     "doc_paragraph_dedup",
+    # round 8 additions: DOULION approximate triangles, warm-start
+    # PageRank, the DoReMi outer loop
+    "graph_triangles_approx",
+    "graph_pagerank_warm",
+    "doc_doremi_mixture",
 )
 
 #: Deliberate brute-force foils, kept in queries() as labeled baselines

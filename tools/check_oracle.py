@@ -67,6 +67,17 @@ def main():
             continue
         sql = oracles.get(name)
         if sql is None:
+            bound = getattr(entry, "bound_oracles", lambda: {})().get(name)
+            if bound is not None:
+                exact_sql, check = bound
+                try:
+                    check(s_rows, con.execute(exact_sql).fetchall())
+                except AssertionError as e:
+                    print(f"FAIL {name}: bound violated: {e}")
+                    failed.append(name)
+                    continue
+                print(f"PASS {name}: rows={len(s_rows)} (bound oracle)")
+                continue
             print(f"okay {name}: rows={len(s_rows)} (no oracle — rows-only)")
             continue
         try:
