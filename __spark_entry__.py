@@ -2171,6 +2171,19 @@ def q_graph_pagerank_warm(spark, sf_dir):
     return pagerank(_cs_edges(spark, sf_dir), iters=3, init_ranks=old)
 
 
+def q_graph_pagerank_converged(spark, sf_dir):
+    """The convergence-tested production PageRank (graph.pagerank(tol=)):
+    iterate until the superstep L1 delta drops below 1e-7 (cap 30) —
+    the form a production ranking job runs, instead of guessing an
+    iteration count. Data-dependent iteration count -> no SQL unroll
+    (rows-only at the driver gate); the fixpoint itself is pinned by
+    tests/test_graph.py's differential against deep fixed-iteration
+    runs, and the same graph's fixed-6 form is value-oracled by
+    q_graph_pagerank."""
+    from qvarn_mr_spark.operators.graph import pagerank
+    return pagerank(_cs_edges(spark, sf_dir), iters=30, tol=1e-7)
+
+
 def q_graph_degrees(spark, sf_dir):
     """Per-node in/out degree over the same purchase graph — the cheap
     link-farm / orphan companion signal to q_graph_pagerank. Two
@@ -2632,6 +2645,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_bucketed": q_events_asof_bucketed,
         "events_error_window": q_events_error_window,
         "topk_per_key": q_topk_per_key,
+        # new in r8, tail (rows-only by design — data-dependent
+        # iteration count has no SQL unroll; fixpoint pinned in pytest)
+        "graph_pagerank_converged": q_graph_pagerank_converged,
         "events_json_stats": q_events_json_stats,
         "documents_table_profile": q_documents_table_profile,
         "simhash": q_simhash,

@@ -48,6 +48,7 @@ def pagerank(
     seed_col: str = "node",
     init_ranks: DataFrame | None = None,
     init_rank_col: str = "rank",
+    tol: float | None = None,
 ) -> DataFrame:
     """Rank every node of the directed graph ``edges`` (duplicate edges
     collapse; self-loops count). Returns ``(node, rank)`` with
@@ -79,7 +80,16 @@ def pagerank(
       the engine's O(delta) identity (``operators/incremental.py``) to
       the one operator whose state is a fixpoint rather than an
       aggregate. Compose with :func:`degree_views` for O(delta) degree/
-      adjacency upkeep between reruns."""
+      adjacency upkeep between reruns.
+    - ``tol``: the CONVERGENCE-TESTED production form — stop as soon as
+      the supersteps' L1 delta ``sum(|rank_k − rank_{k−1}|)`` drops
+      below ``tol`` (``iters`` becomes the safety cap). Costs one
+      node-sized join + one-row collect per superstep (the bounded
+      driver probe every convergence loop needs — same contract as
+      dup_clusters' changed-flag). Data-dependent iteration count means
+      no SQL unroll: rows-only at the driver gate, pinned instead by a
+      pytest differential against the fixed-``iters`` form. ``None``
+      (default) keeps the deterministic oracle-able unroll."""
     # the edge list is rescanned every iteration — pin it so the distinct
     # (its one shuffle) happens once, not per superstep
     if weight_col is None:
@@ -119,16 +129,16 @@ def pagerank(
         return _pagerank_loop(e, nodes_t, outdeg, iters, damping, digits,
                               personalized=True, n=n,
                               init_ranks=init_ranks,
-                              init_rank_col=init_rank_col)
+                              init_rank_col=init_rank_col, tol=tol)
 
     return _pagerank_loop(e, nodes, outdeg, iters, damping, digits,
                           personalized=False, n=n, init_ranks=init_ranks,
-                          init_rank_col=init_rank_col)
+                          init_rank_col=init_rank_col, tol=tol)
 
 
 def _pagerank_loop(e, nodes, outdeg, iters, damping, digits,
                    personalized, n, init_ranks=None,
-                   init_rank_col="rank"):
+                   init_rank_col="rank", tol=None):
     """The shared damped power iteration. ``nodes`` carries a teleport
     column ``t`` in the personalized case (teleport + dangling mass go
     to ``t``; ranks start at ``t``); uniform otherwise (1/n everywhere).
@@ -193,7 +203,20 @@ def _pagerank_loop(e, nodes, outdeg, iters, damping, digits,
                     .select(*node_cols, rank_expr.alias("rank")))
         # eager by default: materializes now, truncates lineage; the
         # previous step's blocks are released by the context cleaner
+        prev = ranks
         ranks = nxt.localCheckpoint()
+        if tol is not None:
+            # convergence probe: node-sized join over two checkpointed
+            # frames, ONE row to the driver — bounded by contract
+            delta = (ranks.select("node", "rank")
+                     .join(prev.select("node",
+                                       F.col("rank").alias("_pr")),
+                           "node")
+                     .agg(F.sum(F.abs(F.col("rank") - F.col("_pr")))
+                          .alias("d"))
+                     .collect()[0]["d"])
+            if delta is not None and delta < tol:
+                break
 
     out = ranks
     if digits is not None:

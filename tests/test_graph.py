@@ -251,6 +251,36 @@ def test_connected_components_oracle_self_loop_parity(spark):
     assert want["z"] == "z"
 
 
+def test_pagerank_convergence_tested(spark, edges_df):
+    """tol= form: a loose tol stops after the first superstep (result
+    == iters=1 exactly, proving the probe breaks the loop), a tight tol
+    runs to the fixpoint (== a deep fixed-iteration run), and the cap
+    still bounds the loop."""
+    from qvarn_mr_spark.operators.graph import pagerank
+    one = sorted(pagerank(edges_df, iters=1, digits=None).collect())
+    loose = sorted(pagerank(edges_df, iters=30, digits=None,
+                            tol=10.0).collect())
+    assert one == loose
+    # self-consistency (the stopping criterion's own definition): the
+    # damped update is an L1 contraction with factor 0.85, so one more
+    # superstep applied to the converged vector moves it < tol
+    conv = {r["node"]: r["rank"]
+            for r in pagerank(edges_df, iters=200, digits=None,
+                              tol=1e-4).collect()}
+    conv_df = spark.createDataFrame(list(conv.items()), ["node", "rank"])
+    stepped = {r["node"]: r["rank"]
+               for r in pagerank(edges_df, iters=1, digits=None,
+                                 init_ranks=conv_df).collect()}
+    l1 = sum(abs(stepped[v] - conv[v]) for v in conv)
+    assert l1 < 1e-4, l1
+    assert sum(conv.values()) == pytest.approx(1.0, abs=1e-9)
+    # cap respected: tol unreachable in 2 iters -> equals fixed 2 iters
+    two = sorted(pagerank(edges_df, iters=2, digits=None).collect())
+    capped = sorted(pagerank(edges_df, iters=2, digits=None,
+                             tol=1e-15).collect())
+    assert two == capped
+
+
 def test_pagerank_warm_start_uniform_init_is_identity(spark, edges_df):
     """init_ranks with the uniform vector must reproduce the default
     run exactly (the normalization path changes nothing)."""
