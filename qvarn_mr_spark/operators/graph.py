@@ -486,7 +486,8 @@ def triangle_count_approx(edges: DataFrame, src: str = "src",
 
 def clustering_coefficient(edges: DataFrame, src: str = "src",
                            dst: str = "dst",
-                           digits: int | None = 6) -> DataFrame:
+                           digits: int | None = 6,
+                           max_wedges: int | None = None) -> DataFrame:
     """Local clustering coefficient per node: ``2*T / (d*(d-1))`` —
     what fraction of a node's neighbor pairs are themselves linked
     (1.0 = clique-like, 0.0 = star-like). Composes
@@ -501,7 +502,7 @@ def clustering_coefficient(edges: DataFrame, src: str = "src",
     deg = (und.select(F.col("u").alias("node"))
               .union(und.select(F.col("v").alias("node")))
               .groupBy("node").agg(F.count("*").alias("deg")))
-    tri = triangle_count(edges, src, dst)
+    tri = triangle_count(edges, src, dst, max_wedges=max_wedges)
     coef = F.when(F.col("deg") >= 2,
                   2.0 * F.col("triangles")
                   / (F.col("deg") * (F.col("deg") - 1))) \

@@ -326,6 +326,27 @@ def test_pagerank_warm_start_converges_faster(spark):
     assert l1_warm < l1_cold / 3, (l1_warm, l1_cold)
 
 
+def test_pagerank_warm_start_composes_with_personalized(spark, edges_df):
+    """init_ranks under a seed set: ranks start from the warm vector
+    while teleport + dangling mass still go to the seeds; mass stays
+    conserved and the fixpoint direction is unchanged (the warm 6-iter
+    run lands near the cold 12-iter personalized fixpoint)."""
+    from qvarn_mr_spark.operators.graph import pagerank
+    seeds = spark.createDataFrame([("n0",), ("n5",)], ["node"])
+    prev = pagerank(edges_df, iters=8, digits=None, seeds=seeds)
+    warm = {r["node"]: r["rank"]
+            for r in pagerank(edges_df, iters=6, digits=None, seeds=seeds,
+                              init_ranks=prev).collect()}
+    assert sum(warm.values()) == pytest.approx(1.0, abs=1e-9)
+    # unrounded init + renormalize-noop => warm continuation IS the
+    # uninterrupted trajectory: 8 iters then 6 warm == 14 cold
+    cold14 = {r["node"]: r["rank"]
+              for r in pagerank(edges_df, iters=14, digits=None,
+                                seeds=seeds).collect()}
+    for v in cold14:
+        assert warm[v] == pytest.approx(cold14[v], abs=1e-12), v
+
+
 def test_pagerank_warm_start_oracle_parity(spark, edges_df):
     """Spark warm restart == the composed DuckDB unroll (pre-delta
     pagerank CTE chain feeding the post-delta chain's init)."""
