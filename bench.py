@@ -219,6 +219,10 @@ def main() -> None:
         "queries": times,
         "construct": construct,
         "construct_total": round(sum(construct.values()), 3),
+        # continuity with BENCH_r01..r07, whose headline was run-only:
+        # the execution share of the same fastest attempts
+        "run_only_total": round(sum(times.values())
+                                - sum(construct.values()), 3),
         "runs_per_query": runs,
         "sf": sf,
     }
