@@ -1472,6 +1472,24 @@ def q_ivf_probe_search(spark, sf_dir):
         query_filter=F.col("vec_id") < 4, k=3)
 
 
+def q_embedding_ann_recall(spark, sf_dir):
+    """ANN recall accounting (similarity.topk_recall): per query, how
+    much of the exact brute-force top-5 the IVF probe path actually
+    returned — the recall@k table an ANN deployment tunes nprobe
+    against, computed on-engine. Exact and probe sides are the
+    already-oracled search operators; the composition is value-oracled
+    end-to-end (oracle.topk_recall_sql embeds both CTE chains)."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    exact = similarity.knn_bruteforce(
+        emb, "vec_id", "embedding", query_filter=F.col("vec_id") < 50,
+        k=5)
+    approx = similarity.ivf_probe_search(
+        emb, "vec_id", "embedding",
+        centroid_filter=F.col("vec_id") % 100 == 0,
+        query_filter=F.col("vec_id") < 50, k=5)
+    return similarity.topk_recall(exact, approx, k=5)
+
+
 def q_embedding_pq_search(spark, sf_dir):
     """Product-quantization ANN: deterministic per-subspace k-means
     codebooks (bounded id-ordered sample, driver-side by design), corpus
@@ -2570,6 +2588,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_nn_ivf": q_embedding_nn_ivf,
         "embedding_semantic_dedup": q_embedding_semantic_dedup,
         "kmeans_probe_search": q_kmeans_probe_search,
+        # new in r8: recall@k accounting for the ANN paths, composing
+        # the already-oracled exact + probe searches
+        "embedding_ann_recall": q_embedding_ann_recall,
         "embedding_density_sample": q_embedding_density_sample,
         "events_type_counts_cms": q_events_type_counts_cms,
         "events_user_funnel_theta": q_events_user_funnel_theta,
@@ -3433,6 +3454,11 @@ def oracle_sql() -> dict[str, str]:
             "vec_id % 50 = 0", threshold=0.4),
         "ivf_probe_search": oracle.ivf_probe_search_sql(
             "vec_id % 100 = 0", "vec_id < 4", k=3),
+        "embedding_ann_recall": oracle.topk_recall_sql(
+            oracle.knn_bruteforce_sql("vec_id < 50", k=5),
+            oracle.ivf_probe_search_sql("vec_id % 100 = 0",
+                                        "vec_id < 50", k=5),
+            k=5),
         "centroid_by_label": oracle.centroid_by_label_agg_sql(),
         # r7 kmeans trio: the unrolled-Lloyd CTE chain hash-checks the
         # iterative training loop itself, round for round

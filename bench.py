@@ -134,6 +134,7 @@ BENCH_QUERIES = (
     "graph_triangles_approx",
     "graph_pagerank_warm",
     "doc_doremi_mixture",
+    "embedding_ann_recall",
 )
 
 #: Deliberate brute-force foils, kept in queries() as labeled baselines

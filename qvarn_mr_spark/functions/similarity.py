@@ -1309,3 +1309,44 @@ def _kmeans_score_arrow(v: DataFrame, cents,
             yield pd.DataFrame(out)
 
     return v.mapInPandas(assign, schema)
+
+
+def topk_recall(exact: DataFrame, approx: DataFrame, k: int,
+                query_col: str = "q_id", neighbor_col: str = "n_id",
+                digits: int | None = 6) -> DataFrame:
+    """Recall@k accounting: how much of the EXACT top-k does an
+    approximate search path (IVF probe, LSH probe, PQ/ADC, k-means
+    probe) actually return, per query — the operational question every
+    ANN deployment tunes nprobe/bands against, answered ON the engine
+    instead of guessed. Both inputs are the standard
+    ``(q_id, n_id, ...)`` neighbor tables this module's search
+    operators emit (exact: :func:`knn_bruteforce`; approx: any of the
+    probe paths).
+
+    ``recall = |approx ∩ exact| / min(k, n_exact)`` per query (the
+    min handles corpora smaller than k). Queries the approximate path
+    returned nothing for (e.g. the probed cluster was empty) report
+    recall 0 rather than vanishing.
+
+    Scale shape: both sides are (|queries| · k)-sized — tiny relative
+    to the corpus the searches scanned — and every join/aggregate keys
+    on q_id; the expensive work happened in the searches themselves.
+
+    Returns ``(q_id, n_exact, n_approx, n_hit, recall)``."""
+    e = exact.select(F.col(query_col).alias("q_id"),
+                     F.col(neighbor_col).alias("n_id")).distinct()
+    a = approx.select(F.col(query_col).alias("q_id"),
+                      F.col(neighbor_col).alias("n_id")).distinct()
+    ec = e.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    ac = a.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_approx"))
+    h = (e.join(a, ["q_id", "n_id"])
+         .groupBy("q_id").agg(F.count(F.lit(1)).alias("n_hit")))
+    out = (ec.join(ac, "q_id", "left").join(h, "q_id", "left")
+           .select("q_id", "n_exact",
+                   F.coalesce("n_approx", F.lit(0)).alias("n_approx"),
+                   F.coalesce("n_hit", F.lit(0)).alias("n_hit")))
+    rec = (F.col("n_hit")
+           / F.least(F.lit(int(k)), F.col("n_exact")).cast("double"))
+    if digits is not None:
+        rec = F.round(rec, digits)
+    return out.withColumn("recall", rec)

@@ -354,6 +354,33 @@ SELECT q_id, n_id, cos_sim, rn FROM ranked WHERE rn <= {k}
 """
 
 
+def topk_recall_sql(exact_sql: str, approx_sql: str, k: int,
+                    digits: int = 6) -> str:
+    """similarity.topk_recall — per-query |approx ∩ exact| / min(k,
+    n_exact) over two embedded neighbor-table queries (both yield
+    (q_id, n_id, ...)); composes the existing knn/probe oracle
+    builders. DuckDB allows duplicate CTE names across SIBLING
+    subqueries (unlike outer-vs-inner), so the two search CTE chains
+    embed verbatim."""
+    return f"""
+WITH ex AS MATERIALIZED (SELECT DISTINCT q_id, n_id FROM ({exact_sql})),
+ap AS MATERIALIZED (SELECT DISTINCT q_id, n_id FROM ({approx_sql})),
+ec AS (SELECT q_id, count(*) AS n_exact FROM ex GROUP BY 1),
+ac AS (SELECT q_id, count(*) AS n_approx FROM ap GROUP BY 1),
+h AS (SELECT ex.q_id, count(*) AS n_hit
+      FROM ex JOIN ap ON ex.q_id = ap.q_id AND ex.n_id = ap.n_id
+      GROUP BY 1)
+SELECT ec.q_id, ec.n_exact,
+       coalesce(ac.n_approx, 0) AS n_approx,
+       coalesce(h.n_hit, 0) AS n_hit,
+       round(coalesce(h.n_hit, 0)
+             / CAST(least({int(k)}, ec.n_exact) AS DOUBLE), {digits})
+         AS recall
+FROM ec LEFT JOIN ac ON ec.q_id = ac.q_id
+        LEFT JOIN h ON ec.q_id = h.q_id
+"""
+
+
 def ivf_assign_sql(centroid_pred: str, table: str = "embeddings") -> str:
     cos = _COS.format(a="v.e", b="c.e")
     return f"""

@@ -1238,3 +1238,55 @@ def test_minhash_linear_family_matches_python_model(docs):
                  docs, "doc_id", "text", 8, 4,
                  hash_family="linear").collect()}
     assert cands[(0, 5)] == 4  # identical shingle sets: all bands agree
+
+
+def test_topk_recall_hand_case(spark):
+    """Known overlaps: q1 full recall, q2 half, q3 zero, q4 missing
+    from the approx side entirely (recall 0, not dropped); n_exact
+    below k divides by n_exact, not k."""
+    from qvarn_mr_spark.functions.similarity import topk_recall
+    exact = spark.createDataFrame(
+        [("q1", "a"), ("q1", "b"),
+         ("q2", "a"), ("q2", "b"),
+         ("q3", "a"), ("q3", "b"),
+         ("q4", "a")],                      # only 1 exact neighbor
+        ["q_id", "n_id"])
+    approx = spark.createDataFrame(
+        [("q1", "a"), ("q1", "b"),
+         ("q2", "a"), ("q2", "x"),
+         ("q3", "x"), ("q3", "y")],
+        ["q_id", "n_id"])
+    out = {r["q_id"]: r for r in topk_recall(exact, approx,
+                                             k=2).collect()}
+    assert out["q1"]["recall"] == 1.0 and out["q1"]["n_hit"] == 2
+    assert out["q2"]["recall"] == 0.5
+    assert out["q3"]["recall"] == 0.0 and out["q3"]["n_approx"] == 2
+    assert out["q4"]["recall"] == 0.0 and out["q4"]["n_approx"] == 0
+    # n_exact=1 < k=2: denominator is 1
+    exact1 = spark.createDataFrame([("q5", "a")], ["q_id", "n_id"])
+    approx1 = spark.createDataFrame([("q5", "a")], ["q_id", "n_id"])
+    r5 = topk_recall(exact1, approx1, k=2).collect()[0]
+    assert r5["recall"] == 1.0
+
+
+def test_topk_recall_probe_vs_bruteforce_bounds(spark, sf_dir):
+    """On the real embeddings: a probe restricted to one IVF cluster
+    can never beat exact search (recall <= 1), and probing with the
+    exact searcher itself gives recall 1.0 everywhere."""
+    from pyspark.sql import functions as F
+
+    from qvarn_mr_spark.catalog import load_tables
+    from qvarn_mr_spark.functions.similarity import (ivf_probe_search,
+                                                     knn_bruteforce,
+                                                     topk_recall)
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    exact = knn_bruteforce(emb, "vec_id", "embedding",
+                           query_filter=F.col("vec_id") < 10, k=3)
+    self_rec = topk_recall(exact, exact, k=3).collect()
+    assert all(r["recall"] == 1.0 for r in self_rec)
+    probe = ivf_probe_search(emb, "vec_id", "embedding",
+                             centroid_filter=F.col("vec_id") % 100 == 0,
+                             query_filter=F.col("vec_id") < 10, k=3)
+    rec = topk_recall(exact, probe, k=3).collect()
+    assert len(rec) == 10
+    assert all(0.0 <= r["recall"] <= 1.0 for r in rec)
