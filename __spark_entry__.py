@@ -2202,6 +2202,18 @@ def q_graph_pagerank_converged(spark, sf_dir):
     return pagerank(_cs_edges(spark, sf_dir), iters=30, tol=1e-7)
 
 
+def q_graph_communities(spark, sf_dir):
+    """Community detection by deterministic label propagation
+    (graph.label_propagation): 4 synchronous self-vote rounds over the
+    part co-purchase graph — the link-farm / topical-cluster signal
+    between connected components (too coarse) and triangles (too
+    local). Max-frequency label, smallest-label tie-break, fixed
+    rounds: fully value-oracled by the same CTE-unroll discipline as
+    PageRank (oracle.label_propagation_sql)."""
+    from qvarn_mr_spark.operators.graph import label_propagation
+    return label_propagation(_part_co_edges(spark, sf_dir), iters=4)
+
+
 def q_graph_degrees(spark, sf_dir):
     """Per-node in/out degree over the same purchase graph — the cheap
     link-farm / orphan companion signal to q_graph_pagerank. Two
@@ -2534,6 +2546,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles_approx": q_graph_triangles_approx,
         "graph_clustering": q_graph_clustering,
         "graph_components": q_graph_components,
+        # new in r8: LPA communities — same CTE-unroll oracle discipline
+        "graph_communities": q_graph_communities,
         "graph_degrees": q_graph_degrees,
         "graph_pagerank_weighted": q_graph_pagerank_weighted,
         "graph_pagerank_personalized": q_graph_pagerank_personalized,
@@ -2821,6 +2835,8 @@ def oracle_sql() -> dict[str, str]:
             oracle.PART_CO_EDGES_SQL),
         "graph_components": oracle.connected_components_sql(
             oracle.SUPP_NATION_EDGES_SQL),
+        "graph_communities": oracle.label_propagation_sql(
+            oracle.PART_CO_EDGES_SQL, iters=4),
         "graph_pagerank_weighted": oracle.pagerank_sql(
             oracle.CS_EDGES_W_SQL, iters=6, weighted=True),
         "graph_pagerank_warm": oracle.pagerank_sql(

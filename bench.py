@@ -135,6 +135,7 @@ BENCH_QUERIES = (
     "graph_pagerank_warm",
     "doc_doremi_mixture",
     "embedding_ann_recall",
+    "graph_communities",
 )
 
 #: Deliberate brute-force foils, kept in queries() as labeled baselines

@@ -514,6 +514,58 @@ def clustering_coefficient(edges: DataFrame, src: str = "src",
                        coef.alias("clustering_coef")))
 
 
+def label_propagation(edges: DataFrame, src: str = "src",
+                      dst: str = "dst", iters: int = 5) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over the undirected collapse of ``edges`` — the
+    link-farm / topical-cluster signal between connected components
+    (too coarse: everything reachable) and triangles (too local): after
+    ``iters`` rounds every node carries the label most common among its
+    neighbors, and densely linked groups converge to one label.
+
+    Deterministic by construction, unlike textbook LPA's random
+    tie-breaking: each round every node adopts the MAX-FREQUENCY label
+    among its neighbors' labels PLUS ITS OWN (the self-vote damps the
+    two-coloring oscillation synchronous LPA exhibits on bipartite
+    structure), ties broken by SMALLEST label; labels start as the node
+    ids. Fixed iteration count + total-order tie-break = the same
+    SQL-unroll oracle discipline as :func:`pagerank`
+    (``oracle.label_propagation_sql``).
+
+    Per round: one edge-sized join+shuffle (neighbor votes), one
+    (node, label)-sized count aggregate, one per-node argmax window
+    (groups are per-node label sets — bounded by degree), state
+    localCheckpoint'ed per round (cluster: checkpoint()) under the same
+    lineage discipline as the other iterative operators.
+
+    Returns ``(node, label)``; nodes sharing a label are one community."""
+    from pyspark.sql import Window
+
+    e = pin(edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+                 .filter(F.col("a") != F.col("b"))
+                 .select(F.least("a", "b").alias("u"),
+                         F.greatest("a", "b").alias("v"))
+                 .distinct())
+    sym = pin(e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+               .union(e.select(F.col("v").alias("node"),
+                               F.col("u").alias("nbr"))))
+    nodes = pin(sym.select("node").distinct())
+    labels = nodes.withColumn("label", F.col("node")).localCheckpoint()
+    w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(iters):
+        votes = (sym.join(labels.select(F.col("node").alias("nbr"),
+                                        "label"), "nbr")
+                    .select("node", "label")
+                    .union(labels.select("node", "label")))
+        counts = votes.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("cnt"))
+        labels = (counts.withColumn("_rn", F.row_number().over(w))
+                        .filter(F.col("_rn") == 1)
+                        .select("node", "label")
+                        .localCheckpoint())
+    return labels
+
+
 def connected_components(edges: DataFrame, src: str = "src",
                          dst: str = "dst") -> DataFrame:
     """Connected components over the undirected collapse of ``edges``:

@@ -2190,6 +2190,35 @@ ON d.node = m.node
 """
 
 
+def label_propagation_sql(edges_sql: str, iters: int = 5) -> str:
+    """graph.label_propagation — the synchronous self-vote update
+    unrolled one CTE pair per round (v{i} = votes, l{i} = per-node
+    argmax by (count DESC, label ASC)), mirroring the Spark loop's
+    deterministic tie-break exactly."""
+    parts = [
+        f"""und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM ({edges_sql}) WHERE src != dst)""",
+        """sym AS MATERIALIZED (
+  SELECT u AS node, v AS nbr FROM und
+  UNION ALL SELECT v, u FROM und)""",
+        "l0 AS (SELECT DISTINCT node, node AS label FROM sym)",
+    ]
+    for i in range(1, iters + 1):
+        p = f"l{i - 1}"
+        parts.append(
+            f"v{i} AS (SELECT s.node, l.label "
+            f"FROM sym s JOIN {p} l ON s.nbr = l.node "
+            f"UNION ALL SELECT node, label FROM {p})")
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT node, label FROM ("
+            f"SELECT node, label, row_number() OVER ("
+            f"PARTITION BY node ORDER BY count(*) DESC, label ASC) AS rn"
+            f" FROM v{i} GROUP BY node, label) WHERE rn = 1)")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, label FROM l{iters}")
+
+
 def triangle_count_approx_sql(edges_sql: str, p: float = 0.25,
                               salt: str = "doulion",
                               digits: int = 6) -> str:

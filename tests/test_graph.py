@@ -606,6 +606,47 @@ def test_triangle_approx_oracle_parity(spark):
     assert got == pytest.approx(want, abs=1e-9)
 
 
+def test_label_propagation_two_cliques(spark):
+    """Two K4 cliques joined by one bridge edge: every clique converges
+    to its smallest member's label; the bridge does not merge them
+    (each bridge endpoint's own clique outvotes the single cross
+    edge)."""
+    from qvarn_mr_spark.operators.graph import label_propagation
+    ka = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    kb = [(a, b) for a in "wxyz" for b in "wxyz" if a < b]
+    edges = spark.createDataFrame(ka + kb + [("d", "w")],
+                                  ["src", "dst"])
+    out = dict(map(tuple, label_propagation(edges, iters=5).collect()))
+    assert all(out[v] == "a" for v in "abcd")
+    assert all(out[v] == "w" for v in "wxyz")
+
+
+def test_label_propagation_differential_vs_python(spark, edges_df):
+    """Round-for-round agreement with a row-at-a-time reference of the
+    same deterministic update (max-frequency neighbor+self label,
+    smallest-label tie-break) on the mixed test graph."""
+    from collections import Counter
+
+    from qvarn_mr_spark.operators.graph import label_propagation
+
+    und = {tuple(sorted(e)) for e in GRAPH if e[0] != e[1]}
+    adj = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    labels = {v: v for v in adj}
+    for _ in range(4):
+        nxt = {}
+        for v in adj:
+            votes = Counter(labels[n] for n in adj[v])
+            votes[labels[v]] += 1
+            best = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+            nxt[v] = best[0]
+        labels = nxt
+    got = dict(map(tuple, label_propagation(edges_df, iters=4).collect()))
+    assert got == labels
+
+
 def test_connected_components_wrapper(spark):
     from qvarn_mr_spark.operators.graph import connected_components
     edges = [("a", "b"), ("b", "c"), ("x", "y"), ("z", "z")]
