@@ -2359,6 +2359,19 @@ def q_doc_c4_rules(spark, sf_dir):
     return quality.c4_rule_profile(docs, min_words=25)
 
 
+def q_doc_gopher_rules(spark, sf_dir):
+    """Gopher page-quality rule profile (functions/quality.py
+    gopher_rule_profile, Rae et al. 2021 A1.1): the rules C4 lacks —
+    symbol-to-word ratio, bullet-line and ellipsis-line fractions,
+    alphabetic-word fraction, distinct-stopword floor — plus the shared
+    word-count / mean-word-length bounds and the composed kept verdict
+    at the paper's thresholds. Whole-stage-codegen Column expressions
+    at scan stage; full value oracle (oracle.gopher_rules_sql),
+    signal for signal."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return quality.gopher_rule_profile(docs, min_words=20)
+
+
 # --- embedding dimensionality reduction (functions/reduction.py) ----------
 
 _PCA_K = 4
@@ -2588,6 +2601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_corpus": q_dedup_corpus,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_c4_rules": q_doc_c4_rules,
+        # new in r8: the Gopher companion rule set, value-oracled
+        "doc_gopher_rules": q_doc_gopher_rules,
         "doc_paragraph_dedup": q_doc_paragraph_dedup,
         "doc_trigram_surprisal": q_doc_trigram_surprisal,
         "corpus_top_ngrams": q_corpus_top_ngrams,
@@ -2847,6 +2862,7 @@ def oracle_sql() -> dict[str, str]:
             oracle.CS_EDGES_SQL, iters=6,
             seeds_sql=oracle.BUILDING_SEEDS_SQL),
         "doc_c4_rules": oracle.c4_rules_sql(min_words=25),
+        "doc_gopher_rules": oracle.gopher_rules_sql(min_words=20),
         "doc_paragraph_dedup": oracle.paragraph_dedup_sql(
             delimiter="\n"),
         "graph_degrees": oracle.degree_profile_sql(oracle.CS_EDGES_SQL),

@@ -16,6 +16,8 @@ a distinct-shingle table that AQE will broadcast when genuinely small.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -526,6 +528,138 @@ def c4_filter(df: DataFrame, text_col: str = "text",
         & ~s["has_lorem"] & ~s["has_brace"]
         & (s["policy_hits"] == 0) & ~s["has_blockword"]
         & (s["frac_lines_terminal"] >= min_terminal_frac))
+
+
+#: Gopher (Rae et al. 2021, A1.1): a page must contain at least two of
+#: these English function words — the cheap language/garbage floor.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+
+#: Line prefixes treated as bullets by the Gopher bullet-line rule.
+GOPHER_BULLETS = ("•", "‣", "-", "*")
+
+
+def gopher_signals(text_col: str = "text") -> dict:
+    """The Gopher paper's page-quality heuristics (Rae et al. 2021,
+    A1.1) as named Column expressions — the companion set to
+    :func:`c4_signals` (word count and mean word length live THERE;
+    this adds the rules C4 lacks): symbol-to-word ratio ('#' and
+    ellipsis occurrences per word), fraction of lines starting with a
+    bullet / ending with an ellipsis, fraction of words containing an
+    alphabetic character, and the distinct-stopword floor. All
+    whole-stage-codegen JVM; no UDF, no shuffle."""
+    t = F.col(text_col)
+    words = F.filter(F.split(t, r"\s+"), lambda w: F.length(w) > 0)
+    n_words = F.size(words).cast("long")
+    # occurrence counts via non-overlapping replace (both engines
+    # replace leftmost-first, so the counts agree exactly)
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#")))
+    n_dots = (F.length(t)
+              - F.length(F.replace(t, F.lit("...")))) / F.lit(3)
+    n_uni = F.length(t) - F.length(F.replace(t, F.lit("…")))
+    symbol_ratio = F.when(
+        n_words > 0,
+        (n_hash + n_dots + n_uni).cast("double") / n_words) \
+        .otherwise(F.lit(0.0))
+    lines = F.filter(F.split(t, "\n"),
+                     lambda line: F.length(F.trim(line)) > 0)
+    n_lines = F.size(lines).cast("long")
+    bullet = F.size(F.filter(
+        lines,
+        lambda line: reduce(
+            lambda a, b: a | b,
+            [F.startswith(F.ltrim(line), F.lit(p))
+             for p in GOPHER_BULLETS]))).cast("long")
+    ell = F.size(F.filter(
+        lines,
+        lambda line: F.endswith(F.rtrim(line), F.lit("..."))
+        | F.endswith(F.rtrim(line), F.lit("…")))).cast("long")
+    lfrac = lambda num: F.when(n_lines > 0,
+                               num.cast("double") / n_lines) \
+        .otherwise(F.lit(0.0))
+    alpha = F.size(F.filter(
+        words, lambda w: w.rlike("[A-Za-z]"))).cast("long")
+    alpha_frac = F.when(n_words > 0,
+                        alpha.cast("double") / n_words) \
+        .otherwise(F.lit(0.0))
+    low_words = F.transform(words, lambda w: F.lower(w))
+    n_stop = sum(
+        (F.when(F.array_contains(low_words, s), 1).otherwise(0)
+         for s in GOPHER_STOPWORDS), F.lit(0)).cast("long")
+    return {
+        "symbol_word_ratio": symbol_ratio,
+        "frac_bullet_lines": lfrac(bullet),
+        "frac_ellipsis_lines": lfrac(ell),
+        "frac_alpha_words": alpha_frac,
+        "n_stopwords": n_stop,
+    }
+
+
+def gopher_rule_profile(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        min_words: int = 50, max_words: int = 100000,
+                        min_mean_word_len: float = 3.0,
+                        max_mean_word_len: float = 10.0,
+                        max_symbol_ratio: float = 0.1,
+                        max_bullet_frac: float = 0.9,
+                        max_ellipsis_frac: float = 0.3,
+                        min_alpha_frac: float = 0.8,
+                        min_stopwords: int = 2,
+                        digits: int = 4) -> DataFrame:
+    """Per-document Gopher signal profile + the composed ``kept``
+    verdict at the paper's published thresholds (50–100k words, mean
+    word length 3–10, symbol ratio ≤ 0.1, < 90% bullet lines, < 30%
+    ellipsis lines, ≥ 80% alphabetic words, ≥ 2 distinct stopwords).
+    One projection over the scan; value-oracled signal-for-signal
+    (oracle.gopher_rules_sql)."""
+    c4 = c4_signals(text_col)
+    g = gopher_signals(text_col)
+    kept = ((c4["n_words"] >= min_words) & (c4["n_words"] <= max_words)
+            & (c4["mean_word_len"] >= min_mean_word_len)
+            & (c4["mean_word_len"] <= max_mean_word_len)
+            & (g["symbol_word_ratio"] <= max_symbol_ratio)
+            & (g["frac_bullet_lines"] <= max_bullet_frac)
+            & (g["frac_ellipsis_lines"] <= max_ellipsis_frac)
+            & (g["frac_alpha_words"] >= min_alpha_frac)
+            & (g["n_stopwords"] >= min_stopwords))
+    return df.select(
+        F.col(id_col),
+        c4["n_words"].alias("n_words"),
+        F.round(c4["mean_word_len"], digits).alias("mean_word_len"),
+        F.round(g["symbol_word_ratio"], digits)
+         .alias("symbol_word_ratio"),
+        F.round(g["frac_bullet_lines"], digits)
+         .alias("frac_bullet_lines"),
+        F.round(g["frac_ellipsis_lines"], digits)
+         .alias("frac_ellipsis_lines"),
+        F.round(g["frac_alpha_words"], digits).alias("frac_alpha_words"),
+        g["n_stopwords"].alias("n_stopwords"),
+        kept.alias("kept"))
+
+
+def gopher_filter(df: DataFrame, text_col: str = "text",
+                  min_words: int = 50, max_words: int = 100000,
+                  min_mean_word_len: float = 3.0,
+                  max_mean_word_len: float = 10.0,
+                  max_symbol_ratio: float = 0.1,
+                  max_bullet_frac: float = 0.9,
+                  max_ellipsis_frac: float = 0.3,
+                  min_alpha_frac: float = 0.8,
+                  min_stopwords: int = 2) -> DataFrame:
+    """Keep only documents passing the composed Gopher rules — the gate
+    form (scan-stage predicate, stacks with the C4 and quality gates so
+    rejected docs never reach the dedup shuffle)."""
+    c4 = c4_signals(text_col)
+    g = gopher_signals(text_col)
+    return df.filter(
+        (c4["n_words"] >= min_words) & (c4["n_words"] <= max_words)
+        & (c4["mean_word_len"] >= min_mean_word_len)
+        & (c4["mean_word_len"] <= max_mean_word_len)
+        & (g["symbol_word_ratio"] <= max_symbol_ratio)
+        & (g["frac_bullet_lines"] <= max_bullet_frac)
+        & (g["frac_ellipsis_lines"] <= max_ellipsis_frac)
+        & (g["frac_alpha_words"] >= min_alpha_frac)
+        & (g["n_stopwords"] >= min_stopwords))
 
 
 def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",

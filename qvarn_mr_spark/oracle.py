@@ -2120,6 +2120,85 @@ FROM s
 """
 
 
+def gopher_rules_sql(min_words: int = 50, max_words: int = 100000,
+                     min_mean_word_len: float = 3.0,
+                     max_mean_word_len: float = 10.0,
+                     max_symbol_ratio: float = 0.1,
+                     max_bullet_frac: float = 0.9,
+                     max_ellipsis_frac: float = 0.3,
+                     min_alpha_frac: float = 0.8,
+                     min_stopwords: int = 2,
+                     digits: int = 4,
+                     table: str = "documents") -> str:
+    """quality.gopher_rule_profile — every Gopher signal recomputed with
+    DuckDB list lambdas over the same splits; occurrence counts via the
+    same non-overlapping replace trick."""
+    from qvarn_mr_spark.functions.quality import (GOPHER_BULLETS,
+                                                  GOPHER_STOPWORDS)
+    bullets = " OR ".join(
+        f"starts_with(ltrim(l), '{b}')" for b in GOPHER_BULLETS)
+    stops = " + ".join(
+        f"CASE WHEN list_contains(low_words, '{s}') THEN 1 ELSE 0 END"
+        for s in GOPHER_STOPWORDS)
+    return f"""
+WITH w AS (
+  SELECT *,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> length(x) > 0) AS words,
+         list_filter(string_split(text, chr(10)),
+                     l -> length(trim(l)) > 0) AS lines
+  FROM {table}
+),
+w2 AS (
+  SELECT *, list_transform(words, x -> lower(x)) AS low_words
+  FROM w
+),
+s AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         CASE WHEN len(words) > 0 THEN
+           CAST(list_sum(list_transform(words, x -> length(x)))
+                AS DOUBLE) / len(words) ELSE 0.0 END AS mean_word_len,
+         CASE WHEN len(words) > 0 THEN
+           ((length(text) - length(replace(text, '#', '')))
+            + (length(text) - length(replace(text, '...', ''))) / 3
+            + (length(text) - length(replace(text, '…', ''))))
+           / CAST(len(words) AS DOUBLE) ELSE 0.0 END
+           AS symbol_word_ratio,
+         CASE WHEN len(lines) > 0 THEN
+           CAST(len(list_filter(lines, l -> {bullets})) AS DOUBLE)
+           / len(lines) ELSE 0.0 END AS frac_bullet_lines,
+         CASE WHEN len(lines) > 0 THEN
+           CAST(len(list_filter(lines,
+                l -> ends_with(rtrim(l), '...')
+                     OR ends_with(rtrim(l), '…'))) AS DOUBLE)
+           / len(lines) ELSE 0.0 END AS frac_ellipsis_lines,
+         CASE WHEN len(words) > 0 THEN
+           CAST(len(list_filter(words,
+                x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+           / len(words) ELSE 0.0 END AS frac_alpha_words,
+         CAST({stops} AS BIGINT) AS n_stopwords
+  FROM w2
+)
+SELECT doc_id, n_words,
+       round(mean_word_len, {digits}) AS mean_word_len,
+       round(symbol_word_ratio, {digits}) AS symbol_word_ratio,
+       round(frac_bullet_lines, {digits}) AS frac_bullet_lines,
+       round(frac_ellipsis_lines, {digits}) AS frac_ellipsis_lines,
+       round(frac_alpha_words, {digits}) AS frac_alpha_words,
+       n_stopwords,
+       (n_words >= {min_words} AND n_words <= {max_words}
+        AND mean_word_len >= {min_mean_word_len}
+        AND mean_word_len <= {max_mean_word_len}
+        AND symbol_word_ratio <= {max_symbol_ratio}
+        AND frac_bullet_lines <= {max_bullet_frac}
+        AND frac_ellipsis_lines <= {max_ellipsis_frac}
+        AND frac_alpha_words >= {min_alpha_frac}
+        AND n_stopwords >= {min_stopwords}) AS kept
+FROM s
+"""
+
+
 #: Weighted twin of CS_EDGES_SQL: w = lineitem count connecting the pair.
 CS_EDGES_W_SQL = """
 SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,

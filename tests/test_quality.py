@@ -542,6 +542,37 @@ def test_c4_rule_profile_hand_cases(spark):
     assert prof[1]["frac_lines_ge5_words"] == pytest.approx(2 / 3, abs=1e-4)
 
 
+def test_gopher_rules_hand_cases(spark):
+    """Each Gopher signal trips on a crafted document and the composed
+    verdict matches the paper's thresholds."""
+    from qvarn_mr_spark.functions.quality import (gopher_filter,
+                                                  gopher_rule_profile)
+    good = ("the quick brown fox jumps over a lazy dog and we have "
+            "plenty to be happy with of course " * 3)
+    docs = spark.createDataFrame([
+        (1, good),
+        (2, "### " * 30 + good),                    # symbol ratio
+        (3, "\n".join("• item %d here" % i for i in range(10))),  # bullets
+        (4, "\n".join(("the story goes on..." if i else
+                       "have that to be with of and the")
+                      for i in range(10)) * 3),     # ellipsis lines
+        (5, ("123 456 789 000 111 " * 12) + "the of"),  # alpha frac
+        (6, "zebra quokka wombat lemur " * 15),     # no stopwords
+    ], ["doc_id", "text"])
+    prof = {r["doc_id"]: r
+            for r in gopher_rule_profile(docs, min_words=20).collect()}
+    assert prof[1]["kept"]
+    assert prof[1]["n_stopwords"] >= 2
+    assert not prof[2]["kept"] and prof[2]["symbol_word_ratio"] > 0.1
+    assert not prof[3]["kept"] and prof[3]["frac_bullet_lines"] == 1.0
+    assert not prof[4]["kept"] and prof[4]["frac_ellipsis_lines"] > 0.3
+    assert not prof[5]["kept"] and prof[5]["frac_alpha_words"] < 0.8
+    assert not prof[6]["kept"] and prof[6]["n_stopwords"] == 0
+    kept_ids = sorted(r["doc_id"] for r in
+                      gopher_filter(docs, min_words=20).collect())
+    assert kept_ids == [1]
+
+
 def test_paragraph_dedup_within_doc(spark):
     from qvarn_mr_spark.functions.quality import paragraph_dedup
     docs = spark.createDataFrame([
