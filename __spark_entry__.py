@@ -1692,6 +1692,25 @@ def q_corpus_c4_prepare(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_corpus_gopher_prepare(spark, sf_dir):
+    """corpus_prepare with BOTH heuristic rule gates on (functions/
+    pipeline.py): profile → quality/token gates → C4 page rules →
+    Gopher rules (symbol ratio, bullet/ellipsis lines, alpha-word
+    fraction, stopword floor — quality.gopher_filter, a third narrow
+    scan-stage gate) → dedup onto canonicals → consistent split.
+    Value-oracled end-to-end: the Gopher predicate composes into
+    corpus_prepare_sql as a CTE (oracle._gopher_gate_ctes) stacked on
+    the C4 one. min_stopwords is loosened to 1 (the synthetic docs
+    carry at most one of the eight Gopher function words) so the gate
+    keeps a non-trivial survivor set at every sf."""
+    from qvarn_mr_spark.functions.pipeline import corpus_prepare
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return (corpus_prepare(docs, "doc_id", "text", min_quality=0.0,
+                           min_tokens=2, c4_min_words=20,
+                           gopher_min_words=20, gopher_min_stopwords=1)
+            .orderBy("doc_id"))
+
+
 def q_corpus_funnel(spark, sf_dir):
     """Gate accounting for the C4+DSIR-gated pipeline
     (pipeline.corpus_funnel): per stage (input → gates → c4 → dsir →
@@ -2625,6 +2644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_funnel_theta": q_events_user_funnel_theta,
         "doc_quality_classifier": q_doc_quality_classifier,
         "corpus_c4_prepare": q_corpus_c4_prepare,
+        # new in r8: C4+Gopher stacked gates, value-oracled end-to-end
+        "corpus_gopher_prepare": q_corpus_gopher_prepare,
         "corpus_dsir_prepare": q_corpus_dsir_prepare,
         "corpus_ppl_prepare": q_corpus_ppl_prepare,
         "corpus_funnel": q_corpus_funnel,
@@ -3414,6 +3435,9 @@ def oracle_sql() -> dict[str, str]:
             min_quality=0.0, min_tokens=2, perplexity_keep_buckets=2),
         "corpus_c4_prepare": oracle.corpus_prepare_sql(
             min_quality=0.0, min_tokens=2, c4_min_words=20),
+        "corpus_gopher_prepare": oracle.corpus_prepare_sql(
+            min_quality=0.0, min_tokens=2, c4_min_words=20,
+            gopher_min_words=20, gopher_min_stopwords=1),
         "corpus_funnel": oracle.corpus_funnel_sql(
             min_quality=0.0, min_tokens=2, c4_min_words=20,
             dsir_target_pred="lang = 'en'", dsir_k=200),

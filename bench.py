@@ -136,6 +136,8 @@ BENCH_QUERIES = (
     "doc_doremi_mixture",
     "embedding_ann_recall",
     "graph_communities",
+    "doc_gopher_rules",
+    "corpus_gopher_prepare",
 )
 
 #: Deliberate brute-force foils, kept in queries() as labeled baselines

@@ -48,6 +48,8 @@ def _gate_flow(df: DataFrame, id_col: str, text_col: str,
                classifier_threshold: float,
                c4_min_words: int | None,
                c4_min_terminal_frac: float,
+               gopher_min_words: int | None,
+               gopher_min_stopwords: int,
                perplexity_keep_buckets: int | None,
                perplexity_n_buckets: int,
                perplexity_method: str,
@@ -55,7 +57,8 @@ def _gate_flow(df: DataFrame, id_col: str, text_col: str,
                dsir_k: int | None, dsir_frac: float | None,
                salt: str) -> tuple:
     """The shared front half of :func:`corpus_prepare` /
-    :func:`corpus_funnel`: profile → heuristic gates → [classifier] →
+    :func:`corpus_funnel`: profile → heuristic gates → [c4] → [gopher]
+    → [classifier] →
     [perplexity] → [decontaminate] → [DSIR select]. Returns
     ``(kept, stages)`` where
     ``kept`` carries ``(doc_id, _text, lang, n_tokens, quality)`` for
@@ -119,6 +122,12 @@ def _gate_flow(df: DataFrame, id_col: str, text_col: str,
                          min_words=c4_min_words,
                          min_terminal_frac=c4_min_terminal_frac)
         stages.append(("c4", kept))
+    if gopher_min_words is not None:
+        from qvarn_mr_spark.functions.quality import gopher_filter
+        kept = gopher_filter(kept, text_col="_text",
+                             min_words=gopher_min_words,
+                             min_stopwords=gopher_min_stopwords)
+        stages.append(("gopher", kept))
     if classifier_weights is not None:
         from qvarn_mr_spark.functions.classifier import score_expr
         kept = kept.filter(score_expr(classifier_weights,
@@ -182,6 +191,8 @@ def corpus_prepare(df: DataFrame, id_col: str = "doc_id",
                    classifier_threshold: float = 0.5,
                    c4_min_words: int | None = None,
                    c4_min_terminal_frac: float = 0.0,
+                   gopher_min_words: int | None = None,
+                   gopher_min_stopwords: int = 2,
                    perplexity_keep_buckets: int | None = None,
                    perplexity_n_buckets: int = 3,
                    perplexity_method: str = "ntile",
@@ -244,7 +255,8 @@ def corpus_prepare(df: DataFrame, id_col: str = "doc_id",
         languages, max_dup_word_frac, max_top_word_frac,
         decontaminate_against, decontam_k, strip_lines_min_frac,
         line_delimiter, classifier_weights, classifier_threshold,
-        c4_min_words, c4_min_terminal_frac,
+        c4_min_words, c4_min_terminal_frac, gopher_min_words,
+        gopher_min_stopwords,
         perplexity_keep_buckets, perplexity_n_buckets, perplexity_method,
         dsir_target, dsir_k, dsir_frac, salt)
 
@@ -281,6 +293,8 @@ def corpus_funnel(df: DataFrame, id_col: str = "doc_id",
                   classifier_threshold: float = 0.5,
                   c4_min_words: int | None = None,
                   c4_min_terminal_frac: float = 0.0,
+                  gopher_min_words: int | None = None,
+                  gopher_min_stopwords: int = 2,
                   perplexity_keep_buckets: int | None = None,
                   perplexity_n_buckets: int = 3,
                   perplexity_method: str = "ntile",
@@ -294,7 +308,7 @@ def corpus_funnel(df: DataFrame, id_col: str = "doc_id",
     the "how much did each gate remove" table every pipeline owner asks
     for first at 100 TB. Stages present only when their gate is on::
 
-        input → [line_strip] → gates → [c4] → [classifier]
+        input → [line_strip] → gates → [c4] → [gopher] → [classifier]
               → [perplexity] → [decontaminated] → [dsir] → canonical
 
     Returns ``(stage_idx, stage, n_docs)``, one row per stage,
@@ -310,7 +324,8 @@ def corpus_funnel(df: DataFrame, id_col: str = "doc_id",
         languages, max_dup_word_frac, max_top_word_frac,
         decontaminate_against, decontam_k, strip_lines_min_frac,
         line_delimiter, classifier_weights, classifier_threshold,
-        c4_min_words, c4_min_terminal_frac,
+        c4_min_words, c4_min_terminal_frac, gopher_min_words,
+        gopher_min_stopwords,
         perplexity_keep_buckets, perplexity_n_buckets, perplexity_method,
         dsir_target, dsir_k, dsir_frac, salt)
     canonical = dedup_corpus(

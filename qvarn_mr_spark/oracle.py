@@ -1357,12 +1357,70 @@ def _c4_gate_ctes(survivors: str, min_words: int,
 
 
 
+def _gopher_gate_ctes(survivors: str, min_words: int,
+                      max_words: int = 100000,
+                      min_mean_word_len: float = 3.0,
+                      max_mean_word_len: float = 10.0,
+                      max_symbol_ratio: float = 0.1,
+                      max_bullet_frac: float = 0.9,
+                      max_ellipsis_frac: float = 0.3,
+                      min_alpha_frac: float = 0.8,
+                      min_stopwords: int = 2) -> str:
+    """CTE block for the Gopher gate inside the composed pipeline
+    oracles: filters ``survivors`` with the same predicate
+    quality.gopher_filter applies; exposes ``gok``."""
+    from qvarn_mr_spark.functions.quality import (GOPHER_BULLETS,
+                                                  GOPHER_STOPWORDS)
+    words = ("list_filter(regexp_split_to_array(k.text, '\\s+'), "
+             "x -> length(x) > 0)")
+    lines = ("list_filter(string_split(k.text, chr(10)), "
+             "l -> length(trim(l)) > 0)")
+    bullets = " OR ".join(
+        f"starts_with(ltrim(l), '{b}')" for b in GOPHER_BULLETS)
+    stops = " + ".join(
+        f"CASE WHEN list_contains(list_transform({words}, "
+        f"x -> lower(x)), '{s}') THEN 1 ELSE 0 END"
+        for s in GOPHER_STOPWORDS)
+    nw = f"len({words})"
+    mwl = (f"CASE WHEN {nw} > 0 THEN "
+           f"CAST(list_sum(list_transform({words}, x -> length(x)))"
+           f" AS DOUBLE) / {nw} ELSE 0.0 END")
+    sym = (f"CASE WHEN {nw} > 0 THEN "
+           f"((length(k.text) - length(replace(k.text, '#', '')))"
+           f" + (length(k.text) - length(replace(k.text, '...', '')))/3"
+           f" + (length(k.text) - length(replace(k.text, '…', ''))))"
+           f" / CAST({nw} AS DOUBLE) ELSE 0.0 END")
+    bullet_frac = (f"CASE WHEN len({lines}) > 0 THEN "
+                   f"CAST(len(list_filter({lines}, l -> {bullets}))"
+                   f" AS DOUBLE) / len({lines}) ELSE 0.0 END")
+    ell_frac = (f"CASE WHEN len({lines}) > 0 THEN "
+                f"CAST(len(list_filter({lines}, "
+                f"l -> ends_with(rtrim(l), '...')"
+                f" OR ends_with(rtrim(l), '…'))) AS DOUBLE)"
+                f" / len({lines}) ELSE 0.0 END")
+    alpha = (f"CASE WHEN {nw} > 0 THEN "
+             f"CAST(len(list_filter({words}, "
+             f"x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)"
+             f" / {nw} ELSE 0.0 END")
+    return f"""gok AS MATERIALIZED (
+  SELECT k.* FROM {survivors} k
+  WHERE {nw} >= {min_words} AND {nw} <= {max_words}
+    AND {mwl} >= {min_mean_word_len} AND {mwl} <= {max_mean_word_len}
+    AND {sym} <= {max_symbol_ratio}
+    AND {bullet_frac} <= {max_bullet_frac}
+    AND {ell_frac} <= {max_ellipsis_frac}
+    AND {alpha} >= {min_alpha_frac}
+    AND ({stops}) >= {min_stopwords})"""
+
+
 def corpus_prepare_sql(min_quality: float = 0.3, min_tokens: int = 5,
                        max_tokens: int = 100_000,
                        jaccard_threshold: float = 0.5,
                        split_weights: dict[str, float] | None = None,
                        c4_min_words: int | None = None,
                        c4_min_terminal_frac: float = 0.0,
+                       gopher_min_words: int | None = None,
+                       gopher_min_stopwords: int = 2,
                        perplexity_keep_buckets: int | None = None,
                        perplexity_n_buckets: int = 3,
                        dsir_target_pred: str | None = None,
@@ -1387,6 +1445,11 @@ def corpus_prepare_sql(min_quality: float = 0.3, min_tokens: int = 5,
         dsir_ctes += _c4_gate_ctes(survivors, c4_min_words,
                                    c4_min_terminal_frac) + ",\n"
         survivors = "c4k"
+    if gopher_min_words is not None:
+        dsir_ctes += _gopher_gate_ctes(
+            survivors, gopher_min_words,
+            min_stopwords=gopher_min_stopwords) + ",\n"
+        survivors = "gok"
     if perplexity_keep_buckets is not None:
         dsir_ctes += _perplexity_gate_ctes(
             survivors, perplexity_keep_buckets,
@@ -1428,6 +1491,8 @@ def corpus_funnel_sql(min_quality: float = 0.3, min_tokens: int = 5,
                       jaccard_threshold: float = 0.5,
                       c4_min_words: int | None = None,
                       c4_min_terminal_frac: float = 0.0,
+                      gopher_min_words: int | None = None,
+                      gopher_min_stopwords: int = 2,
                       perplexity_keep_buckets: int | None = None,
                       perplexity_n_buckets: int = 3,
                       dsir_target_pred: str | None = None,
@@ -1446,6 +1511,11 @@ def corpus_funnel_sql(min_quality: float = 0.3, min_tokens: int = 5,
         dsir_ctes += _c4_gate_ctes(survivors, c4_min_words,
                                    c4_min_terminal_frac) + ",\n"
         survivors = "c4k"
+    if gopher_min_words is not None:
+        dsir_ctes += _gopher_gate_ctes(
+            survivors, gopher_min_words,
+            min_stopwords=gopher_min_stopwords) + ",\n"
+        survivors = "gok"
     if perplexity_keep_buckets is not None:
         dsir_ctes += _perplexity_gate_ctes(
             survivors, perplexity_keep_buckets,
@@ -1459,6 +1529,8 @@ def corpus_funnel_sql(min_quality: float = 0.3, min_tokens: int = 5,
     stages = [("input", table), ("gates", "kept")]
     if c4_min_words is not None:
         stages.append(("c4", "c4k"))
+    if gopher_min_words is not None:
+        stages.append(("gopher", "gok"))
     if perplexity_keep_buckets is not None:
         stages.append(("perplexity", "pk"))
     if dsir_target_pred is not None:

@@ -222,6 +222,35 @@ def test_corpus_funnel_counts(spark, docs):
     assert rows["canonical"][1] == out.count()
 
 
+def test_corpus_prepare_gopher_gate(spark, docs):
+    """The Gopher gate must equal the manual composition (gates →
+    gopher_filter on the gated survivors → prepare restricted to the
+    keeps) and show up as a funnel stage in order."""
+    from qvarn_mr_spark.functions.pipeline import corpus_funnel
+    from qvarn_mr_spark.functions.quality import gopher_filter
+
+    gated = corpus_prepare(docs, "doc_id", "text", min_quality=0.0,
+                           min_tokens=2, gopher_min_words=20,
+                           gopher_min_stopwords=1)
+    manual_keep = {
+        r["doc_id"] for r in gopher_filter(
+            docs, text_col="text", min_words=20,
+            min_stopwords=1).collect()}
+    base = corpus_prepare(docs, "doc_id", "text", min_quality=0.0,
+                          min_tokens=2)
+    got_ids = {r["doc_id"] for r in gated.collect()}
+    # the gate can only shrink the base output, and every survivor
+    # passes the standalone filter
+    assert got_ids <= {r["doc_id"] for r in base.collect()}
+    assert got_ids <= manual_keep
+    assert 0 < len(got_ids)
+    rows = [r["stage"] for r in corpus_funnel(
+        docs, "doc_id", "text", min_quality=0.0, min_tokens=2,
+        c4_min_words=5, gopher_min_words=20,
+        gopher_min_stopwords=1).collect()]
+    assert rows == ["input", "gates", "c4", "gopher", "canonical"]
+
+
 def test_corpus_prepare_perplexity_gate(spark, docs):
     """The CCNet perplexity gate must equal the manual composition:
     gates → perplexity_buckets(keep head+middle) on the gated
