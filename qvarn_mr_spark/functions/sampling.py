@@ -402,6 +402,15 @@ def doremi_mixture(df: DataFrame, id_col: str, source_col: str,
     k = len(sources)
     if k == 0:
         raise ValueError("doremi_mixture: empty corpus")
+    for s in sources:
+        # keep-fraction realization divides by T_s; a zero/negative
+        # total weight (all-zero weight_col, nulls cast away) would be
+        # a silent ZeroDivisionError otherwise
+        if tot[s] is None or tot[s] <= 0:
+            raise ValueError(
+                f"doremi_mixture: source {s!r} has non-positive total "
+                f"weight {tot[s]!r}; every source needs positive "
+                f"{weight_col!r} mass")
     n_total = sum(tot.values())
     alpha = {s: round(1.0 / k, 9) for s in sources}
     audit = []

@@ -1345,8 +1345,14 @@ def topk_recall(exact: DataFrame, approx: DataFrame, k: int,
            .select("q_id", "n_exact",
                    F.coalesce("n_approx", F.lit(0)).alias("n_approx"),
                    F.coalesce("n_hit", F.lit(0)).alias("n_hit")))
-    rec = (F.col("n_hit")
-           / F.least(F.lit(int(k)), F.col("n_exact")).cast("double"))
+    # clamp: if the exact input carries more than k rows per query
+    # (caller broke the top-k contract), n_hit can reach n_exact > k
+    # while the denominator stays at k — cap recall at 1.0 rather than
+    # report an impossible value
+    rec = F.least(
+        F.col("n_hit")
+        / F.least(F.lit(int(k)), F.col("n_exact")).cast("double"),
+        F.lit(1.0))
     if digits is not None:
         rec = F.round(rec, digits)
     return out.withColumn("recall", rec)

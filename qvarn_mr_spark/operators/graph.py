@@ -160,10 +160,17 @@ def _pagerank_loop(e, nodes, outdeg, iters, damping, digits,
                                .alias("_r0")), "node", "left")
             .withColumn("_r0", F.coalesce(F.col("_r0"),
                                           F.lit(1.0 / n))))
-        tot = joined.agg(F.sum("_r0").alias("_tot"))
-        ranks = (joined.crossJoin(F.broadcast(tot))
-                 .select(*node_cols,
-                         (F.col("_r0") / F.col("_tot")).alias("rank"))
+        # one-row collect (bounded by contract) so an all-zero or
+        # negative-sum init_ranks raises loudly instead of silently
+        # dividing the whole rank vector into null/NaN
+        tot = joined.agg(F.sum("_r0")).first()[0]
+        if tot is None or tot <= 0:
+            raise ValueError(
+                f"pagerank warm start: init_ranks total {tot!r} is not "
+                "positive; cannot renormalize to a probability vector")
+        ranks = (joined.select(*node_cols,
+                               (F.col("_r0") / F.lit(float(tot)))
+                               .alias("rank"))
                  .localCheckpoint())
     else:
         if personalized:

@@ -1269,6 +1269,21 @@ def test_topk_recall_hand_case(spark):
     assert r5["recall"] == 1.0
 
 
+def test_topk_recall_clamped_when_exact_exceeds_k(spark):
+    """ADVICE r8: an exact input carrying MORE than k rows per query
+    (caller broke the top-k contract) used to report recall > 1.0
+    (n_hit reaching n_exact=3 over denominator min(k, n_exact)=2).
+    Recall is now clamped to 1.0."""
+    from qvarn_mr_spark.functions.similarity import topk_recall
+    exact = spark.createDataFrame(
+        [("q1", "a"), ("q1", "b"), ("q1", "c")], ["q_id", "n_id"])
+    approx = spark.createDataFrame(
+        [("q1", "a"), ("q1", "b"), ("q1", "c")], ["q_id", "n_id"])
+    r = topk_recall(exact, approx, k=2).collect()[0]
+    assert r["n_hit"] == 3 and r["n_exact"] == 3
+    assert r["recall"] == 1.0
+
+
 def test_topk_recall_probe_vs_bruteforce_bounds(spark, sf_dir):
     """On the real embeddings: a probe restricted to one IVF cluster
     can never beat exact search (recall <= 1), and probing with the

@@ -295,6 +295,17 @@ def test_pagerank_warm_start_uniform_init_is_identity(spark, edges_df):
         assert bn == wn and bv == pytest.approx(wv, abs=1e-12)
 
 
+def test_pagerank_warm_start_zero_init_raises(spark, edges_df):
+    """ADVICE r8: an all-zero init_ranks vector used to divide by a
+    zero sum and silently emit null/NaN ranks; it must now raise."""
+    from qvarn_mr_spark.operators.graph import pagerank
+    nodes = sorted({x for e in GRAPH for x in e})
+    zero = spark.createDataFrame([(v, 0.0) for v in nodes],
+                                 ["node", "rank"])
+    with pytest.raises(ValueError, match="not.*positive|positive"):
+        pagerank(edges_df, iters=2, init_ranks=zero)
+
+
 def test_pagerank_warm_start_converges_faster(spark):
     """The IVM property: after a SMALL edge delta, restarting from the
     previous fixpoint reaches the new fixpoint in fewer supersteps than

@@ -392,6 +392,22 @@ def test_doremi_mixture_moves_alpha_toward_low_loss(spark):
     assert up[(2, "hi")]["alpha_next"] > 0.5 > up[(2, "lo")]["alpha_next"]
 
 
+def test_doremi_mixture_zero_weight_source_raises(spark):
+    """ADVICE r8: a source whose total weight sums to 0 used to hit an
+    uncaught ZeroDivisionError in the keep-fraction realization; it
+    must now raise a ValueError naming the offending source."""
+    import pytest
+
+    from qvarn_mr_spark.functions.sampling import doremi_mixture
+
+    rows = ([(f"a{i}", "ok", 10.0, 1.0) for i in range(20)]
+            + [(f"b{i}", "dead", 0.0, 2.0) for i in range(20)])
+    df = spark.createDataFrame(
+        rows, "doc_id string, source string, wt double, loss double")
+    with pytest.raises(ValueError, match="dead"):
+        doremi_mixture(df, "doc_id", "source", "wt", "loss", rounds=1)
+
+
 def test_mixture_weight_search_grid(spark):
     """Grid invariants + per-tau agreement with the single-tau operator:
     each grid point's (n_kept, kept_weight) must equal what
