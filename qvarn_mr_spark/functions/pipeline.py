@@ -348,6 +348,8 @@ def corpus_gate_stream(stream: DataFrame, id_col: str = "doc_id",
                        languages: list[str] | None = None,
                        c4_min_words: int | None = None,
                        c4_min_terminal_frac: float = 0.0,
+                       gopher_min_words: int | None = None,
+                       gopher_min_stopwords: int = 2,
                        watermark: str | None = None,
                        ts_col: str | None = None) -> DataFrame:
     """Streaming twin of :func:`corpus_prepare`'s gate + exact-dedup
@@ -390,6 +392,15 @@ def corpus_gate_stream(stream: DataFrame, id_col: str = "doc_id",
         gated = c4_filter(gated, text_col="_text",
                           min_words=c4_min_words, max_words=10 ** 9,
                           min_terminal_frac=c4_min_terminal_frac)
+    if gopher_min_words is not None:
+        # gopher_signals are stateless Columns too — same defaults and
+        # ordering as the batch pipeline's gopher stage (_gate_flow),
+        # word ceiling disengaged for the same no-double-count reason
+        from qvarn_mr_spark.functions.quality import gopher_filter
+        gated = gopher_filter(gated, text_col="_text",
+                              min_words=gopher_min_words,
+                              max_words=10 ** 9,
+                              min_stopwords=gopher_min_stopwords)
     out = gated.select(
         "doc_id", F.col("_text").alias("text"),
         F.col("lang_guess").alias("lang"), "n_tokens", "quality", "fp",

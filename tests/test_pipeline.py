@@ -366,3 +366,55 @@ def test_corpus_gate_stream_c4_matches_batch(spark, tmp_path):
     batch = sorted(r["doc_id"] for r in
                    c4_filter(df, min_words=5).select("doc_id").collect())
     assert streamed == batch == ["k1", "k2"]
+
+
+def test_corpus_gate_stream_gopher_matches_batch(spark, tmp_path):
+    """VERDICT r8 item 2: gopher_signals are stateless Columns too, so
+    the streamed gate with gopher_min_words must keep exactly the docs
+    batch gopher_filter keeps (after the shared quality/token gates) —
+    mirrors the C4 conformance test above."""
+    import glob
+    import shutil
+
+    from qvarn_mr_spark.functions.pipeline import corpus_gate_stream
+    from qvarn_mr_spark.functions.quality import gopher_filter
+
+    rows = [
+        # passes: enough words, stopwords, sane word lengths
+        ("k1", "the quick brown fox jumps over the lazy dog in the sun "
+               "and then the dog ran back to the house for some food."),
+        ("k2", "a man of the people told the story for all of the town "
+               "and they all listened to it with great joy and wonder."),
+        # fails min_words (short)
+        ("x1", "the quick brown fox jumps here."),
+        # fails symbol ratio (hash/ellipsis soup)
+        ("x2", "the # fox # ran # over # the # dog # and # the # cat # "
+               "sat # on # the # mat # near # the # old # barn # now #"),
+        # fails stopword count (no common stopwords)
+        ("x3", "quantum flux resonator calibrates phased tachyon grid "
+               "metrics beyond nominal thresholds during diagnostics "
+               "sweep cycles across redundant subsystem arrays daily."),
+    ]
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "tmp"))
+    for i, f in enumerate(glob.glob(str(tmp_path / "tmp" / "*.parquet"))):
+        shutil.move(f, str(feed / f"b-{i}.parquet"))
+
+    arrived = []
+    stream = spark.readStream.schema("doc_id string, text string") \
+        .parquet(str(feed))
+    q = (corpus_gate_stream(stream, min_quality=0.0, min_tokens=3,
+                            gopher_min_words=15)
+         .writeStream.outputMode("append")
+         .foreachBatch(lambda b, _: arrived.extend(b.collect()))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    streamed = sorted(r["doc_id"] for r in arrived)
+    batch = sorted(r["doc_id"] for r in
+                   gopher_filter(df, min_words=15)
+                   .select("doc_id").collect())
+    assert streamed == batch == ["k1", "k2"]
