@@ -2233,6 +2233,41 @@ def q_graph_communities(spark, sf_dir):
     return label_propagation(_part_co_edges(spark, sf_dir), iters=4)
 
 
+def _part_co_edges_pre(spark, sf_dir):
+    """Pre-delta part co-purchase graph (Spark twin of
+    oracle.PART_CO_EDGES_PRE_SQL): co-purchases within NON-urgent
+    orders only — the delta q_graph_communities_warm absorbs is the
+    urgent orders' co-purchase edges."""
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    li = (t["lineitem"]
+          .join(t["orders"]
+                .filter(F.col("o_orderpriority") != "1-URGENT")
+                .select("o_orderkey"),
+                F.col("l_orderkey") == F.col("o_orderkey")))
+    a = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("pb"))
+    return (a.join(b, "ok").filter(F.col("pa") < F.col("pb"))
+             .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+             .distinct())
+
+
+def q_graph_communities_warm(spark, sf_dir):
+    """Incremental community maintenance (graph.label_propagation(
+    init_labels=)): converge labels on the PRE-delta co-purchase graph
+    (4 rounds), then absorb the delta (urgent orders' co-purchase
+    edges) by warm-restarting from the previous label assignment for
+    only 2 rounds — the q_graph_pagerank_warm IVM move extended to the
+    label-propagation fixpoint. Deterministic (self-vote, smallest-
+    label tie-break), so the composed CTE unroll value-oracles the
+    whole thing (oracle.label_propagation_sql(init_sql=...))."""
+    from qvarn_mr_spark.operators.graph import label_propagation
+    old = label_propagation(_part_co_edges_pre(spark, sf_dir), iters=4)
+    return label_propagation(_part_co_edges(spark, sf_dir), iters=2,
+                             init_labels=old)
+
+
 def q_graph_degrees(spark, sf_dir):
     """Per-node in/out degree over the same purchase graph — the cheap
     link-farm / orphan companion signal to q_graph_pagerank. Two
@@ -2353,6 +2388,21 @@ def q_graph_hits(spark, sf_dir):
     unroll (oracle.hits_sql) reproduces the arithmetic exactly."""
     from qvarn_mr_spark.operators.graph import hits
     return hits(_cs_edges(spark, sf_dir), iters=4)
+
+
+def q_graph_hits_warm(spark, sf_dir):
+    """Incremental HITS maintenance (graph.hits(init_hubs=)): score the
+    PRE-delta purchase graph (non-urgent orders, 4 half-step pairs),
+    then absorb the delta (urgent orders' edges) by warm-restarting
+    from the previous hub vector for only 2 pairs — the
+    IVM-for-fixpoint-state move of q_graph_pagerank_warm applied to
+    the hub/authority iteration (only hubs are true state; auth is
+    re-derived each half-step). Fully value-oracled: oracle.hits_sql
+    composes, the pre-delta unroll feeding the post-delta unroll as
+    its init CTE."""
+    from qvarn_mr_spark.operators.graph import hits
+    old = hits(_cs_edges_pre(spark, sf_dir), iters=4)
+    return hits(_cs_edges(spark, sf_dir), iters=2, init_hubs=old)
 
 
 def q_doc_paragraph_dedup(spark, sf_dir):
@@ -2611,6 +2661,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # queries' semantics ---
         "graph_pagerank": q_graph_pagerank,
         "graph_hits": q_graph_hits,
+        "graph_hits_warm": q_graph_hits_warm,
+        "graph_communities_warm": q_graph_communities_warm,
         "segment_sales_bucketed": q_segment_sales_bucketed,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -2811,7 +2863,12 @@ def bound_oracles():
       (+2 absolute slack for tiny cardinalities).
     - KLL (k=200): DISTRIBUTION-FREE normalized rank error ≈ 1.65%
       (two-sided); the exact rank of each returned quantile value must
-      sit within ±(eps + 1/n) of its target rank."""
+      sit within ±(eps + 1/n) of its target rank.
+    - percentile_approx (accuracy=100000): published rank error
+      1/accuracy; every doc's bucket must be justified by its EXACT
+      within-language surprisal rank within ±(1e-5 + 1/n) of the
+      bucket boundaries, and mean_nll itself (deterministic) must
+      match the exact twin value-for-value."""
     def hll_check(spark_rows, exact_rows):
         exact = {r[0]: r[1] for r in exact_rows}
         got = {r["event_type"]: r["distinct_est"] for r in spark_rows}
@@ -2836,6 +2893,36 @@ def bound_oracles():
             hi = bisect.bisect_right(vals, est) / n
             assert lo - eps <= p <= hi + eps, (p, est, lo, hi)
 
+    def ppl_scale_check(spark_rows, exact_rows):
+        import bisect
+        from collections import defaultdict
+        exact = {}
+        per_lang = defaultdict(list)
+        for doc_id, lang, nll in exact_rows:
+            exact[doc_id] = (lang, nll)
+            per_lang[lang].append(nll)
+        for vals in per_lang.values():
+            vals.sort()
+        got_ids = {r["doc_id"] for r in spark_rows}
+        assert got_ids == set(exact), (len(got_ids), len(exact))
+        for r in spark_rows:
+            lang, nll = exact[r["doc_id"]]
+            assert r["lang"] == lang, (r["doc_id"], r["lang"], lang)
+            # the score is deterministic — exact match, not a bound
+            assert abs(r["mean_nll"] - nll) <= 1e-9, \
+                (r["doc_id"], r["mean_nll"], nll)
+            vals = per_lang[lang]
+            n = len(vals)
+            eps = 1.0 / 100_000 + 1.0 / n
+            lo = bisect.bisect_left(vals, nll) / n
+            hi = bisect.bisect_right(vals, nll) / n
+            b = r["bucket"]
+            # bucket b means cut[b-1] < nll <= cut[b]; each cut's exact
+            # rank is within 1/accuracy of its target, so the doc's
+            # exact rank interval must overlap [(b-1)/3, b/3] +- eps
+            assert hi >= (b - 1) / 3 - eps, (r["doc_id"], b, lo, hi)
+            assert lo <= b / 3 + eps, (r["doc_id"], b, lo, hi)
+
     return {
         "events_distinct_users_hll": (
             "SELECT event_type, count(DISTINCT user_id) FROM events"
@@ -2843,6 +2930,11 @@ def bound_oracles():
         "price_quantiles_kll": (
             "SELECT CAST(l_extendedprice AS DOUBLE) FROM lineitem",
             kll_check),
+        "doc_perplexity_buckets_scale": (
+            f"WITH sur AS ({oracle.unigram_surprisal_sql()}) "
+            "SELECT s.doc_id, d.lang, s.mean_nll "
+            "FROM sur s JOIN documents d USING (doc_id)",
+            ppl_scale_check),
     }
 
 
@@ -2863,6 +2955,14 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": oracle.pagerank_sql(oracle.CS_EDGES_SQL, iters=6),
         "embedding_random_project": oracle.random_project_sql(64, k=8),
         "graph_hits": oracle.hits_sql(oracle.CS_EDGES_SQL, iters=4),
+        "graph_hits_warm": oracle.hits_sql(
+            oracle.CS_EDGES_SQL, iters=2,
+            init_sql=oracle.hits_sql(oracle.CS_EDGES_PRE_SQL,
+                                     iters=4, prefix="w_")),
+        "graph_communities_warm": oracle.label_propagation_sql(
+            oracle.PART_CO_EDGES_SQL, iters=2,
+            init_sql=oracle.label_propagation_sql(
+                oracle.PART_CO_EDGES_PRE_SQL, iters=4, prefix="w_")),
         "graph_triangles": oracle.triangle_count_sql(
             oracle.PART_CO_EDGES_SQL),
         "graph_triangles_approx": oracle.triangle_count_approx_sql(
@@ -3458,8 +3558,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(doc_id AS BIGINT) % 20 = 0"),
         "doc_bigram_surprisal": oracle.bigram_surprisal_sql(),
         "doc_trigram_surprisal": oracle.trigram_surprisal_sql(),
-        # doc_perplexity_buckets_scale is deliberately absent: the
-        # percentile_approx cuts are sketch-approximate (rows-only)
+        # doc_perplexity_buckets_scale is deliberately absent here: the
+        # percentile_approx cuts are sketch-approximate, so no value
+        # hash can match — it is bound-oracled instead (bound_oracles():
+        # exact mean_nll + rank-error check on every bucket assignment)
         "doc_perplexity_buckets": oracle.perplexity_buckets_sql(),
         "dedup_keep_best": oracle.cluster_keepers_sql(),
         "doc_epoch_shuffle": sampling.epoch_shuffle_sql(

@@ -257,6 +257,8 @@ def hits(
     dst: str = "dst",
     iters: int = 4,
     digits: int | None = 6,
+    init_hubs: DataFrame | None = None,
+    init_hub_col: str = "hub",
 ) -> DataFrame:
     """Kleinberg's HITS: hub/authority scores by alternating power
     iteration — ``authority(v) = sum of hub(u) over u->v edges``, then
@@ -269,7 +271,15 @@ def hits(
 
     Same execution cadence as :func:`pagerank`: per half-step one
     edge-sized shuffle, node-sized state checkpointed per superstep;
-    fixed iteration count for determinism."""
+    fixed iteration count for determinism.
+
+    ``init_hubs``: WARM START — a ``(node, hub)`` frame (column
+    renameable via ``init_hub_col``), typically the previous run's
+    output. Only the hub vector is true state (each superstep derives
+    auth from hub first), so that is all a restart needs. Known nodes
+    keep their hub mass, new nodes get 1/n, renormalized to sum 1
+    (one-row aggregate; raises on a non-positive total) — the same
+    IVM-for-fixpoint-state move as ``pagerank(init_ranks=)``."""
     e = pin(edges.select(F.col(src).alias("src"),
                          F.col(dst).alias("dst")).distinct())
     nodes = pin(e.select(F.col("src").alias("node"))
@@ -278,8 +288,25 @@ def hits(
     # same lineage discipline as pagerank: each superstep references the
     # previous state several times (auth update, hub update, output
     # join), so state is localCheckpoint'ed per superstep
-    state = nodes.select("node", F.lit(1.0).alias("hub"),
-                         F.lit(1.0).alias("auth")).localCheckpoint()
+    if init_hubs is not None:
+        n = nodes.count()
+        joined = (nodes.join(
+            init_hubs.select(F.col("node"),
+                             F.col(init_hub_col).cast("double")
+                             .alias("_h0")), "node", "left")
+            .withColumn("_h0", F.coalesce(F.col("_h0"),
+                                          F.lit(1.0 / n))))
+        tot = joined.agg(F.sum("_h0")).first()[0]
+        if tot is None or tot <= 0:
+            raise ValueError(
+                f"hits warm start: init_hubs total {tot!r} is not "
+                "positive; cannot renormalize to a probability vector")
+        state = (joined.select(
+            "node", (F.col("_h0") / F.lit(float(tot))).alias("hub"),
+            F.lit(1.0).alias("auth")).localCheckpoint())
+    else:
+        state = nodes.select("node", F.lit(1.0).alias("hub"),
+                             F.lit(1.0).alias("auth")).localCheckpoint()
     for _ in range(iters):
         # checkpoint the RAW edge-sized aggregate, not the normalized
         # frame: both its normalizer (the one-row total) and the next
@@ -522,7 +549,9 @@ def clustering_coefficient(edges: DataFrame, src: str = "src",
 
 
 def label_propagation(edges: DataFrame, src: str = "src",
-                      dst: str = "dst", iters: int = 5) -> DataFrame:
+                      dst: str = "dst", iters: int = 5,
+                      init_labels: DataFrame | None = None,
+                      init_label_col: str = "label") -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan
     et al. 2007) over the undirected collapse of ``edges`` — the
     link-farm / topical-cluster signal between connected components
@@ -538,6 +567,15 @@ def label_propagation(edges: DataFrame, src: str = "src",
     ids. Fixed iteration count + total-order tie-break = the same
     SQL-unroll oracle discipline as :func:`pagerank`
     (``oracle.label_propagation_sql``).
+
+    ``init_labels``: WARM START — a ``(node, label)`` frame (column
+    renameable via ``init_label_col``), typically the previous run's
+    output. Nodes present keep their label; new nodes fall back to
+    their own id. The IVM move for fixpoint state, same as
+    ``pagerank(init_ranks=)``: after a small edge delta, a
+    near-converged label assignment needs a fraction of the rounds a
+    cold start does. Composes with the SQL-unroll oracle by feeding
+    the pre-delta unroll in as ``init_sql``.
 
     Per round: one edge-sized join+shuffle (neighbor votes), one
     (node, label)-sized count aggregate, one per-node argmax window
@@ -557,7 +595,17 @@ def label_propagation(edges: DataFrame, src: str = "src",
                .union(e.select(F.col("v").alias("node"),
                                F.col("u").alias("nbr"))))
     nodes = pin(sym.select("node").distinct())
-    labels = nodes.withColumn("label", F.col("node")).localCheckpoint()
+    if init_labels is not None:
+        labels = (nodes.join(
+            init_labels.select(F.col("node"),
+                               F.col(init_label_col).alias("_l0")),
+            "node", "left")
+            .select("node", F.coalesce(F.col("_l0"), F.col("node"))
+                    .alias("label"))
+            .localCheckpoint())
+    else:
+        labels = nodes.withColumn("label",
+                                  F.col("node")).localCheckpoint()
     w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
     for _ in range(iters):
         votes = (sym.join(labels.select(F.col("node").alias("nbr"),

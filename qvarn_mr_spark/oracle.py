@@ -2098,41 +2098,72 @@ def random_project_sql(d: int, k: int = 8, salt: str = "rp",
     return f"SELECT vec_id,\n       {cols}\nFROM {table}"
 
 
-def hits_sql(edges_sql: str, iters: int = 4, digits: int = 6) -> str:
+def hits_sql(edges_sql: str, iters: int = 4, digits: int = 6,
+             init_sql: str | None = None, prefix: str = "") -> str:
     """graph.hits — alternating hub/authority updates unrolled per
-    half-step, L1-normalized exactly as the Spark loop."""
+    half-step, L1-normalized exactly as the Spark loop.
+
+    ``init_sql``: warm start — a query yielding ``(node, hub)``; st0's
+    hub becomes coalesce(init, 1/n) renormalized to sum 1 (auth is dead
+    state — the first half-step derives it from hub), mirroring
+    graph.hits(init_hubs=...). Compose by passing a full
+    hits_sql(..., prefix="w_") over the PRE-delta edge set as
+    ``init_sql`` — prefixed, same CTE-name discipline as
+    pagerank_sql."""
     # every CTE that is referenced more than once is MATERIALIZED —
     # DuckDB otherwise re-executes the subtree per reference, which
     # re-opens the base parquet for every superstep reference and blows
     # the process fd limit on deep unrolls (the SQL mirror of the Spark
     # loop's localCheckpoint)
+    P = prefix
     parts = [
-        f"edges AS MATERIALIZED (SELECT DISTINCT src, dst"
+        f"{P}edges AS MATERIALIZED (SELECT DISTINCT src, dst"
         f" FROM ({edges_sql}))",
-        "nodes AS MATERIALIZED (SELECT src AS node FROM edges"
-        " UNION SELECT dst FROM edges)",
-        "st0 AS (SELECT node, 1.0 AS hub, 1.0 AS auth FROM nodes)",
+        f"{P}nodes AS MATERIALIZED (SELECT src AS node FROM {P}edges"
+        f" UNION SELECT dst FROM {P}edges)",
     ]
+    if init_sql is not None:
+        parts.append(f"{P}nn AS (SELECT CAST(count(*) AS DOUBLE) AS n"
+                     f" FROM {P}nodes)")
+        parts.append(f"{P}init AS MATERIALIZED (SELECT node, "
+                     f"CAST(hub AS DOUBLE) AS hub FROM ({init_sql}))")
+        parts.append(f"{P}ij AS (SELECT n.node, coalesce(i.hub, "
+                     f"1.0 / (SELECT n FROM {P}nn)) AS h0 "
+                     f"FROM {P}nodes n LEFT JOIN {P}init i"
+                     f" ON n.node = i.node)")
+        parts.append(f"{P}itot AS (SELECT sum(h0) AS t0 FROM {P}ij)")
+        parts.append(f"{P}st0 AS (SELECT node, "
+                     f"h0 / (SELECT t0 FROM {P}itot) AS hub, "
+                     f"1.0 AS auth FROM {P}ij)")
+    else:
+        parts.append(f"{P}st0 AS (SELECT node, 1.0 AS hub, 1.0 AS auth"
+                     f" FROM {P}nodes)")
     for i in range(1, iters + 1):
-        p = f"st{i - 1}"
+        p = f"{P}st{i - 1}"
         parts.append(
-            f"ar{i} AS MATERIALIZED (SELECT e.dst AS node, sum(s.hub) AS a "
-            f"FROM edges e JOIN {p} s ON e.src = s.node GROUP BY e.dst)")
+            f"{P}ar{i} AS MATERIALIZED (SELECT e.dst AS node,"
+            f" sum(s.hub) AS a "
+            f"FROM {P}edges e JOIN {p} s ON e.src = s.node"
+            f" GROUP BY e.dst)")
         parts.append(
-            f"an{i} AS MATERIALIZED (SELECT n.node, coalesce(ar.a, 0.0) / "
-            f"(SELECT sum(a) FROM ar{i}) AS auth "
-            f"FROM nodes n LEFT JOIN ar{i} ar ON n.node = ar.node)")
+            f"{P}an{i} AS MATERIALIZED (SELECT n.node,"
+            f" coalesce(ar.a, 0.0) / "
+            f"(SELECT sum(a) FROM {P}ar{i}) AS auth "
+            f"FROM {P}nodes n LEFT JOIN {P}ar{i} ar ON n.node = ar.node)")
         parts.append(
-            f"hr{i} AS MATERIALIZED (SELECT e.src AS node, sum(an.auth) AS h "
-            f"FROM edges e JOIN an{i} an ON e.dst = an.node GROUP BY e.src)")
+            f"{P}hr{i} AS MATERIALIZED (SELECT e.src AS node,"
+            f" sum(an.auth) AS h "
+            f"FROM {P}edges e JOIN {P}an{i} an ON e.dst = an.node"
+            f" GROUP BY e.src)")
         parts.append(
-            f"st{i} AS MATERIALIZED (SELECT n.node, coalesce(hr.h, 0.0) / "
-            f"(SELECT sum(h) FROM hr{i}) AS hub, an.auth "
-            f"FROM nodes n LEFT JOIN hr{i} hr ON n.node = hr.node "
-            f"JOIN an{i} an ON n.node = an.node)")
+            f"{P}st{i} AS MATERIALIZED (SELECT n.node,"
+            f" coalesce(hr.h, 0.0) / "
+            f"(SELECT sum(h) FROM {P}hr{i}) AS hub, an.auth "
+            f"FROM {P}nodes n LEFT JOIN {P}hr{i} hr ON n.node = hr.node "
+            f"JOIN {P}an{i} an ON n.node = an.node)")
     return ("WITH " + ",\n".join(parts) +
             f"\nSELECT node, round(hub, {digits}) AS hub, "
-            f"round(auth, {digits}) AS auth FROM st{iters}")
+            f"round(auth, {digits}) AS auth FROM {P}st{iters}")
 
 
 # --- C4 rule filters (functions/quality.py c4_*) -------------------------
@@ -2302,6 +2333,15 @@ FROM lineitem a JOIN lineitem b
   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 """
 
+PART_CO_EDGES_PRE_SQL = """
+SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+FROM lineitem a
+JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+JOIN orders o ON o.o_orderkey = a.l_orderkey
+WHERE o.o_orderpriority != '1-URGENT'
+"""
+
 
 def triangle_count_sql(edges_sql: str) -> str:
     """graph.triangle_count — same degree-ordered orientation: each
@@ -2341,33 +2381,53 @@ ON d.node = m.node
 """
 
 
-def label_propagation_sql(edges_sql: str, iters: int = 5) -> str:
+def label_propagation_sql(edges_sql: str, iters: int = 5,
+                          init_sql: str | None = None,
+                          prefix: str = "") -> str:
     """graph.label_propagation — the synchronous self-vote update
     unrolled one CTE pair per round (v{i} = votes, l{i} = per-node
     argmax by (count DESC, label ASC)), mirroring the Spark loop's
-    deterministic tie-break exactly."""
+    deterministic tie-break exactly.
+
+    ``init_sql``: warm start — a query yielding ``(node, label)``; l0
+    becomes coalesce(init, node), mirroring
+    graph.label_propagation(init_labels=...). Compose by passing a full
+    label_propagation_sql(..., prefix="w_") over the PRE-delta edge set
+    as ``init_sql`` (prefixed, since DuckDB forbids redefining a CTE
+    name even in a nested scope — same discipline as pagerank_sql)."""
+    P = prefix
     parts = [
-        f"""und AS MATERIALIZED (
+        f"""{P}und AS MATERIALIZED (
   SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
   FROM ({edges_sql}) WHERE src != dst)""",
-        """sym AS MATERIALIZED (
-  SELECT u AS node, v AS nbr FROM und
-  UNION ALL SELECT v, u FROM und)""",
-        "l0 AS (SELECT DISTINCT node, node AS label FROM sym)",
+        f"""{P}sym AS MATERIALIZED (
+  SELECT u AS node, v AS nbr FROM {P}und
+  UNION ALL SELECT v, u FROM {P}und)""",
     ]
-    for i in range(1, iters + 1):
-        p = f"l{i - 1}"
+    if init_sql is not None:
+        parts.append(f"{P}init AS MATERIALIZED (SELECT node, label"
+                     f" FROM ({init_sql}))")
         parts.append(
-            f"v{i} AS (SELECT s.node, l.label "
-            f"FROM sym s JOIN {p} l ON s.nbr = l.node "
+            f"{P}l0 AS (SELECT n.node, coalesce(i.label, n.node)"
+            f" AS label"
+            f" FROM (SELECT DISTINCT node FROM {P}sym) n"
+            f" LEFT JOIN {P}init i ON n.node = i.node)")
+    else:
+        parts.append(f"{P}l0 AS (SELECT DISTINCT node, node AS label"
+                     f" FROM {P}sym)")
+    for i in range(1, iters + 1):
+        p = f"{P}l{i - 1}"
+        parts.append(
+            f"{P}v{i} AS (SELECT s.node, l.label "
+            f"FROM {P}sym s JOIN {p} l ON s.nbr = l.node "
             f"UNION ALL SELECT node, label FROM {p})")
         parts.append(
-            f"l{i} AS MATERIALIZED (SELECT node, label FROM ("
+            f"{P}l{i} AS MATERIALIZED (SELECT node, label FROM ("
             f"SELECT node, label, row_number() OVER ("
             f"PARTITION BY node ORDER BY count(*) DESC, label ASC) AS rn"
-            f" FROM v{i} GROUP BY node, label) WHERE rn = 1)")
+            f" FROM {P}v{i} GROUP BY node, label) WHERE rn = 1)")
     return ("WITH " + ",\n".join(parts)
-            + f"\nSELECT node, label FROM l{iters}")
+            + f"\nSELECT node, label FROM {P}l{iters}")
 
 
 def triangle_count_approx_sql(edges_sql: str, p: float = 0.25,

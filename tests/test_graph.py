@@ -658,6 +658,96 @@ def test_label_propagation_differential_vs_python(spark, edges_df):
     assert got == labels
 
 
+def test_label_propagation_warm_start_default_init_is_identity(
+        spark, edges_df):
+    """init_labels carrying the cold-start assignment (label = node id)
+    must reproduce the default run exactly."""
+    from qvarn_mr_spark.operators.graph import label_propagation
+    nodes = sorted({x for e in GRAPH for x in e if e[0] != e[1]})
+    ini = spark.createDataFrame([(v, v) for v in nodes],
+                                ["node", "label"])
+    base = dict(map(tuple, label_propagation(edges_df,
+                                             iters=3).collect()))
+    warm = dict(map(tuple, label_propagation(edges_df, iters=3,
+                                             init_labels=ini).collect()))
+    assert warm == base
+
+
+def test_label_propagation_warm_start_after_delta(spark):
+    """The IVM property for the label fixpoint: converge on the
+    pre-delta graph, add a bridge and a new node, and a SINGLE warm
+    round lands on the full deep run's assignment (new node absent
+    from init falls back to its own id before voting)."""
+    from qvarn_mr_spark.operators.graph import label_propagation
+    ka = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    kb = [(a, b) for a in "wxyz" for b in "wxyz" if a < b]
+    pre = spark.createDataFrame(ka + kb, ["src", "dst"])
+    prev = label_propagation(pre, iters=4)
+    delta = ka + kb + [("d", "w"), ("a", "e"), ("b", "e")]
+    post = spark.createDataFrame(delta, ["src", "dst"])
+    truth = dict(map(tuple, label_propagation(post, iters=6).collect()))
+    warm = dict(map(tuple, label_propagation(post, iters=1,
+                                             init_labels=prev).collect()))
+    assert warm == truth
+    assert warm["e"] == "a"          # the new node joined clique A
+    assert all(warm[v] == "w" for v in "wxyz")  # bridge didn't merge
+
+
+def test_hits_warm_start_uniform_init_is_identity(spark, edges_df):
+    """A constant init hub vector must reproduce the default run
+    exactly: the first half-step L1-normalizes, so only the relative
+    hub values matter and uniform == the cold 1.0 start."""
+    from qvarn_mr_spark.operators.graph import hits
+    nodes = sorted({x for e in GRAPH for x in e})
+    uni = spark.createDataFrame([(v, 0.25) for v in nodes],
+                                ["node", "hub"])
+    base = sorted(hits(edges_df, iters=3, digits=None).collect())
+    warm = sorted(hits(edges_df, iters=3, digits=None,
+                       init_hubs=uni).collect())
+    for (bn, bh, ba), (wn, wh, wa) in zip(base, warm):
+        assert bn == wn
+        assert bh == pytest.approx(wh, abs=1e-12)
+        assert ba == pytest.approx(wa, abs=1e-12)
+
+
+def test_hits_warm_start_converges_faster(spark):
+    """After a small edge delta, restarting from the previous hub
+    vector reaches the new fixpoint in fewer half-step pairs than a
+    cold start; new nodes absent from init are filled at 1/n."""
+    from qvarn_mr_spark.operators.graph import hits
+    big = ([(f"m{i}", "hub") for i in range(40)]
+           + [("hub", "m0"), ("hub", "m1")]
+           + [(f"m{i}", f"m{i + 1}") for i in range(10)])
+    prev = hits(spark.createDataFrame(big, ["src", "dst"]),
+                iters=10, digits=None)
+    delta = big + [("m40", "m0"), ("m3", "m40")]
+    post = spark.createDataFrame(delta, ["src", "dst"])
+    truth = {r["node"]: (r["hub"], r["auth"])
+             for r in hits(post, iters=14, digits=None).collect()}
+    warm = {r["node"]: (r["hub"], r["auth"])
+            for r in hits(post, iters=1, digits=None,
+                          init_hubs=prev).collect()}
+    cold = {r["node"]: (r["hub"], r["auth"])
+            for r in hits(post, iters=1, digits=None).collect()}
+    assert set(warm) == set(truth) and "m40" in warm
+    assert sum(h for h, _ in warm.values()) == pytest.approx(1.0, 1e-9)
+    assert sum(a for _, a in warm.values()) == pytest.approx(1.0, 1e-9)
+    l1 = lambda got: sum(abs(got[v][0] - truth[v][0])        # noqa: E731
+                         + abs(got[v][1] - truth[v][1]) for v in truth)
+    assert l1(warm) < l1(cold) / 2, (l1(warm), l1(cold))
+
+
+def test_hits_warm_start_zero_init_raises(spark, edges_df):
+    """An all-zero init hub vector must raise, not emit null scores —
+    same guard as pagerank's warm path."""
+    from qvarn_mr_spark.operators.graph import hits
+    nodes = sorted({x for e in GRAPH for x in e})
+    zero = spark.createDataFrame([(v, 0.0) for v in nodes],
+                                 ["node", "hub"])
+    with pytest.raises(ValueError, match="positive"):
+        hits(edges_df, iters=1, init_hubs=zero)
+
+
 def test_connected_components_wrapper(spark):
     from qvarn_mr_spark.operators.graph import connected_components
     edges = [("a", "b"), ("b", "c"), ("x", "y"), ("z", "z")]
