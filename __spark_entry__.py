@@ -1490,6 +1490,22 @@ def q_embedding_ann_recall(spark, sf_dir):
     return similarity.topk_recall(exact, approx, k=5)
 
 
+def q_embedding_tune_nprobe(spark, sf_dir):
+    """Recall-driven ANN tuning (similarity.tune_nprobe): sweep nprobe
+    over {1,2,4} and report mean recall@5 vs exact brute-force plus the
+    scanned-candidate count per grid point — the nprobe dial answered
+    ON the engine, one corpus pass for the whole grid (candidates
+    scored once at max nprobe, each grid point re-ranks the slice its
+    nested routing would have visited). Deterministic end to end;
+    fully value-oracled (oracle.tune_nprobe_sql). Recall is monotone
+    in nprobe by construction — pinned by tests/test_functions.py."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.tune_nprobe(
+        emb, "vec_id", "embedding",
+        centroid_filter=F.col("vec_id") % 100 == 0,
+        query_filter=F.col("vec_id") < 50, k=5, nprobes=(1, 2, 4))
+
+
 def q_embedding_pq_search(spark, sf_dir):
     """Product-quantization ANN: deterministic per-subspace k-means
     codebooks (bounded id-ordered sample, driver-side by design), corpus
@@ -2691,6 +2707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r8: recall@k accounting for the ANN paths, composing
         # the already-oracled exact + probe searches
         "embedding_ann_recall": q_embedding_ann_recall,
+        "embedding_tune_nprobe": q_embedding_tune_nprobe,
         "embedding_density_sample": q_embedding_density_sample,
         "events_type_counts_cms": q_events_type_counts_cms,
         "events_user_funnel_theta": q_events_user_funnel_theta,
@@ -3617,6 +3634,8 @@ def oracle_sql() -> dict[str, str]:
             oracle.ivf_probe_search_sql("vec_id % 100 = 0",
                                         "vec_id < 50", k=5),
             k=5),
+        "embedding_tune_nprobe": oracle.tune_nprobe_sql(
+            "vec_id % 100 = 0", "vec_id < 50", k=5, nprobes=(1, 2, 4)),
         "centroid_by_label": oracle.centroid_by_label_agg_sql(),
         # r7 kmeans trio: the unrolled-Lloyd CTE chain hash-checks the
         # iterative training loop itself, round for round

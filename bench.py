@@ -138,6 +138,10 @@ BENCH_QUERIES = (
     "graph_communities",
     "doc_gopher_rules",
     "corpus_gopher_prepare",
+    # round 9 additions: warm-start fixpoint twins + the ANN tuning grid
+    "graph_hits_warm",
+    "graph_communities_warm",
+    "embedding_tune_nprobe",
 )
 
 #: Deliberate brute-force foils, kept in queries() as labeled baselines

@@ -1356,3 +1356,126 @@ def topk_recall(exact: DataFrame, approx: DataFrame, k: int,
     if digits is not None:
         rec = F.round(rec, digits)
     return out.withColumn("recall", rec)
+
+
+def ivf_probe_search_multi(df: DataFrame, id_col: str, vec_col: str,
+                           centroid_filter: Column, query_filter: Column,
+                           k: int = 3, nprobe: int = 2) -> DataFrame:
+    """Multi-probe IVF search: route each query to its ``nprobe``
+    nearest centroids (:func:`ivf_assign_topn`) and rank over the UNION
+    of those clusters' members — the standard recall dial of an IVF
+    deployment (:func:`ivf_probe_search` is the ``nprobe=1`` special
+    case; recall rises toward 1.0 as nprobe approaches nlist, scan cost
+    rises with it).
+
+    Scale shape: the corpus is scored once per visited cluster member —
+    ~``nprobe/nlist`` of the corpus per query — with the (small) query
+    routing table broadcast; no pairwise all-to-all anywhere.
+
+    Returns ``(q_id, n_id, cos_sim, rn)`` with rn 1..k."""
+    return (_multi_probe_candidates(df, id_col, vec_col, centroid_filter,
+                                    query_filter, nprobe)
+            .withColumn("rn", F.row_number().over(
+                Window.partitionBy("q_id")
+                      .orderBy(F.desc("cos_sim"), F.asc("n_id"))))
+            .filter(F.col("rn") <= k)
+            .select("q_id", "n_id", "cos_sim", "rn"))
+
+
+def _multi_probe_candidates(df: DataFrame, id_col: str, vec_col: str,
+                            centroid_filter: Column, query_filter: Column,
+                            nprobe: int) -> DataFrame:
+    """Shared candidate generator: every (query, member-of-a-visited-
+    cluster) pair scored once, tagged with ``q_rn`` = the probe rank of
+    the member's home cluster for that query — so a grid of nprobe
+    values re-ranks this ONE table instead of re-scanning the corpus
+    (``q_rn <= p`` is exactly "visited under nprobe=p``, because
+    top-n routing is nested by construction)."""
+    assign = ivf_assign(df, id_col, vec_col, centroid_filter) \
+        .select("vec_id", "cluster_id")
+    topn = ivf_assign_topn(df, id_col, vec_col, centroid_filter,
+                           nprobe=nprobe)
+    queries = df.filter(query_filter) \
+        .select(F.col(id_col).alias("vec_id"))
+    q_routes = (topn.join(queries, "vec_id", "left_semi")
+                .select(F.col("vec_id").alias("q_id"),
+                        F.col("cluster_id").alias("q_cluster"),
+                        F.col("rn").alias("q_rn")))
+    qv = df.select(F.col(id_col).alias("q_id"),
+                   _as_double(df, vec_col).alias("q_vec"))
+    vecs = df.select(F.col(id_col).alias("n_id"),
+                     _as_double(df, vec_col).alias("n_vec"))
+    members = assign.select(F.col("vec_id").alias("n_id"), "cluster_id")
+    return (F.broadcast(q_routes).join(qv, "q_id")
+            .join(members, F.col("q_cluster") == F.col("cluster_id"))
+            .join(vecs, "n_id")
+            .filter(F.col("q_id") != F.col("n_id"))
+            .select("q_id", "n_id", "q_rn",
+                    F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6)
+                    .alias("cos_sim")))
+
+
+def tune_nprobe(df: DataFrame, id_col: str, vec_col: str,
+                centroid_filter: Column, query_filter: Column,
+                k: int = 3, nprobes=(1, 2, 4),
+                digits: int = 6) -> DataFrame:
+    """Recall-driven ANN tuning: sweep an nprobe grid and report, per
+    grid point, the mean recall@k of multi-probe IVF search against the
+    exact brute-force answer over the SAME bounded query sample, plus
+    the candidate count (the scan-cost side of the trade) — the
+    DoReMi/mixture-search grid pattern applied to ANN serving, answered
+    ON the engine instead of guessed.
+
+    ONE corpus pass regardless of grid size: candidates are scored once
+    at max(nprobes) (:func:`_multi_probe_candidates`), then each grid
+    point re-ranks the (queries x visited-members) table under
+    ``q_rn <= p`` — nested routing makes the slice exactly what
+    ``nprobe=p`` would have scanned. The exact side is one
+    :func:`knn_bruteforce` over the same query sample. Everything
+    downstream keys on (nprobe, q_id); the output is a |grid|-row
+    table.
+
+    Recall is monotone non-decreasing in nprobe by construction (the
+    candidate sets are nested) — pinned by test. Deterministic end to
+    end (rounded sims, total-order tie-breaks), so the full trajectory
+    is value-oracled (oracle.tune_nprobe_sql).
+
+    Returns ``(nprobe, n_queries, mean_recall, n_candidates)`` —
+    ``n_candidates`` = total scored pairs at that nprobe, the cost
+    denominator a deployment reads next to the recall."""
+    from qvarn_mr_spark.session import pin
+
+    spark = df.sparkSession
+    probes = sorted({int(p) for p in nprobes})
+    if not probes or probes[0] < 1:
+        raise ValueError(f"tune_nprobe: invalid nprobe grid {nprobes!r}")
+    exact = pin(knn_bruteforce(df, id_col, vec_col, query_filter, k)
+                .select("q_id", "n_id"))
+    cand = pin(_multi_probe_candidates(df, id_col, vec_col,
+                                       centroid_filter, query_filter,
+                                       probes[-1]))
+    grid = spark.createDataFrame([(p,) for p in probes], "nprobe int")
+    gc = cand.join(F.broadcast(grid), F.col("q_rn") <= F.col("nprobe"))
+    w = Window.partitionBy("nprobe", "q_id") \
+              .orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    topk = (gc.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= k))
+    hits = (topk.join(exact, ["q_id", "n_id"])
+            .groupBy("nprobe", "q_id")
+            .agg(F.count(F.lit(1)).alias("n_hit")))
+    ec = exact.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    per_q = (ec.crossJoin(F.broadcast(grid))
+             .join(hits, ["nprobe", "q_id"], "left")
+             .select("nprobe",
+                     (F.coalesce(F.col("n_hit"), F.lit(0))
+                      / F.least(F.lit(int(k)), F.col("n_exact"))
+                      .cast("double")).alias("rec")))
+    ncand = gc.groupBy("nprobe").agg(
+        F.count(F.lit(1)).alias("n_candidates"))
+    return (per_q.groupBy("nprobe")
+            .agg(F.count(F.lit(1)).alias("n_queries"),
+                 F.round(F.avg("rec"), digits).alias("mean_recall"))
+            .join(ncand, "nprobe", "left")
+            .select("nprobe", "n_queries", "mean_recall",
+                    F.coalesce(F.col("n_candidates"), F.lit(0))
+                    .alias("n_candidates")))

@@ -497,6 +497,80 @@ SELECT q_id, n_id, cos_sim, rn FROM (
 """
 
 
+def tune_nprobe_sql(centroid_pred: str, query_pred: str, k: int = 3,
+                    nprobes=(1, 2, 4), digits: int = 6,
+                    table: str = "embeddings") -> str:
+    """similarity.tune_nprobe — the whole recall-vs-nprobe trajectory:
+    candidates scored once at max(nprobe) with the probe rank kept,
+    each grid point sliced by ``q_rn <= p``, per-query recall against
+    the brute-force exact answer, averaged per grid point. Mirrors the
+    Spark side's one-pass candidate table arithmetic exactly (rounded
+    sims, (cos_sim DESC, n_id ASC) tie-break)."""
+    probes = sorted({int(p) for p in nprobes})
+    maxp = probes[-1]
+    grid = ", ".join(f"({p})" for p in probes)
+    acos = _COS.format(a="v.e", b="c.e")
+    cos = _COS.format(a="qv.e", b="nv.e")
+    ecos = _COS.format(a="q.e", b="c.e")
+    return f"""
+WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                        FROM {table}),
+cent AS (SELECT vec_id AS cluster_id, e FROM e WHERE {centroid_pred}),
+aranked AS MATERIALIZED (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cos_sim DESC, cluster_id ASC) AS rn
+  FROM (SELECT v.vec_id, c.cluster_id, round({acos}, 6) AS cos_sim
+        FROM e v, cent c)
+),
+q AS (SELECT vec_id AS q_id FROM e WHERE {query_pred}),
+exact AS MATERIALIZED (
+  SELECT q_id, n_id FROM (
+    SELECT q.q_id, c.vec_id AS n_id,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY round({ecos}, 6) DESC, c.vec_id ASC) AS rn
+    FROM (SELECT q_id, e FROM e JOIN q ON vec_id = q_id) q, e c
+    WHERE q.q_id != c.vec_id) WHERE rn <= {k}
+),
+routes AS (SELECT vec_id AS q_id, cluster_id AS q_cluster, rn AS q_rn
+           FROM aranked WHERE rn <= {maxp}
+             AND vec_id IN (SELECT q_id FROM q)),
+members AS (SELECT vec_id AS n_id, cluster_id FROM aranked WHERE rn = 1),
+cand AS MATERIALIZED (
+  SELECT r.q_id, m.n_id, r.q_rn, round({cos}, 6) AS cos_sim
+  FROM routes r
+  JOIN members m ON m.cluster_id = r.q_cluster
+  JOIN e qv ON qv.vec_id = r.q_id
+  JOIN e nv ON nv.vec_id = m.n_id
+  WHERE r.q_id != m.n_id
+),
+grid(nprobe) AS (VALUES {grid}),
+gc AS MATERIALIZED (
+  SELECT g.nprobe, c.* FROM cand c JOIN grid g ON c.q_rn <= g.nprobe),
+topk AS (
+  SELECT nprobe, q_id, n_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY nprobe, q_id
+               ORDER BY cos_sim DESC, n_id ASC) AS rn FROM gc)
+  WHERE rn <= {k}
+),
+hits AS (SELECT t.nprobe, t.q_id, count(*) AS n_hit
+         FROM topk t JOIN exact x ON t.q_id = x.q_id AND t.n_id = x.n_id
+         GROUP BY 1, 2),
+ec AS (SELECT q_id, count(*) AS n_exact FROM exact GROUP BY 1),
+per_q AS (
+  SELECT g.nprobe,
+         coalesce(h.n_hit, 0)
+           / CAST(least({int(k)}, ec.n_exact) AS DOUBLE) AS rec
+  FROM ec CROSS JOIN grid g
+  LEFT JOIN hits h ON h.q_id = ec.q_id AND h.nprobe = g.nprobe),
+nc AS (SELECT nprobe, count(*) AS n_candidates FROM gc GROUP BY 1)
+SELECT p.nprobe, count(*) AS n_queries,
+       round(avg(p.rec), {digits}) AS mean_recall,
+       coalesce(any_value(nc.n_candidates), 0) AS n_candidates
+FROM per_q p LEFT JOIN nc ON p.nprobe = nc.nprobe
+GROUP BY p.nprobe
+"""
+
+
 def centroid_by_label_sql(table: str = "embeddings") -> str:
     return f"""
 SELECT label,

@@ -1269,6 +1269,63 @@ def test_topk_recall_hand_case(spark):
     assert r5["recall"] == 1.0
 
 
+def test_multi_probe_nprobe1_matches_single_probe(spark, sf_dir):
+    """ivf_probe_search_multi(nprobe=1) must equal ivf_probe_search —
+    the single-probe operator is the nested base case of the dial."""
+    from pyspark.sql import functions as F
+
+    from qvarn_mr_spark.catalog import load_tables
+    from qvarn_mr_spark.functions.similarity import (
+        ivf_probe_search, ivf_probe_search_multi)
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    kw = dict(centroid_filter=F.col("vec_id") % 100 == 0,
+              query_filter=F.col("vec_id") < 10, k=3)
+    one = sorted(map(tuple, ivf_probe_search(
+        emb, "vec_id", "embedding", **kw).collect()))
+    multi = sorted(map(tuple, ivf_probe_search_multi(
+        emb, "vec_id", "embedding", nprobe=1, **kw).collect()))
+    assert one == multi and len(one) > 0
+
+
+def test_tune_nprobe_monotone_and_saturates(spark, sf_dir):
+    """The tuning table's contract: recall and candidate count are
+    monotone non-decreasing in nprobe (nested candidate sets), every
+    query appears at every grid point, and nprobe >= nlist reaches
+    recall 1.0 (all clusters visited = brute force minus nothing)."""
+    from pyspark.sql import functions as F
+
+    from qvarn_mr_spark.catalog import load_tables
+    from qvarn_mr_spark.functions.similarity import tune_nprobe
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    cents = emb.filter(F.col("vec_id") % 100 == 0).count()
+    out = {r["nprobe"]: r for r in tune_nprobe(
+        emb, "vec_id", "embedding",
+        centroid_filter=F.col("vec_id") % 100 == 0,
+        query_filter=F.col("vec_id") < 10, k=3,
+        nprobes=(1, 2, cents)).collect()}
+    assert sorted(out) == [1, 2, cents]
+    nq = {r["n_queries"] for r in out.values()}
+    assert nq == {10}
+    recs = [out[p]["mean_recall"] for p in sorted(out)]
+    cands = [out[p]["n_candidates"] for p in sorted(out)]
+    assert recs == sorted(recs), recs
+    assert cands == sorted(cands), cands
+    assert out[cents]["mean_recall"] == 1.0
+    assert all(0.0 <= r <= 1.0 for r in recs)
+
+
+def test_tune_nprobe_bad_grid_raises(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from qvarn_mr_spark.catalog import load_tables
+    from qvarn_mr_spark.functions.similarity import tune_nprobe
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    with pytest.raises(ValueError, match="grid"):
+        tune_nprobe(emb, "vec_id", "embedding",
+                    centroid_filter=F.col("vec_id") % 100 == 0,
+                    query_filter=F.col("vec_id") < 10, nprobes=(0, 2))
+
+
 def test_topk_recall_clamped_when_exact_exceeds_k(spark):
     """ADVICE r8: an exact input carrying MORE than k rows per query
     (caller broke the top-k contract) used to report recall > 1.0
