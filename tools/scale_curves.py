@@ -1,0 +1,160 @@
+"""Measured scale curves for the most expensive operators.
+
+The 100 TB design prose (SCALE.md) argues analytic bounds; this measures
+them: the heavy queries run at sf0.1 (driver data) and the upsampled
+sf0.3 / sf1 lookalikes (tools/make_scaledata.py), each timed with the
+bench harness's construct+run accounting (min of N attempts, persisted
+state dropped between attempts), then a least-squares log-log slope is
+fitted per query:
+
+    t(sf) ~ c * sf^alpha      alpha = the measured scaling exponent
+
+Reading alpha: ~1 is linear in data volume, <1 means fixed overhead
+(job scheduling, superstep cadence, broadcast constants) still
+dominates at these sizes, >1 is superlinear growth — for the graph
+family that is EXPECTED here by construction: the upsampler keeps the
+part/customer/supplier key space fixed, so the co-purchase and
+purchase graphs densify (edges and wedges grow faster than sf), the
+adversarial regime the m^1.5 bound and the max_wedges valve are for.
+The companion `*_m` fields record each graph query's actual edge count
+so the exponent can be read against m, not sf.
+
+Usage: python tools/scale_curves.py [--runs N] [--out FILE]
+Writes SCALE_CURVES.json and prints a markdown table for SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry
+from qvarn_mr_spark.session import get_spark
+
+#: (name, sf) -> dir; sf0.1 is the driver's real data, the rest are the
+#: deterministic upsampled lookalikes.
+SCALE_POINTS = (
+    (0.1, "/root/testdata/sf0.1"),
+    (0.3, ".scaledata/sf0.3"),
+    (1.0, ".scaledata/sf1"),
+)
+
+#: The expensive families VERDICT r8 asked to demonstrate: graph
+#: fixpoints, the exact/approx triangle pair, the composed corpus
+#: pipelines, corpus dedup, the grid searches, ANN serving + tuning.
+CURVE_QUERIES = (
+    "graph_pagerank",
+    "graph_pagerank_warm",
+    "graph_hits",
+    "graph_communities",
+    "graph_triangles",
+    "graph_triangles_approx",
+    "graph_clustering",
+    "corpus_funnel",
+    "corpus_dsir_prepare",
+    "dedup_corpus",
+    "doc_mixture_search",
+    "kmeans_probe_search",
+    "embedding_tune_nprobe",
+)
+
+
+def fit_alpha(xs, ys):
+    """Least-squares slope of log(y) on log(x)."""
+    lx = [math.log(x) for x in xs]
+    ly = [math.log(y) for y in ys]
+    n = len(lx)
+    mx, my = sum(lx) / n, sum(ly) / n
+    den = sum((x - mx) ** 2 for x in lx)
+    return sum((x - mx) * (y - my) for x, y in zip(lx, ly)) / den
+
+
+def main():
+    runs = 2
+    if "--runs" in sys.argv:
+        runs = int(sys.argv[sys.argv.index("--runs") + 1])
+    out_path = "SCALE_CURVES.json"
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+
+    spark = get_spark("qvarn-mr-scale-curves")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    def drop_persisted():
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+
+    # graph sizes per scale point (edge counts of the two driver graphs)
+    graph_m = {}
+    for sf, d in SCALE_POINTS:
+        cs = entry._cs_edges(spark, d).count()
+        pc = entry._part_co_edges(spark, d).count()
+        graph_m[sf] = {"cs_edges": cs, "part_co_edges": pc}
+        print(f"sf{sf}: cs_edges={cs} part_co_edges={pc}", flush=True)
+
+    results = {}
+    for name in CURVE_QUERIES:
+        results[name] = {}
+        for sf, d in SCALE_POINTS:
+            attempts = []
+            for _ in range(runs):
+                drop_persisted()
+                t0 = time.time()
+                df = qs[name](spark, d)
+                df.write.format("noop").mode("overwrite").save()
+                attempts.append(time.time() - t0)
+            results[name][sf] = round(min(attempts), 3)
+            print(f"{name} sf{sf}: {results[name][sf]}s", flush=True)
+
+    table = []
+    for name, by_sf in results.items():
+        sfs = sorted(by_sf)
+        times = [by_sf[s] for s in sfs]
+        alpha = fit_alpha(sfs, times)
+        # for the graph family, the exponent against the ACTUAL edge
+        # count (the upsampler densifies graphs superlinearly in sf)
+        gkey = ("part_co_edges" if name.startswith(("graph_triangles",
+                                                    "graph_clustering",
+                                                    "graph_communities"))
+                else "cs_edges" if name.startswith(("graph_pagerank",
+                                                    "graph_hits"))
+                else None)
+        row = {"query": name,
+               "t": {str(s): by_sf[s] for s in sfs},
+               "alpha_vs_sf": round(alpha, 3)}
+        if gkey:
+            ms = [graph_m[s][gkey] for s in sfs]
+            row["m"] = {str(s): m for s, m in zip(sfs, ms)}
+            row["alpha_vs_m"] = round(fit_alpha(ms, times), 3)
+        table.append(row)
+
+    payload = {"runs_per_point": runs,
+               "accounting": "construct+run (bench.py discipline)",
+               "scale_points": {str(s): d for s, d in SCALE_POINTS},
+               "graph_m": {str(s): graph_m[s] for s, _ in SCALE_POINTS},
+               "curves": table}
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(f"\nwrote {out_path}\n")
+
+    print("| query | t(sf0.1) | t(sf0.3) | t(sf1) | alpha vs sf |"
+          " alpha vs m |")
+    print("|---|---|---|---|---|---|")
+    for row in table:
+        t = row["t"]
+        am = row.get("alpha_vs_m", "")
+        print(f"| {row['query']} | {t['0.1']} | {t['0.3']} | {t['1.0']} |"
+              f" {row['alpha_vs_sf']} | {am} |")
+
+
+if __name__ == "__main__":
+    main()
