@@ -182,6 +182,7 @@ def main() -> None:
 
     times: dict[str, float] = {}
     construct: dict[str, float] = {}
+    spread: dict[str, list] = {}
 
     def drop_persisted():
         # each query runs as a fresh job would on a cluster: eager
@@ -217,6 +218,11 @@ def main() -> None:
         # attribution split (sidecar only): construction share of the
         # fastest attempt — NOT subtracted from the headline
         construct[name] = round(plan_only[attempts.index(min(attempts))], 3)
+        # attempt spread (sidecar only): [min, max] across attempts, so
+        # a sidecar-to-sidecar delta inside the noise band can't
+        # masquerade as a regression (r7's warm-state minhash_candidates
+        # 0.49s vs r8's cold 2.26s taught this lesson)
+        spread[name] = [round(min(attempts), 3), round(max(attempts), 3)]
 
     out = {
         "metric": ("all_queries_total_wall" if bench_all
@@ -226,6 +232,7 @@ def main() -> None:
         "accounting": "construct+run",
         "queries": times,
         "construct": construct,
+        "spread": spread,
         "construct_total": round(sum(construct.values()), 3),
         # continuity with BENCH_r01..r07, whose headline was run-only:
         # the execution share of the same fastest attempts
@@ -248,7 +255,7 @@ def main() -> None:
     # stdout line now carries NO per-query data at all — just the
     # headline and a pointer to the sidecar.
     compact = {k: v for k, v in out.items()
-               if k not in ("queries", "construct")}
+               if k not in ("queries", "construct", "spread")}
     compact["n_queries"] = len(times)
     compact["sidecar"] = sidecar_name
     line = json.dumps(compact, separators=(",", ":"))
