@@ -2386,14 +2386,40 @@ def q_graph_components(spark, sf_dir):
     transitive closure over the symmetric edge set
     (oracle.connected_components_sql)."""
     from qvarn_mr_spark.operators.graph import connected_components
+    return connected_components(_supp_nation_edges(spark, sf_dir))
+
+
+def _supp_nation_edges(spark, sf_dir, pred=None):
+    """Supplier co-nation edges (Spark twin of
+    oracle.SUPP_NATION_EDGES_SQL); ``pred`` restricts the supplier set
+    (the pre-delta snapshot for the warm-start query)."""
     t = _t(spark, sf_dir, "supplier")["supplier"]
+    if pred is not None:
+        t = t.filter(pred)
     a = t.select(F.col("s_nationkey").alias("nk"),
                  F.col("s_suppkey").alias("sa"))
     b = t.select(F.col("s_nationkey").alias("nk"),
                  F.col("s_suppkey").alias("sb"))
-    edges = (a.join(b, "nk").filter(F.col("sa") < F.col("sb"))
-              .select(F.col("sa").alias("src"), F.col("sb").alias("dst")))
-    return connected_components(edges)
+    return (a.join(b, "nk").filter(F.col("sa") < F.col("sb"))
+             .select(F.col("sa").alias("src"), F.col("sb").alias("dst")))
+
+
+def q_graph_components_warm(spark, sf_dir):
+    """Incremental connected components (graph.connected_components(
+    init_components=)): label the PRE-delta graph (even-keyed suppliers
+    only), then absorb the delta (the odd suppliers' edges) by
+    restarting min-label propagation from the previous component
+    labels — the additions-only IVM move for the CC fixpoint; the
+    delta's merges propagate in 1-2 rounds instead of O(log n). CC is
+    init-independent under edge growth, so the SAME recursive-CTE
+    transitive closure that oracles the cold query value-oracles this
+    one — the check proves the warm path lands on the exact cold
+    fixpoint, label for label."""
+    from qvarn_mr_spark.operators.graph import connected_components
+    prev = connected_components(
+        _supp_nation_edges(spark, sf_dir, F.col("s_suppkey") % 2 == 0))
+    return connected_components(_supp_nation_edges(spark, sf_dir),
+                                init_components=prev)
 
 
 def q_graph_hits(spark, sf_dir):
@@ -2679,6 +2705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits": q_graph_hits,
         "graph_hits_warm": q_graph_hits_warm,
         "graph_communities_warm": q_graph_communities_warm,
+        "graph_components_warm": q_graph_components_warm,
         "segment_sales_bucketed": q_segment_sales_bucketed,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -2987,6 +3014,10 @@ def oracle_sql() -> dict[str, str]:
         "graph_clustering": oracle.clustering_coefficient_sql(
             oracle.PART_CO_EDGES_SQL),
         "graph_components": oracle.connected_components_sql(
+            oracle.SUPP_NATION_EDGES_SQL),
+        # warm CC converges to the same fixpoint as cold under edge
+        # growth (init-independence) — the cold closure IS its oracle
+        "graph_components_warm": oracle.connected_components_sql(
             oracle.SUPP_NATION_EDGES_SQL),
         "graph_communities": oracle.label_propagation_sql(
             oracle.PART_CO_EDGES_SQL, iters=4),

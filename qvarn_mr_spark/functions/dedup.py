@@ -567,7 +567,9 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str,
 
 
 def dup_clusters(pairs: DataFrame, a: str = "a_id", b: str = "b_id",
-                 max_iter: int = 12) -> DataFrame:
+                 max_iter: int = 12,
+                 init_labels: DataFrame | None = None,
+                 init_label_col: str = "cluster_id") -> DataFrame:
     """Connected components over a duplicate-pair edge list: every node gets
     ``cluster_id`` = the smallest node id in its component. Completes the
     dedup pipeline: candidate PAIRS (from :func:`minhash_candidates` /
@@ -588,7 +590,20 @@ def dup_clusters(pairs: DataFrame, a: str = "a_id", b: str = "b_id",
     reliable ``checkpoint()`` on a real cluster). Convergence is detected
     with a LIMIT-1 existence probe, not a full count. The fixpoint is
     iterative, but its result is value-oracled anyway: DuckDB's recursive
-    CTE computes the same transitive closure (oracle.dup_clusters_sql)."""
+    CTE computes the same transitive closure (oracle.dup_clusters_sql).
+
+    ``init_labels``: WARM START for a GROWING pair list — a
+    ``(node, cluster_id)`` frame, typically the previous run's output
+    (column renameable via ``init_label_col``). Known nodes start from
+    their previous component minimum, new nodes from their own id; a
+    near-converged start collapses the usual O(log n) rounds to the
+    1-2 it takes the delta's merges to propagate. ADDITIONS ONLY: the
+    label pointers keep previously-merged nodes connected, so the
+    result equals the cold fixpoint exactly when every previous merge
+    is still justified by the current edge set (the monotone regime of
+    corpus dedup — documents arrive, candidate pairs accumulate);
+    after edge DELETIONS run cold, min-label CC is not decremental.
+    Same IVM-for-fixpoint-state move as ``pagerank(init_ranks=)``."""
     # materialize the pair list ONCE, before the symmetric union: its
     # lineage is typically the whole candidate-generation pipeline
     # (shingle→minhash→LSH), which would otherwise re-execute once per
@@ -600,6 +615,13 @@ def dup_clusters(pairs: DataFrame, a: str = "a_id", b: str = "b_id",
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
     labels = (sym.select(F.col("u").alias("node")).distinct()
               .withColumn("label", F.col("node")))
+    if init_labels is not None:
+        labels = (labels.join(
+            init_labels.select(F.col("node"),
+                               F.col(init_label_col).alias("_l0")),
+            "node", "left")
+            .select("node", F.coalesce(F.col("_l0"), F.col("node"))
+                    .alias("label")))
     for _ in range(max_iter):
         # pointer doubling: treat (node -> label) as extra edges both ways
         edges = sym.unionByName(

@@ -755,3 +755,40 @@ def test_connected_components_wrapper(spark):
         spark.createDataFrame(edges, ["src", "dst"])).collect()))
     assert out == {"a": "a", "b": "a", "c": "a",
                    "x": "x", "y": "x", "z": "z"}
+
+
+def test_connected_components_warm_start_after_growth(spark):
+    """Additions-only IVM for the CC fixpoint: warm-starting from the
+    pre-delta labels lands on the exact cold fixpoint after new edges
+    merge components and a new node arrives."""
+    from qvarn_mr_spark.operators.graph import connected_components
+    pre = [(i, i + 1) for i in range(0, 7)] + \
+          [(i, i + 1) for i in range(8, 15)]
+    prev = connected_components(spark.createDataFrame(pre,
+                                                      ["src", "dst"]))
+    post = pre + [(7, 8), (15, 16)]
+    post_df = spark.createDataFrame(post, ["src", "dst"])
+    truth = dict(map(tuple, connected_components(post_df).collect()))
+    warm = dict(map(tuple, connected_components(
+        post_df, init_components=prev).collect()))
+    assert warm == truth
+    assert set(warm.values()) == {0} and warm[16] == 0
+
+
+def test_connected_components_warm_start_needs_fewer_rounds(spark):
+    """The payoff: on a 16-node chain whose two converged halves get
+    bridged, TWO warm rounds reach the fixpoint while two cold rounds
+    are still propagating (pointer doubling needs ~log n from
+    scratch)."""
+    from qvarn_mr_spark.operators.graph import connected_components
+    pre = [(i, i + 1) for i in range(0, 7)] + \
+          [(i, i + 1) for i in range(8, 15)]
+    prev = connected_components(spark.createDataFrame(pre,
+                                                      ["src", "dst"]))
+    post_df = spark.createDataFrame(pre + [(7, 8)], ["src", "dst"])
+    warm = dict(map(tuple, connected_components(
+        post_df, init_components=prev, max_iter=2).collect()))
+    cold = dict(map(tuple, connected_components(
+        post_df, max_iter=2).collect()))
+    assert set(warm.values()) == {0}
+    assert set(cold.values()) != {0}
