@@ -64,6 +64,42 @@ CURVE_QUERIES = (
 )
 
 
+def _kmeans_probe_fixed_nlist(spark, sf_dir):
+    """kmeans_probe_search with a FIXED centroid count (20) at every
+    scale point. The driver query's `vec_id % 100 == 0` centroid filter
+    ties nlist to the corpus (k = n/100), so its measured curve is the
+    n·k = n²/100 of that CONSTRUCTION, not the operator; production
+    fixes nlist (or grows it ~sqrt(n)). This twin isolates the
+    operator's own scaling."""
+    from pyspark.sql import functions as F
+
+    from qvarn_mr_spark.catalog import load_tables
+    from qvarn_mr_spark.functions.similarity import kmeans_probe_search
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    return kmeans_probe_search(emb, "vec_id", "embedding",
+                               init_filter=F.col("vec_id") < 20,
+                               query_filter=F.col("vec_id") < 50, k=3)
+
+
+def _tune_nprobe_fixed_nlist(spark, sf_dir):
+    """tune_nprobe with the same fixed-20-centroid isolation."""
+    from pyspark.sql import functions as F
+
+    from qvarn_mr_spark.catalog import load_tables
+    from qvarn_mr_spark.functions.similarity import tune_nprobe
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    return tune_nprobe(emb, "vec_id", "embedding",
+                       centroid_filter=F.col("vec_id") < 20,
+                       query_filter=F.col("vec_id") < 50, k=5,
+                       nprobes=(1, 2, 4))
+
+
+EXTRA_QUERIES = {
+    "kmeans_probe_fixed_nlist": _kmeans_probe_fixed_nlist,
+    "tune_nprobe_fixed_nlist": _tune_nprobe_fixed_nlist,
+}
+
+
 def fit_alpha(xs, ys):
     """Least-squares slope of log(y) on log(x)."""
     lx = [math.log(x) for x in xs]
@@ -84,7 +120,13 @@ def main():
 
     spark = get_spark("qvarn-mr-scale-curves")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = entry.queries()
+    qs = dict(entry.queries())
+    qs.update(EXTRA_QUERIES)
+    names = tuple(CURVE_QUERIES) + tuple(EXTRA_QUERIES)
+    if "--extra-only" in sys.argv:
+        # second pass: run just the fixed-nlist isolation twins and
+        # merge them into an existing SCALE_CURVES.json
+        names = tuple(EXTRA_QUERIES)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     def drop_persisted():
@@ -102,7 +144,7 @@ def main():
         print(f"sf{sf}: cs_edges={cs} part_co_edges={pc}", flush=True)
 
     results = {}
-    for name in CURVE_QUERIES:
+    for name in names:
         results[name] = {}
         for sf, d in SCALE_POINTS:
             attempts = []
@@ -142,6 +184,13 @@ def main():
                "scale_points": {str(s): d for s, d in SCALE_POINTS},
                "graph_m": {str(s): graph_m[s] for s, _ in SCALE_POINTS},
                "curves": table}
+    if "--extra-only" in sys.argv and os.path.exists(out_path):
+        with open(out_path) as f:
+            prev = json.load(f)
+        kept = [r for r in prev.get("curves", [])
+                if r["query"] not in {t["query"] for t in table}]
+        payload["curves"] = kept + table
+        payload["runs_per_point"] = prev.get("runs_per_point", runs)
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
     print(f"\nwrote {out_path}\n")
