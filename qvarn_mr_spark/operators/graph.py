@@ -259,6 +259,7 @@ def hits(
     digits: int | None = 6,
     init_hubs: DataFrame | None = None,
     init_hub_col: str = "hub",
+    tol: float | None = None,
 ) -> DataFrame:
     """Kleinberg's HITS: hub/authority scores by alternating power
     iteration — ``authority(v) = sum of hub(u) over u->v edges``, then
@@ -279,7 +280,12 @@ def hits(
     auth from hub first), so that is all a restart needs. Known nodes
     keep their hub mass, new nodes get 1/n, renormalized to sum 1
     (one-row aggregate; raises on a non-positive total) — the same
-    IVM-for-fixpoint-state move as ``pagerank(init_ranks=)``."""
+    IVM-for-fixpoint-state move as ``pagerank(init_ranks=)``.
+
+    ``tol``: the convergence-tested production twin, mirroring
+    ``pagerank(tol=)`` — stop when the superstep L1 delta over
+    (hub, auth) drops below ``tol``, with ``iters`` as the safety cap;
+    one node-sized join + a one-row collect per superstep."""
     e = pin(edges.select(F.col(src).alias("src"),
                          F.col(dst).alias("dst")).distinct())
     nodes = pin(e.select(F.col("src").alias("node"))
@@ -334,7 +340,19 @@ def hits(
                     .select("node", (F.coalesce(F.col("hub"), F.lit(0.0))
                                      / F.col("tot")).alias("hub"))
                     .join(a, "node"))
+        prev = state
         state = nxt.localCheckpoint()
+        if tol is not None:
+            # convergence probe (pagerank's tol= discipline): node-sized
+            # join over two checkpointed frames, one row to the driver
+            delta = (state.join(
+                prev.select("node", F.col("hub").alias("_ph"),
+                            F.col("auth").alias("_pa")), "node")
+                .agg(F.sum(F.abs(F.col("hub") - F.col("_ph"))
+                           + F.abs(F.col("auth") - F.col("_pa")))
+                .alias("d")).collect()[0]["d"])
+            if delta is not None and delta < tol:
+                break
     out = state
     if digits is not None:
         out = out.select("node", F.round("hub", digits).alias("hub"),
@@ -551,7 +569,8 @@ def clustering_coefficient(edges: DataFrame, src: str = "src",
 def label_propagation(edges: DataFrame, src: str = "src",
                       dst: str = "dst", iters: int = 5,
                       init_labels: DataFrame | None = None,
-                      init_label_col: str = "label") -> DataFrame:
+                      init_label_col: str = "label",
+                      until_stable: bool = False) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan
     et al. 2007) over the undirected collapse of ``edges`` — the
     link-farm / topical-cluster signal between connected components
@@ -576,6 +595,12 @@ def label_propagation(edges: DataFrame, src: str = "src",
     near-converged label assignment needs a fraction of the rounds a
     cold start does. Composes with the SQL-unroll oracle by feeding
     the pre-delta unroll in as ``init_sql``.
+
+    ``until_stable``: the convergence-tested production twin
+    (``pagerank(tol=)`` / ``dup_clusters``'s probe discipline) — stop
+    as soon as a round changes no label, ``iters`` the safety cap; the
+    probe is a LIMIT-1 existence scan over the already-checkpointed
+    round, not a count.
 
     Per round: one edge-sized join+shuffle (neighbor votes), one
     (node, label)-sized count aggregate, one per-node argmax window
@@ -614,11 +639,24 @@ def label_propagation(edges: DataFrame, src: str = "src",
                     .union(labels.select("node", "label")))
         counts = votes.groupBy("node", "label").agg(
             F.count(F.lit(1)).alias("cnt"))
-        labels = (counts.withColumn("_rn", F.row_number().over(w))
-                        .filter(F.col("_rn") == 1)
-                        .select("node", "label")
-                        .localCheckpoint())
-    return labels
+        nxt = (counts.withColumn("_rn", F.row_number().over(w))
+                     .filter(F.col("_rn") == 1)
+                     .select("node", "label"))
+        if until_stable:
+            # carry the changed-flag INTO the checkpoint so the probe
+            # reads materialized partitions with a limit(1) early-exit
+            flagged = (nxt.join(labels.select(
+                "node", F.col("label").alias("_prev")), "node")
+                .select("node", "label",
+                        (F.col("label") != F.col("_prev")).alias("_chg"))
+                .localCheckpoint(eager=True))
+            stable = flagged.filter(F.col("_chg")).limit(1).isEmpty()
+            labels = flagged.select("node", "label")
+            if stable:
+                break
+        else:
+            labels = nxt.localCheckpoint()
+    return labels.select("node", "label")
 
 
 def connected_components(edges: DataFrame, src: str = "src",

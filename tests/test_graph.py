@@ -693,6 +693,43 @@ def test_label_propagation_warm_start_after_delta(spark):
     assert all(warm[v] == "w" for v in "wxyz")  # bridge didn't merge
 
 
+def test_hits_tol_converged_twin(spark, edges_df):
+    """hits(tol=): the convergence-tested production form — stops at
+    the same fixpoint a deep fixed run reaches, a loose tol stops
+    early, and the iters cap is respected."""
+    from qvarn_mr_spark.operators.graph import hits
+    deep = {r["node"]: (r["hub"], r["auth"])
+            for r in hits(edges_df, iters=14, digits=None).collect()}
+    conv = {r["node"]: (r["hub"], r["auth"])
+            for r in hits(edges_df, iters=14, digits=None,
+                          tol=1e-8).collect()}
+    for v in deep:
+        assert conv[v][0] == pytest.approx(deep[v][0], abs=1e-6)
+        assert conv[v][1] == pytest.approx(deep[v][1], abs=1e-6)
+    # loose tol: stops after the first superstep pair — must still be
+    # a valid normalized state, but NOT yet the fixpoint on this graph
+    loose = hits(edges_df, iters=14, digits=None, tol=1e9).collect()
+    assert sum(r["hub"] for r in loose) == pytest.approx(1.0, abs=1e-9)
+    one = sorted(map(tuple, hits(edges_df, iters=1,
+                                 digits=None).collect()))
+    assert sorted(map(tuple, loose)) == one
+
+
+def test_label_propagation_until_stable(spark):
+    """until_stable: stops at the same assignment as a deep fixed run
+    (two-cliques fixture converges in <5 rounds; a 20-round cap with
+    the probe must land on the identical labels)."""
+    from qvarn_mr_spark.operators.graph import label_propagation
+    ka = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    kb = [(a, b) for a in "wxyz" for b in "wxyz" if a < b]
+    edges = spark.createDataFrame(ka + kb + [("d", "w")],
+                                  ["src", "dst"])
+    deep = dict(map(tuple, label_propagation(edges, iters=8).collect()))
+    stab = dict(map(tuple, label_propagation(edges, iters=20,
+                                             until_stable=True).collect()))
+    assert stab == deep
+
+
 def test_hits_warm_start_uniform_init_is_identity(spark, edges_df):
     """A constant init hub vector must reproduce the default run
     exactly: the first half-step L1-normalizes, so only the relative
