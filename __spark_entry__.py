@@ -1539,6 +1539,24 @@ def q_embedding_kmeans_centroids(spark, sf_dir):
                                        F.col("vec_id") % 50 == 0, iters=2)
 
 
+def q_embedding_kmeans_warm(spark, sf_dir):
+    """Incremental k-means maintenance (similarity.kmeans_fit(
+    init_centroids=)): fit 2 Lloyd rounds on the PRE-delta corpus (even
+    vec_ids only), then absorb the delta (the odd vectors) by
+    warm-restarting ONE round from the previous centroids — the
+    q_graph_pagerank_warm IVM move applied to the Lloyd fixpoint: a
+    grown corpus refits in a fraction of the cold schedule. Fully
+    value-oracled: the pre-delta unrolled-Lloyd chain composes into the
+    post-delta chain's c0 (oracle.kmeans_centroids_sql(init_sql=,
+    prefix=, corpus_pred=))."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    pre = emb.filter(F.col("vec_id") % 2 == 0)
+    cents = similarity.kmeans_fit(pre, "vec_id", "embedding",
+                                  F.col("vec_id") % 100 == 0, iters=2)
+    return similarity.kmeans_centroids(emb, "vec_id", "embedding",
+                                       iters=1, init_centroids=cents)
+
+
 def q_embedding_kmeans_assign(spark, sf_dir):
     """Corpus assignment under the fitted k-means centroids — the
     trained-centroid upgrade of ivf_assign (same broadcast + min_by
@@ -2764,6 +2782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dsir_weights": q_doc_dsir_weights,
         "doc_split_sample": q_doc_split_sample,
         "embedding_kmeans_centroids": q_embedding_kmeans_centroids,
+        "embedding_kmeans_warm": q_embedding_kmeans_warm,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "embedding_quantize": q_embedding_quantize,
         "events_skew_profile": q_events_skew_profile,
@@ -3672,6 +3691,11 @@ def oracle_sql() -> dict[str, str]:
         # iterative training loop itself, round for round
         "embedding_kmeans_centroids": oracle.kmeans_centroids_sql(
             "vec_id % 50 = 0", iters=2),
+        "embedding_kmeans_warm": oracle.kmeans_centroids_sql(
+            None, iters=1,
+            init_sql=oracle.kmeans_centroids_sql(
+                "vec_id % 100 = 0", iters=2, prefix="w_",
+                corpus_pred="vec_id % 2 = 0")),
         "embedding_kmeans_assign": oracle.kmeans_assign_sql(
             "vec_id % 50 = 0", iters=2),
         "embedding_density_sample": oracle.cluster_density_sample_sql(

@@ -142,6 +142,8 @@ BENCH_QUERIES = (
     "graph_hits_warm",
     "graph_communities_warm",
     "embedding_tune_nprobe",
+    "embedding_kmeans_warm",
+    "graph_components_warm",
 )
 
 #: Deliberate brute-force foils, kept in queries() as labeled baselines

@@ -1147,8 +1147,9 @@ def _kmeans_init(df: DataFrame, id_col: str, vec_col: str,
 
 
 def kmeans_fit(df: DataFrame, id_col: str, vec_col: str,
-               init_filter: Column, iters: int = 2,
-               arrow: bool = False) -> list:
+               init_filter: Column | None = None, iters: int = 2,
+               arrow: bool = False,
+               init_centroids: list | None = None) -> list:
     """Lloyd's k-means with cosine assignment: ``iters`` full
     assign → mean-update rounds from a deterministic seed set
     (``init_filter`` picks the iteration-0 centroid rows, same convention
@@ -1174,10 +1175,31 @@ def kmeans_fit(df: DataFrame, id_col: str, vec_col: str,
     :func:`_kmeans_score_arrow` (one BLAS matmul per batch — the
     assignment is the n·k·dim hot stage of training); output is
     bit-identical (differentially tested) and the mean update stays on
-    the JVM."""
+    the JVM.
+
+    ``init_centroids``: WARM START — a previous :func:`kmeans_fit`
+    result (``[(cluster_id, [val, ...]), ...]``) used as the
+    iteration-0 centroids instead of ``init_filter``'s seed rows. The
+    IVM move for the Lloyd fixpoint: when the corpus grows, refitting
+    from the previous centroids re-converges in 1-2 rounds instead of
+    a full cold schedule. Exactly one of ``init_filter`` /
+    ``init_centroids`` must be given; components round to 6 on entry,
+    the same literal contract as the cold seed path, so the composed
+    DuckDB unroll (pre-delta chain feeding the post-delta chain's c0)
+    reproduces the warm trajectory value-for-value."""
     spark = df.sparkSession
+    if (init_filter is None) == (init_centroids is None):
+        raise ValueError("kmeans_fit: give exactly one of init_filter "
+                         "or init_centroids")
     v = _kmeans_vectors(df, id_col, vec_col)
-    cent = _kmeans_init(df, id_col, vec_col, init_filter)
+    if init_centroids is not None:
+        seed = sorted((int(c), [round(float(x), 6) for x in vec])
+                      for c, vec in init_centroids)
+        if not seed:
+            raise ValueError("kmeans_fit: init_centroids is empty")
+        cent = _kmeans_literal_cent(spark, seed)
+    else:
+        cent = _kmeans_init(df, id_col, vec_col, init_filter)
     cents = None
     for _ in range(iters):
         if arrow:
@@ -1203,17 +1225,25 @@ def kmeans_fit(df: DataFrame, id_col: str, vec_col: str,
 
 
 def kmeans_centroids(df: DataFrame, id_col: str, vec_col: str,
-                     init_filter: Column, iters: int = 2) -> DataFrame:
+                     init_filter: Column | None = None, iters: int = 2,
+                     init_centroids: list | None = None) -> DataFrame:
     """Fitted centroids after ``iters`` Lloyd rounds, exploded to
     ``(cluster_id, pos, val)`` rows (the :func:`centroid_by_label` output
     convention). The last round's mean update is returned lazily; earlier
-    rounds collect only the k·dim centroid table (see :func:`kmeans_fit`)."""
+    rounds collect only the k·dim centroid table (see :func:`kmeans_fit`,
+    which also documents the ``init_centroids`` warm-start contract)."""
     spark = df.sparkSession
     v = _kmeans_vectors(df, id_col, vec_col)
     if iters <= 0:
+        if init_centroids is not None:
+            seed = sorted((int(c), [round(float(x), 6) for x in vec])
+                          for c, vec in init_centroids)
+            return _kmeans_literal_cent(spark, seed).select(
+                "cluster_id", F.posexplode("c_vec").alias("pos", "val"))
         return _kmeans_init(df, id_col, vec_col, init_filter).select(
             "cluster_id", F.posexplode("c_vec").alias("pos", "val"))
-    cents = kmeans_fit(df, id_col, vec_col, init_filter, iters - 1)
+    cents = kmeans_fit(df, id_col, vec_col, init_filter, iters - 1,
+                       init_centroids=init_centroids)
     cent = _kmeans_literal_cent(spark, cents)
     return _kmeans_update(_kmeans_score(v, cent, keep_vec=True), cent)
 

@@ -1840,57 +1840,83 @@ LIMIT {int(k)}
 """
 
 
-def _kmeans_ctes(init_pred: str, iters: int,
-                 table: str = "embeddings") -> str:
+def _kmeans_ctes(init_pred: str | None, iters: int,
+                 table: str = "embeddings", prefix: str = "",
+                 init_sql: str | None = None,
+                 corpus_pred: str = "TRUE") -> str:
     """Unrolled-Lloyd CTE chain shared by the k-means oracles — one
     (assignment, mean-update, carry-forward, re-list) block per
     iteration, mirroring similarity.kmeans_fit round for round: cosine
     rounds to 6 before the argmax (cluster_id ascending on ties), means
-    round to 6, empty clusters keep the previous centroid."""
+    round to 6, empty clusters keep the previous centroid.
+
+    ``init_sql``: warm start — a query yielding ``(cluster_id, pos,
+    val)`` (kmeans_centroids_sql's output shape) used as the c0
+    centroids instead of ``init_pred``'s seed rows, mirroring
+    kmeans_fit(init_centroids=...). ``corpus_pred`` restricts the
+    corpus (the pre-delta fit of a composed warm oracle). ``prefix``
+    disambiguates CTE names when one chain embeds another — same
+    discipline as pagerank_sql."""
+    P = prefix
     cos = _COS.format(a="v.e", b="c.c")
     parts = [
-        f"e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM {table})",
-        ("x AS (SELECT vec_id, generate_subscripts(e, 1) - 1 AS pos, "
-         "unnest(e) AS val FROM e)"),
-        (f"c0 AS (SELECT vec_id AS cluster_id, "
-         f"list_transform(e, z -> round(z, 6)) AS c "
-         f"FROM e WHERE {init_pred})"),
+        f"{P}e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
+        f" FROM {table} WHERE {corpus_pred})",
+        (f"{P}x AS (SELECT vec_id, generate_subscripts(e, 1) - 1 AS pos, "
+         f"unnest(e) AS val FROM {P}e)"),
     ]
+    if init_sql is not None:
+        parts.append(
+            f"{P}c0 AS (SELECT cluster_id, "
+            f"list(round(val, 6) ORDER BY pos) AS c "
+            f"FROM ({init_sql}) GROUP BY cluster_id)")
+    else:
+        parts.append(
+            f"{P}c0 AS (SELECT vec_id AS cluster_id, "
+            f"list_transform(e, z -> round(z, 6)) AS c "
+            f"FROM {P}e WHERE {init_pred})")
     for i in range(iters):
-        parts.append(f"""a{i} AS (
+        parts.append(f"""{P}a{i} AS (
   SELECT vec_id, cluster_id, cos_sim FROM (
     SELECT v.vec_id, c.cluster_id, round({cos}, 6) AS cos_sim,
            row_number() OVER (PARTITION BY v.vec_id
                               ORDER BY round({cos}, 6) DESC,
                                        c.cluster_id ASC) AS rn
-    FROM e v, c{i} c) WHERE rn = 1)""")
-        parts.append(f"""m{i + 1} AS (
+    FROM {P}e v, {P}c{i} c) WHERE rn = 1)""")
+        parts.append(f"""{P}m{i + 1} AS (
   SELECT a.cluster_id, x.pos, round(avg(x.val), 6) AS val
-  FROM a{i} a JOIN x ON a.vec_id = x.vec_id GROUP BY 1, 2)""")
-        parts.append(f"""ce{i + 1} AS (
+  FROM {P}a{i} a JOIN {P}x x ON a.vec_id = x.vec_id GROUP BY 1, 2)""")
+        parts.append(f"""{P}ce{i + 1} AS (
   SELECT p.cluster_id, p.pos, coalesce(m.val, p.val) AS val
   FROM (SELECT cluster_id, generate_subscripts(c, 1) - 1 AS pos,
-               unnest(c) AS val FROM c{i}) p
-  LEFT JOIN m{i + 1} m ON m.cluster_id = p.cluster_id AND m.pos = p.pos)""")
+               unnest(c) AS val FROM {P}c{i}) p
+  LEFT JOIN {P}m{i + 1} m ON m.cluster_id = p.cluster_id
+                          AND m.pos = p.pos)""")
         parts.append(
-            f"c{i + 1} AS (SELECT cluster_id, list(val ORDER BY pos) AS c "
-            f"FROM ce{i + 1} GROUP BY 1)")
+            f"{P}c{i + 1} AS (SELECT cluster_id,"
+            f" list(val ORDER BY pos) AS c "
+            f"FROM {P}ce{i + 1} GROUP BY 1)")
     return ",\n".join(parts)
 
 
-def kmeans_centroids_sql(init_pred: str, iters: int = 2,
-                         table: str = "embeddings") -> str:
+def kmeans_centroids_sql(init_pred: str | None, iters: int = 2,
+                         table: str = "embeddings", prefix: str = "",
+                         init_sql: str | None = None,
+                         corpus_pred: str = "TRUE") -> str:
     """similarity.kmeans_centroids — centroids after ``iters`` Lloyd
-    rounds, exploded (cluster_id, pos, val)."""
+    rounds, exploded (cluster_id, pos, val). Compose a warm-start
+    oracle by passing a full kmeans_centroids_sql(..., prefix="w_",
+    corpus_pred=<pre-delta>) as ``init_sql``."""
+    P = prefix
     if iters <= 0:
         return f"""
-WITH {_kmeans_ctes(init_pred, 0, table)}
+WITH {_kmeans_ctes(init_pred, 0, table, prefix, init_sql, corpus_pred)}
 SELECT cluster_id, generate_subscripts(c, 1) - 1 AS pos, unnest(c) AS val
-FROM c0
+FROM {P}c0
 """
     return f"""
-WITH {_kmeans_ctes(init_pred, iters, table)}
-SELECT cluster_id, pos, val FROM ce{iters}
+WITH {_kmeans_ctes(init_pred, iters, table, prefix, init_sql, corpus_pred)}
+SELECT cluster_id, pos, val FROM {P}ce{iters}
 """
 
 

@@ -1269,6 +1269,59 @@ def test_topk_recall_hand_case(spark):
     assert r5["recall"] == 1.0
 
 
+def test_kmeans_warm_start_identity_and_guards(spark, sf_dir):
+    """kmeans_fit(init_centroids=): seeding with the EXACT rounded seed
+    vectors of the filter rows reproduces the init_filter run; giving
+    both or neither init raises; empty init raises."""
+    from pyspark.sql import functions as F
+
+    from qvarn_mr_spark.catalog import load_tables
+    from qvarn_mr_spark.functions.similarity import kmeans_fit
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    flt = F.col("vec_id") % 100 == 0
+    seeds = [(r["vec_id"], [round(float(x), 6) for x in r["embedding"]])
+             for r in emb.filter(flt).collect()]
+    cold = kmeans_fit(emb, "vec_id", "embedding", flt, iters=1)
+    warm = kmeans_fit(emb, "vec_id", "embedding", iters=1,
+                      init_centroids=seeds)
+    assert cold == warm
+    with pytest.raises(ValueError, match="exactly one"):
+        kmeans_fit(emb, "vec_id", "embedding", flt, iters=1,
+                   init_centroids=seeds)
+    with pytest.raises(ValueError, match="exactly one"):
+        kmeans_fit(emb, "vec_id", "embedding", iters=1)
+    with pytest.raises(ValueError, match="empty"):
+        kmeans_fit(emb, "vec_id", "embedding", iters=1,
+                   init_centroids=[])
+
+
+def test_kmeans_warm_start_after_corpus_growth(spark, sf_dir):
+    """The IVM story: fit on half the corpus, warm-refit one round on
+    the full corpus — the result must equal manually running one Lloyd
+    round from those centroids (composition check), and every centroid
+    stays k-bounded with the original cluster ids."""
+    from pyspark.sql import functions as F
+
+    from qvarn_mr_spark.catalog import load_tables
+    from qvarn_mr_spark.functions.similarity import (kmeans_centroids,
+                                                     kmeans_fit)
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    pre = emb.filter(F.col("vec_id") % 2 == 0)
+    cents = kmeans_fit(pre, "vec_id", "embedding",
+                       F.col("vec_id") % 100 == 0, iters=2)
+    warm = {(r["cluster_id"], r["pos"]): r["val"]
+            for r in kmeans_centroids(emb, "vec_id", "embedding",
+                                      iters=1,
+                                      init_centroids=cents).collect()}
+    ids = {c for c, _ in cents}
+    assert {c for c, _ in warm} == ids
+    # composition: one warm round == fit(init_centroids, iters=1)
+    fit1 = kmeans_fit(emb, "vec_id", "embedding", iters=1,
+                      init_centroids=cents)
+    flat = {(c, p): v for c, vec in fit1 for p, v in enumerate(vec)}
+    assert flat == warm
+
+
 def test_multi_probe_nprobe1_matches_single_probe(spark, sf_dir):
     """ivf_probe_search_multi(nprobe=1) must equal ivf_probe_search —
     the single-probe operator is the nested base case of the dial."""
