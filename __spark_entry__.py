@@ -1028,6 +1028,21 @@ def q_dedup_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", max_df=20)
 
 
+def q_dedup_tune_bands(spark, sf_dir):
+    """Recall/precision-driven LSH banding tuner (dedup.tune_lsh_bands
+    — the MinHash sibling of embedding_tune_nprobe): sweep 8/16/32
+    bands over 128 linear-family hashes and report, per grid point, how
+    much of the EXACT Jaccard>=0.4 pair set the banded candidates
+    recover and at what candidate volume — the bands dial of a
+    production dedup pass answered on-engine. ONE shingle pass feeds
+    the ground truth and every grid point; nested band widths make
+    recall and candidate count monotone by construction. Fully
+    value-oracled (oracle.tune_lsh_bands_sql)."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return dedup.tune_lsh_bands(docs, "doc_id", "text", n_hashes=128,
+                                bands_grid=(8, 16, 32), threshold=0.4)
+
+
 def q_minhash_signatures(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")["documents"]
     return dedup.minhash_signatures(docs, "doc_id", "text")
@@ -2728,6 +2743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "minhash_candidates_prod": q_minhash_candidates_prod,
+        "dedup_tune_bands": q_dedup_tune_bands,
         "simhash_candidates_prod": q_simhash_candidates_prod,
         "dedup_clusters": q_dedup_clusters,
         "dedup_corpus": q_dedup_corpus,
@@ -3613,6 +3629,8 @@ def oracle_sql() -> dict[str, str]:
         # production widths — same builders, prod parameters
         "minhash_candidates_prod": oracle.minhash_candidates_sql(
             n_hashes=128, n_bands=32, hash_family="linear"),
+        "dedup_tune_bands": oracle.tune_lsh_bands_sql(
+            n_hashes=128, bands_grid=(8, 16, 32), threshold=0.4),
         "simhash_prod": oracle.simhash_sql(bits=64),
         "simhash_candidates_prod": oracle.simhash_candidates_sql(
             max_hamming=3, bits=64, n_bands=4),

@@ -144,6 +144,7 @@ BENCH_QUERIES = (
     "embedding_tune_nprobe",
     "embedding_kmeans_warm",
     "graph_components_warm",
+    "dedup_tune_bands",
 )
 
 #: Deliberate brute-force foils, kept in queries() as labeled baselines

@@ -959,3 +959,72 @@ def probe_lsh_index(delta: DataFrame, buckets: DataFrame, id_col: str,
     return (out.filter(F.col("probe_id") != F.col("member_id"))
             .groupBy("probe_id", "member_id")
             .agg(F.count(F.lit(1)).alias("n_bands")))
+
+
+def tune_lsh_bands(df: DataFrame, id_col: str, text_col: str,
+                   n_hashes: int = 128, bands_grid=(8, 16, 32),
+                   threshold: float = 0.4, min_common: int = 2,
+                   hash_family: str = "linear",
+                   digits: int = 6) -> DataFrame:
+    """Recall/precision-driven LSH banding tuner — the MinHash sibling
+    of :func:`~qvarn_mr_spark.functions.similarity.tune_nprobe`: sweep
+    a bands grid and report, per grid point, how much of the EXACT
+    near-dup pair set (word-k-gram Jaccard >= ``threshold``, the
+    ground truth :func:`ngram_jaccard_pairs` computes) the banded
+    candidates recover, and at what candidate volume — the
+    bands-vs-cost dial of a production dedup pass answered ON the
+    engine.
+
+    One shingle pass for everything: the pinned shingle table feeds
+    the ground truth AND every grid point's signatures (the
+    ``shingles=`` hook :func:`dedup_corpus` uses). Each grid point is
+    one banded self-join over the shared signature subtree; when every
+    band width divides the next (e.g. 8/16/32 bands over 128 hashes),
+    the candidate sets are NESTED — agreeing on a width-16 band implies
+    agreeing on both width-8 halves — so recall and candidate count are
+    monotone in n_bands by construction (pinned by test).
+
+    Deterministic end to end (md5 shingles, linear-family permutations,
+    integer counts), so the whole table is value-oracled
+    (``oracle.tune_lsh_bands_sql``). Returns one row per grid point:
+    ``(n_bands, band_width, n_candidates, n_true, prec, recall)`` —
+    ``n_true`` = candidates that are real near-dups, ``prec`` NULL when
+    a grid point yields no candidates, ``recall`` NULL when the corpus
+    has no true pairs at this threshold."""
+    grid = sorted({int(b) for b in bands_grid})
+    if not grid or grid[0] < 1:
+        raise ValueError(f"tune_lsh_bands: invalid bands grid "
+                         f"{bands_grid!r}")
+    for b in grid:
+        if n_hashes % b != 0:
+            raise ValueError(f"tune_lsh_bands: n_bands={b} does not "
+                             f"divide n_hashes={n_hashes}")
+    sh = pin(shingle_table(df, id_col, text_col))
+    truth = pin(ngram_jaccard_pairs(df, id_col, text_col,
+                                    min_common=min_common)
+                .filter(F.col("jaccard") >= float(threshold))
+                .select("a_id", "b_id"))
+    n_truth = truth.count()                       # one scalar, bounded
+    out = None
+    for b in grid:
+        cand = minhash_candidates(df, id_col, text_col,
+                                  n_hashes=n_hashes, n_bands=b,
+                                  hash_family=hash_family,
+                                  shingles=sh).select("a_id", "b_id")
+        cand = pin(cand)
+        nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+        nt = (cand.join(truth, ["a_id", "b_id"], "left_semi")
+              .agg(F.count(F.lit(1)).alias("n_true")))
+        row = (nc.crossJoin(nt).select(
+            F.lit(b).alias("n_bands"),
+            F.lit(n_hashes // b).alias("band_width"),
+            "n_candidates", "n_true",
+            F.when(F.col("n_candidates") > 0,
+                   F.round(F.col("n_true")
+                           / F.col("n_candidates").cast("double"),
+                           digits)).alias("prec"),
+            (F.round(F.col("n_true") / F.lit(float(n_truth)), digits)
+             if n_truth > 0 else F.lit(None).cast("double"))
+            .alias("recall")))
+        out = row if out is None else out.unionByName(row)
+    return out

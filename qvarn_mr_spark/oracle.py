@@ -242,6 +242,44 @@ GROUP BY 1, 2
 """
 
 
+def tune_lsh_bands_sql(table: str = "documents", n_hashes: int = 128,
+                       bands_grid=(8, 16, 32), threshold: float = 0.4,
+                       min_common: int = 2,
+                       hash_family: str = "linear",
+                       digits: int = 6) -> str:
+    """dedup.tune_lsh_bands — the whole bands-grid trajectory: ground
+    truth from the exact n-gram-Jaccard pair set, one banded candidate
+    chain per grid point (each embedded as a SIBLING subquery, so their
+    identical internal CTE names don't collide — DuckDB scoping rule,
+    same trick as topk_recall_sql), intersections and ratios mirroring
+    the Spark arithmetic (integer counts, round-6 divisions, NULL prec
+    on empty candidate sets / NULL recall on an empty truth set)."""
+    grid = sorted({int(b) for b in bands_grid})
+    truth_inner = ngram_jaccard_sql(table, min_common=min_common)
+    parts = [
+        f"truth AS MATERIALIZED (SELECT a_id, b_id FROM ({truth_inner})"
+        f" WHERE jaccard >= {float(threshold)!r})",
+        "tn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM truth)",
+    ]
+    selects = []
+    for b in grid:
+        cand = minhash_candidates_sql(table, n_hashes, b, hash_family)
+        parts.append(f"c{b} AS MATERIALIZED (SELECT a_id, b_id"
+                     f" FROM ({cand}))")
+        selects.append(
+            f"SELECT {b} AS n_bands, {n_hashes // b} AS band_width, "
+            f"(SELECT count(*) FROM c{b}) AS n_candidates, "
+            f"(SELECT count(*) FROM c{b} JOIN truth USING (a_id, b_id))"
+            f" AS n_true")
+    return ("WITH " + ",\n".join(parts) + "\nSELECT n_bands, band_width,"
+            " n_candidates, n_true,\n"
+            f"round(n_true / nullif(CAST(n_candidates AS DOUBLE), 0),"
+            f" {digits}) AS prec,\n"
+            f"round(n_true / nullif((SELECT n FROM tn), 0), {digits})"
+            f" AS recall\n"
+            "FROM (" + "\nUNION ALL\n".join(selects) + ")")
+
+
 def lsh_probe_sql(probe_pred: str, table: str = "documents") -> str:
     """dedup.probe_lsh_index over a batch-bootstrapped index — probe docs
     matching ``probe_pred`` against every bucket, count shared bands."""

@@ -1269,6 +1269,49 @@ def test_topk_recall_hand_case(spark):
     assert r5["recall"] == 1.0
 
 
+def test_tune_lsh_bands_monotone_on_partial_dups(spark):
+    """The banding dial on a corpus with GENUINE partial-overlap pairs
+    (Jaccard ~0.4-0.7, not exact-dup templates): with nested widths
+    (8/16/32 bands over 128 hashes) candidate count and recall are
+    monotone non-decreasing in n_bands, every true pair found at 8
+    bands survives at 32, and prec/recall stay in [0, 1]."""
+    import random
+
+    from qvarn_mr_spark.functions.dedup import tune_lsh_bands
+
+    rng = random.Random(77)
+    vocab = [f"w{i}" for i in range(400)]
+    rows = []
+    did = 0
+    for g in range(12):
+        base = rng.sample(vocab, 40)
+        rows.append((did, " ".join(base))); did += 1
+        # partial dup: keep ~70% of the words, swap the rest
+        kept = base[:28] + rng.sample(vocab, 12)
+        rows.append((did, " ".join(kept))); did += 1
+    for _ in range(40):   # unrelated background docs
+        rows.append((did, " ".join(rng.sample(vocab, 40)))); did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["n_bands"]: r for r in tune_lsh_bands(
+        df, "doc_id", "text", n_hashes=128, bands_grid=(8, 16, 32),
+        threshold=0.3).collect()}
+    assert sorted(out) == [8, 16, 32]
+    cands = [out[b]["n_candidates"] for b in (8, 16, 32)]
+    recs = [out[b]["recall"] for b in (8, 16, 32)]
+    assert cands == sorted(cands)
+    assert recs == sorted(recs)
+    assert all(r is None or 0.0 <= r <= 1.0 for r in recs)
+    assert all(out[b]["prec"] is None or 0.0 <= out[b]["prec"] <= 1.0
+               for b in out)
+    # 32 narrow bands must catch (nearly) everything at this overlap
+    assert recs[-1] >= 0.9
+    with pytest.raises(ValueError, match="divide"):
+        tune_lsh_bands(df, "doc_id", "text", n_hashes=128,
+                       bands_grid=(7,))
+    with pytest.raises(ValueError, match="grid"):
+        tune_lsh_bands(df, "doc_id", "text", bands_grid=())
+
+
 def test_kmeans_warm_start_identity_and_guards(spark, sf_dir):
     """kmeans_fit(init_centroids=): seeding with the EXACT rounded seed
     vectors of the filter rows reproduces the init_filter run; giving
