@@ -965,7 +965,8 @@ def tune_lsh_bands(df: DataFrame, id_col: str, text_col: str,
                    n_hashes: int = 128, bands_grid=(8, 16, 32),
                    threshold: float = 0.4, min_common: int = 2,
                    hash_family: str = "linear",
-                   digits: int = 6) -> DataFrame:
+                   digits: int = 6,
+                   max_pairs: int | None = 50_000_000) -> DataFrame:
     """Recall/precision-driven LSH banding tuner — the MinHash sibling
     of :func:`~qvarn_mr_spark.functions.similarity.tune_nprobe`: sweep
     a bands grid and report, per grid point, how much of the EXACT
@@ -990,7 +991,18 @@ def tune_lsh_bands(df: DataFrame, id_col: str, text_col: str,
     ``(n_bands, band_width, n_candidates, n_true, prec, recall)`` —
     ``n_true`` = candidates that are real near-dups, ``prec`` NULL when
     a grid point yields no candidates, ``recall`` NULL when the corpus
-    has no true pairs at this threshold."""
+    has no true pairs at this threshold.
+
+    ``max_pairs`` is the explicit scale valve (same role as
+    :func:`~qvarn_mr_spark.operators.graph.triangle_count`'s
+    ``max_wedges``): the tuner's GROUND TRUTH is the exact
+    Σ_shingle df(s)·(df(s)-1)/2 self-join of
+    :func:`ngram_jaccard_pairs` — sample-sized by intent, quadratic in
+    any hot shingle's document frequency. The valve computes that pair
+    count up front from the shingle-df table (one bounded aggregate)
+    and refuses past the cap rather than silently launching a
+    corpus-sized quadratic job; tune on a sample
+    (``df.sample(...)``/``df.limit(...)``) or raise the cap."""
     grid = sorted({int(b) for b in bands_grid})
     if not grid or grid[0] < 1:
         raise ValueError(f"tune_lsh_bands: invalid bands grid "
@@ -1000,6 +1012,21 @@ def tune_lsh_bands(df: DataFrame, id_col: str, text_col: str,
             raise ValueError(f"tune_lsh_bands: n_bands={b} does not "
                              f"divide n_hashes={n_hashes}")
     sh = pin(shingle_table(df, id_col, text_col))
+    if max_pairs is not None:
+        n_pairs = (sh.groupBy("shingle")
+                   .agg(F.count(F.lit(1)).alias("_df"))
+                   .agg(F.coalesce(
+                       F.sum(F.col("_df") * (F.col("_df") - 1) / 2),
+                       F.lit(0.0)).alias("p"))
+                   .collect()[0]["p"])
+        if n_pairs > max_pairs:
+            raise ValueError(
+                f"tune_lsh_bands: the exact ground-truth join would "
+                f"expand {int(n_pairs)} shingle-pairs, exceeding "
+                f"max_pairs={max_pairs}; tune on a sample "
+                f"(df.sample(fraction=...) or df.limit(n)) — banding "
+                f"recall/precision is a corpus-level property a sample "
+                f"estimates well — or raise the cap.")
     truth = pin(ngram_jaccard_pairs(df, id_col, text_col,
                                     min_common=min_common)
                 .filter(F.col("jaccard") >= float(threshold))

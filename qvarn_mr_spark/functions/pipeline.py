@@ -118,14 +118,19 @@ def _gate_flow(df: DataFrame, id_col: str, text_col: str,
     stages.append(("gates", kept))
     if c4_min_words is not None:
         from qvarn_mr_spark.functions.quality import c4_filter
+        # word ceiling disengaged: the token band above is the size cap,
+        # and corpus_gate_stream's c4 stage does the same — keeping the
+        # two in lockstep is what the stream==batch conformance pins
         kept = c4_filter(kept, text_col="_text",
-                         min_words=c4_min_words,
+                         min_words=c4_min_words, max_words=10 ** 9,
                          min_terminal_frac=c4_min_terminal_frac)
         stages.append(("c4", kept))
     if gopher_min_words is not None:
         from qvarn_mr_spark.functions.quality import gopher_filter
+        # same ceiling-disengage as the stream's gopher stage
         kept = gopher_filter(kept, text_col="_text",
                              min_words=gopher_min_words,
+                             max_words=10 ** 9,
                              min_stopwords=gopher_min_stopwords)
         stages.append(("gopher", kept))
     if classifier_weights is not None:

@@ -1233,6 +1233,11 @@ def kmeans_centroids(df: DataFrame, id_col: str, vec_col: str,
     rounds collect only the k·dim centroid table (see :func:`kmeans_fit`,
     which also documents the ``init_centroids`` warm-start contract)."""
     spark = df.sparkSession
+    if (init_filter is None) == (init_centroids is None):
+        # same exactly-one contract as kmeans_fit; checked here too so
+        # the iters<=0 fast path can't reach df.filter(None)
+        raise ValueError("kmeans_centroids: give exactly one of "
+                         "init_filter or init_centroids")
     v = _kmeans_vectors(df, id_col, vec_col)
     if iters <= 0:
         if init_centroids is not None:

@@ -1439,11 +1439,13 @@ pk AS MATERIALIZED (
 
 def _c4_gate_ctes(survivors: str, min_words: int,
                   min_terminal_frac: float = 0.0,
-                  max_words: int = 100000) -> str:
+                  max_words: int = 10 ** 9) -> str:
     """CTE block for the C4 gate inside the composed pipeline oracles:
     filters ``survivors`` with the same predicate quality.c4_filter
     applies (word-count band, lorem/brace/policy/blocklist markers,
-    terminal-punctuation floor); exposes ``c4k``."""
+    terminal-punctuation floor); exposes ``c4k``. The word ceiling
+    default is disengaged, mirroring _gate_flow / corpus_gate_stream
+    (the pipelines' token band is the size cap)."""
     from qvarn_mr_spark.functions.quality import (C4_BLOCKLIST,
                                                   C4_POLICY_PHRASES)
     policy = " + ".join(
@@ -1470,7 +1472,7 @@ def _c4_gate_ctes(survivors: str, min_words: int,
 
 
 def _gopher_gate_ctes(survivors: str, min_words: int,
-                      max_words: int = 100000,
+                      max_words: int = 10 ** 9,
                       min_mean_word_len: float = 3.0,
                       max_mean_word_len: float = 10.0,
                       max_symbol_ratio: float = 0.1,

@@ -1458,3 +1458,49 @@ def test_topk_recall_probe_vs_bruteforce_bounds(spark, sf_dir):
     rec = topk_recall(exact, probe, k=3).collect()
     assert len(rec) == 10
     assert all(0.0 <= r["recall"] <= 1.0 for r in rec)
+
+
+def test_tune_lsh_bands_pair_valve(spark):
+    """ADVICE r9 / VERDICT r9 item 6: the tuner's exact ground-truth
+    join is Sigma df(s)^2-shaped, so a planted hot shingle (one
+    3-gram shared by every doc) must trip the up-front max_pairs
+    valve; under the cap the result is identical to running with the
+    valve disengaged."""
+    import random
+
+    from qvarn_mr_spark.functions.dedup import tune_lsh_bands
+
+    rng = random.Random(31)
+    vocab = [f"v{i}" for i in range(300)]
+    hot = "alpha beta gamma"          # one shingle in EVERY doc
+    rows = [(i, hot + " " + " ".join(rng.sample(vocab, 20)))
+            for i in range(40)]       # df(hot)=40 -> 780 pairs
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_pairs"):
+        tune_lsh_bands(df, "doc_id", "text", n_hashes=16,
+                       bands_grid=(4,), max_pairs=100)
+    capped = tune_lsh_bands(df, "doc_id", "text", n_hashes=16,
+                            bands_grid=(4,), max_pairs=10 ** 9).collect()
+    unguarded = tune_lsh_bands(df, "doc_id", "text", n_hashes=16,
+                               bands_grid=(4,), max_pairs=None).collect()
+    assert sorted(map(tuple, capped)) == sorted(map(tuple, unguarded))
+    assert len(capped) == 1 and capped[0]["n_bands"] == 4
+
+
+def test_kmeans_centroids_init_guard(spark, sf_dir):
+    """ADVICE r9: kmeans_centroids must enforce the same exactly-one
+    init contract as kmeans_fit on EVERY path — the iters<=0 fast path
+    used to reach df.filter(None) with an opaque error."""
+    from pyspark.sql import functions as F
+
+    from qvarn_mr_spark.catalog import load_tables
+    from qvarn_mr_spark.functions.similarity import kmeans_centroids
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    with pytest.raises(ValueError, match="exactly one"):
+        kmeans_centroids(emb, "vec_id", "embedding", iters=0)
+    with pytest.raises(ValueError, match="exactly one"):
+        kmeans_centroids(emb, "vec_id", "embedding",
+                         init_filter=F.col("vec_id") % 100 == 0, iters=0,
+                         init_centroids=[(0, [0.0] * 16)])
+    with pytest.raises(ValueError, match="exactly one"):
+        kmeans_centroids(emb, "vec_id", "embedding", iters=2)

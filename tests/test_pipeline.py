@@ -418,3 +418,27 @@ def test_corpus_gate_stream_gopher_matches_batch(spark, tmp_path):
                    gopher_filter(df, min_words=15)
                    .select("doc_id").collect())
     assert streamed == batch == ["k1", "k2"]
+
+
+def test_batch_word_ceiling_matches_stream_gates(spark):
+    """ADVICE r9: _gate_flow's c4/gopher stages must disengage the
+    word ceiling exactly like corpus_gate_stream does (the pipelines'
+    token band is the size cap) — a >100k-whitespace-word document
+    inside a widened token band survives the batch c4+gopher stages."""
+    from qvarn_mr_spark.functions.pipeline import corpus_funnel
+
+    big = " ".join(
+        ["the quick brown fox jumps over the lazy dog and that "
+         "dog ran with joy to be of use."] * 6000)   # 114k words
+    small = ("the quick brown fox jumps over the lazy dog in the sun "
+             "and then the dog ran back to the house for some food.")
+    df = spark.createDataFrame([(1, big), (2, small)],
+                               "doc_id long, text string")
+    fun = corpus_funnel(df, min_quality=0.0, min_tokens=3,
+                        max_tokens=10 ** 7, c4_min_words=5,
+                        gopher_min_words=5)
+    counts = {r["stage"]: r["n_docs"] for r in fun.collect()}
+    assert counts["gates"] == 2
+    assert counts["c4"] == 2        # was 1: c4 default 100k-word cap
+    assert counts["gopher"] == 2    # was 1: gopher default cap
+    assert counts["canonical"] == 2

@@ -53,9 +53,11 @@ def main():
 
     qs, oracles = entry.queries(), entry.oracle_sql()
     failed = []
+    attempted = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        attempted += 1
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
@@ -108,7 +110,7 @@ def main():
             continue
         print(f"PASS {name}: rows={len(s_rows)} ({dt:.1f}s)")
 
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} passed")
+    print(f"\n{attempted - len(failed)}/{attempted} passed")
     sys.exit(1 if failed else 0)
 
 

@@ -67,9 +67,15 @@ AFFINE_A = (1, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 49, 53, 59)
 
 
 def _perm(key: str, n: int) -> str:
-    """Copy-i affine permutation of a dense 0..n-1 key space (SQL)."""
+    """Copy-i affine permutation of a dense 1..n key space (SQL).
+
+    TPC-H keys are 1-based, so the permutation maps through 0..n-1 and
+    shifts back: ``((a_i*(key-1) + b_i) mod n) + 1`` — a plain
+    ``a*key mod n`` would land one key per copy on 0, which has no
+    dimension row (silently orphaning those orders/lineitems), and
+    would break the copy-0-is-identity contract for key = n."""
     a = "[" + ", ".join(str(x) for x in AFFINE_A) + "]"
-    return (f"(({a}[g.i + 1] * {key} + 997 * g.i) % {n})")
+    return (f"((({a}[g.i + 1] * ({key} - 1) + 997 * g.i) % {n}) + 1)")
 
 
 def copy_verbatim(con, src, dst, table):
@@ -152,6 +158,10 @@ def synth_embeddings(con, src, dst, k):
 
 def main():
     k = int(sys.argv[1])
+    assert k <= len(AFFINE_A), (
+        f"K={k} exceeds the {len(AFFINE_A)} affine multipliers; extend "
+        f"AFFINE_A (odd, coprime to 15000/20000/1000) before upsampling "
+        f"further — out-of-range list indexing would yield NULL keys")
     dst = sys.argv[2]
     src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
     os.makedirs(dst, exist_ok=True)
