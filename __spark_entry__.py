@@ -1604,6 +1604,33 @@ def q_kmeans_probe_search(spark, sf_dir):
         F.col("vec_id") < 4, k=3, iters=2)
 
 
+def q_kmeans_probe_fixed_nlist(spark, sf_dir):
+    """kmeans_probe_search with a FIXED centroid count (20) — the
+    production-shaped form (VERDICT r9 item 7): the demo query above
+    ties nlist to the corpus (vec_id % 50 == 0 → k = n/50), so its
+    measured scale curve is the n·k of that construction, not the
+    operator; production fixes nlist (or grows it ~sqrt(n)). Promoted
+    from tools/scale_curves.py's isolation twin so the fixed-nlist form
+    is itself driver-provable — same unrolled-Lloyd DuckDB oracle, same
+    definition the scale curves measure (alpha 0.58 vs the demo's
+    1.92 at sf0.1→1, SCALE.md)."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.kmeans_probe_search(
+        emb, "vec_id", "embedding", F.col("vec_id") < 20,
+        F.col("vec_id") < 50, k=3, iters=2)
+
+
+def q_tune_nprobe_fixed_nlist(spark, sf_dir):
+    """tune_nprobe with the same fixed-20-centroid isolation (VERDICT
+    r9 item 7) — the production-shaped tuning grid, value-oracled via
+    the same one-pass candidate-table SQL as embedding_tune_nprobe."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.tune_nprobe(
+        emb, "vec_id", "embedding",
+        centroid_filter=F.col("vec_id") < 20,
+        query_filter=F.col("vec_id") < 50, k=5, nprobes=(1, 2, 4))
+
+
 def q_embedding_kmeans_assign_arrow(spark, sf_dir):
     """Arrow/BLAS twin of embedding_kmeans_assign — every Lloyd round
     AND the final assignment score as one matmul per batch; shares the
@@ -1904,6 +1931,35 @@ def q_lsh_index_probe(spark, sf_dir):
             .filter(F.col("probe_id") != F.col("member_id"))
             .groupBy("probe_id", "member_id")
             .agg(F.count(F.lit(1)).alias("n_bands")))
+
+
+def q_ivf_index_probe(spark, sf_dir):
+    """Maintained IVF/k-means index probe (functions/similarity.py,
+    VERDICT r9 item 1): the trained-ANN family's streaming shape — the
+    cluster→members table is batch-bootstrapped here with the SAME
+    per-row assignment Column the IncrementalEngine maintains in
+    O(delta) per CDC batch (create/update/delete conformance + version-
+    bump refit resync in tests/test_ivf_index.py), then a delta of
+    query vectors routes Column-side to its nearest pinned centroid and
+    ranks only that cluster's members. Value-oracled: for in-corpus
+    queries at nprobe=1 the probe is semantics-identical to
+    ivf_probe_search, so it shares that oracle."""
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    # nlist-bounded collect — the same driver-size contract as every
+    # IVF/kmeans centroid table (similarity.ivf_assign)
+    cents = [(r["vec_id"], list(r["c"])) for r in
+             emb.filter(F.col("vec_id") % 100 == 0)
+             .select("vec_id",
+                     F.col("embedding").cast("array<double>").alias("c"))
+             .collect()]
+    members = (emb.select(
+        similarity.ivf_cluster_col("embedding", cents).cast("string")
+        .alias("_mr_key"), "vec_id")
+        .groupBy("_mr_key")
+        .agg(F.array_sort(F.collect_set("vec_id")).alias("members")))
+    return similarity.probe_ivf_index(
+        emb.filter(F.col("vec_id") % 25 == 0), emb, members, cents,
+        "vec_id", "embedding", k=3)
 
 
 def q_embedding_lsh_probe(spark, sf_dir):
@@ -2721,15 +2777,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scale form is rows-only by design (approx cuts)
         "doc_perplexity_buckets": q_doc_perplexity_buckets,
         "doc_perplexity_buckets_scale": q_doc_perplexity_buckets_scale,
-        # rows-only sketch family (HLL estimate / KLL ranks / BPE rows /
-        # zlib ratios have no DuckDB twin): the driver records the
-        # weaker rows-only check; error-bound + determinism pytest
-        # differentials pin the values (test_sketches/test_theta_kll)
-        "events_distinct_users_hll": q_events_distinct_users_hll,
-        "price_quantiles_kll": q_price_quantiles_kll,
-        "corpus_bpe_merges": q_corpus_bpe_merges,
-        "doc_bpe_tokenize": q_doc_bpe_tokenize,
-        "doc_compression_ratio": q_doc_compression_ratio,
+        # --- r10 window rotation (VERDICT r9 item 2 + 7): the two
+        # never-driver-sampled queries rotate in (closing the
+        # cumulative-proof gap at zero never-sampled), plus the
+        # fixed-nlist ANN twins promoted from tools/scale_curves.py.
+        # Displaced to the tail: the rows-only sketch/BPE/zlib set,
+        # each already carrying two driver rows-proofs (r8+r9). ---
+        "embedding_kmeans_warm": q_embedding_kmeans_warm,
+        # rows-only BY DESIGN (data-dependent iteration count has no
+        # SQL unroll; the fixpoint is pytest-pinned) — carried over
+        # from r8 advice item 3 for its one driver rows-proof
+        "graph_pagerank_converged": q_graph_pagerank_converged,
+        "kmeans_probe_fixed_nlist": q_kmeans_probe_fixed_nlist,
+        "tune_nprobe_fixed_nlist": q_tune_nprobe_fixed_nlist,
+        # new in r10: the maintained-IVF-index probe (VERDICT r9 item 1)
+        "ivf_index_probe": q_ivf_index_probe,
         # --- r7-proven rows kept in-window: anchors for the families
         # above (uniform PageRank/HITS pair with the rotated variants)
         # and every composed pipeline whose oracle embeds other
@@ -2798,8 +2860,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dsir_weights": q_doc_dsir_weights,
         "doc_split_sample": q_doc_split_sample,
         "embedding_kmeans_centroids": q_embedding_kmeans_centroids,
-        "embedding_kmeans_warm": q_embedding_kmeans_warm,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        # rows-only sketch family (HLL estimate / KLL ranks / BPE rows /
+        # zlib ratios have no DuckDB twin; driver rows-proofs r8+r9):
+        # error-bound + determinism pytest differentials pin the values
+        "events_distinct_users_hll": q_events_distinct_users_hll,
+        "price_quantiles_kll": q_price_quantiles_kll,
+        "corpus_bpe_merges": q_corpus_bpe_merges,
+        "doc_bpe_tokenize": q_doc_bpe_tokenize,
+        "doc_compression_ratio": q_doc_compression_ratio,
         "embedding_quantize": q_embedding_quantize,
         "events_skew_profile": q_events_skew_profile,
         "doc_substring_dedup": q_doc_substring_dedup,
@@ -2847,9 +2916,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_bucketed": q_events_asof_bucketed,
         "events_error_window": q_events_error_window,
         "topk_per_key": q_topk_per_key,
-        # new in r8, tail (rows-only by design — data-dependent
-        # iteration count has no SQL unroll; fixpoint pinned in pytest)
-        "graph_pagerank_converged": q_graph_pagerank_converged,
         "events_json_stats": q_events_json_stats,
         "documents_table_profile": q_documents_table_profile,
         "simhash": q_simhash,
@@ -3687,6 +3753,11 @@ def oracle_sql() -> dict[str, str]:
         "embedding_nn": oracle.nearest_neighbor_sql(),
         "embedding_nn_ivf": oracle.nearest_neighbor_ivf_sql(
             "vec_id % 50 = 0", nprobe=2),
+        # the maintained-index probe reproduces ivf_probe_search for
+        # in-corpus queries at nprobe=1 (tests/test_ivf_index.py), so
+        # it shares that oracle form
+        "ivf_index_probe": oracle.ivf_probe_search_sql(
+            "vec_id % 100 = 0", "vec_id % 25 = 0", k=3),
         # the fully-Arrow twin shares the JVM form's oracle verbatim
         "embedding_nn_ivf_arrow": oracle.nearest_neighbor_ivf_sql(
             "vec_id % 50 = 0", nprobe=2),
@@ -3704,6 +3775,8 @@ def oracle_sql() -> dict[str, str]:
             k=5),
         "embedding_tune_nprobe": oracle.tune_nprobe_sql(
             "vec_id % 100 = 0", "vec_id < 50", k=5, nprobes=(1, 2, 4)),
+        "tune_nprobe_fixed_nlist": oracle.tune_nprobe_sql(
+            "vec_id < 20", "vec_id < 50", k=5, nprobes=(1, 2, 4)),
         "centroid_by_label": oracle.centroid_by_label_agg_sql(),
         # r7 kmeans trio: the unrolled-Lloyd CTE chain hash-checks the
         # iterative training loop itself, round for round
@@ -3720,6 +3793,8 @@ def oracle_sql() -> dict[str, str]:
             "vec_id % 50 = 0", cap=30, iters=2),
         "kmeans_probe_search": oracle.kmeans_probe_search_sql(
             "vec_id % 50 = 0", "vec_id < 4", k=3, iters=2),
+        "kmeans_probe_fixed_nlist": oracle.kmeans_probe_search_sql(
+            "vec_id < 20", "vec_id < 50", k=3, iters=2),
         # the Arrow twin shares the plain form's oracle verbatim
         "embedding_kmeans_assign_arrow": oracle.kmeans_assign_sql(
             "vec_id % 50 = 0", iters=2),

@@ -145,6 +145,11 @@ BENCH_QUERIES = (
     "embedding_kmeans_warm",
     "graph_components_warm",
     "dedup_tune_bands",
+    # round 10 additions: the maintained-IVF-index probe and the
+    # production-shaped (fixed-nlist) ANN twins
+    "ivf_index_probe",
+    "kmeans_probe_fixed_nlist",
+    "tune_nprobe_fixed_nlist",
 )
 
 #: Deliberate brute-force foils, kept in queries() as labeled baselines
@@ -177,8 +182,20 @@ def main() -> None:
     if bench_all and not with_baselines:
         skipped_baselines = [n for n in BASELINE_QUERIES if n in names]
         names = tuple(n for n in names if n not in BASELINE_QUERIES)
-    runs = 1 if bench_all else 2
+    # headline: min of 3 attempts per query (VERDICT r9 item 4 — the
+    # r8→r9 +6% drift sat inside per-query noise; with 3 attempts and
+    # the recorded band, a real regression can't hide behind it)
+    runs = 1 if bench_all else 3
     sidecar_name = "BENCH_ALL.json" if bench_all else "BENCH_RESULT.json"
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           sidecar_name)
+    prev = None
+    if not bench_all and os.path.exists(sidecar):
+        try:
+            with open(sidecar) as f:
+                prev = json.load(f)
+        except (OSError, ValueError):
+            prev = None
 
     # warmup: JIT + executor spin-up on a trivial job
     spark.range(1_000_000).selectExpr("sum(id)").collect()
@@ -221,11 +238,47 @@ def main() -> None:
         # attribution split (sidecar only): construction share of the
         # fastest attempt — NOT subtracted from the headline
         construct[name] = round(plan_only[attempts.index(min(attempts))], 3)
-        # attempt spread (sidecar only): [min, max] across attempts, so
-        # a sidecar-to-sidecar delta inside the noise band can't
-        # masquerade as a regression (r7's warm-state minhash_candidates
-        # 0.49s vs r8's cold 2.26s taught this lesson)
-        spread[name] = [round(min(attempts), 3), round(max(attempts), 3)]
+        # attempt spread (sidecar only): [min, median, max, n] across
+        # attempts, so a sidecar-to-sidecar delta inside the noise band
+        # can't masquerade as a regression (r7's warm-state
+        # minhash_candidates 0.49s vs r8's cold 2.26s taught this lesson)
+        a = sorted(attempts)
+        med = (a[len(a) // 2] if len(a) % 2
+               else (a[len(a) // 2 - 1] + a[len(a) // 2]) / 2)
+        spread[name] = [round(a[0], 3), round(med, 3), round(a[-1], 3),
+                        len(a)]
+
+    # noise band: per-query relative spread (max/min - 1) of this run's
+    # attempts, summarized — the yardstick a sidecar-to-sidecar delta is
+    # judged against
+    rels = sorted((s[2] - s[0]) / s[0] for s in spread.values()
+                  if s[0] > 0)
+    noise_band = ({"median_rel_spread": round(rels[len(rels) // 2], 3),
+                   "p90_rel_spread": round(rels[int(len(rels) * 0.9)], 3),
+                   "max_rel_spread": round(rels[-1], 3)}
+                  if rels else None)
+
+    # machine-classify each common query against the PREVIOUS sidecar's
+    # recorded band: a regression only when the new best attempt clears
+    # the old worst attempt by >10% (and vice versa for improvements) —
+    # anything inside the union of the two bands is within-noise.
+    vs_prev = None
+    if prev and isinstance(prev.get("spread"), dict):
+        regs, imps, within = {}, {}, 0
+        for name, t in times.items():
+            ps = prev["spread"].get(name)
+            if not ps or not prev.get("queries", {}).get(name):
+                continue
+            omin, omax = ps[0], ps[-2] if len(ps) >= 4 else ps[-1]
+            nmin, nmax = spread[name][0], spread[name][2]
+            if nmin > omax * 1.10:
+                regs[name] = [omin, nmin]
+            elif nmax < omin * 0.90:
+                imps[name] = [omin, nmin]
+            else:
+                within += 1
+        vs_prev = {"regressions": regs, "improvements": imps,
+                   "n_within_noise": within}
 
     out = {
         "metric": ("all_queries_total_wall" if bench_all
@@ -244,12 +297,14 @@ def main() -> None:
         "runs_per_query": runs,
         "sf": sf,
     }
+    if noise_band:
+        out["noise_band"] = noise_band
+    if vs_prev is not None:
+        out["vs_prev"] = vs_prev
     if skipped_baselines:
         out["skipped_baselines"] = skipped_baselines
     # Full per-query detail to a sidecar the driver (or a human) can read
     # whole...
-    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           sidecar_name)
     with open(sidecar, "w") as f:
         json.dump(out, f, indent=1)
     # ...and a compact summary-only line LAST on stdout. The driver keeps
@@ -258,7 +313,12 @@ def main() -> None:
     # stdout line now carries NO per-query data at all — just the
     # headline and a pointer to the sidecar.
     compact = {k: v for k, v in out.items()
-               if k not in ("queries", "construct", "spread")}
+               if k not in ("queries", "construct", "spread", "vs_prev")}
+    if vs_prev is not None:
+        compact["vs_prev_counts"] = {
+            "regressions": len(vs_prev["regressions"]),
+            "improvements": len(vs_prev["improvements"]),
+            "within_noise": vs_prev["n_within_noise"]}
     compact["n_queries"] = len(times)
     compact["sidecar"] = sidecar_name
     line = json.dumps(compact, separators=(",", ":"))

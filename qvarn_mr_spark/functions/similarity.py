@@ -688,6 +688,185 @@ def probe_embedding_lsh_index(delta: DataFrame, corpus: DataFrame,
             .filter(F.col("cos_sim") >= threshold))
 
 
+def _ivf_score_structs(vv: Column, nv: Column, cents) -> list:
+    """One ``struct(ns=-cos_sim, c=cluster_id)`` Column per literal
+    centroid — the shared argmin building block of the maintained-IVF
+    family. ``ns`` is the NEGATED rounded similarity so struct ordering
+    (min = highest sim, ties to the smallest cluster id) reproduces
+    :func:`ivf_assign`'s ``min_by`` tiebreak exactly. Each centroid's
+    norm is a Python-computed literal: the sequential ``acc += x*x``
+    fold is bit-identical to the JVM ``aggregate`` fold the batch form
+    runs, so the two paths round identically."""
+    import math
+    out = []
+    for cid, cv in cents:
+        acc = 0.0
+        for x in cv:
+            acc += x * x
+        sim = F.round(
+            dot(vv, F.array(*[F.lit(float(x)) for x in cv]))
+            / (nv * F.lit(math.sqrt(acc))), 6)
+        out.append(F.struct((-sim).alias("ns"),
+                            F.lit(int(cid)).cast("long").alias("c")))
+    return out
+
+
+def _ivf_cents(centroids) -> list:
+    cents = sorted((int(c), [float(x) for x in vec])
+                   for c, vec in centroids)
+    if not cents:
+        raise ValueError("maintained IVF: empty centroid list")
+    return cents
+
+
+def ivf_cluster_col(vec_col, centroids, with_sim: bool = False) -> Column:
+    """Per-row nearest-centroid assignment as ONE narrow Column over a
+    PINNED literal centroid set — the map expression that lets the IVF
+    cluster index live as a maintained view updated in O(delta) per CDC
+    batch (:func:`ivf_index_views`), exactly as
+    ``dedup.minhash_band_keys_col`` does for the LSH index.
+
+    ``centroids`` is ``[(cluster_id, [val, ...]), ...]`` — a
+    :func:`kmeans_fit` result (the rounded-literal contract) or any
+    k-bounded list; the k·dim values inline into the expression the
+    same way :func:`ivf_assign` broadcasts them. Output is the
+    cluster_id (long), or ``struct(cluster_id, cos_sim)`` with
+    ``with_sim``; similarities round to 6 before the argmax and ties
+    break to the ascending cluster id, so the column reproduces
+    :func:`ivf_assign` / :func:`kmeans_assign` row for row
+    (conformance-pinned in tests/test_ivf_index.py)."""
+    from qvarn_mr_spark.functions.dedup import expr_let
+
+    cents = _ivf_cents(centroids)
+    v = (F.col(vec_col) if isinstance(vec_col, str) else vec_col) \
+        .cast("array<double>")
+
+    def best_from(vv: Column) -> Column:
+        def with_norm(nv: Column) -> Column:
+            best = F.array_min(F.array(*_ivf_score_structs(vv, nv, cents)))
+            if not with_sim:
+                return best["c"]
+            return expr_let(best, lambda b: F.struct(
+                b["c"].alias("cluster_id"),
+                (-b["ns"]).alias("cos_sim")))
+        return expr_let(F.sqrt(dot(vv, vv)), with_norm)
+
+    return expr_let(v, best_from)
+
+
+def ivf_route_col(vec_col, centroids, nprobe: int = 1) -> Column:
+    """Multi-probe routing as a Column: the ``nprobe`` nearest centroid
+    ids for this row's vector, nearest first (``array_sort`` over the
+    same rounded-sim structs, sliced) — :func:`ivf_cluster_col`
+    generalized to the probe side, nesting-consistent with
+    :func:`ivf_assign_topn` (probe p's routes are a prefix of probe
+    p+1's)."""
+    from qvarn_mr_spark.functions.dedup import expr_let
+
+    cents = _ivf_cents(centroids)
+    v = (F.col(vec_col) if isinstance(vec_col, str) else vec_col) \
+        .cast("array<double>")
+
+    def routes_from(vv: Column) -> Column:
+        def with_norm(nv: Column) -> Column:
+            ranked = F.array_sort(
+                F.array(*_ivf_score_structs(vv, nv, cents)))
+            return F.transform(F.slice(ranked, 1, int(nprobe)),
+                               lambda s: s["c"])
+        return expr_let(F.sqrt(dot(vv, vv)), with_norm)
+
+    return expr_let(v, routes_from)
+
+
+def ivf_index_views(centroids, source: str = "embeddings",
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    index_name: str = "ivf_members",
+                    map_name: str | None = None,
+                    version: int = 1) -> dict:
+    """ViewEngine config fragment for a MAINTAINED IVF/k-means cluster
+    index — the trained-ANN sibling of ``dedup.lsh_index_views`` /
+    :func:`embedding_lsh_index_views`, closing the family's streaming
+    gap (VERDICT r9 item 1): ``{source}__{index_name}__map`` assigns
+    each vector to its nearest PINNED centroid (:func:`ivf_cluster_col`
+    — one narrow Column, no shuffle on the map side) and
+    ``index_name`` reduces each cluster to its sorted member list +
+    count.
+
+    Driven by the incremental engine, a CDC batch costs O(delta):
+    changed vectors re-assign against the k literal centroids, only
+    dirty clusters re-reduce, deletes tombstone the vector out of its
+    cluster. The batch equivalent (:func:`ivf_assign` /
+    :func:`kmeans_assign` + groupBy) rescans the corpus; probing the
+    maintained view (:func:`probe_ivf_index`) is then the
+    :func:`ivf_probe_search` plan served from index rows instead of an
+    inline assignment — the 100 TB semantic-dedup/ANN serving shape
+    with a trickle of updates.
+
+    ``centroids`` follows the :func:`kmeans_fit` contract (k-bounded
+    literal list, components already rounded): the PERIODIC REFIT is
+    ``kmeans_fit(..., init_centroids=old)`` (warm start, 1-2 rounds)
+    feeding a NEW fragment with ``version`` bumped — the engine's
+    version barrier then drives an automatic full resync (T7/T8),
+    atomically swapping every assignment to the new partition while
+    the old index keeps serving."""
+    from qvarn_mr_spark.operators.mapreduce import map_expr, reduce_agg
+
+    keys = ivf_cluster_col(vec_col, centroids)
+    mname = map_name or f"{source}__{index_name}__map"
+    return {
+        mname: {source: map_expr(
+            key=keys, value=F.col(id_col), version=version)},
+        index_name: {mname: reduce_agg({
+            "members": lambda c: F.array_sort(F.collect_set(c)),
+            "n_vecs": lambda c: F.count(F.lit(1)),
+        }, version=version)},
+    }
+
+
+def probe_ivf_index(delta: DataFrame, corpus: DataFrame,
+                    members: DataFrame, centroids, id_col: str,
+                    vec_col: str, k: int = 3,
+                    nprobe: int = 1) -> DataFrame:
+    """ANN top-k for a (delta-sized) batch of query vectors against a
+    MAINTAINED IVF index (the ``index_name`` table of
+    :func:`ivf_index_views`, read via ``IncrementalEngine.read``):
+    route each query to its ``nprobe`` nearest pinned centroids
+    (:func:`ivf_route_col` — Column-side, so out-of-corpus queries
+    route without any assignment join), equi-join the cluster rows,
+    explode members, verify EXACTLY against the corpus vectors, keep
+    the per-query top-k. Cost is O(delta · nprobe/nlist · corpus) +
+    one id-join — the corpus is touched only through the probed
+    cluster rows, never rescanned or re-assigned.
+
+    Returns ``(q_id, n_id, cos_sim, rn)`` — for in-corpus queries at
+    ``nprobe=1`` identical to the batch :func:`ivf_probe_search`
+    (same oracle), at higher nprobe to :func:`ivf_probe_search_multi`
+    (conformance-pinned in tests/test_ivf_index.py)."""
+    from qvarn_mr_spark.functions.dedup import ensure_min_partitions
+
+    routes = ensure_min_partitions(delta).select(
+        F.col(id_col).alias("q_id"),
+        _as_double(delta, vec_col).alias("_q_vec"),
+        F.explode(ivf_route_col(vec_col, centroids, nprobe))
+        .alias("_c"))
+    keys = routes.select(
+        "q_id", "_q_vec", F.col("_c").cast("string").alias("_mr_key"))
+    cand = (keys.join(members.select("_mr_key", "members"), "_mr_key")
+            .select("q_id", "_q_vec",
+                    F.explode("members").alias("n_id"))
+            .filter(F.col("q_id") != F.col("n_id")))
+    mv = corpus.select(F.col(id_col).alias("n_id"),
+                       _as_double(corpus, vec_col).alias("_n_vec"))
+    scored = (cand.join(mv, "n_id")
+              .select("q_id", "n_id",
+                      F.round(cosine(F.col("_q_vec"), F.col("_n_vec")), 6)
+                      .alias("cos_sim")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"),
+                                           F.asc("n_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k))
+
+
 def hyperplane_near_dup(df: DataFrame, id_col: str, vec_col: str,
                         threshold: float = 0.9,
                         planes: int = HYPERPLANES,

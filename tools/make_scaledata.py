@@ -38,8 +38,24 @@ lookalikes locally (under .scaledata/, gitignored — derived data):
 - ``embeddings`` — new vectors = a seeded-random source vector plus
   small gaussian jitter, label inherited: cluster structure persists,
   so IVF/k-means probe costs scale honestly.
-- ``events`` is deliberately absent (none of the measured queries read
-  it, and its TIMESTAMP(NANOS) round-trip is loader-specific).
+- ``events`` — TWO regimes, one file each, mirroring the two FK
+  regimes above (VERDICT r9 item 3):
+
+  * ``events.parquet`` — CONSTANT PER-USER RATE: copy i's users are
+    offset disjointly (``user_id + i*1500``), timelines unchanged, so
+    each user keeps the source data's event rate and session
+    structure while the user population grows K×. The honest regime
+    for sessionize / as-of (per-user state is the unit of work) and
+    the natural direction for ``topk_per_key`` (the 5 event_type keys
+    densify — exactly the hot-key stress that operator exists for).
+  * ``events_dense.parquet`` — DENSIFIED USERS: ``user_id`` kept
+    (the same 1500 users get K× the events — the hot-user regime the
+    skew twins exist for; keeping ids, not permuting, PRESERVES the
+    source skew shape where an affine remap would smooth it), with a
+    per-copy +13 ms timestamp jitter so replicas never tie exactly on
+    (user, ts). ``tools/scale_curves.py``'s ``*_dense`` twins read
+    this file, falling back to ``events.parquet`` at sf0.1 where
+    K=1 makes the regimes identical.
 
 Deterministic end to end (seed per copy). Usage:
 
@@ -100,6 +116,26 @@ def replicate_orders(con, src, dst, k):
         f"FROM read_parquet('{src}/lineitem.parquet') l, "
         f"range({k}) g(i)) "
         f"TO '{dst}/lineitem.parquet' (FORMAT PARQUET)")
+
+
+def replicate_events(con, src, dst, k):
+    # constant-rate regime: disjoint user offset, timelines verbatim
+    con.execute(
+        f"COPY (SELECT e.* REPLACE "
+        f"(e.event_id + g.i * {KEY_OFF} AS event_id, "
+        f" e.user_id + g.i * 1500 AS user_id) "
+        f"FROM read_parquet('{src}/events.parquet') e, "
+        f"range({k}) g(i)) "
+        f"TO '{dst}/events.parquet' (FORMAT PARQUET)")
+    # densified regime: same 1500 users, K× the events, +13 ms/copy
+    # jitter so replicas never tie exactly on (user, ts)
+    con.execute(
+        f"COPY (SELECT e.* REPLACE "
+        f"(e.event_id + g.i * {KEY_OFF} AS event_id, "
+        f" e.ts + g.i * INTERVAL 13 MILLISECOND AS ts) "
+        f"FROM read_parquet('{src}/events.parquet') e, "
+        f"range({k}) g(i)) "
+        f"TO '{dst}/events_dense.parquet' (FORMAT PARQUET)")
 
 
 def synth_documents(con, src, dst, k):
@@ -169,9 +205,11 @@ def main():
     for t in ("region", "nation", "customer", "supplier", "part"):
         copy_verbatim(con, src, dst, t)
     replicate_orders(con, src, dst, k)
+    replicate_events(con, src, dst, k)
     synth_documents(con, src, dst, k)
     synth_embeddings(con, src, dst, k)
-    for t in ("orders", "lineitem", "documents", "embeddings"):
+    for t in ("orders", "lineitem", "events", "events_dense",
+              "documents", "embeddings"):
         n = con.execute(
             f"SELECT count(*) FROM read_parquet('{dst}/{t}.parquet')"
         ).fetchone()[0]

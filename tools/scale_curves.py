@@ -46,7 +46,11 @@ SCALE_POINTS = (
 
 #: The expensive families VERDICT r8 asked to demonstrate: graph
 #: fixpoints, the exact/approx triangle pair, the composed corpus
-#: pipelines, corpus dedup, the grid searches, ANN serving + tuning.
+#: pipelines, corpus dedup, the grid searches, ANN serving + tuning
+#: (the fixed-nlist isolation twins are first-class driver queries
+#: since r10), plus — VERDICT r9 item 3 — the events family (as-of
+#: joins, sessionization, skew diagnostics) in the constant-rate
+#: regime make_scaledata.py's default events.parquet carries.
 CURVE_QUERIES = (
     "graph_pagerank",
     "graph_pagerank_warm",
@@ -61,43 +65,51 @@ CURVE_QUERIES = (
     "doc_mixture_search",
     "kmeans_probe_search",
     "embedding_tune_nprobe",
+    "kmeans_probe_fixed_nlist",
+    "tune_nprobe_fixed_nlist",
+    "events_asof",
+    "events_asof_bucketed",
+    "events_sessionize",
+    "events_sessionize_bucketed",
+    "topk_per_key",
+    "events_skew_profile",
+)
+
+#: Events queries re-measured on the DENSIFIED-user regime
+#: (events_dense.parquet: the same 1500 users get K× the events — the
+#: hot-key direction the bucketed twins exist for). Each runs the
+#: UNCHANGED production query against a symlink view of the scale dir
+#: where events.parquet points at events_dense.parquet, so the curve
+#: is the real operator's, not a reimplementation's.
+EVENTS_DENSE_QUERIES = (
+    "events_asof",
+    "events_asof_bucketed",
+    "events_sessionize",
+    "events_sessionize_bucketed",
+    "events_skew_profile",
 )
 
 
-def _kmeans_probe_fixed_nlist(spark, sf_dir):
-    """kmeans_probe_search with a FIXED centroid count (20) at every
-    scale point. The driver query's `vec_id % 100 == 0` centroid filter
-    ties nlist to the corpus (k = n/100), so its measured curve is the
-    n·k = n²/100 of that CONSTRUCTION, not the operator; production
-    fixes nlist (or grows it ~sqrt(n)). This twin isolates the
-    operator's own scaling."""
-    from pyspark.sql import functions as F
-
-    from qvarn_mr_spark.catalog import load_tables
-    from qvarn_mr_spark.functions.similarity import kmeans_probe_search
-    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    return kmeans_probe_search(emb, "vec_id", "embedding",
-                               init_filter=F.col("vec_id") < 20,
-                               query_filter=F.col("vec_id") < 50, k=3)
-
-
-def _tune_nprobe_fixed_nlist(spark, sf_dir):
-    """tune_nprobe with the same fixed-20-centroid isolation."""
-    from pyspark.sql import functions as F
-
-    from qvarn_mr_spark.catalog import load_tables
-    from qvarn_mr_spark.functions.similarity import tune_nprobe
-    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    return tune_nprobe(emb, "vec_id", "embedding",
-                       centroid_filter=F.col("vec_id") < 20,
-                       query_filter=F.col("vec_id") < 50, k=5,
-                       nprobes=(1, 2, 4))
-
-
-EXTRA_QUERIES = {
-    "kmeans_probe_fixed_nlist": _kmeans_probe_fixed_nlist,
-    "tune_nprobe_fixed_nlist": _tune_nprobe_fixed_nlist,
-}
+def _dense_view_dir(d: str) -> str:
+    """A directory identical to ``d`` except events.parquet resolves to
+    the densified-regime file. At sf0.1 (driver data, no dense twin —
+    K=1 makes the regimes coincide) this is ``d`` itself."""
+    dense = os.path.join(d, "events_dense.parquet")
+    if not os.path.exists(dense):
+        return d
+    dd = os.path.join(d, "_dense_view")
+    os.makedirs(dd, exist_ok=True)
+    for f in os.listdir(d):
+        if not f.endswith(".parquet"):
+            continue
+        src = (dense if f == "events.parquet"
+               else os.path.join(d, f))
+        dst = os.path.join(dd, f)
+        if f == "events_dense.parquet":
+            continue
+        if not os.path.exists(dst):
+            os.symlink(os.path.abspath(src), dst)
+    return dd
 
 
 def fit_alpha(xs, ys):
@@ -121,12 +133,15 @@ def main():
     spark = get_spark("qvarn-mr-scale-curves")
     spark.sparkContext.setLogLevel("ERROR")
     qs = dict(entry.queries())
-    qs.update(EXTRA_QUERIES)
-    names = tuple(CURVE_QUERIES) + tuple(EXTRA_QUERIES)
-    if "--extra-only" in sys.argv:
-        # second pass: run just the fixed-nlist isolation twins and
-        # merge them into an existing SCALE_CURVES.json
-        names = tuple(EXTRA_QUERIES)
+    #: (curve name, query name, dir transform)
+    jobs = [(n, n, lambda d: d) for n in CURVE_QUERIES]
+    jobs += [(f"{n}_dense", n, _dense_view_dir)
+             for n in EVENTS_DENSE_QUERIES]
+    if "--only" in sys.argv:
+        # partial pass (e.g. just the events family); merged into an
+        # existing SCALE_CURVES.json below
+        pat = sys.argv[sys.argv.index("--only") + 1]
+        jobs = [j for j in jobs if pat in j[0]]
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     def drop_persisted():
@@ -144,18 +159,18 @@ def main():
         print(f"sf{sf}: cs_edges={cs} part_co_edges={pc}", flush=True)
 
     results = {}
-    for name in names:
-        results[name] = {}
+    for cname, qname, dirfn in jobs:
+        results[cname] = {}
         for sf, d in SCALE_POINTS:
             attempts = []
             for _ in range(runs):
                 drop_persisted()
                 t0 = time.time()
-                df = qs[name](spark, d)
+                df = qs[qname](spark, dirfn(d))
                 df.write.format("noop").mode("overwrite").save()
                 attempts.append(time.time() - t0)
-            results[name][sf] = round(min(attempts), 3)
-            print(f"{name} sf{sf}: {results[name][sf]}s", flush=True)
+            results[cname][sf] = round(min(attempts), 3)
+            print(f"{cname} sf{sf}: {results[cname][sf]}s", flush=True)
 
     table = []
     for name, by_sf in results.items():
@@ -184,7 +199,7 @@ def main():
                "scale_points": {str(s): d for s, d in SCALE_POINTS},
                "graph_m": {str(s): graph_m[s] for s, _ in SCALE_POINTS},
                "curves": table}
-    if "--extra-only" in sys.argv and os.path.exists(out_path):
+    if "--only" in sys.argv and os.path.exists(out_path):
         with open(out_path) as f:
             prev = json.load(f)
         kept = [r for r in prev.get("curves", [])
