@@ -1962,6 +1962,34 @@ def q_ivf_index_probe(spark, sf_dir):
         "vec_id", "embedding", k=3)
 
 
+def q_ivf_partitioned_probe(spark, sf_dir):
+    """Physically IVF-partitioned corpus probe (functions/similarity.py,
+    r10): the corpus is materialized once partitioned by its pinned-
+    centroid cluster (write_ivf_partitioned — the layout every IVF
+    docstring's 'cluster id becomes the partition key' points at, under
+    the same scratch-location contract as sources/bucketed.py), then
+    queries route Column-side and the scan carries a LITERAL cluster
+    set as a PartitionFilter — unprobed directories are pruned before a
+    byte is read (plan-pinned in tests/test_ivf_index.py). Values are
+    layout-independent, so the oracle is the plain probe."""
+    import os
+
+    from qvarn_mr_spark.sources.bucketed import DEFAULT_LOCATION
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    cents = [(r["vec_id"], list(r["c"])) for r in
+             emb.filter(F.col("vec_id") % 100 == 0)
+             .select("vec_id",
+                     F.col("embedding").cast("array<double>").alias("c"))
+             .collect()]
+    path = os.path.join(DEFAULT_LOCATION,
+                        f"ivf_layout_{_sf_tag(sf_dir)}")
+    similarity.write_ivf_partitioned(emb, path, cents,
+                                     "vec_id", "embedding")
+    return similarity.probe_ivf_partitioned(
+        spark, path, emb.filter(F.col("vec_id") % 25 == 1), cents,
+        "vec_id", "embedding", k=3)
+
+
 def q_embedding_lsh_probe(spark, sf_dir):
     """Maintained embedding-LSH-index probe (functions/similarity.py):
     streaming SEMANTIC dedup — hyperplane band keys per vector via a pure
@@ -2791,7 +2819,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_probe_fixed_nlist": q_kmeans_probe_fixed_nlist,
         "tune_nprobe_fixed_nlist": q_tune_nprobe_fixed_nlist,
         # new in r10: the maintained-IVF-index probe (VERDICT r9 item 1)
+        # and the physically-partitioned layout probe (partition-pruned
+        # scan, the 100 TB serving shape)
         "ivf_index_probe": q_ivf_index_probe,
+        "ivf_partitioned_probe": q_ivf_partitioned_probe,
         # --- r7-proven rows kept in-window: anchors for the families
         # above (uniform PageRank/HITS pair with the rotated variants)
         # and every composed pipeline whose oracle embeds other
@@ -3758,6 +3789,10 @@ def oracle_sql() -> dict[str, str]:
         # it shares that oracle form
         "ivf_index_probe": oracle.ivf_probe_search_sql(
             "vec_id % 100 = 0", "vec_id % 25 = 0", k=3),
+        # layout-independent values: the partitioned probe shares the
+        # plain probe's oracle (different query slice)
+        "ivf_partitioned_probe": oracle.ivf_probe_search_sql(
+            "vec_id % 100 = 0", "vec_id % 25 = 1", k=3),
         # the fully-Arrow twin shares the JVM form's oracle verbatim
         "embedding_nn_ivf_arrow": oracle.nearest_neighbor_ivf_sql(
             "vec_id % 50 = 0", nprobe=2),

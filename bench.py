@@ -145,11 +145,13 @@ BENCH_QUERIES = (
     "embedding_kmeans_warm",
     "graph_components_warm",
     "dedup_tune_bands",
-    # round 10 additions: the maintained-IVF-index probe and the
-    # production-shaped (fixed-nlist) ANN twins
+    # round 10 additions: the maintained-IVF-index probe, the
+    # production-shaped (fixed-nlist) ANN twins, and the physically
+    # partitioned (pruned-scan) layout probe
     "ivf_index_probe",
     "kmeans_probe_fixed_nlist",
     "tune_nprobe_fixed_nlist",
+    "ivf_partitioned_probe",
 )
 
 #: Deliberate brute-force foils, kept in queries() as labeled baselines

@@ -867,6 +867,67 @@ def probe_ivf_index(delta: DataFrame, corpus: DataFrame,
             .filter(F.col("rn") <= k))
 
 
+def write_ivf_partitioned(df: DataFrame, path: str, centroids,
+                          id_col: str, vec_col: str,
+                          mode: str = "overwrite") -> None:
+    """Materialize the corpus PHYSICALLY PARTITIONED by its IVF cluster
+    — the layout move every IVF docstring in this module points at
+    ("at scale this column becomes the corpus table's partition key"):
+    one narrow assignment pass (:func:`ivf_cluster_col`, no shuffle
+    beyond the write's own partitioning) writes
+    ``path/cluster_id=<c>/...``, after which a probe reads ONLY the
+    probed clusters' files — partition pruning at the scan, not a
+    filter over a full scan. The same bucket-once-join-forever economics
+    as ``sources.bucketed``, applied to ANN serving: at 100 TB a
+    nprobe=2/nlist=4096 query touches ~0.05% of the data files.
+
+    Pair with :func:`probe_ivf_index` for the MAINTAINED (CDC) member
+    view and this layout for the cold corpus; a refit (new centroids,
+    see :func:`ivf_index_views`) rewrites the layout the same way a
+    version bump resyncs the view."""
+    (df.select(F.col(id_col), F.col(vec_col),
+               ivf_cluster_col(vec_col, centroids).alias("cluster_id"))
+       .write.mode(mode).partitionBy("cluster_id").parquet(path))
+
+
+def probe_ivf_partitioned(spark, path: str, queries: DataFrame,
+                          centroids, id_col: str, vec_col: str,
+                          k: int = 3, nprobe: int = 1) -> DataFrame:
+    """ANN top-k against a :func:`write_ivf_partitioned` layout: route
+    the (delta-sized) queries Column-side, collect the DISTINCT probed
+    cluster set (≤ nlist values — bounded by the centroid contract,
+    never by the corpus), and scan the corpus with a LITERAL
+    ``cluster_id IN (...)`` predicate, so Spark prunes every unprobed
+    partition directory before reading a byte (pinned by an
+    ``inputFiles()`` assertion in tests/test_ivf_index.py). Scoring and
+    ranking are the shared probe plan; for in-corpus queries at
+    nprobe=1 the result equals :func:`ivf_probe_search`."""
+    from qvarn_mr_spark.functions.dedup import ensure_min_partitions
+
+    routes = ensure_min_partitions(queries).select(
+        F.col(id_col).alias("q_id"),
+        _as_double(queries, vec_col).alias("_q_vec"),
+        F.explode(ivf_route_col(vec_col, centroids, nprobe))
+        .alias("cluster_id"))
+    probed = sorted({r["cluster_id"] for r in
+                     routes.select("cluster_id").distinct().collect()})
+    corpus = (spark.read.parquet(path)
+              .filter(F.col("cluster_id").isin([int(c) for c in probed]))
+              .select(F.col(id_col).alias("n_id"),
+                      F.col(vec_col).cast("array<double>")
+                      .alias("_n_vec"),
+                      F.col("cluster_id").cast("long").alias("cluster_id")))
+    scored = (F.broadcast(routes).join(corpus, "cluster_id")
+              .filter(F.col("q_id") != F.col("n_id"))
+              .select("q_id", "n_id",
+                      F.round(cosine(F.col("_q_vec"), F.col("_n_vec")), 6)
+                      .alias("cos_sim")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"),
+                                           F.asc("n_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k))
+
+
 def hyperplane_near_dup(df: DataFrame, id_col: str, vec_col: str,
                         threshold: float = 0.9,
                         planes: int = HYPERPLANES,

@@ -271,3 +271,57 @@ def test_ivf_index_refit_version_resync(spark, tmp_path):
     set_source(rows)
     inc.apply_changes(notifications(spark, [("emb", "created", "e")]))
     assert read_members(inc) == py_members(rows, new_cents)
+
+
+def test_ivf_partitioned_layout_prunes_and_matches(spark, sf_dir,
+                                                   tmp_path):
+    """write_ivf_partitioned + probe_ivf_partitioned: the probe reads
+    ONLY the probed clusters' files (inputFiles-pinned partition
+    pruning) and returns exactly the batch ivf_probe_search answer for
+    in-corpus queries at nprobe=1."""
+    from qvarn_mr_spark.catalog import load_tables
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    cents = [(r["vec_id"], list(r["c"])) for r in
+             emb.filter(F.col("vec_id") % 100 == 0)
+             .select("vec_id",
+                     F.col("embedding").cast("array<double>").alias("c"))
+             .collect()]
+    path = str(tmp_path / "ivf_corpus")
+    similarity.write_ivf_partitioned(emb, path, cents,
+                                     "vec_id", "embedding")
+
+    queries = emb.filter(F.col("vec_id") == 30)   # one cluster probed
+    got = similarity.probe_ivf_partitioned(spark, path, queries, cents,
+                                           "vec_id", "embedding", k=3)
+    want = similarity.ivf_probe_search(
+        emb, "vec_id", "embedding", F.col("vec_id") % 100 == 0,
+        F.col("vec_id") == 30, k=3)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # pruning: the probe plan carries the literal cluster set as a
+    # PARTITION filter (pruned before any file is read, not a post-scan
+    # predicate) — inputFiles() can't show this (it reports the
+    # relation's full index), the executed plan does
+    from qvarn_mr_spark.plans import explain_str
+    probed_cluster = similarity.ivf_assign(
+        emb, "vec_id", "embedding", F.col("vec_id") % 100 == 0) \
+        .filter(F.col("vec_id") == 30).collect()[0]["cluster_id"]
+    txt = explain_str(similarity.probe_ivf_partitioned(
+        spark, path, queries, cents, "vec_id", "embedding", k=3),
+        "formatted")
+    import re
+    pf = [ln for ln in txt.splitlines() if "PartitionFilters" in ln]
+    assert any(re.search(
+        rf"cluster_id#\d+ (= {probed_cluster}\b|IN \(.*{probed_cluster})",
+        ln) for ln in pf), pf
+
+    # multi-probe over the layout equals the multi-probe batch form
+    got2 = similarity.probe_ivf_partitioned(
+        spark, path, emb.filter(F.col("vec_id") % 50 == 1), cents,
+        "vec_id", "embedding", k=2, nprobe=2)
+    want2 = similarity.ivf_probe_search_multi(
+        emb, "vec_id", "embedding", F.col("vec_id") % 100 == 0,
+        F.col("vec_id") % 50 == 1, k=2, nprobe=2)
+    assert got2.exceptAll(want2).count() == 0
+    assert want2.exceptAll(got2).count() == 0
