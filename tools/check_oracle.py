@@ -52,6 +52,10 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = entry.queries(), entry.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"unknown queries: {sorted(unknown)}")
+        sys.exit(2)
     failed = []
     attempted = 0
     for name, fn in qs.items():
