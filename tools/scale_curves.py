@@ -90,6 +90,73 @@ EVENTS_DENSE_QUERIES = (
 )
 
 
+def _hot_events(spark, d: str):
+    """events_dense with user_id folded onto THREE keys — the genuinely
+    hot regime the skew-safe twins exist for (at sf1: ~333k events per
+    key, so the plain per-user window serializes a third of the table
+    on one task while the bucketed forms spread it). The densified
+    regime alone (1500 users × K copies) stays at the scheduling floor
+    and cannot separate the twins; this fold can."""
+    from pyspark.sql import functions as F
+
+    from qvarn_mr_spark.catalog import load_tables
+    ev = load_tables(spark, _dense_view_dir(d), ["events"])["events"]
+    return ev.withColumn("user_id", F.col("user_id") % 3)
+
+
+def _sessionize_hot(spark, d):
+    from qvarn_mr_spark.operators.sessions import sessionize
+    return sessionize(_hot_events(spark, d), gap_minutes=30)
+
+
+def _sessionize_bucketed_hot(spark, d):
+    from qvarn_mr_spark.operators.sessions import sessionize_bucketed
+    return sessionize_bucketed(_hot_events(spark, d), gap_minutes=30,
+                               bucket_hours=6)
+
+
+def _asof_sides(spark, d):
+    from pyspark.sql import functions as F
+    ev = _hot_events(spark, d)
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts",
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("value").alias("purchase_value")))
+    return clicks, purchases
+
+
+def _asof_hot(spark, d):
+    from qvarn_mr_spark.operators.asof import asof_join
+    clicks, purchases = _asof_sides(spark, d)
+    return asof_join(clicks, purchases, on=["user_id"],
+                     payload={"purchase_id": "purchase_id",
+                              "purchase_value": "purchase_value"},
+                     tiebreak=["purchase_id"])
+
+
+def _asof_bucketed_hot(spark, d):
+    from qvarn_mr_spark.operators.asof import asof_join_bucketed
+    clicks, purchases = _asof_sides(spark, d)
+    return asof_join_bucketed(clicks, purchases, on=["user_id"],
+                              bucket_width=86_400.0,
+                              payload={"purchase_id": "purchase_id",
+                                       "purchase_value": "purchase_value"},
+                              tiebreak=["purchase_id"])
+
+
+#: Hot-key isolation twins (run the operators directly on the folded
+#: frame — same code paths as the driver queries, same oracle-proven
+#: semantics, hotter keys).
+HOT_JOBS = {
+    "events_sessionize_hot3": _sessionize_hot,
+    "events_sessionize_bucketed_hot3": _sessionize_bucketed_hot,
+    "events_asof_hot3": _asof_hot,
+    "events_asof_bucketed_hot3": _asof_bucketed_hot,
+}
+
+
 def _dense_view_dir(d: str) -> str:
     """A directory identical to ``d`` except events.parquet resolves to
     the densified-regime file. At sf0.1 (driver data, no dense twin —
@@ -133,10 +200,13 @@ def main():
     spark = get_spark("qvarn-mr-scale-curves")
     spark.sparkContext.setLogLevel("ERROR")
     qs = dict(entry.queries())
-    #: (curve name, query name, dir transform)
+    qs.update(HOT_JOBS)
+    #: (curve name, query name, dir transform); hot-key twins carry
+    #: their own callable via the qs dict
     jobs = [(n, n, lambda d: d) for n in CURVE_QUERIES]
     jobs += [(f"{n}_dense", n, _dense_view_dir)
              for n in EVENTS_DENSE_QUERIES]
+    jobs += [(n, n, lambda d: d) for n in HOT_JOBS]
     if "--only" in sys.argv:
         # partial pass (e.g. just the events family); merged into an
         # existing SCALE_CURVES.json below
