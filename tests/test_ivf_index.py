@@ -325,3 +325,53 @@ def test_ivf_partitioned_layout_prunes_and_matches(spark, sf_dir,
         F.col("vec_id") % 50 == 1, k=2, nprobe=2)
     assert got2.exceptAll(want2).count() == 0
     assert want2.exceptAll(got2).count() == 0
+
+
+def test_ivf_index_randomized_cdc_lifecycle(spark, tmp_path):
+    """Seeded randomized CDC mix (create/update/delete in every batch)
+    — the maintained IVF members view must equal the independent
+    Python nearest-centroid oracle after EVERY batch, across a change
+    mix no hand-written scenario covers (same discipline as
+    tests/test_ivm_randomized.py; one fixed seed, breadth from
+    sequence length)."""
+    import random
+
+    rng = random.Random(20260816)
+    cat = Catalog(spark)
+    state = {}                              # id -> vector
+    next_id = [0]
+
+    def sync():
+        rows = sorted(state.items()) or [("_none_", vec(0))]
+        cat.register("emb", df_of(spark, rows)
+                     .filter(F.col("id") != "_none_"))
+
+    cents = [(0, vec(1)), (1, vec(2)), (2, vec(5))]
+    eng = inc = None
+    for b in range(5):
+        batch = []
+        for _ in range(7):
+            op = rng.choice(["create", "create", "update", "delete"])
+            if op == "create" or not state:
+                rid = f"v{next_id[0]}"; next_id[0] += 1
+                state[rid] = vec(rng.randrange(1, 40),
+                                 flip=rng.random() * 0.1)
+                batch.append(("emb", "created", rid))
+            elif op == "update":
+                rid = rng.choice(sorted(state))
+                state[rid] = vec(rng.randrange(1, 40),
+                                 flip=rng.random() * 0.1)
+                batch.append(("emb", "updated", rid))
+            else:
+                rid = rng.choice(sorted(state))
+                del state[rid]
+                batch.append(("emb", "deleted", rid))
+        sync()
+        if eng is None:
+            eng = ViewEngine(cat, similarity.ivf_index_views(
+                cents, "emb", "id", "embedding"), id_cols={"emb": "id"})
+            inc = IncrementalEngine(eng, ParquetStateStore(
+                spark, str(tmp_path / "s")))
+        inc.apply_changes(notifications(spark, batch))
+        assert read_members(inc) == py_members(
+            sorted(state.items()), cents), f"diverged at batch {b}"
