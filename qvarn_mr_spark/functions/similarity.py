@@ -734,7 +734,18 @@ def ivf_cluster_col(vec_col, centroids, with_sim: bool = False) -> Column:
     ``with_sim``; similarities round to 6 before the argmax and ties
     break to the ascending cluster id, so the column reproduces
     :func:`ivf_assign` / :func:`kmeans_assign` row for row
-    (conformance-pinned in tests/test_ivf_index.py)."""
+    (conformance-pinned in tests/test_ivf_index.py).
+
+    Practical nlist bound (measured, not guessed): the expression
+    inlines k·dim literals and evaluates k interpreted dot products
+    per row — fine for the DELTA path it exists for, and measured
+    workable through nlist ≈ 1k (64/256/1024 centroids → 7.6/19.8/82 s
+    over a 6k-row full rescan; task binaries reach ~5 MB at 1k). For
+    nlist in the thousands, keep the per-row Column for CDC deltas but
+    bootstrap/resync the full corpus through the batch
+    :func:`ivf_assign_arrow` (one BLAS matmul per batch, same output
+    by the shared tiebreak contract) — the engine only needs the
+    Column for the rows a delta touches."""
     from qvarn_mr_spark.functions.dedup import expr_let
 
     cents = _ivf_cents(centroids)
