@@ -355,12 +355,16 @@ def corpus_gate_stream(stream: DataFrame, id_col: str = "doc_id",
                        c4_min_terminal_frac: float = 0.0,
                        gopher_min_words: int | None = None,
                        gopher_min_stopwords: int = 2,
+                       classifier_weights: dict | None = None,
+                       classifier_threshold: float = 0.5,
                        watermark: str | None = None,
                        ts_col: str | None = None) -> DataFrame:
     """Streaming twin of :func:`corpus_prepare`'s gate + exact-dedup
     stages: an ingest stream of documents is profiled (the SAME staged
     ``profile_frame`` expressions — stateless Columns, so they apply to
-    a stream unchanged), gated on quality / token band / language, and
+    a stream unchanged), gated on quality / token band / language /
+    [C4] / [Gopher] / [classifier score] (every gate a stateless
+    Column, same stage order as the batch ``_gate_flow``), and
     first-seen-deduplicated on the profile's normalized fingerprint —
     ``dropDuplicates`` state holds ONE entry per distinct fp, or is
     event-time-TTL'd via ``dropDuplicatesWithinWatermark`` when
@@ -406,6 +410,15 @@ def corpus_gate_stream(stream: DataFrame, id_col: str = "doc_id",
                               min_words=gopher_min_words,
                               max_words=10 ** 9,
                               min_stopwords=gopher_min_stopwords)
+    if classifier_weights is not None:
+        # the fitted logreg is a pure sigmoid Column over the profiled
+        # text (functions/classifier.py) — stateless, so it streams
+        # unchanged; same stage order as _gate_flow (after gopher,
+        # before the fingerprint dedup)
+        from qvarn_mr_spark.functions.classifier import score_expr
+        gated = gated.filter(
+            score_expr(classifier_weights, text_col="_text")
+            >= classifier_threshold)
     out = gated.select(
         "doc_id", F.col("_text").alias("text"),
         F.col("lang_guess").alias("lang"), "n_tokens", "quality", "fp",

@@ -442,3 +442,55 @@ def test_batch_word_ceiling_matches_stream_gates(spark):
     assert counts["c4"] == 2        # was 1: c4 default 100k-word cap
     assert counts["gopher"] == 2    # was 1: gopher default cap
     assert counts["canonical"] == 2
+
+
+def test_corpus_gate_stream_classifier_matches_batch(spark, tmp_path):
+    """r10: the classifier gate joins the streaming path — score_expr
+    is a pure sigmoid Column, so the streamed gate with fixed weights
+    must keep exactly the docs the batch classifier_filter keeps
+    (after the shared quality/token gates) — mirrors the C4/Gopher
+    conformance tests above."""
+    import glob
+    import shutil
+
+    from qvarn_mr_spark.functions.classifier import classifier_filter
+    from qvarn_mr_spark.functions.pipeline import corpus_gate_stream
+
+    # handcrafted deterministic model: long stopword-rich prose scores
+    # high, punctuation soup scores low
+    weights = {"_bias": -2.0, "len_score": 2.5, "stopword": 6.0,
+               "punct": -8.0}
+    rows = [
+        ("k1", "the quick brown fox jumps over the lazy dog and then "
+               "the dog ran back to the house for some good food there"),
+        ("k2", "a man of the people told the story for all of the town "
+               "and they all listened to it with great joy and wonder"),
+        ("x1", "..!!..??..!!..??..!!..??..!!..??..!!..??..!!..??..!!.."
+               "!!..??..!!..??..!!..??..!!..??..!!..??..!!..??..!!..??"),
+        ("x2", "wqzx vbnk jlpr tsgh dmfc wqzx vbnk jlpr tsgh dmfc wqzx "
+               "vbnk jlpr tsgh dmfc wqzx vbnk jlpr tsgh dmfc wqzx vbnk"),
+    ]
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "tmp"))
+    for i, f in enumerate(glob.glob(str(tmp_path / "tmp" / "*.parquet"))):
+        shutil.move(f, str(feed / f"b-{i}.parquet"))
+
+    arrived = []
+    stream = spark.readStream.schema("doc_id string, text string") \
+        .parquet(str(feed))
+    q = (corpus_gate_stream(stream, min_quality=0.0, min_tokens=3,
+                            classifier_weights=weights,
+                            classifier_threshold=0.5)
+         .writeStream.outputMode("append")
+         .foreachBatch(lambda b, _: arrived.extend(b.collect()))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    streamed = sorted(r["doc_id"] for r in arrived)
+    batch = sorted(r["doc_id"] for r in
+                   classifier_filter(df, weights, threshold=0.5)
+                   .select("doc_id").collect())
+    assert streamed == batch == ["k1", "k2"]
