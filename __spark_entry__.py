@@ -1830,6 +1830,20 @@ def q_doc_surprisal(spark, sf_dir):
     return text.unigram_surprisal(docs, "doc_id", "text")
 
 
+def q_doc_surprisal_exported_lm(spark, sf_dir):
+    """Exported-LM scorer (functions/text.py, r10): the unigram LM is
+    fitted once and exported as a driver artifact (the KenLM-style
+    model-shipping move — vocabulary-bounded), then every doc scores
+    through the STATELESS Arrow-batched closure scorer
+    (unigram_surprisal_stream; stream==batch pinned in
+    tests/test_pipeline.py, and the corpus_gate_stream perplexity gate
+    runs on it). Shares the distributed batch form's DuckDB oracle —
+    the two must agree value-for-value."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    lm = text.export_unigram_lm(docs)
+    return text.unigram_surprisal_stream(docs, lm, "doc_id", "text")
+
+
 def q_doc_perplexity_buckets(spark, sf_dir):
     """CCNet perplexity bucketing (functions/quality.py, Wenzek et al.
     2020): unigram-LM surprisal per doc, then an equal-frequency
@@ -2824,6 +2838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scan, the 100 TB serving shape)
         "ivf_index_probe": q_ivf_index_probe,
         "ivf_partitioned_probe": q_ivf_partitioned_probe,
+        "doc_surprisal_exported_lm": q_doc_surprisal_exported_lm,
         # --- r7-proven rows kept in-window: anchors for the families
         # above (uniform PageRank/HITS pair with the rotated variants)
         # and every composed pipeline whose oracle embeds other
@@ -3440,6 +3455,9 @@ def oracle_sql() -> dict[str, str]:
             "user_id", top_n=5),
         "doc_substring_dedup": oracle.substring_dedup_sql(k=8),
         "doc_surprisal": oracle.unigram_surprisal_sql(),
+        # the exported-LM Arrow scorer must agree with the distributed
+        # batch form value-for-value — same oracle
+        "doc_surprisal_exported_lm": oracle.unigram_surprisal_sql(),
         "doc_stratified_fixed_k": oracle.stratified_fixed_k_sql(k=3),
         "documents_table_profile": oracle.table_profile_sql(
             [("doc_id", True), ("text", False), ("lang", False),

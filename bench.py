@@ -152,6 +152,7 @@ BENCH_QUERIES = (
     "kmeans_probe_fixed_nlist",
     "tune_nprobe_fixed_nlist",
     "ivf_partitioned_probe",
+    "doc_surprisal_exported_lm",
 )
 
 #: Deliberate brute-force foils, kept in queries() as labeled baselines

@@ -357,6 +357,8 @@ def corpus_gate_stream(stream: DataFrame, id_col: str = "doc_id",
                        gopher_min_stopwords: int = 2,
                        classifier_weights: dict | None = None,
                        classifier_threshold: float = 0.5,
+                       surprisal_lm: dict | None = None,
+                       max_mean_nll: float | None = None,
                        watermark: str | None = None,
                        ts_col: str | None = None) -> DataFrame:
     """Streaming twin of :func:`corpus_prepare`'s gate + exact-dedup
@@ -419,6 +421,24 @@ def corpus_gate_stream(stream: DataFrame, id_col: str = "doc_id",
         gated = gated.filter(
             score_expr(classifier_weights, text_col="_text")
             >= classifier_threshold)
+    if (surprisal_lm is None) != (max_mean_nll is None):
+        raise ValueError("corpus_gate_stream: surprisal_lm and "
+                         "max_mean_nll go together")
+    if surprisal_lm is not None:
+        # perplexity gate under a PINNED exported LM
+        # (text.export_unigram_lm → unigram_surprisal_stream): a
+        # stateless Arrow-batched scorer against the closure-shipped
+        # model — the CCNet move, streamable with no LM join and no
+        # aggregation state. The profile's n_tokens steps aside so the
+        # scorer's own token count can't collide with it.
+        from qvarn_mr_spark.functions.text import unigram_surprisal_stream
+        gated = gated.withColumnRenamed("n_tokens", "_gate_nt")
+        gated = unigram_surprisal_stream(
+            gated, surprisal_lm, "doc_id", "_text",
+            keep=tuple(c for c in gated.columns if c != "doc_id"))
+        gated = (gated.filter(F.col("mean_nll") <= float(max_mean_nll))
+                 .drop("n_tokens", "mean_nll")
+                 .withColumnRenamed("_gate_nt", "n_tokens"))
     out = gated.select(
         "doc_id", F.col("_text").alias("text"),
         F.col("lang_guess").alias("lang"), "n_tokens", "quality", "fp",

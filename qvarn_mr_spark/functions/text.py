@@ -694,3 +694,84 @@ def unigram_surprisal(df, id_col: str = "doc_id", text_col: str = "text",
     return (scored.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  F.round(F.avg("nll"), 6).alias("mean_nll")))
+
+
+def export_unigram_lm(df, text_col: str = "text",
+                      smoothing: float = 0.5) -> dict:
+    """Fit the add-``smoothing`` unigram LM on a (curated) corpus and
+    export it as a driver-side artifact
+    ``{"counts": {w: c}, "N": Σc, "V": |vocab|, "smoothing": s}`` —
+    the model-shipping move a real CCNet deployment makes with its
+    KenLM binary: the LM is trained once on the clean reference
+    corpus, then the ARTIFACT travels to the scorers. The collect is
+    vocabulary-bounded (the same |V|-row table
+    :func:`unigram_surprisal` pins and AQE broadcasts), not
+    corpus-sized; for vocabularies past executor-broadcast comfort,
+    stay with the distributed batch form."""
+    from qvarn_mr_spark.functions.dedup import tokens_col
+
+    rows = (df.select(F.explode(tokens_col(text_col)).alias("w"))
+            .groupBy("w").agg(F.count(F.lit(1)).alias("c")).collect())
+    counts = {r["w"]: int(r["c"]) for r in rows}
+    return {"counts": counts, "N": sum(counts.values()),
+            "V": len(counts), "smoothing": float(smoothing)}
+
+
+def unigram_surprisal_stream(stream, lm: dict, id_col: str = "doc_id",
+                             text_col: str = "text",
+                             keep: tuple = ()):
+    """Streaming twin of :func:`unigram_surprisal` under a PINNED
+    exported LM (:func:`export_unigram_lm`) — the perplexity filter an
+    ingest stream needs: tokenization stays the SAME JVM Column
+    (``dedup.tokens_col``, so the two forms cannot drift on token
+    boundaries), and scoring is a STATELESS Arrow-batched dict lookup
+    against the closure-shipped model — no LM join, no streaming
+    aggregation state, no watermark required; works identically on a
+    batch frame. Out-of-vocabulary tokens score through the smoothing
+    mass (``c = 0``) — the batch form, fitted on the very corpus it
+    scores, never meets one; on in-vocabulary documents the two forms
+    agree value-for-value (conformance-pinned).
+
+    ``keep`` names input columns to pass through unchanged (so a
+    streaming gate can thread its payload). Returns
+    ``(doc_id, *keep, n_tokens, mean_nll)``; documents with zero
+    tokens are absent, mirroring the batch form's explode."""
+    import math
+
+    import pandas as pd
+
+    from qvarn_mr_spark.functions.dedup import tokens_col
+    from qvarn_mr_spark.session import ship_package
+    ship_package(stream.sparkSession)
+
+    counts = lm["counts"]
+    s = float(lm["smoothing"])
+    denom = float(lm["N"]) + s * float(lm["V"])
+    toks = stream.select(F.col(id_col).alias("doc_id"),
+                         *[F.col(c) for c in keep],
+                         tokens_col(text_col).alias("_t"))
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in toks.schema.fields if f.name != "_t")
+    out_ddl = f"{ddl}, n_tokens bigint, mean_nll double"
+
+    def score(batches):
+        for pdf in batches:
+            idx, ns, nlls = [], [], []
+            for i, tlist in enumerate(pdf["_t"]):
+                if tlist is None or len(tlist) == 0:
+                    continue
+                tot = 0.0
+                for w in tlist:
+                    tot += -math.log((counts.get(w, 0) + s) / denom)
+                idx.append(i)
+                ns.append(len(tlist))
+                nlls.append(round(tot / len(tlist), 6))
+            if not idx:
+                continue
+            out = pdf.iloc[idx].drop(columns=["_t"]).reset_index(drop=True)
+            out["n_tokens"] = pd.Series(ns, dtype="int64")
+            out["mean_nll"] = pd.Series(nlls, dtype="float64")
+            yield out
+
+    return toks.mapInPandas(score, schema=out_ddl)

@@ -494,3 +494,89 @@ def test_corpus_gate_stream_classifier_matches_batch(spark, tmp_path):
                    classifier_filter(df, weights, threshold=0.5)
                    .select("doc_id").collect())
     assert streamed == batch == ["k1", "k2"]
+
+
+def test_unigram_surprisal_stream_matches_batch(spark, sf_dir):
+    """r10: the exported-LM streaming scorer must reproduce the batch
+    unigram_surprisal value-for-value on in-vocabulary documents (LM
+    fitted on the same corpus it scores — the batch form's setting),
+    and score OOV tokens finitely through the smoothing mass."""
+    from qvarn_mr_spark.catalog import load_tables
+    from qvarn_mr_spark.functions.text import (export_unigram_lm,
+                                               unigram_surprisal,
+                                               unigram_surprisal_stream)
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"] \
+        .limit(200)
+    lm = export_unigram_lm(docs)
+    want = {r["doc_id"]: (r["n_tokens"], r["mean_nll"])
+            for r in unigram_surprisal(docs).collect()}
+    got = {r["doc_id"]: (r["n_tokens"], r["mean_nll"])
+           for r in unigram_surprisal_stream(docs, lm).collect()}
+    assert got == want and len(got) > 0
+
+    # OOV doc: every token unseen — finite score via smoothing mass
+    import math
+    oov = spark.createDataFrame([(999999, "zzqx wvvk pplm")],
+                                "doc_id long, text string")
+    r = unigram_surprisal_stream(oov, lm).collect()[0]
+    assert r["n_tokens"] == 3
+    expect = round(-math.log(lm["smoothing"]
+                             / (lm["N"] + lm["smoothing"] * lm["V"])), 6)
+    assert abs(r["mean_nll"] - expect) < 1e-6
+
+    # keep= passthrough preserves payload columns
+    kept = unigram_surprisal_stream(
+        docs.withColumn("tag", F.lit("x")), lm,
+        keep=("text", "tag")).columns
+    assert kept == ["doc_id", "text", "tag", "n_tokens", "mean_nll"]
+
+
+def test_corpus_gate_stream_surprisal_matches_batch(spark, tmp_path):
+    """r10: the streamed perplexity gate (pinned exported LM) must keep
+    exactly the docs whose batch unigram surprisal clears the cap,
+    after the shared quality/token gates — and both-or-neither arg
+    validation holds."""
+    import glob
+    import shutil
+
+    from qvarn_mr_spark.functions.pipeline import corpus_gate_stream
+    from qvarn_mr_spark.functions.text import (export_unigram_lm,
+                                               unigram_surprisal)
+
+    fluent = ("the quick brown fox jumps over the lazy dog and then "
+              "the dog ran back to the house for some food there")
+    rows = [
+        ("k1", fluent),
+        ("k2", "a man of the people told the story for all of the town "
+               "and they all listened to it with great joy"),
+        # rare-vocabulary salad: high surprisal under the fitted LM
+        ("x1", "zzqx wvvk pplm drrt hhnn bbvc kkjl mmty reew qqas"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    lm = export_unigram_lm(df)
+    nll = {r["doc_id"]: r["mean_nll"]
+           for r in unigram_surprisal(df).collect()}
+    cap = (nll["k1"] + nll["x1"]) / 2          # between prose and salad
+    assert nll["k2"] <= cap < nll["x1"]
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "tmp"))
+    for i, f in enumerate(glob.glob(str(tmp_path / "tmp" / "*.parquet"))):
+        shutil.move(f, str(feed / f"b-{i}.parquet"))
+    arrived = []
+    stream = spark.readStream.schema("doc_id string, text string") \
+        .parquet(str(feed))
+    q = (corpus_gate_stream(stream, min_quality=0.0, min_tokens=3,
+                            surprisal_lm=lm, max_mean_nll=cap)
+         .writeStream.outputMode("append")
+         .foreachBatch(lambda b, _: arrived.extend(b.collect()))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert sorted(r["doc_id"] for r in arrived) == ["k1", "k2"]
+    # the gate's own n_tokens column survives the scorer round-trip
+    assert all(r["n_tokens"] > 0 for r in arrived)
+
+    with pytest.raises(ValueError, match="go together"):
+        corpus_gate_stream(stream, surprisal_lm=lm)
