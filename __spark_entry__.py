@@ -1844,6 +1844,23 @@ def q_doc_surprisal_exported_lm(spark, sf_dir):
     return text.unigram_surprisal_stream(docs, lm, "doc_id", "text")
 
 
+HYBRID_TERMS = ("hash", "join", "scan")
+
+
+def q_hybrid_search(spark, sf_dir):
+    """Hybrid lexical+vector retrieval with RRF fusion
+    (similarity.hybrid_search, r10): tf·idf keyword leg over documents
+    + cosine leg over embeddings against a rounded-literal query
+    vector, both pool-limited via TakeOrdered, fused by reciprocal
+    rank. Fully deterministic → fully value-oracled
+    (oracle.hybrid_search_sql — same tokenizer, idf, rounding, and
+    tiebreaks on both engines)."""
+    t = _t(spark, sf_dir, "documents", "embeddings")
+    return similarity.hybrid_search(
+        t["documents"], t["embeddings"], HYBRID_TERMS,
+        similarity.demo_query_vec(64), k=10, pool=50)
+
+
 def q_doc_perplexity_buckets(spark, sf_dir):
     """CCNet perplexity bucketing (functions/quality.py, Wenzek et al.
     2020): unigram-LM surprisal per doc, then an equal-frequency
@@ -2839,6 +2856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_index_probe": q_ivf_index_probe,
         "ivf_partitioned_probe": q_ivf_partitioned_probe,
         "doc_surprisal_exported_lm": q_doc_surprisal_exported_lm,
+        "hybrid_search": q_hybrid_search,
         # --- r7-proven rows kept in-window: anchors for the families
         # above (uniform PageRank/HITS pair with the rotated variants)
         # and every composed pipeline whose oracle embeds other
@@ -3458,6 +3476,8 @@ def oracle_sql() -> dict[str, str]:
         # the exported-LM Arrow scorer must agree with the distributed
         # batch form value-for-value — same oracle
         "doc_surprisal_exported_lm": oracle.unigram_surprisal_sql(),
+        "hybrid_search": oracle.hybrid_search_sql(
+            HYBRID_TERMS, similarity.demo_query_vec(64), k=10, pool=50),
         "doc_stratified_fixed_k": oracle.stratified_fixed_k_sql(k=3),
         "documents_table_profile": oracle.table_profile_sql(
             [("doc_id", True), ("text", False), ("lang", False),

@@ -153,6 +153,7 @@ BENCH_QUERIES = (
     "tune_nprobe_fixed_nlist",
     "ivf_partitioned_probe",
     "doc_surprisal_exported_lm",
+    "hybrid_search",
 )
 
 #: Deliberate brute-force foils, kept in queries() as labeled baselines

@@ -939,6 +939,101 @@ def probe_ivf_partitioned(spark, path: str, queries: DataFrame,
             .filter(F.col("rn") <= k))
 
 
+def demo_query_vec(dim: int = 64) -> list:
+    """Deterministic demo query vector under the rounded-literal
+    contract — the same formula builds the Spark literal and the DuckDB
+    SQL literal, so the two engines cannot drift."""
+    return [round((((i * 7) % 13) - 6) / 6.0, 6) for i in range(dim)]
+
+
+def hybrid_search(docs: DataFrame, emb: DataFrame, query_terms,
+                  query_vec, id_col: str = "doc_id",
+                  text_col: str = "text", vec_id_col: str = "vec_id",
+                  vec_col: str = "embedding", k: int = 10,
+                  rrf_k: int = 60, pool: int = 50) -> DataFrame:
+    """Hybrid lexical+vector retrieval with reciprocal-rank fusion —
+    the composition a retrieval-backed training pipeline runs (dense
+    recall + keyword precision, RRF as the standard score-free fusion;
+    Cormack et al.'s 1/(rrf_k + rank)):
+
+    1. LEXICAL leg: documents scored by Σ_t tf(t, d) · idf(t) over the
+       ``query_terms`` (same tokenizer and smoothed idf as
+       :func:`~qvarn_mr_spark.functions.text.tfidf_top_terms`, rounded
+       to 6 before ranking); top ``pool`` kept.
+    2. VECTOR leg: cosine against the rounded-literal ``query_vec``
+       (the same literal contract as the IVF centroids); top ``pool``.
+       Brute force here is the correctness baseline — at scale feed
+       this leg from :func:`ivf_probe_search` /
+       :func:`probe_ivf_partitioned` instead.
+    3. FUSION: rrf = Σ_legs 1/(rrf_k + rank), absent legs contribute
+       0; ties break on ascending doc id; top ``k`` returned as
+       ``(doc_id, lex_rank, vec_rank, rrf_score, rn)``.
+
+    Scale shape: both legs are corpus-sized ONLY through hash
+    aggregates and ``orderBy().limit(pool)`` (TakeOrdered — no global
+    sort); ranking windows and the fusion join see pool-bounded frames
+    (pool and k are config constants, the same contract as every top-k
+    here). Fully deterministic, so the whole table is value-oracled
+    (``oracle.hybrid_search_sql``)."""
+    from qvarn_mr_spark.functions.dedup import tokens_col
+
+    terms = sorted({str(t).lower() for t in query_terms})
+    qv = [round(float(x), 6) for x in query_vec]
+    if not terms or not qv:
+        raise ValueError("hybrid_search: query_terms and query_vec "
+                         "must both be non-empty")
+
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       F.explode(tokens_col(text_col)).alias("term"))
+    tf = (toks.filter(F.col("term").isin(terms))
+          .groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    lex = (tf.join(F.broadcast(dfreq), "term")
+           .crossJoin(F.broadcast(n))
+           .groupBy("doc_id")
+           .agg(F.round(F.sum(
+               F.col("tf")
+               * (F.log((F.col("n_docs") + F.lit(1.0))
+                        / (F.col("df_t") + F.lit(1.0))) + F.lit(1.0))),
+               6).alias("lex_score")))
+
+    qlit = F.array(*[F.lit(x) for x in qv])
+    vec = emb.select(
+        F.col(vec_id_col).alias("doc_id"),
+        F.round(cosine(_as_double(emb, vec_col), qlit), 6)
+        .alias("cos_sim"))
+
+    # TakeOrdered keeps the corpus out of any global sort; the ranking
+    # windows below run over the pool-bounded survivors only
+    lex_pool = lex.orderBy(F.desc("lex_score"), F.asc("doc_id")) \
+        .limit(int(pool))
+    vec_pool = vec.orderBy(F.desc("cos_sim"), F.asc("doc_id")) \
+        .limit(int(pool))
+    lw = Window.orderBy(F.desc("lex_score"), F.asc("doc_id"))
+    vw = Window.orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+    lr = lex_pool.select("doc_id", F.row_number().over(lw)
+                         .alias("lex_rank"))
+    vr = vec_pool.select("doc_id", F.row_number().over(vw)
+                         .alias("vec_rank"))
+
+    fused = (lr.join(vr, "doc_id", "full_outer")
+             .select("doc_id", "lex_rank", "vec_rank",
+                     F.round(
+                         F.coalesce(F.lit(1.0)
+                                    / (F.lit(float(rrf_k))
+                                       + F.col("lex_rank")), F.lit(0.0))
+                         + F.coalesce(F.lit(1.0)
+                                      / (F.lit(float(rrf_k))
+                                         + F.col("vec_rank")),
+                                      F.lit(0.0)), 6)
+                     .alias("rrf_score")))
+    fw = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (fused.withColumn("rn", F.row_number().over(fw))
+            .filter(F.col("rn") <= int(k)))
+
+
 def hyperplane_near_dup(df: DataFrame, id_col: str, vec_col: str,
                         threshold: float = 0.9,
                         planes: int = HYPERPLANES,

@@ -373,6 +373,59 @@ _COS = ("list_dot_product({a}, {b}) / "
         "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))")
 
 
+def hybrid_search_sql(query_terms, query_vec, k: int = 10,
+                      rrf_k: int = 60, pool: int = 50,
+                      docs_table: str = "documents",
+                      emb_table: str = "embeddings") -> str:
+    """similarity.hybrid_search — lexical tf·idf leg (tfidf_top_terms's
+    tokenizer/idf), brute-force cosine leg over the literal query
+    vector, pool-limited ranks, RRF fusion; round-before-rank at every
+    stage so the two engines order identically."""
+    terms = sorted({str(t).lower() for t in query_terms})
+    qv = [round(float(x), 6) for x in query_vec]
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    vlist = "[" + ", ".join(repr(x) for x in qv) + "]::DOUBLE[]"
+    cos = _COS.format(a="e.e", b="q.q")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(text), '{TOKEN_RE}'),
+           x -> x != '')) AS term
+  FROM {docs_table}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ({tlist}) GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM {docs_table}),
+lex AS (SELECT doc_id,
+               round(sum(tf * (ln((n_docs + 1.0) / (df_t + 1.0)) + 1.0)),
+                     6) AS lex_score
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n GROUP BY doc_id),
+lexr AS (SELECT doc_id, row_number() OVER (
+           ORDER BY lex_score DESC, doc_id ASC) AS lex_rank
+         FROM (SELECT * FROM lex
+               ORDER BY lex_score DESC, doc_id ASC LIMIT {pool})),
+q AS (SELECT {vlist} AS q),
+e AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM {emb_table}),
+vec AS (SELECT e.doc_id, round({cos}, 6) AS cos_sim
+        FROM e CROSS JOIN q),
+vecr AS (SELECT doc_id, row_number() OVER (
+           ORDER BY cos_sim DESC, doc_id ASC) AS vec_rank
+         FROM (SELECT * FROM vec
+               ORDER BY cos_sim DESC, doc_id ASC LIMIT {pool})),
+fused AS (
+  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+         round(COALESCE(1.0 / ({rrf_k} + l.lex_rank), 0)
+               + COALESCE(1.0 / ({rrf_k} + v.vec_rank), 0), 6)
+           AS rrf_score
+  FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id)
+SELECT doc_id, lex_rank, vec_rank, rrf_score, rn
+FROM (SELECT *, row_number() OVER (
+        ORDER BY rrf_score DESC, doc_id ASC) AS rn FROM fused)
+WHERE rn <= {k}
+"""
+
+
 def knn_bruteforce_sql(query_pred: str, k: int = 3,
                        table: str = "embeddings") -> str:
     cos = _COS.format(a="q.e", b="c.e")

@@ -1504,3 +1504,60 @@ def test_kmeans_centroids_init_guard(spark, sf_dir):
                          init_centroids=[(0, [0.0] * 16)])
     with pytest.raises(ValueError, match="exactly one"):
         kmeans_centroids(emb, "vec_id", "embedding", iters=2)
+
+
+def test_hybrid_search_fusion_semantics(spark):
+    """r10 hybrid retrieval: a doc ranked top by BOTH legs must win the
+    fusion over docs that top only one leg; absent legs contribute 0;
+    empty query guards raise."""
+    from qvarn_mr_spark.functions.similarity import hybrid_search
+
+    docs = spark.createDataFrame([
+        (1, "spark spark spark shuffle"),      # lexical winner
+        (2, "spark shuffle partitions"),       # both legs strong
+        (3, "rivers mountains weather"),       # neither
+    ], "doc_id long, text string")
+    emb = spark.createDataFrame([
+        (1, [0.0, 1.0]),                       # orthogonal to query
+        (2, [1.0, 0.05]),                      # near the query vector
+        (3, [0.9, 0.4]),
+    ], "doc_id long, embedding array<float>")
+    out = {r["doc_id"]: r for r in hybrid_search(
+        docs, emb, ["spark", "shuffle"], [1.0, 0.0],
+        vec_id_col="doc_id", k=3, pool=3).collect()}
+    # doc 2: lex rank 2 + vec rank 1 beats doc 1 (lex 1, vec 3)
+    assert out[2]["rn"] == 1
+    assert out[2]["lex_rank"] == 2 and out[2]["vec_rank"] == 1
+    assert out[1]["lex_rank"] == 1
+    # doc 3 matched no query term: lexical leg absent, vector only
+    assert out[3]["lex_rank"] is None and out[3]["vec_rank"] == 2
+    # rrf arithmetic: 1/(60+rank) sums, rounded to 6
+    assert out[2]["rrf_score"] == round(1 / 62 + 1 / 61, 6)
+    assert out[3]["rrf_score"] == round(1 / 62, 6)
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="non-empty"):
+        hybrid_search(docs, emb, [], [1.0, 0.0], vec_id_col="doc_id")
+    with _pt.raises(ValueError, match="non-empty"):
+        hybrid_search(docs, emb, ["spark"], [], vec_id_col="doc_id")
+
+
+def test_hybrid_search_pool_bounds_fusion(spark):
+    """The pool cap truncates each leg BEFORE fusion: a doc outside a
+    leg's top-pool gets no rank from that leg even if it matches."""
+    from qvarn_mr_spark.functions.similarity import hybrid_search
+
+    # doc i repeats 'term' (10 - i) times: lexical order 0,1,2,...
+    docs = spark.createDataFrame(
+        [(i, " ".join(["term"] * (10 - i))) for i in range(6)],
+        "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(i, [1.0, float(i)]) for i in range(6)],
+        "doc_id long, embedding array<float>")
+    out = {r["doc_id"]: r for r in hybrid_search(
+        docs, emb, ["term"], [1.0, 0.0],
+        vec_id_col="doc_id", k=6, pool=2).collect()}
+    # only docs 0,1 carry a lex_rank (pool=2); 2..5 fused vector-only
+    assert out[0]["lex_rank"] == 1 and out[1]["lex_rank"] == 2
+    assert all(out[i]["lex_rank"] is None for i in (2, 3, 4, 5)
+               if i in out)
