@@ -1861,6 +1861,28 @@ def q_hybrid_search(spark, sf_dir):
         similarity.demo_query_vec(64), k=10, pool=50)
 
 
+def q_hybrid_search_ivf(spark, sf_dir):
+    """Hybrid retrieval with the vector leg IVF-PROBED
+    (similarity.hybrid_search_ivf, r11 — VERDICT r10 #6): the query
+    vector routes to its 2 nearest pinned centroids and only those
+    clusters' vectors are scored (on a write_ivf_partitioned corpus
+    this filter IS partition pruning); lexical leg and RRF fusion are
+    the shared hybrid_search stages, proving the fusion is
+    leg-implementation-independent. Fully deterministic → fully
+    value-oracled (oracle.hybrid_search_ivf_sql mirrors the probed leg
+    with the same route/assign tiebreaks)."""
+    t = _t(spark, sf_dir, "documents", "embeddings")
+    emb = t["embeddings"]
+    cents = [(r["vec_id"], list(r["c"])) for r in
+             emb.filter(F.col("vec_id") % 100 == 0)
+             .select("vec_id",
+                     F.col("embedding").cast("array<double>").alias("c"))
+             .collect()]
+    return similarity.hybrid_search_ivf(
+        t["documents"], emb, HYBRID_TERMS,
+        similarity.demo_query_vec(64), cents, nprobe=2, k=10, pool=50)
+
+
 def q_doc_perplexity_buckets(spark, sf_dir):
     """CCNet perplexity bucketing (functions/quality.py, Wenzek et al.
     2020): unigram-LM surprisal per doc, then an equal-frequency
@@ -1944,11 +1966,13 @@ def q_lsh_index_probe(spark, sf_dir):
     keys = sigs.select("doc_id", F.posexplode(F.array(
         *[F.col(f"band_{b}") for b in range(dedup.MINHASH_BANDS)]))
         .alias("_pos", "_sig"))
-    buckets = (keys.select(
-        "doc_id", F.concat_ws("|", F.col("_pos"), F.col("_sig"))
-        .alias("_mr_key"))
-        .groupBy("_mr_key")
-        .agg(F.array_sort(F.collect_set("doc_id")).alias("members")))
+    # NORMALIZED index rows (VERDICT r10 #1): one (bucket, member) row
+    # per band — the exact shape lsh_index_views maintains; no
+    # collect_set member array anywhere, so a hot bucket is many small
+    # rows joined in parallel, never one giant row exploded in one task
+    members = keys.select(
+        F.concat_ws("|", F.col("_pos"), F.col("_sig")).alias("_mr_key"),
+        F.col("doc_id").alias("member_id"))
     # delta ⊆ corpus here, so the probe reuses the SAME signature frame
     # (one shingle-hash pass total — the pattern the embedding probe
     # uses); dedup.probe_lsh_index re-keys raw text via the per-row
@@ -1957,8 +1981,7 @@ def q_lsh_index_probe(spark, sf_dir):
                   .select(F.col("doc_id").alias("probe_id"),
                           F.concat_ws("|", F.col("_pos"), F.col("_sig"))
                           .alias("_mr_key")))
-    return (probe_keys.join(buckets, "_mr_key")
-            .select("probe_id", F.explode("members").alias("member_id"))
+    return (probe_keys.join(members, "_mr_key")
             .filter(F.col("probe_id") != F.col("member_id"))
             .groupBy("probe_id", "member_id")
             .agg(F.count(F.lit(1)).alias("n_bands")))
@@ -1967,14 +1990,18 @@ def q_lsh_index_probe(spark, sf_dir):
 def q_ivf_index_probe(spark, sf_dir):
     """Maintained IVF/k-means index probe (functions/similarity.py,
     VERDICT r9 item 1): the trained-ANN family's streaming shape — the
-    cluster→members table is batch-bootstrapped here with the SAME
-    per-row assignment Column the IncrementalEngine maintains in
+    normalized cluster-member table (one (cluster, struct(m_id, m_vec))
+    row per member, VERDICT r10 #1) is batch-bootstrapped here with the
+    SAME per-row assignment Column the IncrementalEngine maintains in
     O(delta) per CDC batch (create/update/delete conformance + version-
-    bump refit resync in tests/test_ivf_index.py), then a delta of
-    query vectors routes Column-side to its nearest pinned centroid and
-    ranks only that cluster's members. Value-oracled: for in-corpus
-    queries at nprobe=1 the probe is semantics-identical to
-    ivf_probe_search, so it shares that oracle."""
+    bump refit resync in tests/test_ivf_index.py; append-path commit
+    cost pinned in tests/test_index_scale.py), then a delta of query
+    vectors routes Column-side to its nearest pinned centroid and ranks
+    only that cluster's member rows — the index carries the vectors
+    (VERDICT r10 #2), so the corpus table is never rejoined or
+    rescanned. Value-oracled: for in-corpus queries at nprobe=1 the
+    probe is semantics-identical to ivf_probe_search, so it shares that
+    oracle."""
     emb = _t(spark, sf_dir, "embeddings")["embeddings"]
     # nlist-bounded collect — the same driver-size contract as every
     # IVF/kmeans centroid table (similarity.ivf_assign)
@@ -1983,13 +2010,13 @@ def q_ivf_index_probe(spark, sf_dir):
              .select("vec_id",
                      F.col("embedding").cast("array<double>").alias("c"))
              .collect()]
-    members = (emb.select(
+    members = emb.select(
         similarity.ivf_cluster_col("embedding", cents).cast("string")
-        .alias("_mr_key"), "vec_id")
-        .groupBy("_mr_key")
-        .agg(F.array_sort(F.collect_set("vec_id")).alias("members")))
+        .alias("_mr_key"),
+        similarity.ivf_member_struct("vec_id", "embedding")
+        .alias("_mr_value"))
     return similarity.probe_ivf_index(
-        emb.filter(F.col("vec_id") % 25 == 0), emb, members, cents,
+        emb.filter(F.col("vec_id") % 25 == 0), members, cents,
         "vec_id", "embedding", k=3)
 
 
@@ -2035,13 +2062,14 @@ def q_embedding_lsh_probe(spark, sf_dir):
     # reserved for delta-sized probes)
     sigs = similarity.hyperplane_signatures(emb, "vec_id", "embedding")
     width = similarity.HYPERPLANES // similarity.HYPERPLANE_BANDS
-    buckets = (sigs.select("vec_id", F.explode(F.array(*[
+    # NORMALIZED index rows (VERDICT r10 #1): one (bucket, member) row
+    # per band — the shape embedding_lsh_index_views maintains
+    members_idx = sigs.select(F.col("vec_id").alias("member_id"),
+                              F.explode(F.array(*[
         F.concat_ws("|", F.lit(str(b)),
                     (F.floor(F.col("hp_sig") / F.lit(2 ** (width * b)))
                      % (2 ** width)).cast("long"))
         for b in range(similarity.HYPERPLANE_BANDS)])).alias("_mr_key"))
-        .groupBy("_mr_key")
-        .agg(F.array_sort(F.collect_set("vec_id")).alias("members")))
     # the probe reuses the SAME signature frame (delta ⊆ corpus here),
     # so the 32-plane expression is built once — probe_embedding_lsh_index
     # re-keys from raw vectors and exists for true out-of-corpus deltas
@@ -2056,8 +2084,7 @@ def q_embedding_lsh_probe(spark, sf_dir):
                               for b in range(
                                   similarity.HYPERPLANE_BANDS)]))
                           .alias("_mr_key")))
-    cand = (probe_keys.join(buckets, "_mr_key")
-            .select("probe_id", F.explode("members").alias("member_id"))
+    cand = (probe_keys.join(members_idx, "_mr_key")
             .filter(F.col("probe_id") != F.col("member_id"))
             .dropDuplicates(["probe_id", "member_id"]))
     pv = emb.select(F.col("vec_id").alias("probe_id"),
@@ -2857,6 +2884,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_partitioned_probe": q_ivf_partitioned_probe,
         "doc_surprisal_exported_lm": q_doc_surprisal_exported_lm,
         "hybrid_search": q_hybrid_search,
+        # new in r11 (VERDICT r10 #6): the IVF-probed vector leg in the
+        # same RRF fusion — proves the fusion is leg-independent
+        "hybrid_search_ivf": q_hybrid_search_ivf,
         # --- r7-proven rows kept in-window: anchors for the families
         # above (uniform PageRank/HITS pair with the rotated variants)
         # and every composed pipeline whose oracle embeds other
@@ -3478,6 +3508,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_surprisal_exported_lm": oracle.unigram_surprisal_sql(),
         "hybrid_search": oracle.hybrid_search_sql(
             HYBRID_TERMS, similarity.demo_query_vec(64), k=10, pool=50),
+        "hybrid_search_ivf": oracle.hybrid_search_ivf_sql(
+            HYBRID_TERMS, similarity.demo_query_vec(64),
+            "vec_id % 100 = 0", nprobe=2, k=10, pool=50),
         "doc_stratified_fixed_k": oracle.stratified_fixed_k_sql(k=3),
         "documents_table_profile": oracle.table_profile_sql(
             [("doc_id", True), ("text", False), ("lang", False),

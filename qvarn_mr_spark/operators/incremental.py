@@ -105,10 +105,15 @@ class ParquetStateStore:
         return self.spark.read.parquet(os.path.join(self._dir(table), f"v{v}"))
 
     def overwrite(self, table: str, df: DataFrame,
-                  dirty_keys: DataFrame | None = None) -> None:
+                  dirty_keys: DataFrame | None = None,
+                  inserts: DataFrame | None = None) -> None:
         """Commit a new snapshot. ``dirty_keys`` (the keys this batch may
         have touched) is a hint for stores that can commit less than the
-        full table; this base store ignores it and rewrites everything."""
+        full table; ``inserts``, when given, asserts the batch was PURE
+        APPEND (``df`` equals the previous snapshot plus exactly these
+        rows — no row was modified or removed), letting a store commit
+        O(|inserts|) files instead of rewriting anything. This base store
+        ignores both hints and rewrites everything."""
         v = (self.version(table) or 0) + 1
         path = os.path.join(self._dir(table), f"v{v}")
         df.write.mode("overwrite").parquet(path)
@@ -173,10 +178,15 @@ class BucketedParquetStateStore(ParquetStateStore):
     """
 
     def __init__(self, spark: SparkSession, root: str, retain: int = 2,
-                 buckets: int = 16, key_col: str = "_mr_key"):
+                 buckets: int = 16, key_col: str = "_mr_key",
+                 compact_after: int = 8):
         super().__init__(spark, root, retain=retain)
         self.buckets = buckets
         self.key_col = key_col
+        #: max append-chain length per bucket before the next commit
+        #: rewrites that bucket in full (LSM/Delta-style compaction —
+        #: bounds read amplification to ``compact_after`` file sets)
+        self.compact_after = compact_after
 
     def _bucket_expr(self):
         return F.pmod(F.hash(F.col(self.key_col)), F.lit(self.buckets))
@@ -187,12 +197,19 @@ class BucketedParquetStateStore(ParquetStateStore):
     def _load_manifest(self, table: str, v: int) -> dict | None:
         try:
             with open(self._manifest_path(table, v)) as f:
-                return json.load(f)
+                m = json.load(f)
         except FileNotFoundError:
             return None
+        # owner chains: each bucket maps to the LIST of version dirs whose
+        # files compose it, oldest first (a pre-chain manifest holds a
+        # single int — normalize on load, so old snapshots stay readable)
+        m["buckets"] = {b: (ver if isinstance(ver, list) else [ver])
+                        for b, ver in m["buckets"].items()}
+        return m
 
     def overwrite(self, table: str, df: DataFrame,
-                  dirty_keys: DataFrame | None = None) -> None:
+                  dirty_keys: DataFrame | None = None,
+                  inserts: DataFrame | None = None) -> None:
         if self.key_col not in df.columns:
             return super().overwrite(table, df)
         prev_v = self.version(table)
@@ -200,26 +217,58 @@ class BucketedParquetStateStore(ParquetStateStore):
         v = (prev_v or 0) + 1
         path = os.path.join(self._dir(table), f"v{v}")
 
+        append_buckets: set = set()
         if dirty_keys is None or prev is None:
             data, dirty_buckets = df, None          # full rewrite
         else:
             # ≤B distinct bucket ids — a metadata-sized collect by design
             dirty_buckets = {r[0] for r in dirty_keys.select(
                 self._bucket_expr().alias("b")).distinct().collect()}
-            data = df.filter(self._bucket_expr().isin(dirty_buckets))
+            if inserts is not None:
+                # PURE-APPEND commit (the O(delta) hot path for insert-only
+                # CDC batches): write only the inserted rows; untouched
+                # files of the same bucket stay owned by earlier versions,
+                # so a 3-row insert into a 10⁷-member hot cluster commits
+                # 3 rows, not the cluster. Buckets whose owner chain would
+                # exceed ``compact_after`` are rewritten in full instead
+                # (compaction), keeping read fan-in bounded.
+                append_buckets = {
+                    b for b in dirty_buckets
+                    if len(prev["buckets"].get(str(b), []))
+                    < self.compact_after}
+                compact = dirty_buckets - append_buckets
+                data = inserts.filter(
+                    self._bucket_expr().isin(append_buckets))
+                if compact:
+                    data = data.unionByName(
+                        df.filter(self._bucket_expr().isin(compact)))
+            else:
+                data = df.filter(self._bucket_expr().isin(dirty_buckets))
 
         (data.withColumn("_bucket", self._bucket_expr())
              .write.mode("overwrite").partitionBy("_bucket").parquet(path))
         written = {int(n.split("=", 1)[1]) for n in os.listdir(path)
                    if n.startswith("_bucket=")}
         if dirty_buckets is None:
-            buckets = {str(b): v for b in written}
+            buckets = {str(b): [v] for b in written}
         else:
-            # untouched buckets keep their owning version; a dirty bucket
+            # untouched buckets keep their owning versions; a dirty bucket
             # that came out empty (all its keys vanished) drops out entirely
             buckets = {b: ver for b, ver in prev["buckets"].items()
                        if int(b) not in dirty_buckets}
-            buckets.update({str(b): v for b in written})
+            # a pure-append bucket EXTENDS its owner chain (older files
+            # still hold live rows); a rewritten bucket resets to [v]
+            buckets.update({
+                str(b): (prev["buckets"].get(str(b), []) + [v]
+                         if b in append_buckets else [v])
+                for b in written})
+            # an append into a previously-present bucket that wrote no
+            # file (empty insert slice) keeps its old chain via the
+            # carry-over above only if it wasn't dirty; dirty-but-unwritten
+            # append buckets must still carry their old files forward
+            for b in append_buckets - written:
+                if str(b) in prev["buckets"]:
+                    buckets[str(b)] = prev["buckets"][str(b)]
         manifest = {"buckets": buckets, "schema": df.schema.json()}
         with open(self._manifest_path(table, v), "w") as f:
             json.dump(manifest, f)
@@ -233,7 +282,8 @@ class BucketedParquetStateStore(ParquetStateStore):
         if manifest is None:
             return super().read(table)
         paths = [os.path.join(self._dir(table), f"v{ver}", f"_bucket={b}")
-                 for b, ver in manifest["buckets"].items()]
+                 for b, vers in manifest["buckets"].items()
+                 for ver in vers]
         if not paths:
             from pyspark.sql import types as T
             return self.spark.createDataFrame(
@@ -255,7 +305,9 @@ class BucketedParquetStateStore(ParquetStateStore):
         for v in range(max(1, keep - self.retain + 1), keep + 1):
             manifest = self._load_manifest(table, v)
             if manifest:
-                referenced |= {int(ver) for ver in manifest["buckets"].values()}
+                referenced |= {int(ver)
+                               for vers in manifest["buckets"].values()
+                               for ver in vers}
         d = self._dir(table)
         for name in os.listdir(d):
             if name.startswith("v") and name[1:].isdigit():
@@ -593,6 +645,7 @@ class IncrementalEngine:
         dirty_key_parts = []
         fresh_parts = []
         touched_parts = []
+        deleted_parts = []
         for source, spec in sources.items():
             if "seq" not in changes.columns:
                 # F.last over groupBy is nondeterministic; without an order
@@ -649,6 +702,7 @@ class IncrementalEngine:
                 parts.append(fresh)
                 dirty_key_parts.append(fresh.select("_mr_key"))
             fresh_parts.append(fresh)
+            deleted_parts.append(deleted)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
@@ -656,11 +710,6 @@ class IncrementalEngine:
         for p in dirty_key_parts[1:]:
             dirty = dirty.unionByName(p)
         dirty = dirty.distinct()
-        # every row-level difference between old and new lives under a dirty
-        # key (survivors only lose dirty-source rows; fresh/tombstoned rows
-        # carry dirty keys), so a bucketed store may commit dirty buckets only
-        self.store.overwrite(target, out, dirty_keys=dirty)
-        self.store.overwrite(target + "__dirty", dirty)
         # For the algebraic reduce path (_apply_reduce): this batch's freshly
         # mapped rows (the insert delta), and the keys that LOST old rows
         # (update/delete — only these need a full-group recompute). Both are
@@ -672,8 +721,26 @@ class IncrementalEngine:
             dirty.limit(0)
         for p in touched_parts[1:]:
             touched = touched.unionByName(p)
+        touched = touched.distinct()
+        # PURE-APPEND detection: no delete notifications and no existing map
+        # rows under the changed ids ⇒ new = old ∪ fresh exactly, and a
+        # bucketed store may commit just the fresh rows (O(delta) even when
+        # a hot key's group holds millions of rows — the emptiness probes
+        # are delta-bounded joins, far cheaper than the rewrite they avoid).
+        insert_only = old is not None
+        if insert_only:
+            all_deleted = deleted_parts[0]
+            for p in deleted_parts[1:]:
+                all_deleted = all_deleted.unionByName(p)
+            insert_only = all_deleted.isEmpty() and touched.isEmpty()
+        # every row-level difference between old and new lives under a dirty
+        # key (survivors only lose dirty-source rows; fresh/tombstoned rows
+        # carry dirty keys), so a bucketed store may commit dirty buckets only
+        self.store.overwrite(target, out, dirty_keys=dirty,
+                             inserts=fresh_all if insert_only else None)
+        self.store.overwrite(target + "__dirty", dirty)
         self.store.overwrite(target + "__fresh", fresh_all)
-        self.store.overwrite(target + "__touched", touched.distinct())
+        self.store.overwrite(target + "__touched", touched)
 
     def _apply_reduce(self, target: str, sources: dict) -> None:
         """T4/T5 dirty-key group recompute + A8 empty-group delete + T3 purge.
@@ -757,10 +824,16 @@ class IncrementalEngine:
         # (extended DAGs: a map-over-this-reduce turns them into synthetic
         # notifications via _derived_changes)
         self.store.overwrite(target + "__dirty", dirty)
-        if "_mr_deleted" in map_df.columns:
+        if "_mr_deleted" in map_df.columns and not (
+                self.store.exists(src + "__touched")
+                and self.store.read(src + "__touched").isEmpty()):
             # purge tombstones for keys whose reduce has now succeeded —
             # set form (no collect): drop rows matching (source_id, key)
-            # of tombstoned∩dirty
+            # of tombstoned∩dirty. Tombstones only ever arise under keys
+            # that LOST rows (⊆ __touched), so a pure-insert batch — whose
+            # map commit was the store's O(delta) append path — skips the
+            # purge rewrite entirely (the __touched emptiness probe is a
+            # delta-sized read, not a map-table scan).
             tomb_dirty = (map_df.filter(F.col("_mr_deleted"))
                           .join(F.broadcast(dirty), "_mr_key", "left_semi"))
             purged = map_df.join(

@@ -257,6 +257,18 @@ def _as_col(df: DataFrame, c: str | Column) -> Column:
     return df[c] if isinstance(c, str) else c
 
 
+def live(df: DataFrame) -> DataFrame:
+    """Live rows of a derived map table — tombstoned rows excluded.
+
+    Tombstones (``_mr_deleted``, reference ``processor.py:133-148``) are
+    reduce-stage bookkeeping, not data; every consumer that treats a map
+    table AS the data (the normalized LSH/IVF index views, map-over-map
+    DAGs) must filter them. No-op for frames without the column."""
+    if "_mr_deleted" in df.columns:
+        return df.filter(~F.col("_mr_deleted"))
+    return df
+
+
 @dataclass
 class ViewEngine:
     """Batch view computation: config → derived map and reduce DataFrames.

@@ -426,6 +426,79 @@ WHERE rn <= {k}
 """
 
 
+def hybrid_search_ivf_sql(query_terms, query_vec, centroid_pred: str,
+                          nprobe: int = 1, k: int = 10,
+                          rrf_k: int = 60, pool: int = 50,
+                          docs_table: str = "documents",
+                          emb_table: str = "embeddings") -> str:
+    """similarity.hybrid_search_ivf — hybrid_search_sql with the vector
+    leg probed: the literal query vector routes to its nprobe nearest
+    centroids (rounded cosine, ties ascending cluster id — the shared
+    IVF tiebreak), vectors assign rn=1 to their nearest centroid, and
+    only probed-cluster members are scored. Lexical leg and RRF fusion
+    are textually the hybrid_search_sql stages — the oracle-side twin
+    of the Spark refactor's shared legs."""
+    terms = sorted({str(t).lower() for t in query_terms})
+    qv = [round(float(x), 6) for x in query_vec]
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    vlist = "[" + ", ".join(repr(x) for x in qv) + "]::DOUBLE[]"
+    cos = _COS.format(a="e.e", b="q.q")
+    acos = _COS.format(a="v.e", b="c.e")
+    qcos = _COS.format(a="c.e", b="q.q")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(text), '{TOKEN_RE}'),
+           x -> x != '')) AS term
+  FROM {docs_table}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ({tlist}) GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM {docs_table}),
+lex AS (SELECT doc_id,
+               round(sum(tf * (ln((n_docs + 1.0) / (df_t + 1.0)) + 1.0)),
+                     6) AS lex_score
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n GROUP BY doc_id),
+lexr AS (SELECT doc_id, row_number() OVER (
+           ORDER BY lex_score DESC, doc_id ASC) AS lex_rank
+         FROM (SELECT * FROM lex
+               ORDER BY lex_score DESC, doc_id ASC LIMIT {pool})),
+q AS (SELECT {vlist} AS q),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM {emb_table}),
+cent AS (SELECT vec_id AS cluster_id, e FROM e WHERE {centroid_pred}),
+qroute AS (
+  SELECT cluster_id FROM (
+    SELECT c.cluster_id, row_number() OVER (
+      ORDER BY round({qcos}, 6) DESC, c.cluster_id ASC) AS rn
+    FROM cent c CROSS JOIN q) WHERE rn <= {int(nprobe)}),
+assign AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos_sim DESC, cluster_id ASC) AS rn
+    FROM (SELECT v.vec_id, c.cluster_id,
+                 round({acos}, 6) AS cos_sim
+          FROM e v, cent c)) WHERE rn = 1),
+vec AS (SELECT e.vec_id AS doc_id, round({cos}, 6) AS cos_sim
+        FROM e CROSS JOIN q
+        JOIN assign ON assign.vec_id = e.vec_id
+        WHERE assign.cluster_id IN (SELECT cluster_id FROM qroute)),
+vecr AS (SELECT doc_id, row_number() OVER (
+           ORDER BY cos_sim DESC, doc_id ASC) AS vec_rank
+         FROM (SELECT * FROM vec
+               ORDER BY cos_sim DESC, doc_id ASC LIMIT {pool})),
+fused AS (
+  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+         round(COALESCE(1.0 / ({rrf_k} + l.lex_rank), 0)
+               + COALESCE(1.0 / ({rrf_k} + v.vec_rank), 0), 6)
+           AS rrf_score
+  FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id)
+SELECT doc_id, lex_rank, vec_rank, rrf_score, rn
+FROM (SELECT *, row_number() OVER (
+        ORDER BY rrf_score DESC, doc_id ASC) AS rn FROM fused)
+WHERE rn <= {k}
+"""
+
+
 def knn_bruteforce_sql(query_pred: str, k: int = 3,
                        table: str = "embeddings") -> str:
     cos = _COS.format(a="q.e", b="c.e")

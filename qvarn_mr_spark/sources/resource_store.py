@@ -235,3 +235,54 @@ class ResourceStore:
 
     def delete(self, resource_type: str, rid: str) -> None:
         self.delete_many(resource_type, [rid])
+
+    # -- schema versioning / migration (SURVEY §1.2, VERDICT r10 #3) ---------
+    #
+    # Reference: prototypes are versioned v0…vN with automatic storage
+    # migration (vendored ``[qvarn] versioned_storage.py``). Spark form in
+    # :mod:`qvarn_mr_spark.sources.migration`: one transactional snapshot
+    # rewrite per version step + durable version metadata; dependent views
+    # cascade through the existing T7/T8 machinery (bump the view handler
+    # version to one reading the new schema, then
+    # ``IncrementalEngine.resync_changed()``).
+
+    def schema_version(self, resource_type: str) -> int:
+        from qvarn_mr_spark.sources.migration import SchemaRegistry
+        return SchemaRegistry(self.root).version(resource_type)
+
+    def migrate(self, resource_type: str, to_version: int,
+                transforms) -> bool:
+        """Migrate ``resource_type`` to schema ``to_version`` by applying
+        the declarative ``transforms`` (see ``migration.VERBS``) as ONE
+        atomic snapshot rewrite, then bump the durable schema version.
+
+        Returns False (no-op) when the type is already AT or PAST
+        ``to_version`` — re-running an interrupted migration is safe: the
+        snapshot swap is atomic and every transform is idempotent, so a
+        crash between the rewrite and the metadata bump is repaired by
+        calling migrate again with the same arguments. Skipping versions
+        raises: migrations form a chain (v0→v1→…), the reference's
+        contract.
+
+        Emits NO per-row notifications — a schema migration is not a data
+        change per id (and at 100 TB a per-id feed replay would be a full
+        rescan through the slow path); dependent views that read migrated
+        fields rebuild via ``resync_changed`` (one batch pipeline), the
+        same one-shot path a handler upgrade takes."""
+        from qvarn_mr_spark.sources.migration import (
+            MigrationError,
+            SchemaRegistry,
+            apply_transforms,
+        )
+        reg = SchemaRegistry(self.root)
+        cur = reg.version(resource_type)
+        if to_version <= cur:
+            return False
+        if to_version != cur + 1:
+            raise MigrationError(
+                f"{resource_type}: cannot migrate v{cur}→v{to_version}; "
+                f"versions step by 1 (apply v{cur + 1} first)")
+        migrated = apply_transforms(self.table(resource_type), transforms)
+        self._store.overwrite(resource_type, migrated)
+        reg.record(resource_type, to_version, transforms)
+        return True

@@ -8,17 +8,18 @@ curation user wants: an ingest stream runs through
                                               embedding_lsh_index_views``),
 
 with 2+3 driven by ONE IncrementalEngine over ONE curated-corpus table
-(the ``map_name`` disambiguator exists exactly for this composition).
-Each stage is covered on its own elsewhere (test_stateful_streaming,
-test_lsh_index); this test pins the COMPOSITION: CDC batches flow
-through all three, and after every batch the maintained indexes agree
-with batch rebuilds over the same survivors (stream == batch), through
-creates AND a curation delete.
+(the unique index_name-derived view names exist exactly for this
+composition). Each stage is covered on its own elsewhere
+(test_stateful_streaming, test_lsh_index); this test pins the
+COMPOSITION: CDC batches flow through all three, and after every batch
+the maintained indexes agree with batch rebuilds over the same
+survivors (stream == batch), through creates AND a curation delete.
 
 Scale shape: the gate is stateless Columns + watermark-boundable fp
 state; each index update is O(delta) (changed docs re-map to ≤ n_bands
-keys, only dirty buckets re-reduce) — nothing in the composition ever
-rescans the corpus, which is what makes it a 100 TB ingest design.
+normalized member rows, pure inserts append) — nothing in the
+composition ever rescans the corpus, which is what makes it a 100 TB
+ingest design.
 """
 
 import glob
@@ -105,11 +106,10 @@ def test_composed_streaming_corpus_pipeline(spark, tmp_path):
             views = {
                 **dedup.lsh_index_views(
                     "kept", "doc_id", "text",
-                    index_name="text_buckets", map_name="kept__text_lsh"),
+                    index_name="text_buckets"),
                 **similarity.embedding_lsh_index_views(
                     "kept", "doc_id", "emb", planes=PLANES, bands=BANDS,
-                    dim=DIM, index_name="emb_buckets",
-                    map_name="kept__emb_lsh"),
+                    dim=DIM, index_name="emb_buckets"),
             }
             eng = ViewEngine(cat, views, id_cols={"kept": "doc_id"})
             engine["inc"] = IncrementalEngine(
@@ -172,10 +172,11 @@ def test_composed_streaming_corpus_pipeline(spark, tmp_path):
     assert ("d1", "d4") in t2
     assert ("d1", "d4") in e2
     # gated docs never leaked into any bucket
-    members = engine["inc"].read("text_buckets").select(
-        F.explode("members").alias("m")).union(
-        engine["inc"].read("emb_buckets").select(
-            F.explode("members").alias("m"))).collect()
+    from qvarn_mr_spark.operators.mapreduce import live
+    members = live(engine["inc"].read("text_buckets")).select(
+        F.col("_mr_value").alias("m")).union(
+        live(engine["inc"].read("emb_buckets")).select(
+            F.col("_mr_value").alias("m"))).collect()
     assert {r["m"] for r in members}.isdisjoint({"d2", "d5"})
 
     # ---- curation delete: d1 leaves the corpus via CDC ---------------
@@ -183,8 +184,8 @@ def test_composed_streaming_corpus_pipeline(spark, tmp_path):
     apply_cdc([("kept", "deleted", "d1")])
     t3, e3 = assert_stream_equals_batch()
     assert not any("d1" in p for p in t3 | e3)
-    members = engine["inc"].read("text_buckets").select(
-        F.explode("members").alias("m")).union(
-        engine["inc"].read("emb_buckets").select(
-            F.explode("members").alias("m"))).collect()
+    members = live(engine["inc"].read("text_buckets")).select(
+        F.col("_mr_value").alias("m")).union(
+        live(engine["inc"].read("emb_buckets")).select(
+            F.col("_mr_value").alias("m"))).collect()
     assert all(r["m"] != "d1" for r in members)

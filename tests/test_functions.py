@@ -1561,3 +1561,53 @@ def test_hybrid_search_pool_bounds_fusion(spark):
     assert out[0]["lex_rank"] == 1 and out[1]["lex_rank"] == 2
     assert all(out[i]["lex_rank"] is None for i in (2, 3, 4, 5)
                if i in out)
+
+
+def test_hybrid_search_ivf_matches_bruteforce_when_pool_exact(spark):
+    """r11 (VERDICT r10 #6): hybrid_search_ivf with nprobe = nlist
+    probes EVERY cluster, so the probed vector pool equals the exact
+    pool and the fused table must EQUAL brute-force hybrid_search —
+    the fusion is leg-implementation-independent. At nprobe=1 the
+    probed leg is a strict subset and the fusion still runs (vector
+    ranks come from the probed cluster only)."""
+    from qvarn_mr_spark.functions.similarity import (
+        hybrid_search,
+        hybrid_search_ivf,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"term{i % 3} spark shuffle doc{i}") for i in range(12)],
+        "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(i, [1.0 + 0.01 * i, float(i % 4), 0.5 * (i % 3)])
+         for i in range(12)],
+        "doc_id long, embedding array<float>")
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]),
+             (2, [0.0, 0.0, 1.0])]
+    q = ["spark", "term1"]
+    qv = [1.0, 0.3, 0.1]
+
+    want = {tuple(r) for r in hybrid_search(
+        docs, emb, q, qv, vec_id_col="doc_id", k=8, pool=6).collect()}
+    got = {tuple(r) for r in hybrid_search_ivf(
+        docs, emb, q, qv, cents, nprobe=3,
+        vec_id_col="doc_id", k=8, pool=6).collect()}
+    assert got == want
+
+    # nprobe=1: probed pool ⊆ exact pool; fused rows still rank k-deep
+    # and every vec_rank-ed doc belongs to the probed cluster
+    from qvarn_mr_spark.functions.similarity import (
+        ivf_cluster_col,
+        ivf_route_col,
+    )
+    narrow = hybrid_search_ivf(docs, emb, q, qv, cents, nprobe=1,
+                               vec_id_col="doc_id", k=8, pool=6)
+    probed = spark.createDataFrame([(qv,)], "q array<double>").select(
+        ivf_route_col("q", cents, 1)[0].alias("c")).collect()[0]["c"]
+    members = {r["doc_id"] for r in emb.select(
+        F.col("doc_id"),
+        ivf_cluster_col("embedding", cents).alias("c"))
+        .filter(F.col("c") == probed).collect()}
+    for r in narrow.collect():
+        if r["vec_rank"] is not None:
+            assert r["doc_id"] in members

@@ -331,14 +331,18 @@ def _bucket_files(root, table):
     with open(os.path.join(tdir, f"v{v}", "_MANIFEST.json")) as f:
         manifest = json.load(f)["buckets"]
     out = {}
-    for b, ver in manifest.items():
-        bdir = os.path.join(tdir, f"v{ver}", f"_bucket={b}")
+    for b, vers in manifest.items():
         files = {}
-        for name in sorted(os.listdir(bdir)):
-            if name.endswith(".parquet"):
-                with open(os.path.join(bdir, name), "rb") as fh:
-                    files[os.path.join(f"v{ver}", f"_bucket={b}", name)] = \
-                        hashlib.sha256(fh.read()).hexdigest()
+        # owner CHAIN (r11): a bucket may be composed of one rewrite dir
+        # plus append dirs; pre-chain manifests held a single int
+        for ver in (vers if isinstance(vers, list) else [vers]):
+            bdir = os.path.join(tdir, f"v{ver}", f"_bucket={b}")
+            for name in sorted(os.listdir(bdir)):
+                if name.endswith(".parquet"):
+                    with open(os.path.join(bdir, name), "rb") as fh:
+                        files[os.path.join(f"v{ver}", f"_bucket={b}",
+                                           name)] = \
+                            hashlib.sha256(fh.read()).hexdigest()
         out[b] = files
     return out
 

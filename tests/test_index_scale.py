@@ -1,0 +1,261 @@
+"""Scale discipline of the NORMALIZED maintained indexes (VERDICT r10
+items 1+2).
+
+The maintained LSH/IVF index views hold one ``(bucket/cluster,
+member)`` row per member — never a ``collect_set`` array — and the
+bucketed state store commits a pure-insert CDC batch through an APPEND
+fast path. These tests pin the two load-bearing claims:
+
+1. **Dirty-batch cost scales with the delta, not the cluster** — a
+   planted hot cluster (one cluster ≫ all others) receives small
+   insert batches, and the rows physically written per commit equal
+   the batch size, not the cluster population.
+2. **The probe plan never touches the corpus table** — the IVF index
+   rows carry the member vectors, so ``probe_ivf_index`` reads index
+   files only, with the probed cluster set pushed into the parquet
+   scan as a literal predicate.
+
+Plus the store-level machinery they rest on: append-chain manifests,
+chain-length compaction, and GC that respects chain closures.
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+from qvarn_mr_spark.catalog import Catalog
+from qvarn_mr_spark.functions import similarity
+from qvarn_mr_spark.operators import IncrementalEngine, ViewEngine
+from qvarn_mr_spark.operators.incremental import (
+    BucketedParquetStateStore,
+    notifications,
+)
+from qvarn_mr_spark.operators.mapreduce import live
+
+DIM = 8
+
+
+def vec(seed, flip=0.0):
+    v = [((seed * 31 + d * 7) % 13 - 6) / 6.0 + 0.01 for d in range(DIM)]
+    if flip:
+        v[0] += flip
+    return v
+
+
+#: Two pinned centroids; cluster "0" will be planted hot.
+CENTS = [(0, vec(1)), (1, vec(2))]
+
+
+def df_of(spark, rows):
+    return spark.createDataFrame(rows, "id string, embedding array<float>")
+
+
+def hot_rows(n_hot, n_cold, start=0):
+    """n_hot vectors near centroid 0, n_cold near centroid 1."""
+    rows = [(f"h{start + i}", vec(1, flip=0.001 * (i % 97 + 1)))
+            for i in range(n_hot)]
+    rows += [(f"c{start + i}", vec(2, flip=0.001 * (i % 97 + 1)))
+             for i in range(n_cold)]
+    return rows
+
+
+def read_members(inc, name="ivf_members"):
+    out = {}
+    for r in live(inc.read(name)).collect():
+        out.setdefault(r["_mr_key"], []).append(r["_mr_value"]["m_id"])
+    return {c: sorted(ids) for c, ids in out.items()}
+
+
+def rows_written(spark, store_root, table, version):
+    """Rows physically committed in ONE version directory of a table —
+    the per-batch write cost the O(delta) claim is about."""
+    path = os.path.join(store_root, table, f"v{version}")
+    if not any(n.startswith("_bucket=") for n in os.listdir(path)):
+        return 0
+    return spark.read.parquet(path).count()
+
+
+def test_hot_cluster_insert_commits_delta_not_cluster(spark, tmp_path):
+    """Plant one hot cluster (200 members) vs one cold (5); apply
+    insert-only CDC batches of 3 and 12 rows into the HOT cluster. The
+    rows written per commit must equal the batch size — hot-cluster-
+    population-independent (the append fast path) — and the maintained
+    view must stay correct (including the algebraic stats counts)."""
+    cat = Catalog(spark)
+    state = dict(hot_rows(200, 5))
+
+    def sync():
+        cat.register("emb", df_of(spark, sorted(state.items())))
+
+    sync()
+    root = str(tmp_path / "s")
+    eng = ViewEngine(cat, similarity.ivf_index_views(
+        CENTS, "emb", "id", "embedding", index_name="hot_idx"),
+        id_cols={"emb": "id"})
+    inc = IncrementalEngine(eng, BucketedParquetStateStore(
+        spark, root, buckets=4, retain=4))
+    inc.resync_all()                                  # v1: full bootstrap
+    n_boot = rows_written(spark, root, "hot_idx", 1)
+    assert n_boot == 205
+
+    def oracle():
+        got = read_members(inc, "hot_idx")
+        want = {}
+        for rid in state:
+            want.setdefault("0" if rid.startswith("h") else "1",
+                            []).append(rid)
+        return got == {c: sorted(v) for c, v in want.items()}
+
+    # batch A: 3 inserts into the hot cluster → 3 rows committed, not 203
+    for rid, v in hot_rows(3, 0, start=1000):
+        state[rid] = v
+    sync()
+    inc.apply_changes(notifications(
+        spark, [("emb", "created", f"h{1000 + i}") for i in range(3)]))
+    assert rows_written(spark, root, "hot_idx", 2) == 3
+    assert oracle()
+
+    # batch B: 12 inserts → 12 rows committed (cost tracks the delta)
+    for rid, v in hot_rows(12, 0, start=2000):
+        state[rid] = v
+    sync()
+    inc.apply_changes(notifications(
+        spark, [("emb", "created", f"h{2000 + i}") for i in range(12)]))
+    assert rows_written(spark, root, "hot_idx", 3) == 12
+    assert oracle()
+
+    # stats view tracked algebraically (MERGE_ADD, no group rescan)
+    stats = {r["_mr_key"]: r["n_vecs"]
+             for r in inc.read("hot_idx__stats").collect()}
+    assert stats == {"0": 215, "1": 5}
+
+    # a DELETE falls back to the rewrite path and stays correct
+    victim = "h0"
+    del state[victim]
+    sync()
+    inc.apply_changes(notifications(spark, [("emb", "deleted", victim)]))
+    assert oracle()
+    stats = {r["_mr_key"]: r["n_vecs"]
+             for r in inc.read("hot_idx__stats").collect()}
+    assert stats == {"0": 214, "1": 5}
+
+    # post-delete inserts re-enter the O(delta) append path
+    state["h3000"] = vec(1, flip=0.003)
+    sync()
+    inc.apply_changes(notifications(spark, [("emb", "created", "h3000")]))
+    last = int(open(os.path.join(root, "hot_idx", "_LATEST")).read())
+    assert rows_written(spark, root, "hot_idx", last) == 1
+    assert oracle()
+
+    # and the index schema holds NO array column — no row can grow with
+    # cluster size (the r10 collect_set hazard is structurally gone)
+    from pyspark.sql.types import ArrayType
+    schema = inc.read("hot_idx").schema
+    for f in schema.fields:
+        if f.name == "_mr_value":
+            # the one array is the member's own fixed-dim vector
+            assert {sf.name for sf in f.dataType.fields} == {"m_id",
+                                                             "m_vec"}
+        else:
+            assert not isinstance(f.dataType, ArrayType), f.name
+
+
+def test_probe_plan_reads_index_only_with_pushed_clusters(spark,
+                                                          tmp_path):
+    """probe_ivf_index against a store-backed index: every input file of
+    the probe plan lives under the index table (the corpus parquet is
+    never opened), and the probed cluster set is pushed into the scan
+    as a literal _mr_key IN predicate (row-group pruning at the scan)."""
+    corpus_path = str(tmp_path / "corpus")
+    rows = hot_rows(40, 8)
+    df_of(spark, rows).write.parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+
+    cat = Catalog(spark)
+    cat.register("emb", corpus)
+    root = str(tmp_path / "s")
+    eng = ViewEngine(cat, similarity.ivf_index_views(
+        CENTS, "emb", "id", "embedding", index_name="ivf_members"),
+        id_cols={"emb": "id"})
+    inc = IncrementalEngine(eng, BucketedParquetStateStore(
+        spark, root, buckets=4))
+    inc.resync_all()
+
+    queries = df_of(spark, [("q1", vec(2, flip=0.01))])
+    probe = similarity.probe_ivf_index(
+        queries, inc.read("ivf_members"), CENTS, "id", "embedding", k=3)
+
+    files = probe.inputFiles()
+    assert files, "probe plan should scan the stored index files"
+    idx_root = os.path.join(root, "ivf_members")
+    assert all(f.split("://", 1)[-1].startswith(idx_root)
+               for f in files), files
+    assert not any(corpus_path in f for f in files)
+
+    from qvarn_mr_spark.plans import explain_str
+    txt = explain_str(probe, "formatted")
+    pushed = [ln for ln in txt.splitlines() if "PushedFilters" in ln]
+    assert any("In(_mr_key" in ln or "EqualTo(_mr_key" in ln
+               for ln in pushed), pushed
+
+    # and the answer is served correctly from the index rows' vectors:
+    # the query routes to the cold cluster and gets k cold neighbors
+    got = {(r["q_id"], r["n_id"]) for r in probe.collect()}
+    assert len(got) == 3
+    assert all(q == "q1" and n.startswith("c") for q, n in got)
+
+
+def test_append_chains_compact_and_stay_readable(spark, tmp_path):
+    """Store-level contract of the append fast path: chains extend on
+    pure-insert commits, compact (full bucket rewrite) once
+    ``compact_after`` owners accumulate, and reads are correct at every
+    step — including after GC drops pre-chain versions."""
+    store = BucketedParquetStateStore(
+        spark, str(tmp_path / "s"), buckets=1, retain=2, compact_after=3)
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "_mr_key string, v long")
+
+    def keys(rows):
+        return frame(rows).select("_mr_key")
+
+    all_rows = [("k0", 0), ("k1", 1)]
+    store.overwrite("t", frame(all_rows))             # v1: full write
+    for step in range(2, 8):
+        delta = [(f"k{step}", step)]
+        all_rows = all_rows + delta
+        store.overwrite("t", frame(all_rows), dirty_keys=keys(delta),
+                        inserts=frame(delta))
+        got = {(r["_mr_key"], r["v"]) for r in store.read("t").collect()}
+        assert got == set(all_rows), f"diverged at v{step}"
+    # chains never exceeded compact_after owners
+    m = store._load_manifest("t", store.version("t"))
+    assert all(len(vers) <= store.compact_after
+               for vers in m["buckets"].values())
+    # at least one compaction actually happened (chain reset observed):
+    # with buckets=1 and 6 appends at compact_after=3, the single
+    # bucket's chain must have been rewritten at least once
+    assert len(m["buckets"]["0"]) < 7
+
+
+def test_append_then_update_rewrites_and_stays_correct(spark, tmp_path):
+    """A non-insert batch (update/delete) after appends must take the
+    rewrite path over the FULL new table — rows living in appended
+    files are rewritten or dropped correctly, not resurrected."""
+    store = BucketedParquetStateStore(
+        spark, str(tmp_path / "s"), buckets=2, retain=3, compact_after=8)
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "_mr_key string, v long")
+
+    store.overwrite("t", frame([("a", 1), ("b", 2)]))
+    store.overwrite("t", frame([("a", 1), ("b", 2), ("c", 3)]),
+                    dirty_keys=frame([("c", 3)]).select("_mr_key"),
+                    inserts=frame([("c", 3)]))
+    # update "c" (appended above) and delete "a" via plain dirty rewrite
+    new = frame([("b", 2), ("c", 33)])
+    store.overwrite("t", new,
+                    dirty_keys=frame([("a", 0), ("c", 0)])
+                    .select("_mr_key"))
+    got = {(r["_mr_key"], r["v"]) for r in store.read("t").collect()}
+    assert got == {("b", 2), ("c", 33)}

@@ -67,8 +67,22 @@ def df_of(spark, rows):
 
 
 def read_members(inc, name="ivf_members"):
-    return {r["_mr_key"]: list(r["members"])
-            for r in inc.read(name).collect()}
+    """Cluster → sorted member ids from the NORMALIZED index (one
+    (_mr_key, struct(m_id, m_vec)) row per member, tombstones excluded)."""
+    from qvarn_mr_spark.operators.mapreduce import live
+    out = {}
+    for r in live(inc.read(name)).collect():
+        out.setdefault(r["_mr_key"], []).append(r["_mr_value"]["m_id"])
+    return {c: sorted(ids) for c, ids in out.items()}
+
+
+def bootstrap_index(emb, cents, id_col="vec_id", vec_col="embedding"):
+    """Batch-bootstrapped normalized index rows — the same shape the
+    IncrementalEngine maintains (cluster key string, member struct)."""
+    return emb.select(
+        similarity.ivf_cluster_col(vec_col, cents).cast("string")
+        .alias("_mr_key"),
+        similarity.ivf_member_struct(id_col, vec_col).alias("_mr_value"))
 
 
 def test_ivf_cluster_col_matches_batch_assign(spark, sf_dir):
@@ -138,9 +152,11 @@ def test_ivf_index_maintains_through_cdc(spark, tmp_path):
     assert read_members(inc) == py_members(rows)
     assert all("a" not in ms for ms in read_members(inc).values())
 
-    # n_vecs bookkeeping matches member counts
-    for r in inc.read("ivf_members").collect():
-        assert r["n_vecs"] == len(r["members"])
+    # n_vecs bookkeeping (the algebraic stats view) matches member counts
+    members = read_members(inc)
+    stats = {r["_mr_key"]: r["n_vecs"]
+             for r in inc.read("ivf_members__stats").collect()}
+    assert stats == {c: len(ms) for c, ms in members.items()}
 
 
 def test_probe_ivf_index_matches_batch_probe(spark, sf_dir):
@@ -155,13 +171,9 @@ def test_probe_ivf_index_matches_batch_probe(spark, sf_dir):
              .select("vec_id",
                      F.col("embedding").cast("array<double>").alias("c"))
              .collect()]
-    members = (emb.select(
-        similarity.ivf_cluster_col("embedding", cents).cast("string")
-        .alias("_mr_key"), "vec_id")
-        .groupBy("_mr_key")
-        .agg(F.array_sort(F.collect_set("vec_id")).alias("members")))
+    members = bootstrap_index(emb, cents)
     queries = emb.filter(F.col("vec_id") % 25 == 0)
-    got = similarity.probe_ivf_index(queries, emb, members, cents,
+    got = similarity.probe_ivf_index(queries, members, cents,
                                      "vec_id", "embedding", k=3)
     want = similarity.ivf_probe_search(
         emb, "vec_id", "embedding", F.col("vec_id") % 100 == 0,
@@ -169,7 +181,7 @@ def test_probe_ivf_index_matches_batch_probe(spark, sf_dir):
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
 
-    got2 = similarity.probe_ivf_index(queries, emb, members, cents,
+    got2 = similarity.probe_ivf_index(queries, members, cents,
                                       "vec_id", "embedding", k=3,
                                       nprobe=2)
     want2 = similarity.ivf_probe_search_multi(
@@ -183,7 +195,7 @@ def test_probe_ivf_index_matches_batch_probe(spark, sf_dir):
     oq = spark.createDataFrame(
         [(-1, [float(x) + 0.001 for x in base])],
         "vec_id long, embedding array<float>")
-    hits = similarity.probe_ivf_index(oq, emb, members, cents,
+    hits = similarity.probe_ivf_index(oq, members, cents,
                                       "vec_id", "embedding", k=3).collect()
     assert len(hits) == 3
     assert hits[0]["n_id"] == 7 and hits[0]["cos_sim"] > 0.999
@@ -228,7 +240,7 @@ def test_ivf_index_via_streaming_maintainer(spark, tmp_path):
     n_id = rstore.create("emb", {"embedding": vec(1, flip=0.02)})
     sm.run_available()
     hits = similarity.probe_ivf_index(
-        df_of(spark, [(n_id, vec(1, flip=0.02))]), rstore.table("emb"),
+        df_of(spark, [(n_id, vec(1, flip=0.02))]),
         inc.read("ivf_members"), CENTS, "id", "embedding", k=2)
     got = [(r["q_id"], r["n_id"]) for r in hits.collect()]
     assert (n_id, a_id) in got

@@ -101,9 +101,17 @@ def test_lsh_index_maintains_through_cdc(spark, tmp_path):
     inc.apply_changes(notifications(spark, [("doc", "deleted", "1")]))
     assert probe_all() == batch()
     assert not any("1" in (a, b) for a, b, _ in probe_all())
-    members = inc.read("lsh_buckets").select(
-        F.explode("members").alias("m")).collect()
+    from qvarn_mr_spark.operators.mapreduce import live
+    members = live(inc.read("lsh_buckets")).select(
+        F.col("_mr_value").alias("m")).collect()
     assert all(r["m"] != "1" for r in members)
+    # stats view: algebraic per-bucket counts equal the live row counts
+    counts = {}
+    for r in live(inc.read("lsh_buckets")).collect():
+        counts[r["_mr_key"]] = counts.get(r["_mr_key"], 0) + 1
+    stats = {r["_mr_key"]: r["n_docs"]
+             for r in inc.read("lsh_buckets__stats").collect()}
+    assert stats == counts
 
 
 def test_lsh_index_via_streaming_maintainer(spark, tmp_path):
@@ -209,8 +217,9 @@ def test_embedding_lsh_index_maintains_through_cdc(spark, tmp_path):
     rows = [r for r in rows if r[0] != "a"]
     set_source(rows)
     inc.apply_changes(notifications(spark, [("emb", "deleted", "a")]))
-    members = inc.read("emb_lsh_buckets").select(
-        F.explode("members").alias("m")).collect()
+    from qvarn_mr_spark.operators.mapreduce import live
+    members = live(inc.read("emb_lsh_buckets")).select(
+        F.col("_mr_value").alias("m")).collect()
     assert all(r["m"] != "a" for r in members)
 
 
@@ -289,10 +298,9 @@ def test_embedding_lsh_index_randomized_differential(spark, tmp_path):
 
 def test_merged_index_fragments_do_not_collide():
     """Composing the text and embedding LSH fragments for ONE source
-    without explicit map_name must yield four distinct views (two maps,
-    two reduces) — the defaults are derived from the unique index_name,
-    so the merge can never silently drop a map view (pre-fix both
-    defaulted to {source}__lsh and the dict union kept only one)."""
+    must yield four distinct views (two normalized member-row indexes,
+    two stats reduces) — the stats names are derived from the unique
+    index_name, so the merge can never silently drop a view."""
     from qvarn_mr_spark.functions import similarity
     views = {
         **dedup.lsh_index_views("docs", "id", "text",
@@ -301,9 +309,9 @@ def test_merged_index_fragments_do_not_collide():
             "docs", "id", "emb", index_name="emb_buckets"),
     }
     assert len(views) == 4
-    assert {"text_buckets", "emb_buckets"} <= set(views)
-    # each reduce view consumes ITS OWN map view, not the other's
-    (text_map,) = views["text_buckets"].keys()
-    (emb_map,) = views["emb_buckets"].keys()
-    assert text_map != emb_map
-    assert text_map in views and emb_map in views
+    assert {"text_buckets", "emb_buckets",
+            "text_buckets__stats", "emb_buckets__stats"} == set(views)
+    # each stats view consumes ITS OWN index view, not the other's
+    (text_src,) = views["text_buckets__stats"].keys()
+    (emb_src,) = views["emb_buckets__stats"].keys()
+    assert text_src == "text_buckets" and emb_src == "emb_buckets"

@@ -1,0 +1,163 @@
+"""Resource-type schema versioning + migration lifecycle (SURVEY §1.2,
+VERDICT r10 item 3 — the reference's vendored ``[qvarn]
+versioned_storage.py`` behavior, Spark-native).
+
+The full chain: documents created under schema v0 → ``migrate`` (add a
+field with default + rename a field) as one atomic snapshot rewrite →
+dependent derived views resync through the EXISTING version-barrier
+machinery (bumped handler version + ``resync_changed``, T7/T8) →
+``search()`` on the new field answers. Plus the safety contract:
+idempotent transforms (crash-replay safe), chained versions only,
+additive ingest without handler changes.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from qvarn_mr_spark.catalog import Catalog
+from qvarn_mr_spark.operators import (
+    IncrementalEngine,
+    ParquetStateStore,
+    ViewEngine,
+)
+from qvarn_mr_spark.operators.incremental import notifications
+from qvarn_mr_spark.operators.mapreduce import map_expr, reduce_agg
+from qvarn_mr_spark.query import search
+from qvarn_mr_spark.sources import ResourceStore
+from qvarn_mr_spark.sources.migration import (
+    MigrationError,
+    apply_transforms,
+)
+
+
+class StoreCatalog(Catalog):
+    def __init__(self, sp, rstore, types):
+        super().__init__(sp)
+        self.rstore, self.types = rstore, types
+
+    def get(self, name):
+        if name in self.types:
+            return self.rstore.table(name)
+        return super().get(name)
+
+
+def test_migration_lifecycle_with_dependent_view(spark, tmp_path):
+    rstore = ResourceStore(spark, str(tmp_path / "store"))
+    ids = rstore.create_many("doc", [
+        {"name": "Alpha", "n": 3},
+        {"name": "Beta", "n": 5},
+    ])
+    assert rstore.schema_version("doc") == 0
+
+    # a derived view over the v0 schema: per-name char counts
+    cat = StoreCatalog(spark, rstore, {"doc"})
+    config = {
+        "doc__lens": {"doc": map_expr(key=F.col("name"), value=F.col("n"),
+                                      version=1)},
+        "name_totals": {"doc__lens": reduce_agg(
+            {"total": lambda c: F.sum(c)}, version=1)},
+    }
+    eng = ViewEngine(cat, config, id_cols={"doc": "id"})
+    inc = IncrementalEngine(eng, ParquetStateStore(
+        spark, str(tmp_path / "state")))
+    inc.resync_all()                  # bootstrap records handler versions
+    assert {r["_mr_key"]: r["total"]
+            for r in inc.read("name_totals").collect()} == {
+                "Alpha": 3, "Beta": 5}
+
+    # ---- migrate v0 → v1: add a defaulted field + rename name→title --
+    assert rstore.migrate("doc", 1, [
+        ("add", "stars", "long", 0),
+        ("rename", "name", "title"),
+    ]) is True
+    assert rstore.schema_version("doc") == 1
+    rows = {r["id"]: r for r in rstore.table("doc").collect()}
+    assert all(r["stars"] == 0 for r in rows.values())
+    assert rows[ids[0]]["title"] == "Alpha"
+    assert "name" not in rstore.table("doc").columns
+
+    # search() answers on the NEW field (P1 exact-ci over the migrated
+    # snapshot), and new creates carry the new schema
+    got = search(rstore.table("doc"), id_col="id", title="alpha").collect()
+    assert [r["id"] for r in got] == [ids[0]]
+    new_id = rstore.create("doc", {"title": "Gamma", "n": 7, "stars": 4})
+    assert rstore.get("doc", new_id)["stars"] == 4
+
+    # ---- dependent views cascade via the EXISTING T7/T8 machinery:
+    # bump the map handler to read the renamed field, resync_changed
+    # rebuilds the view chain (and only it) under the version barrier --
+    config["doc__lens"] = {"doc": map_expr(
+        key=F.col("title"), value=F.col("n"), version=2)}
+    config["name_totals"] = {"doc__lens": reduce_agg(
+        {"total": lambda c: F.sum(c)}, version=2)}
+    changed = inc.resync_changed()
+    assert set(changed) == {"doc__lens", "name_totals"}
+    assert {r["_mr_key"]: r["total"]
+            for r in inc.read("name_totals").collect()} == {
+                "Alpha": 3, "Beta": 5, "Gamma": 7}
+
+    # post-migration CDC stays incremental against the new schema
+    rstore.update("doc", new_id, {"title": "Gamma", "n": 9, "stars": 4})
+    inc.apply_changes(notifications(spark, [("doc", "updated", new_id)]))
+    assert {r["_mr_key"]: r["total"]
+            for r in inc.read("name_totals").collect()} == {
+                "Alpha": 3, "Beta": 5, "Gamma": 9}
+
+
+def test_migration_guards_and_idempotence(spark, tmp_path):
+    rstore = ResourceStore(spark, str(tmp_path / "store"))
+    rstore.create_many("doc", [{"name": "x", "n": 1}])
+
+    # versions step by one
+    with pytest.raises(MigrationError, match="step by 1"):
+        rstore.migrate("doc", 2, [("add", "f", "long")])
+
+    step = [("add", "stars", "long", 0), ("rename", "name", "title"),
+            ("retype", "n", "double"), ("drop", "ghost")]
+    assert rstore.migrate("doc", 1, step) is True
+    # re-running the same migration is a recorded no-op (crash replay
+    # AFTER the metadata bump)
+    assert rstore.migrate("doc", 1, step) is False
+
+    # crash replay BEFORE the metadata bump: applying the transforms to
+    # already-migrated data yields the identical frame (idempotent)
+    once = rstore.table("doc")
+    twice = apply_transforms(once, step)
+    assert twice.schema == once.schema
+    assert twice.collect() == once.collect()
+
+    # real contract violations still raise
+    with pytest.raises(MigrationError, match="neither column"):
+        apply_transforms(once, [("rename", "gone", "also_gone")])
+    with pytest.raises(MigrationError, match="target already exists"):
+        apply_transforms(once.withColumn("name", F.lit("x")),
+                         [("rename", "name", "title")])
+    with pytest.raises(MigrationError, match="no column"):
+        apply_transforms(once, [("retype", "gone", "long")])
+    with pytest.raises(MigrationError, match="unknown transform"):
+        apply_transforms(once, [("alter", "n")])
+
+    # retype actually took effect
+    assert dict(once.dtypes)["n"] == "double"
+
+
+def test_additive_migration_needs_no_handler_change(spark, tmp_path):
+    """A purely ADDITIVE migration leaves existing views untouched and
+    valid: handlers that never read the new column keep their version,
+    resync_changed() finds nothing to do, and CDC keeps flowing."""
+    rstore = ResourceStore(spark, str(tmp_path / "store"))
+    ids = rstore.create_many("doc", [{"name": "a"}, {"name": "b"}])
+    cat = StoreCatalog(spark, rstore, {"doc"})
+    config = {"doc__names": {"doc": map_expr(key=F.col("name"),
+                                             version=1)}}
+    eng = ViewEngine(cat, config, id_cols={"doc": "id"})
+    inc = IncrementalEngine(eng, ParquetStateStore(
+        spark, str(tmp_path / "state")))
+    inc.resync_all()                  # bootstrap records handler versions
+
+    rstore.migrate("doc", 1, [("add", "lang", "string", "en")])
+    assert inc.resync_changed() == []            # nothing version-changed
+    nid = rstore.create("doc", {"name": "c", "lang": "fi"})
+    inc.apply_changes(notifications(spark, [("doc", "created", nid)]))
+    keys = {r["_mr_key"] for r in inc.read("doc__names").collect()}
+    assert keys == {"a", "b", "c"}
