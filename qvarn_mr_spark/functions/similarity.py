@@ -1416,10 +1416,17 @@ def pq_encode(df: DataFrame, id_col: str, vec_col: str, codebooks,
             if normalize:
                 X = X / np.maximum(
                     np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            # rounded-literal contract (same guard as every cross-engine
+            # float compare here): normalized components and subspace
+            # distances round to 9 before the argmin, so a committed
+            # (rounded) codebook reproduces the codes in plain SQL —
+            # what makes embedding_pq_search fully value-oracled
+            X = np.round(X, 9)
             codes = np.empty((len(X), m), dtype=np.int32)
             for j in range(m):
                 S = X[:, j * dsub:(j + 1) * dsub]
-                d = ((S[:, None, :] - books[j][None]) ** 2).sum(-1)
+                d = np.round(
+                    ((S[:, None, :] - books[j][None]) ** 2).sum(-1), 9)
                 codes[:, j] = d.argmin(1)
             yield pd.DataFrame({"vec_id": pdf["_id"].to_numpy(),
                                 "codes": codes.tolist()})
@@ -1462,11 +1469,15 @@ def pq_search(df: DataFrame, id_col: str, vec_col: str,
         if normalize:
             Q = Q / np.maximum(
                 np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+        # rounded-literal contract (see pq_encode): normalized query
+        # components and LUT entries round to 9, so a committed codebook
+        # reproduces every ADC distance in plain SQL (value oracle)
+        Q = np.round(Q, 9)
         # luts[q, j, c] = ||Q[q] subspace j - books[j][c]||²
-        luts = np.stack([
+        luts = np.round(np.stack([
             ((Q[:, j * dsub:(j + 1) * dsub][:, None, :]
               - books[j][None]) ** 2).sum(-1)
-            for j in range(m)], axis=1)
+            for j in range(m)], axis=1), 9)
     else:
         luts = np.zeros((0, m, K))
 

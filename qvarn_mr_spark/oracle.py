@@ -545,6 +545,75 @@ FROM ec LEFT JOIN ac ON ec.q_id = ac.q_id
 """
 
 
+def pq_search_dispatch_sql(entries: list, query_pred: str, k: int = 3,
+                           table: str = "embeddings") -> str:
+    """similarity.pq_search over COMMITTED codebooks — the full value
+    oracle for PQ/ADC search (VERDICT r10 item 5), same
+    committed-model dispatch discipline as
+    :func:`pca_project_dispatch_sql`: ``entries`` is ``[((n_rows,
+    sum_vec_id, content), books), ...]`` with ``books`` the rounded
+    (9-digit) ``(m, K, dsub)`` codebook lists the Spark query also
+    uses; the live table's fingerprint picks the entry, a scale with
+    no committed books yields an empty result (honest mismatch).
+
+    Pipeline mirrors pq_encode + pq_search under the shared
+    rounded-literal contract: L2-normalize and round components to 9;
+    per (vector, subspace) the nearest codebook entry by squared L2
+    rounded to 9, ties to the lower code; ADC distance = Σ_j
+    lut[j, code_j] (each LUT entry rounded 9) rounded to 6; per-query
+    top-k excluding self, ties (adc ASC, n_id ASC)."""
+    if not entries:
+        return None
+    m = len(entries[0][1])
+    dsub = len(entries[0][1][0][0])
+    rows = []
+    for fp, books in entries:
+        n, s, c = (list(fp) + [None, None, None])[:3]
+        for j, book in enumerate(books):
+            for ci, b in enumerate(book):
+                rows.append(
+                    f"({int(n)}, {int(s)}, {int(c)}, {j}, {ci}, "
+                    f"{_dlist([float(x) for x in b])})")
+    vals = ",\n  ".join(rows)
+    dist = ("round(list_sum(list_transform("
+            "list_zip(list_slice(v, j*{d}+1, (j+1)*{d}), b), "
+            "x -> (x[1] - x[2]) * (x[1] - x[2]))), 9)").format(d=dsub)
+    return f"""
+WITH rt AS (SELECT count(*) AS n,
+                   CAST(coalesce(sum(vec_id), 0) AS BIGINT) AS s,
+                   {PCA_RTFP_CONTENT} AS c
+            FROM {table}),
+allbooks(fn, fs, fc, j, ci, b) AS (VALUES
+  {vals}),
+books AS (SELECT j, ci AS c, b FROM allbooks JOIN rt
+          ON fn = rt.n AND fs = rt.s AND fc = rt.c),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM {table}),
+nrm AS (SELECT vec_id, raw,
+               greatest(sqrt(list_dot_product(raw, raw)), 1e-12) AS nm
+        FROM e),
+nv AS (SELECT vec_id, list_transform(raw, x -> round(x / nm, 9)) AS v
+       FROM nrm),
+dists AS (SELECT vec_id, j, c, {dist} AS d
+          FROM nv CROSS JOIN books),
+codes AS (SELECT vec_id, j, c FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                      ORDER BY d ASC, c ASC) AS rn
+            FROM dists) WHERE rn = 1),
+q AS (SELECT vec_id AS q_id, v FROM nv
+      WHERE vec_id IN (SELECT vec_id FROM {table} WHERE {query_pred})),
+lut AS (SELECT q_id, j, c, {dist} AS d
+        FROM q CROSS JOIN books),
+adc AS (SELECT l.q_id, co.vec_id AS n_id, round(sum(l.d), 6) AS adc_dist
+        FROM codes co JOIN lut l ON l.j = co.j AND l.c = co.c
+        WHERE co.vec_id != l.q_id
+        GROUP BY l.q_id, co.vec_id)
+SELECT q_id, n_id, adc_dist, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY adc_dist ASC, n_id ASC) AS rn
+  FROM adc) WHERE rn <= {int(k)}
+"""
+
+
 def ivf_assign_sql(centroid_pred: str, table: str = "embeddings") -> str:
     cos = _COS.format(a="v.e", b="c.e")
     return f"""
