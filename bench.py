@@ -162,6 +162,15 @@ BENCH_QUERIES = (
 BASELINE_QUERIES = ("embedding_nn",)
 
 
+def _spread_bounds(s):
+    """(min, max) of a recorded attempt spread — the r11+ dict form
+    ``{min, med, max, n}``, or a legacy positional list from older
+    sidecars (``[min, med, max, n]`` / ``[min, max]``)."""
+    if isinstance(s, dict):
+        return s["min"], s["max"]
+    return s[0], (s[-2] if len(s) >= 4 else s[-1])
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -191,12 +200,22 @@ def main() -> None:
     # the recorded band, a real regression can't hide behind it)
     runs = 1 if bench_all else 3
     sidecar_name = "BENCH_ALL.json" if bench_all else "BENCH_RESULT.json"
+    # --only <substr>: partial smoke run — vs_prev still classifies
+    # against the real sidecar's bands, but results go to a SEPARATE
+    # sidecar so the driver's record is never clobbered by a subset
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1]
+        names = tuple(n for n in names if only in n)
+        sidecar_name = "BENCH_ONLY.json"
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            sidecar_name)
+    prev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_RESULT.json")
     prev = None
-    if not bench_all and os.path.exists(sidecar):
+    if not bench_all and os.path.exists(prev_path):
         try:
-            with open(sidecar) as f:
+            with open(prev_path) as f:
                 prev = json.load(f)
         except (OSError, ValueError):
             prev = None
@@ -206,7 +225,7 @@ def main() -> None:
 
     times: dict[str, float] = {}
     construct: dict[str, float] = {}
-    spread: dict[str, list] = {}
+    spread: dict[str, dict] = {}
 
     def drop_persisted():
         # each query runs as a fresh job would on a cluster: eager
@@ -242,21 +261,23 @@ def main() -> None:
         # attribution split (sidecar only): construction share of the
         # fastest attempt — NOT subtracted from the headline
         construct[name] = round(plan_only[attempts.index(min(attempts))], 3)
-        # attempt spread (sidecar only): [min, median, max, n] across
+        # attempt spread (sidecar only): {min, med, max, n} across
         # attempts, so a sidecar-to-sidecar delta inside the noise band
         # can't masquerade as a regression (r7's warm-state
-        # minhash_candidates 0.49s vs r8's cold 2.26s taught this lesson)
+        # minhash_candidates 0.49s vs r8's cold 2.26s taught this
+        # lesson). A DICT, not a positional list (ADVICE r10): the
+        # next format change can't silently shift a decode.
         a = sorted(attempts)
         med = (a[len(a) // 2] if len(a) % 2
                else (a[len(a) // 2 - 1] + a[len(a) // 2]) / 2)
-        spread[name] = [round(a[0], 3), round(med, 3), round(a[-1], 3),
-                        len(a)]
+        spread[name] = {"min": round(a[0], 3), "med": round(med, 3),
+                        "max": round(a[-1], 3), "n": len(a)}
 
     # noise band: per-query relative spread (max/min - 1) of this run's
     # attempts, summarized — the yardstick a sidecar-to-sidecar delta is
     # judged against
-    rels = sorted((s[2] - s[0]) / s[0] for s in spread.values()
-                  if s[0] > 0)
+    rels = sorted((s["max"] - s["min"]) / s["min"]
+                  for s in spread.values() if s["min"] > 0)
     # a single attempt has no band — suppress rather than print 0.0s
     noise_band = ({"median_rel_spread": round(rels[len(rels) // 2], 3),
                    "p90_rel_spread": round(rels[int(len(rels) * 0.9)], 3),
@@ -272,10 +293,12 @@ def main() -> None:
         regs, imps, within = {}, {}, 0
         for name, t in times.items():
             ps = prev["spread"].get(name)
-            if not ps or not prev.get("queries", {}).get(name):
+            # explicit PRESENCE checks (ADVICE r10): a recorded
+            # 0.0s query still classifies; only absence skips
+            if ps is None or name not in prev.get("queries", {}):
                 continue
-            omin, omax = ps[0], ps[-2] if len(ps) >= 4 else ps[-1]
-            nmin, nmax = spread[name][0], spread[name][2]
+            omin, omax = _spread_bounds(ps)
+            nmin, nmax = spread[name]["min"], spread[name]["max"]
             if nmin > omax * 1.10:
                 regs[name] = [omin, nmin]
             elif nmax < omin * 0.90:

@@ -118,19 +118,22 @@ def _gate_flow(df: DataFrame, id_col: str, text_col: str,
     stages.append(("gates", kept))
     if c4_min_words is not None:
         from qvarn_mr_spark.functions.quality import c4_filter
-        # word ceiling disengaged: the token band above is the size cap,
-        # and corpus_gate_stream's c4 stage does the same — keeping the
-        # two in lockstep is what the stream==batch conformance pins
+        # word ceiling TIED to the token band (ADVICE r10): profile
+        # n_tokens and c4 n_words are the same whitespace count, so
+        # max_words=max_tokens is a no-op AFTER the band (oracle CTEs
+        # unchanged) while keeping an upper bound engaged for callers
+        # who raise max_tokens; corpus_gate_stream's c4 stage does the
+        # same — the lockstep the stream==batch conformance pins
         kept = c4_filter(kept, text_col="_text",
-                         min_words=c4_min_words, max_words=10 ** 9,
+                         min_words=c4_min_words, max_words=max_tokens,
                          min_terminal_frac=c4_min_terminal_frac)
         stages.append(("c4", kept))
     if gopher_min_words is not None:
         from qvarn_mr_spark.functions.quality import gopher_filter
-        # same ceiling-disengage as the stream's gopher stage
+        # same band-tied ceiling as the stream's gopher stage
         kept = gopher_filter(kept, text_col="_text",
                              min_words=gopher_min_words,
-                             max_words=10 ** 9,
+                             max_words=max_tokens,
                              min_stopwords=gopher_min_stopwords)
         stages.append(("gopher", kept))
     if classifier_weights is not None:
@@ -398,19 +401,20 @@ def corpus_gate_stream(stream: DataFrame, id_col: str = "doc_id",
         # the C4 rules are stateless Column expressions — they apply to
         # a stream unchanged, same as the profile gates above
         from qvarn_mr_spark.functions.quality import c4_filter
-        # the upper size bound is the token band above; C4's own word
-        # ceiling stays disengaged so the two caps don't double-count
+        # word ceiling tied to the token band (ADVICE r10) — identical
+        # counts, so a no-op post-band, but the cap stays engaged when
+        # a caller raises max_tokens; lockstep with _gate_flow's stage
         gated = c4_filter(gated, text_col="_text",
-                          min_words=c4_min_words, max_words=10 ** 9,
+                          min_words=c4_min_words, max_words=max_tokens,
                           min_terminal_frac=c4_min_terminal_frac)
     if gopher_min_words is not None:
         # gopher_signals are stateless Columns too — same defaults and
         # ordering as the batch pipeline's gopher stage (_gate_flow),
-        # word ceiling disengaged for the same no-double-count reason
+        # band-tied ceiling for the same reason
         from qvarn_mr_spark.functions.quality import gopher_filter
         gated = gopher_filter(gated, text_col="_text",
                               min_words=gopher_min_words,
-                              max_words=10 ** 9,
+                              max_words=max_tokens,
                               min_stopwords=gopher_min_stopwords)
     if classifier_weights is not None:
         # the fitted logreg is a pure sigmoid Column over the profiled
@@ -431,13 +435,22 @@ def corpus_gate_stream(stream: DataFrame, id_col: str = "doc_id",
         # model — the CCNet move, streamable with no LM join and no
         # aggregation state. The profile's n_tokens steps aside so the
         # scorer's own token count can't collide with it.
+        from qvarn_mr_spark.functions.dedup import tokens_col
         from qvarn_mr_spark.functions.text import unigram_surprisal_stream
         gated = gated.withColumnRenamed("n_tokens", "_gate_nt")
-        gated = unigram_surprisal_stream(
-            gated, surprisal_lm, "doc_id", "_text",
+        # docs whose WORD tokenization is empty (punctuation/symbol-only
+        # text that still passed the whitespace-token band) cannot be
+        # perplexity-scored — they pass through UNSCORED rather than
+        # silently vanishing in the scorer's explode (ADVICE r10): a
+        # gate must only drop what a rule rejected
+        unscorable = gated.filter(F.size(tokens_col("_text")) == 0)
+        scored = unigram_surprisal_stream(
+            gated.filter(F.size(tokens_col("_text")) > 0),
+            surprisal_lm, "doc_id", "_text",
             keep=tuple(c for c in gated.columns if c != "doc_id"))
-        gated = (gated.filter(F.col("mean_nll") <= float(max_mean_nll))
+        gated = (scored.filter(F.col("mean_nll") <= float(max_mean_nll))
                  .drop("n_tokens", "mean_nll")
+                 .unionByName(unscorable)
                  .withColumnRenamed("_gate_nt", "n_tokens"))
     out = gated.select(
         "doc_id", F.col("_text").alias("text"),

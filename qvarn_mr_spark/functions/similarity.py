@@ -956,14 +956,21 @@ def probe_ivf_partitioned(spark, path: str, queries: DataFrame,
     partition directory before reading a byte (pinned by an
     ``inputFiles()`` assertion in tests/test_ivf_index.py). Scoring and
     ranking are the shared probe plan; for in-corpus queries at
-    nprobe=1 the result equals :func:`ivf_probe_search`."""
-    from qvarn_mr_spark.functions.dedup import ensure_min_partitions
+    nprobe=1 the result equals :func:`ivf_probe_search`.
 
-    routes = ensure_min_partitions(queries).select(
+    NOTE the probe is eagerly routed at CALL time (an ADVICE r10 item,
+    now pinned): the routes frame is persisted (``pin``) before the
+    ≤nlist-row collect that builds the literal partition predicate, so
+    routing executes ONCE — the subsequent join reads the pinned rows
+    instead of re-running the k·dim route expression."""
+    from qvarn_mr_spark.functions.dedup import ensure_min_partitions
+    from qvarn_mr_spark.session import pin
+
+    routes = pin(ensure_min_partitions(queries).select(
         F.col(id_col).alias("q_id"),
         _as_double(queries, vec_col).alias("_q_vec"),
         F.explode(ivf_route_col(vec_col, centroids, nprobe))
-        .alias("cluster_id"))
+        .alias("cluster_id")))
     probed = sorted({r["cluster_id"] for r in
                      routes.select("cluster_id").distinct().collect()})
     corpus = (spark.read.parquet(path)
@@ -1069,7 +1076,14 @@ def _hybrid_rrf_fuse(lex: DataFrame, vec: DataFrame, k: int,
     independent by construction: any ``(doc_id, lex_score)`` /
     ``(doc_id, cos_sim)`` frames fuse identically — which is what lets
     :func:`hybrid_search_ivf` swap the brute-force vector leg for a
-    probed one without touching the fusion (pinned by test)."""
+    probed one without touching the fusion (pinned by test).
+
+    ``pool < k`` is legal: the fusion then sees at most ``2·pool``
+    distinct docs and returns ``min(k, |fused|)`` rows — a small pool
+    bounds RECALL, never correctness (guard-tested)."""
+    if int(pool) < 1 or int(k) < 1:
+        raise ValueError(f"hybrid fusion: pool ({pool}) and k ({k}) "
+                         "must both be >= 1")
     lex_pool = lex.orderBy(F.desc("lex_score"), F.asc("doc_id")) \
         .limit(int(pool))
     vec_pool = vec.orderBy(F.desc("cos_sim"), F.asc("doc_id")) \

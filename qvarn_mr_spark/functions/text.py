@@ -713,6 +713,14 @@ def export_unigram_lm(df, text_col: str = "text",
     rows = (df.select(F.explode(tokens_col(text_col)).alias("w"))
             .groupBy("w").agg(F.count(F.lit(1)).alias("c")).collect())
     counts = {r["w"]: int(r["c"]) for r in rows}
+    if not counts:
+        # an empty/token-less corpus has no distribution to export —
+        # scoring against it would divide by the zero smoothing mass
+        # (N + s·V = 0). Fail at FIT time with a real message, not at
+        # first scored batch (ADVICE-r10 tooling-bounds discipline).
+        raise ValueError(
+            "export_unigram_lm: corpus has no tokens — an LM fitted on "
+            "nothing cannot score; fit on a non-empty curated corpus")
     return {"counts": counts, "N": sum(counts.values()),
             "V": len(counts), "smoothing": float(smoothing)}
 

@@ -1611,3 +1611,64 @@ def test_hybrid_search_ivf_matches_bruteforce_when_pool_exact(spark):
     for r in narrow.collect():
         if r["vec_rank"] is not None:
             assert r["doc_id"] in members
+
+
+def test_r11_edge_guards(spark, tmp_path, sf_dir):
+    """ADVICE-r10 discipline over the r10/r11 additions: empty probe
+    deltas (both maintained-index and partitioned-layout probes) return
+    empty instead of crashing, pool < k bounds recall not correctness,
+    and an LM export over a token-less corpus fails at fit time."""
+    from qvarn_mr_spark.catalog import load_tables
+    from qvarn_mr_spark.functions.similarity import (
+        hybrid_search,
+        ivf_member_struct,
+        ivf_cluster_col,
+        probe_ivf_index,
+        probe_ivf_partitioned,
+        write_ivf_partitioned,
+    )
+    from qvarn_mr_spark.functions.text import export_unigram_lm
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    cents = [(r["vec_id"], list(r["c"])) for r in
+             emb.filter(F.col("vec_id") % 100 == 0)
+             .select("vec_id",
+                     F.col("embedding").cast("array<double>").alias("c"))
+             .collect()]
+    none = emb.filter(F.lit(False))
+
+    # empty delta against the maintained index: zero rows, no crash
+    idx = emb.select(
+        ivf_cluster_col("embedding", cents).cast("string")
+        .alias("_mr_key"),
+        ivf_member_struct("vec_id", "embedding").alias("_mr_value"))
+    assert probe_ivf_index(none, idx, cents,
+                           "vec_id", "embedding", k=3).count() == 0
+
+    # empty probed set against the partitioned layout (manifest-empty
+    # read path): literal IN () prunes everything, returns empty
+    path = str(tmp_path / "layout")
+    write_ivf_partitioned(emb, path, cents, "vec_id", "embedding")
+    assert probe_ivf_partitioned(spark, path, none, cents,
+                                 "vec_id", "embedding", k=3).count() == 0
+
+    # pool < k: ≤ 2·pool fused docs, correctness intact
+    docs = spark.createDataFrame(
+        [(i, f"term doc{i}") for i in range(8)],
+        "doc_id long, text string")
+    e2 = spark.createDataFrame(
+        [(i, [1.0, float(i)]) for i in range(8)],
+        "doc_id long, embedding array<float>")
+    rows = hybrid_search(docs, e2, ["term"], [1.0, 0.0],
+                         vec_id_col="doc_id", k=6, pool=2).collect()
+    assert 0 < len(rows) <= 4 and all(r["rn"] <= 6 for r in rows)
+    import pytest as _pt
+    with _pt.raises(ValueError, match=">= 1"):
+        hybrid_search(docs, e2, ["term"], [1.0, 0.0],
+                      vec_id_col="doc_id", k=0)
+
+    # LM export on a token-less corpus fails at FIT time
+    empty_docs = spark.createDataFrame(
+        [("d", "   ")], "doc_id string, text string")
+    with _pt.raises(ValueError, match="no tokens"):
+        export_unigram_lm(empty_docs)

@@ -580,3 +580,25 @@ def test_corpus_gate_stream_surprisal_matches_batch(spark, tmp_path):
 
     with pytest.raises(ValueError, match="go together"):
         corpus_gate_stream(stream, surprisal_lm=lm)
+
+
+def test_corpus_gate_stream_surprisal_keeps_unscorable_docs(spark):
+    """ADVICE r10: a doc whose WORD tokenization is empty (symbol-only
+    text that still clears the whitespace-token band) must pass the
+    surprisal stage UNSCORED, not silently vanish — the gate only drops
+    what a rule rejected. Stateless stages, so a batch frame exercises
+    the same plan the stream runs."""
+    from qvarn_mr_spark.functions.pipeline import corpus_gate_stream
+    from qvarn_mr_spark.functions.text import export_unigram_lm
+
+    fluent = ("the quick brown fox jumps over the lazy dog and then "
+              "the dog ran back to the house for some food there")
+    df = spark.createDataFrame(
+        [("k1", fluent), ("sym", "§§ ¶¶ •• §§ ¶¶ •• §§ ¶¶ ••")],
+        "doc_id string, text string")
+    lm = export_unigram_lm(df.filter(F.col("doc_id") == "k1"))
+    out = corpus_gate_stream(df, min_quality=0.0, min_tokens=3,
+                             surprisal_lm=lm, max_mean_nll=100.0)
+    got = {r["doc_id"]: r["n_tokens"] for r in out.collect()}
+    assert set(got) == {"k1", "sym"}       # unscorable doc passed through
+    assert got["sym"] == 9                 # band's own token count intact

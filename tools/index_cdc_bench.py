@@ -1,0 +1,166 @@
+"""CDC-batch-apply microbench for the NORMALIZED maintained IVF index
+(VERDICT r10 item 7): measures what an insert-only CDC batch COSTS
+against a planted 100%-hot cluster, across corpus sizes and delta
+sizes.
+
+The planted regime is adversarial by construction: two pinned
+centroids pointing the SAME direction (the second at 2×), so every
+corpus vector ties on rounded cosine and the ascending-id tiebreak
+sends ALL of them — and every delta row — into cluster 0. Under the
+r10 collect_set representation each batch would re-aggregate that
+entire cluster into one row; under the normalized representation +
+append fast path the commit writes |delta| rows.
+
+Two sweeps:
+- corpus sweep: fixed 16-row delta at sf0.1 / sf0.3 / sf1 → apply
+  seconds + rows committed should be ~flat in corpus size;
+- delta sweep: 8 / 32 / 128-row deltas at sf0.1 → cost tracks the
+  delta (rows committed == delta rows exactly).
+
+Writes INDEX_CDC_BENCH.json and prints the SCALE.md markdown rows.
+Usage: python tools/index_cdc_bench.py [--runs N]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from qvarn_mr_spark.catalog import Catalog, load_tables
+from qvarn_mr_spark.functions import similarity
+from qvarn_mr_spark.operators import IncrementalEngine, ViewEngine
+from qvarn_mr_spark.operators.incremental import (
+    BucketedParquetStateStore,
+    notifications,
+)
+from qvarn_mr_spark.session import get_spark
+
+SCALE_POINTS = (
+    (0.1, "/root/testdata/sf0.1"),
+    (0.3, ".scaledata/sf0.3"),
+    (1.0, ".scaledata/sf1"),
+)
+
+DIM = 64
+
+
+def fit_alpha(xs, ys):
+    lx = [math.log(x) for x in xs]
+    ly = [math.log(max(y, 1e-9)) for y in ys]
+    n = len(lx)
+    mx, my = sum(lx) / n, sum(ly) / n
+    den = sum((x - mx) ** 2 for x in lx)
+    return sum((x - mx) * (y - my) for x, y in zip(lx, ly)) / den
+
+
+def measure(spark, d, delta_n, runs, tag):
+    """Bootstrap the maintained index over the corpus at ``d`` (one
+    resync, untimed), then time apply_changes of a ``delta_n``-row
+    insert-only batch into the hot cluster. min-of-``runs`` (each run
+    uses fresh ids so every batch is a true insert)."""
+    emb = load_tables(spark, d, ["embeddings"])["embeddings"]
+    base = emb.select(F.col("vec_id").cast("long").alias("id"),
+                      F.col("embedding").cast("array<double>")
+                      .alias("embedding"))
+    v0 = [float(x) for x in
+          base.filter(F.col("id") == 0).collect()[0]["embedding"]]
+    # same-direction pair → rounded-cosine tie on EVERY vector →
+    # ascending-id tiebreak: cluster 0 holds the whole corpus
+    cents = [(0, v0), (1, [2.0 * x for x in v0])]
+
+    root = os.path.join(".scaledata", f"cdc_bench_{tag}")
+    import shutil
+    shutil.rmtree(root, ignore_errors=True)
+
+    extra = {"rows": []}
+
+    class Cat(Catalog):
+        def get(self, name):
+            if name != "emb":
+                return super().get(name)
+            df = base
+            if extra["rows"]:
+                df = df.unionByName(spark.createDataFrame(
+                    extra["rows"], "id long, embedding array<double>"))
+            return df
+
+    eng = ViewEngine(Cat(spark), similarity.ivf_index_views(
+        cents, "emb", "id", "embedding", index_name="idx"),
+        id_cols={"emb": "id"})
+    store = BucketedParquetStateStore(spark, root, buckets=16, retain=3)
+    inc = IncrementalEngine(eng, store)
+    inc.resync_all()
+
+    nxt = [10_000_000]
+    attempts, committed = [], None
+    for _ in range(runs):
+        ids = list(range(nxt[0], nxt[0] + delta_n))
+        nxt[0] += delta_n
+        extra["rows"] += [(i, [x + (i % 97) * 1e-6 for x in v0])
+                          for i in ids]
+        batch = notifications(spark, [("emb", "created", str(i))
+                                      for i in ids])
+        t0 = time.time()
+        inc.apply_changes(batch)
+        attempts.append(time.time() - t0)
+        v = store.version("idx")
+        vd = os.path.join(root, "idx", f"v{v}")
+        committed = (spark.read.parquet(vd).count()
+                     if any(n.startswith("_bucket=")
+                            for n in os.listdir(vd)) else 0)
+    # sanity: the planted cluster really is 100% hot
+    hot = {r["_mr_key"] for r in inc.read("idx")
+           .select("_mr_key").distinct().collect()}
+    assert hot == {"0"}, hot
+    return round(min(attempts), 3), committed
+
+
+def main():
+    runs = 2
+    if "--runs" in sys.argv:
+        runs = int(sys.argv[sys.argv.index("--runs") + 1])
+    spark = get_spark("qvarn-mr-index-cdc-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    corpus_sweep = {}
+    for sf, d in SCALE_POINTS:
+        t, rows = measure(spark, d, 16, runs, f"c{sf}")
+        corpus_sweep[str(sf)] = {"apply_s": t, "rows_committed": rows}
+        print(f"corpus sf{sf}: delta=16 apply={t}s committed={rows} rows",
+              flush=True)
+
+    delta_sweep = {}
+    for dn in (8, 32, 128):
+        t, rows = measure(spark, SCALE_POINTS[0][1], dn, runs, f"d{dn}")
+        delta_sweep[str(dn)] = {"apply_s": t, "rows_committed": rows}
+        print(f"delta {dn} @ sf0.1: apply={t}s committed={rows} rows",
+              flush=True)
+
+    sfs = [float(s) for s in corpus_sweep]
+    a_corpus = fit_alpha(sfs, [corpus_sweep[str(s)]["apply_s"]
+                               for s in sfs])
+    dns = [int(s) for s in delta_sweep]
+    a_delta = fit_alpha(dns, [delta_sweep[str(d)]["apply_s"]
+                              for d in dns])
+    out = {"runs_per_point": runs,
+           "regime": "planted 100%-hot cluster, insert-only batches",
+           "corpus_sweep_fixed_delta_16": corpus_sweep,
+           "delta_sweep_at_sf0.1": delta_sweep,
+           "alpha_apply_vs_corpus": round(a_corpus, 3),
+           "alpha_apply_vs_delta": round(a_delta, 3)}
+    with open("INDEX_CDC_BENCH.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: out[k] for k in
+                      ("alpha_apply_vs_corpus", "alpha_apply_vs_delta")}))
+
+
+if __name__ == "__main__":
+    main()

@@ -146,6 +146,51 @@ def _asof_bucketed_hot(spark, d):
                               tiebreak=["purchase_id"])
 
 
+def _ivf_probe_fixed(spark, d):
+    """Maintained-index probe at FIXED delta and FIXED nlist against a
+    prebuilt normalized index (r11, VERDICT r10 item 7): the index is
+    materialized once per scale dir (first attempt pays it; min-of-N
+    reads the cached parquet), then 20 out-of-corpus queries probe.
+    The load-bearing claim is alpha ≈ flat in CORPUS size: a probe
+    touches ~nprobe/nlist of the index rows through the pushed
+    _mr_key IN predicate, never the corpus table."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from qvarn_mr_spark.catalog import load_tables
+    from qvarn_mr_spark.functions import similarity
+
+    emb = load_tables(spark, d, ["embeddings"])["embeddings"]
+    # fixed 20 centroids at every scale point (ids 0..1999 exist in all)
+    cents = [(r["vec_id"], list(r["c"])) for r in
+             emb.filter((F.col("vec_id") % 100 == 0)
+                        & (F.col("vec_id") < 2000))
+             .select("vec_id",
+                     F.col("embedding").cast("array<double>").alias("c"))
+             .collect()]
+    cache = os.path.join(
+        ".scaledata", "ivf_idx_" +
+        hashlib.md5(d.encode()).hexdigest()[:10])
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        (emb.select(
+            similarity.ivf_cluster_col("embedding", cents).cast("string")
+            .alias("_mr_key"),
+            similarity.ivf_member_struct("vec_id", "embedding")
+            .alias("_mr_value"))
+         .write.mode("overwrite").parquet(cache))
+    idx = spark.read.parquet(cache)
+    dim = 64
+    queries = spark.createDataFrame(
+        [(-(i + 1), [round(v + 0.001 * i, 6) for v in
+                     similarity.demo_query_vec(dim)])
+         for i in range(20)],
+        "vec_id long, embedding array<double>")
+    return similarity.probe_ivf_index(queries, idx, cents,
+                                      "vec_id", "embedding", k=5,
+                                      nprobe=2)
+
+
 #: Hot-key isolation twins (run the operators directly on the folded
 #: frame — same code paths as the driver queries, same oracle-proven
 #: semantics, hotter keys).
@@ -154,6 +199,7 @@ HOT_JOBS = {
     "events_sessionize_bucketed_hot3": _sessionize_bucketed_hot,
     "events_asof_hot3": _asof_hot,
     "events_asof_bucketed_hot3": _asof_bucketed_hot,
+    "ivf_index_probe_fixed": _ivf_probe_fixed,
 }
 
 
