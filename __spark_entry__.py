@@ -1623,6 +1623,44 @@ def q_embedding_pq_search(spark, sf_dir):
                                 F.col("vec_id") < 4, books, k=3)
 
 
+def q_schema_migrate_search(spark, sf_dir):
+    """Resource-type schema migration end to end (sources/migration.py,
+    r11 — SURVEY §1.2, the reference's versioned_storage behavior):
+    documents backfill into a ResourceStore (the distributed bulk-ingest
+    path — no driver-side rows), the type migrates v0→v1 (add a
+    defaulted column + rename lang→language + retype n_chars), and
+    search() answers on the MIGRATED schema — exact-ci match on the
+    renamed field, range on the retyped one, sorted/limited. Fully
+    deterministic (the store's own id/revision system columns are
+    excluded from the result), so the whole migrated-search output is
+    value-oracled by a plain SQL twin over the source table."""
+    import os
+    import shutil
+
+    from qvarn_mr_spark.sources import ResourceStore
+    from qvarn_mr_spark.sources.bucketed import DEFAULT_LOCATION
+
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    root = os.path.join(DEFAULT_LOCATION,
+                        f"migrate_store_{_sf_tag(sf_dir)}")
+    shutil.rmtree(root, ignore_errors=True)   # fresh v0 every run
+    rstore = ResourceStore(spark, root)
+    rstore.backfill("doc", docs.select(F.col("doc_id").alias("rid"),
+                                       "doc_id", "text", "lang",
+                                       "source", "n_chars"),
+                    id_col="rid")
+    rstore.migrate("doc", 1, [
+        ("add", "curated", "boolean", False),
+        ("rename", "lang", "language"),
+        ("retype", "n_chars", "double"),
+    ])
+    from qvarn_mr_spark.query import search
+    return search(rstore.table("doc"),
+                  show=("doc_id", "language", "curated", "n_chars"),
+                  sort=("-n_chars", "doc_id"), limit=25,
+                  language="EN", n_chars__ge=200)
+
+
 def q_centroid_by_label(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")["embeddings"]
     return similarity.centroid_by_label(emb, "label", "embedding")
@@ -2913,9 +2951,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries. Round 11 keeps the r10 window largely intact and rotates
     in this round's proofs: hybrid_search_ivf (new, VERDICT r10 #6),
     embedding_pq_search (upgraded rows-only → full committed-codebooks
-    value oracle, r10 #5), and the two LSH index probes back in-window
-    for a driver re-proof on the NORMALIZED per-member representation
-    (r10 #1; ivf_index_probe already in-window covers the third).
+    value oracle, r10 #5), schema_migrate_search (new, r10 #3 — the
+    migration story end to end), and the two LSH index probes back
+    in-window for a driver re-proof on the NORMALIZED per-member
+    representation (r10 #1; ivf_index_probe already in-window covers
+    the third).
     Everything outside the window remains value-checked every round by
     the local mirror (tools/check_oracle.py)."""
     return {
@@ -2985,6 +3025,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new per-member-row form (ivf_index_probe is above)
         "lsh_index_probe": q_lsh_index_probe,
         "embedding_lsh_probe": q_embedding_lsh_probe,
+        # new in r11 (VERDICT r10 #3): schema migration end to end —
+        # backfill → migrate (add/rename/retype) → search on the new
+        # schema, whole output value-oracled
+        "schema_migrate_search": q_schema_migrate_search,
         # --- r7-proven rows kept in-window: anchors for the families
         # above (uniform PageRank/HITS pair with the rotated variants)
         # and every composed pipeline whose oracle embeds other
@@ -3606,6 +3650,17 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_search_ivf": oracle.hybrid_search_ivf_sql(
             HYBRID_TERMS, similarity.demo_query_vec(64),
             "vec_id % 100 = 0", nprobe=2, k=10, pool=50),
+        # migrated-schema search: the SQL twin applies the same
+        # add/rename/retype to the source table directly — store system
+        # columns (id/revision) are excluded from the result by design
+        "schema_migrate_search": """
+            SELECT doc_id, lang AS language, FALSE AS curated,
+                   CAST(n_chars AS DOUBLE) AS n_chars
+            FROM documents
+            WHERE lower(lang) = lower('EN') AND n_chars >= 200
+            ORDER BY n_chars DESC, doc_id ASC
+            LIMIT 25
+        """,
         "doc_stratified_fixed_k": oracle.stratified_fixed_k_sql(k=3),
         "documents_table_profile": oracle.table_profile_sql(
             [("doc_id", True), ("text", False), ("lang", False),

@@ -154,6 +154,10 @@ BENCH_QUERIES = (
     "ivf_partitioned_probe",
     "doc_surprisal_exported_lm",
     "hybrid_search",
+    # r11: the IVF-probed hybrid leg and the end-to-end migration story
+    # (the index probes and PQ search are already benched above)
+    "hybrid_search_ivf",
+    "schema_migrate_search",
 )
 
 #: Deliberate brute-force foils, kept in queries() as labeled baselines

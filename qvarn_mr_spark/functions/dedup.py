@@ -944,7 +944,8 @@ def lsh_index_views(source: str = "documents", id_col: str = "doc_id",
 
 def probe_lsh_index(delta: DataFrame, index: DataFrame, id_col: str,
                     text_col: str, n_hashes: int = MINHASH_N,
-                    n_bands: int = MINHASH_BANDS) -> DataFrame:
+                    n_bands: int = MINHASH_BANDS,
+                    push_keys: int | None = 4096) -> DataFrame:
     """Near-dup candidates for a (delta-sized) batch of documents against
     a maintained LSH index (the normalized ``index_name`` table of
     :func:`lsh_index_views`, read via ``IncrementalEngine.read``).
@@ -956,7 +957,17 @@ def probe_lsh_index(delta: DataFrame, index: DataFrame, id_col: str,
     one. Cost is O(delta · bucket size) — the corpus is touched only
     through the bucket rows the delta hashes into, never rescanned.
     Probing the full corpus reproduces the batch
-    :func:`minhash_candidates` pair set (each pair seen from both sides)."""
+    :func:`minhash_candidates` pair set (each pair seen from both sides).
+
+    ``push_keys``: when the delta's distinct band-key count is at most
+    this bound, the probe EAGERLY collects the keys (pinned frame, one
+    delta-sized job at call time — the :func:`~qvarn_mr_spark.functions.
+    similarity.probe_ivf_index` discipline) and pushes them into the
+    index scan as a literal ``_mr_key IN`` predicate, so parquet
+    row-group statistics skip unprobed buckets' files instead of
+    scanning the whole index per probe batch. ``None`` disables (plan
+    stays fully lazy; the join alone still touches only matching rows
+    after the scan)."""
     from qvarn_mr_spark.operators.mapreduce import live
 
     # spread the delta first: it often arrives as ONE file/partition, and
@@ -968,10 +979,32 @@ def probe_lsh_index(delta: DataFrame, index: DataFrame, id_col: str,
         .alias("_mr_key"))
     members = live(index).select(
         "_mr_key", F.col("_mr_value").alias("member_id"))
+    members, keys = _push_probe_keys(keys, members, push_keys)
     return (keys.join(members, "_mr_key")
             .filter(F.col("probe_id") != F.col("member_id"))
             .groupBy("probe_id", "member_id")
             .agg(F.count(F.lit(1)).alias("n_bands")))
+
+
+def _push_probe_keys(keys: DataFrame, members: DataFrame,
+                     push_keys: int | None):
+    """Shared probe-pruning step: collect the (delta-bounded) distinct
+    probe keys and push them into the index side as a literal IN
+    predicate — but only when they fit ``push_keys`` (an oversized
+    literal list bloats the plan past what row-group skipping buys).
+    Returns the possibly-filtered ``(members, keys)`` pair; ``keys``
+    comes back pinned when the collect ran, so routing never executes
+    twice."""
+    if push_keys is None:
+        return members, keys
+    from qvarn_mr_spark.session import pin
+    keys = pin(keys)
+    probed = [r["_mr_key"] for r in
+              keys.select("_mr_key").distinct()
+              .limit(int(push_keys) + 1).collect()]
+    if len(probed) <= int(push_keys):
+        members = members.filter(F.col("_mr_key").isin(probed))
+    return members, keys
 
 
 def tune_lsh_bands(df: DataFrame, id_col: str, text_col: str,

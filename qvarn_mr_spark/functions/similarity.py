@@ -665,7 +665,8 @@ def probe_embedding_lsh_index(delta: DataFrame, corpus: DataFrame,
                               vec_col: str, threshold: float = 0.9,
                               planes: int = HYPERPLANES,
                               bands: int = HYPERPLANE_BANDS,
-                              dim: int = 64, seed: str = "hp") -> DataFrame:
+                              dim: int = 64, seed: str = "hp",
+                              push_keys: int | None = 4096) -> DataFrame:
     """Near-dup hits for a (delta-sized) batch of vectors against a
     maintained embedding LSH index (normalized per-member rows): band
     keys equi-join the index rows to candidates, and each candidate is
@@ -674,8 +675,14 @@ def probe_embedding_lsh_index(delta: DataFrame, corpus: DataFrame,
     :func:`hyperplane_near_dup`. Returns ``(probe_id, member_id,
     cos_sim)``; cost O(delta · bucket) + one id-join into the corpus
     (id-bucket the corpus table at scale — see
-    :func:`embedding_lsh_index_views`)."""
-    from qvarn_mr_spark.functions.dedup import ensure_min_partitions
+    :func:`embedding_lsh_index_views`). ``push_keys`` prunes the index
+    scan with the delta's literal band keys when they fit the bound —
+    ``dedup.probe_lsh_index``'s contract, incl. the eager pinned
+    collect at call time."""
+    from qvarn_mr_spark.functions.dedup import (
+        _push_probe_keys,
+        ensure_min_partitions,
+    )
     from qvarn_mr_spark.operators.mapreduce import live
 
     # spread the delta first — same single-file-delta hazard as
@@ -688,6 +695,7 @@ def probe_embedding_lsh_index(delta: DataFrame, corpus: DataFrame,
                                           seed)).alias("_mr_key"))
     members = live(index).select(
         "_mr_key", F.col("_mr_value").alias("member_id"))
+    members, keys = _push_probe_keys(keys, members, push_keys)
     cand = (keys.join(members, "_mr_key")
             .filter(F.col("probe_id") != F.col("member_id"))
             .dropDuplicates(["probe_id", "member_id"]))

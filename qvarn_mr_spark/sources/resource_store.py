@@ -104,6 +104,28 @@ class ResourceStore:
     def create(self, resource_type: str, doc: dict) -> str:
         return self.create_many(resource_type, [doc])[0]
 
+    def backfill(self, resource_type: str, df: DataFrame,
+                 id_col: str = "id") -> None:
+        """The BULK ingest path (class docstring: "the bulk path at
+        100 TB is create_many/backfill which writes one DataFrame
+        snapshot"): append a whole DataFrame as resources in ONE
+        distributed write — no driver-side dict list, no per-row ids.
+        ``id_col`` supplies the resource ids (cast to string);
+        ``type``/``revision`` are stamped as columns. Emits NO
+        notifications (a backfill's ids are corpus-sized — the feed is
+        for trickle CRUD); drive dependent views with
+        ``IncrementalEngine.resync*`` afterwards, exactly the
+        reference's bootstrap flow."""
+        new = df.select(
+            F.col(id_col).cast("string").alias("id"),
+            F.lit(resource_type).alias("type"),
+            F.lit(uuid.uuid4().hex).alias("revision"),
+            *[c for c in df.columns if c != id_col])
+        if self._store.exists(resource_type):
+            new = self.table(resource_type).unionByName(
+                new, allowMissingColumns=True)
+        self._store.overwrite(resource_type, new)
+
     def update(self, resource_type: str, rid: str, doc: dict,
                revision: str | None = None) -> str:
         """S7 put-by-id with optimistic revision check (409 on mismatch).

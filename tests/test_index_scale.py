@@ -259,3 +259,52 @@ def test_append_then_update_rewrites_and_stays_correct(spark, tmp_path):
                     .select("_mr_key"))
     got = {(r["_mr_key"], r["v"]) for r in store.read("t").collect()}
     assert got == {("b", 2), ("c", 33)}
+
+
+def test_lsh_probe_pushes_delta_keys_into_index_scan(spark, tmp_path):
+    """r11: probing a store-backed LSH index pushes the delta's literal
+    band keys into the parquet scan (row-group skipping — the
+    probe_ivf_index discipline applied to the LSH family), and the
+    pushed plan returns exactly the unpushed plan's candidates."""
+    from qvarn_mr_spark.catalog import Catalog
+    from qvarn_mr_spark.functions import dedup
+    from qvarn_mr_spark.operators import IncrementalEngine, ViewEngine
+    from qvarn_mr_spark.plans import explain_str
+
+    BASE = ("the quick brown fox jumps over the lazy dog and runs "
+            "far away")
+    NEAR = BASE.replace("runs", "walks")
+    rows = [("1", BASE), ("2", "a completely different document about "
+                               "spark shuffles and broadcast joins "
+                               "entirely")]
+    cat = Catalog(spark)
+    cat.register("doc", spark.createDataFrame(
+        rows, "id string, text string"))
+    eng = ViewEngine(cat, dedup.lsh_index_views("doc", "id", "text"),
+                     id_cols={"doc": "id"})
+    inc = IncrementalEngine(eng, BucketedParquetStateStore(
+        spark, str(tmp_path / "s"), buckets=4))
+    inc.resync_all()
+
+    delta = spark.createDataFrame([("9", NEAR)],
+                                  "id string, text string")
+    pushed = dedup.probe_lsh_index(delta, inc.read("lsh_buckets"),
+                                   "id", "text")
+    txt = explain_str(pushed, "formatted")
+    pf = [ln for ln in txt.splitlines() if "PushedFilters" in ln]
+    assert any("In(_mr_key" in ln for ln in pf), pf
+
+    plain = dedup.probe_lsh_index(delta, inc.read("lsh_buckets"),
+                                  "id", "text", push_keys=None)
+    want = {(r["probe_id"], r["member_id"], r["n_bands"])
+            for r in plain.collect()}
+    got = {(r["probe_id"], r["member_id"], r["n_bands"])
+           for r in pushed.collect()}
+    assert got == want and ("9", "1") in {(a, b) for a, b, _ in got}
+
+    # over-bound deltas skip the push (no plan bloat) and still answer
+    wide = dedup.probe_lsh_index(delta, inc.read("lsh_buckets"),
+                                 "id", "text", push_keys=2)
+    got2 = {(r["probe_id"], r["member_id"], r["n_bands"])
+            for r in wide.collect()}
+    assert got2 == want

@@ -161,3 +161,34 @@ def test_additive_migration_needs_no_handler_change(spark, tmp_path):
     inc.apply_changes(notifications(spark, [("doc", "created", nid)]))
     keys = {r["_mr_key"] for r in inc.read("doc__names").collect()}
     assert keys == {"a", "b", "c"}
+
+
+def test_backfill_bulk_ingest(spark, tmp_path):
+    """The distributed bulk path: a whole DataFrame lands as resources
+    in one snapshot write (ids from id_col, type/revision stamped, NO
+    per-id notifications), then trickle CRUD and migration compose on
+    top of it."""
+    rstore = ResourceStore(spark, str(tmp_path / "store"),
+                           feed_dir=str(tmp_path / "feed"))
+    src = spark.createDataFrame(
+        [(i, f"text {i}", i * 10) for i in range(20)],
+        "doc_id long, text string, n long")
+    rstore.backfill("doc", src.select(
+        F.col("doc_id").alias("rid"), "doc_id", "text", "n"),
+        id_col="rid")
+    t = rstore.table("doc")
+    assert t.count() == 20
+    assert {"id", "type", "revision", "doc_id", "text", "n"} <= \
+        set(t.columns)
+    assert rstore.get("doc", "7")["n"] == 70
+    import os
+    assert os.listdir(str(tmp_path / "feed")) == []   # no notifications
+
+    # trickle CRUD composes on top
+    rstore.update("doc", "7", {"doc_id": 7, "text": "edited", "n": 71})
+    assert rstore.get("doc", "7")["n"] == 71
+    assert len(os.listdir(str(tmp_path / "feed"))) == 1
+
+    # and migration applies to the backfilled snapshot
+    rstore.migrate("doc", 1, [("rename", "n", "value")])
+    assert rstore.get("doc", "7")["value"] == 71
