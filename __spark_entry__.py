@@ -2174,6 +2174,46 @@ def q_ivf_partitioned_probe(spark, sf_dir):
         "vec_id", "embedding", k=3)
 
 
+def q_ivf_store_probe(spark, sf_dir):
+    """Maintained-index ANN probe served THROUGH the state store (r11,
+    similarity.probe_ivf_store): the IVM engine bootstraps the
+    normalized cluster index into a BucketedParquetStateStore, then the
+    probe hands its routed cluster set to store.read(table, keys=...) —
+    manifest-level bucket-directory pruning (the maintained-view twin
+    of ivf_partitioned_probe's PartitionFilters; file-subset pruning is
+    plan-pinned in tests/test_index_scale.py) on top of the pushed
+    _mr_key IN row-group skipping. Values are serving-path-independent,
+    so it shares the batch probe's oracle."""
+    import os
+    import shutil
+
+    from qvarn_mr_spark.catalog import Catalog
+    from qvarn_mr_spark.operators import IncrementalEngine, ViewEngine
+    from qvarn_mr_spark.operators.incremental import (
+        BucketedParquetStateStore,
+    )
+    from qvarn_mr_spark.sources.bucketed import DEFAULT_LOCATION
+
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    cents = [(r["vec_id"], list(r["c"])) for r in
+             emb.filter(F.col("vec_id") % 100 == 0)
+             .select("vec_id",
+                     F.col("embedding").cast("array<double>").alias("c"))
+             .collect()]
+    root = os.path.join(DEFAULT_LOCATION,
+                        f"ivf_store_{_sf_tag(sf_dir)}")
+    shutil.rmtree(root, ignore_errors=True)      # fresh bootstrap per run
+    cat = Catalog(spark)
+    cat.register("emb", emb)
+    eng = ViewEngine(cat, similarity.ivf_index_views(
+        cents, "emb", "vec_id", "embedding"), id_cols={"emb": "vec_id"})
+    store = BucketedParquetStateStore(spark, root, buckets=16)
+    IncrementalEngine(eng, store).resync_all()
+    return similarity.probe_ivf_store(
+        emb.filter(F.col("vec_id") % 25 == 2), store, "ivf_members",
+        cents, "vec_id", "embedding", k=3)
+
+
 def q_embedding_lsh_probe(spark, sf_dir):
     """Maintained embedding-LSH-index probe (functions/similarity.py):
     streaming SEMANTIC dedup — hyperplane band keys per vector via a pure
@@ -2952,10 +2992,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in this round's proofs: hybrid_search_ivf (new, VERDICT r10 #6),
     embedding_pq_search (upgraded rows-only → full committed-codebooks
     value oracle, r10 #5), schema_migrate_search (new, r10 #3 — the
-    migration story end to end), and the two LSH index probes back
-    in-window for a driver re-proof on the NORMALIZED per-member
-    representation (r10 #1; ivf_index_probe already in-window covers
-    the third).
+    migration story end to end), ivf_store_probe (new — the probe
+    served through the store's manifest-level bucket pruning), and the
+    two LSH index probes back in-window for a driver re-proof on the
+    NORMALIZED per-member representation (r10 #1; ivf_index_probe
+    already in-window covers the third).
     Everything outside the window remains value-checked every round by
     the local mirror (tools/check_oracle.py)."""
     return {
@@ -3010,6 +3051,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scan, the 100 TB serving shape)
         "ivf_index_probe": q_ivf_index_probe,
         "ivf_partitioned_probe": q_ivf_partitioned_probe,
+        # new in r11: the probe served THROUGH the state store with
+        # manifest-level bucket pruning (keys= read hint)
+        "ivf_store_probe": q_ivf_store_probe,
         "doc_surprisal_exported_lm": q_doc_surprisal_exported_lm,
         "hybrid_search": q_hybrid_search,
         # new in r11 (VERDICT r10 #6): the IVF-probed vector leg in the
@@ -4011,6 +4055,10 @@ def oracle_sql() -> dict[str, str]:
         # it shares that oracle form
         "ivf_index_probe": oracle.ivf_probe_search_sql(
             "vec_id % 100 = 0", "vec_id % 25 = 0", k=3),
+        # serving-path-independent values: the store-served probe shares
+        # the plain probe's oracle (different query slice)
+        "ivf_store_probe": oracle.ivf_probe_search_sql(
+            "vec_id % 100 = 0", "vec_id % 25 = 2", k=3),
         # layout-independent values: the partitioned probe shares the
         # plain probe's oracle (different query slice)
         "ivf_partitioned_probe": oracle.ivf_probe_search_sql(

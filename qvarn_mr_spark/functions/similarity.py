@@ -901,8 +901,17 @@ def probe_ivf_index(delta: DataFrame, index: DataFrame, centroids,
     ``nprobe=1`` identical to the batch :func:`ivf_probe_search`
     (same oracle), at higher nprobe to :func:`ivf_probe_search_multi`
     (conformance-pinned in tests/test_ivf_index.py)."""
+    keys, probed = _ivf_probe_routes(delta, centroids, id_col, vec_col,
+                                     nprobe)
+    return _ivf_probe_score(keys, probed, index, k)
+
+
+def _ivf_probe_routes(delta, centroids, id_col, vec_col, nprobe):
+    """Shared probe routing: pin the delta's per-query routes and
+    collect the probed cluster-id set (≤ min(|delta|·nprobe, nlist) —
+    metadata-sized by the centroid contract). Returns the
+    ``(q_id, _q_vec, _mr_key)`` keys frame + the sorted literal set."""
     from qvarn_mr_spark.functions.dedup import ensure_min_partitions
-    from qvarn_mr_spark.operators.mapreduce import live
     from qvarn_mr_spark.session import pin
 
     routes = pin(ensure_min_partitions(delta).select(
@@ -910,11 +919,20 @@ def probe_ivf_index(delta: DataFrame, index: DataFrame, centroids,
         _as_double(delta, vec_col).alias("_q_vec"),
         F.explode(ivf_route_col(vec_col, centroids, nprobe))
         .alias("_c")))
-    # ≤ nlist distinct ids — metadata-sized by the centroid contract
     probed = sorted({str(r["_c"]) for r in
                      routes.select("_c").distinct().collect()})
     keys = routes.select(
         "q_id", "_q_vec", F.col("_c").cast("string").alias("_mr_key"))
+    return keys, probed
+
+
+def _ivf_probe_score(keys: DataFrame, probed: list, index: DataFrame,
+                     k: int) -> DataFrame:
+    """Shared probe scoring over normalized index rows: filter to the
+    probed clusters (literal IN — pushed to the scan), join, exact
+    cosine against the index-carried vectors, per-query top-k."""
+    from qvarn_mr_spark.operators.mapreduce import live
+
     m = (live(index)
          .filter(F.col("_mr_key").isin(probed))
          .select("_mr_key", F.col("_mr_value.m_id").alias("n_id"),
@@ -928,6 +946,31 @@ def probe_ivf_index(delta: DataFrame, index: DataFrame, centroids,
                                            F.asc("n_id"))
     return (scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k))
+
+
+def probe_ivf_store(delta: DataFrame, store, table: str, centroids,
+                    id_col: str, vec_col: str, k: int = 3,
+                    nprobe: int = 1) -> DataFrame:
+    """:func:`probe_ivf_index` served STRAIGHT from a key-pruning state
+    store (r11): the probed cluster set is handed to
+    ``store.read(table, keys=probed)`` — a
+    ``BucketedParquetStateStore`` (or ``IncrementalEngine``) then lists
+    ONLY the bucket directories those clusters hash into, so the probe
+    plan never even enumerates the rest of the index's files. This is
+    the maintained-view twin of :func:`probe_ivf_partitioned`'s
+    PartitionFilters: manifest-level file pruning on top of the pushed
+    ``_mr_key IN`` row-group skipping, with zero layout duplication —
+    the index the IVM engine maintains IS the serving structure.
+
+    ``store`` is anything exposing ``read(table, keys=...)`` (a
+    ``ParquetStateStore`` ignores the hint and degrades to the plain
+    scan+filter — same answer, fewer skipped files). Results are
+    identical to ``probe_ivf_index(delta, store.read(table), ...)``
+    (pinned by test)."""
+    keys, probed = _ivf_probe_routes(delta, centroids, id_col, vec_col,
+                                     nprobe)
+    return _ivf_probe_score(keys, probed, store.read(table, keys=probed),
+                            k)
 
 
 def write_ivf_partitioned(df: DataFrame, path: str, centroids,

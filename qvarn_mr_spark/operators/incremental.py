@@ -98,7 +98,11 @@ class ParquetStateStore:
     def exists(self, table: str) -> bool:
         return self.version(table) is not None
 
-    def read(self, table: str) -> DataFrame:
+    def read(self, table: str, keys=None) -> DataFrame:
+        """Read the current snapshot. ``keys`` (an optional bounded list
+        of key values) is a PRUNING HINT for stores that can skip files
+        by key — this base store ignores it and scans the snapshot (the
+        caller's filter still applies downstream)."""
         v = self.version(table)
         if v is None:
             raise KeyError(f"no state for table {table!r}")
@@ -274,15 +278,36 @@ class BucketedParquetStateStore(ParquetStateStore):
             json.dump(manifest, f)
         self._commit(table, v)
 
-    def read(self, table: str) -> DataFrame:
+    def read(self, table: str, keys=None) -> DataFrame:
+        """Read the current snapshot; with ``keys`` (a BOUNDED list of
+        key values — probe routes, dirty keys), prune at the MANIFEST:
+        only the bucket directories those keys hash into are listed at
+        all — the file-level analogue of partition pruning, on top of
+        whatever row-group skipping a pushed predicate buys. One tiny
+        |keys|-row Spark job computes the buckets with the exact hash
+        the writer used, so Python and JVM hashing can never drift. The
+        caller still applies its own key filter (a bucket holds other
+        keys too)."""
         v = self.version(table)
         if v is None:
             raise KeyError(f"no state for table {table!r}")
         manifest = self._load_manifest(table, v)
         if manifest is None:
             return super().read(table)
+        buckets = manifest["buckets"]
+        if keys is not None:
+            from pyspark.sql import types as T
+            schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+            kt = T.StructType([T.StructField(
+                self.key_col, schema[self.key_col].dataType)])
+            wanted = {str(r["b"]) for r in self.spark.createDataFrame(
+                [(k,) for k in keys], kt)
+                .select(self._bucket_expr().alias("b")).distinct()
+                .collect()}
+            buckets = {b: vers for b, vers in buckets.items()
+                       if b in wanted}
         paths = [os.path.join(self._dir(table), f"v{ver}", f"_bucket={b}")
-                 for b, vers in manifest["buckets"].items()
+                 for b, vers in buckets.items()
                  for ver in vers]
         if not paths:
             from pyspark.sql import types as T
@@ -948,8 +973,12 @@ class IncrementalEngine:
 
     # -- convenience ----------------------------------------------------------
 
-    def read(self, target: str) -> DataFrame:
-        return self.store.read(target)
+    def read(self, target: str, keys=None) -> DataFrame:
+        """Read a maintained view's current snapshot; ``keys`` (bounded)
+        lets key-pruning stores skip whole bucket directories — the
+        serving path for probes that know their routes up front (see
+        ``similarity.probe_ivf_store``)."""
+        return self.store.read(target, keys=keys)
 
 
 def notifications(spark: SparkSession, rows: list[tuple[str, str, str]]) -> DataFrame:

@@ -308,3 +308,50 @@ def test_lsh_probe_pushes_delta_keys_into_index_scan(spark, tmp_path):
     got2 = {(r["probe_id"], r["member_id"], r["n_bands"])
             for r in wide.collect()}
     assert got2 == want
+
+
+def test_probe_ivf_store_prunes_bucket_directories(spark, tmp_path):
+    """r11: serving a probe through store.read(table, keys=probed)
+    lists ONLY the probed clusters' bucket directories (manifest-level
+    file pruning — the maintained-view twin of the partitioned layout's
+    PartitionFilters), answers identically to the full-read probe, and
+    degrades gracefully on a base store that ignores the hint."""
+    from qvarn_mr_spark.operators import ParquetStateStore
+
+    cat = Catalog(spark)
+    cat.register("emb", df_of(spark, hot_rows(60, 40)))
+    root = str(tmp_path / "s")
+    eng = ViewEngine(cat, similarity.ivf_index_views(
+        CENTS, "emb", "id", "embedding", index_name="ivf_members"),
+        id_cols={"emb": "id"})
+    store = BucketedParquetStateStore(spark, root, buckets=8)
+    inc = IncrementalEngine(eng, store)
+    inc.resync_all()
+
+    queries = df_of(spark, [("q1", vec(2, flip=0.01)),
+                            ("q2", vec(2, flip=0.02))])
+    pruned = similarity.probe_ivf_store(
+        queries, store, "ivf_members", CENTS, "id", "embedding", k=4)
+    full = similarity.probe_ivf_index(
+        queries, inc.read("ivf_members"), CENTS, "id", "embedding", k=4)
+    want = {tuple(r) for r in full.collect()}
+    assert {tuple(r) for r in pruned.collect()} == want and want
+
+    # fewer bucket directories listed: the pruned plan's file set is a
+    # strict subset of the full read's (both clusters hash to ≤2 of the
+    # 8 buckets; the bootstrap wrote rows into more)
+    fset = set(inc.read("ivf_members").inputFiles())
+    pset = set(pruned.inputFiles())
+    assert pset < fset, (len(pset), len(fset))
+
+    # the engine passthrough serves the same pruned read
+    via_engine = similarity.probe_ivf_store(
+        queries, inc, "ivf_members", CENTS, "id", "embedding", k=4)
+    assert {tuple(r) for r in via_engine.collect()} == want
+
+    # a base (non-bucketed) store ignores the hint but still answers
+    base = ParquetStateStore(spark, str(tmp_path / "plain"))
+    base.overwrite("ivf_members", inc.read("ivf_members"))
+    degraded = similarity.probe_ivf_store(
+        queries, base, "ivf_members", CENTS, "id", "embedding", k=4)
+    assert {tuple(r) for r in degraded.collect()} == want
