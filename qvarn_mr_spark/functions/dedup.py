@@ -997,8 +997,8 @@ def _push_probe_keys(keys: DataFrame, members: DataFrame,
     twice."""
     if push_keys is None:
         return members, keys
-    from qvarn_mr_spark.session import pin
-    keys = pin(keys)
+    from qvarn_mr_spark.session import serve_pin
+    keys = serve_pin(keys)
     probed = [r["_mr_key"] for r in
               keys.select("_mr_key").distinct()
               .limit(int(push_keys) + 1).collect()]

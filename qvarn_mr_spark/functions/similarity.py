@@ -40,6 +40,25 @@ def _as_double(df: DataFrame, vec_col: str) -> Column:
     return F.col(vec_col).cast("array<double>")
 
 
+def _topk_per_query(scored: DataFrame, k: int, order_col: str = "cos_sim",
+                    ascending: bool = False,
+                    keys: tuple = ("q_id",)) -> DataFrame:
+    """Per-query top-k WITHOUT a single-task candidate sort.
+
+    The naive ``row_number() OVER (PARTITION BY q_id ORDER BY sim)``
+    sends every candidate of a query to ONE task — at 100 TB a query
+    probing a corpus/nlist-sized cluster sorts tens of millions of rows
+    in that task, the serving family's weak point. Two-phase instead
+    (``skew.topk_per_key``): local top-k per (q_id, salt-of-n_id) —
+    the hot query's candidates spread over ``salt`` tasks — then top-k
+    over the ≤ salt·k survivors. Deterministic (salts hash ``n_id``,
+    never rand()), so the output row set equals the naive window's
+    exactly; every probe oracle is unchanged. Appends ``rn`` 1..k."""
+    from qvarn_mr_spark.operators.skew import topk_per_key
+    return topk_per_key(scored, list(keys), order_col, k,
+                        tiebreak=["n_id"], ascending=ascending)
+
+
 def _unit_rows(m):
     """Row-normalize a matrix for the Arrow twins, with a zero-norm guard:
     an all-zero vector keeps norm 1, so it scores cosine 0.0 against
@@ -80,9 +99,7 @@ def knn_bruteforce(df: DataFrame, id_col: str, vec_col: str,
                 F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6)
                 .alias("cos_sim"))
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k))
+    return _topk_per_query(scored, k)
 
 
 def hard_negatives(df: DataFrame, id_col: str, vec_col: str,
@@ -116,9 +133,7 @@ def hard_negatives(df: DataFrame, id_col: str, vec_col: str,
                 F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6)
                 .alias("cos_sim"))
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k))
+    return _topk_per_query(scored, k)
 
 
 def ivf_assign_topn(df: DataFrame, id_col: str, vec_col: str,
@@ -351,9 +366,16 @@ def nearest_neighbor_ivf(df: DataFrame, id_col: str, vec_col: str,
               .select("q_id", "n_id",
                       F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6)
                       .alias("cos_sim")))
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1))
+    # k=1: a partial-aggregating min_by instead of a per-query window —
+    # the map side reduces each candidate partition to one row per query
+    # before any shuffle, so no task ever sorts a cluster's full
+    # membership (same shape as the Arrow twin's global phase below).
+    return (scored.groupBy("q_id")
+            .agg(F.min_by(F.struct(F.col("n_id"), F.col("cos_sim")),
+                          F.struct((-F.col("cos_sim")).alias("neg"),
+                                   F.col("n_id"))).alias("_b"))
+            .select("q_id", F.col("_b.n_id"), F.col("_b.cos_sim"),
+                    F.lit(1).alias("rn")))
 
 
 def nearest_neighbor_ivf_arrow(df: DataFrame, id_col: str, vec_col: str,
@@ -514,9 +536,7 @@ def _probe_search(df: DataFrame, id_col: str, vec_col: str,
               .select("q_id", "n_id",
                       F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6)
                       .alias("cos_sim")))
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k))
+    return _topk_per_query(scored, k)
 
 
 #: Random-hyperplane LSH defaults: 32 sign bits in 4 bands of 8 — a pair
@@ -912,9 +932,9 @@ def _ivf_probe_routes(delta, centroids, id_col, vec_col, nprobe):
     metadata-sized by the centroid contract). Returns the
     ``(q_id, _q_vec, _mr_key)`` keys frame + the sorted literal set."""
     from qvarn_mr_spark.functions.dedup import ensure_min_partitions
-    from qvarn_mr_spark.session import pin
+    from qvarn_mr_spark.session import serve_pin
 
-    routes = pin(ensure_min_partitions(delta).select(
+    routes = serve_pin(ensure_min_partitions(delta).select(
         F.col(id_col).alias("q_id"),
         _as_double(delta, vec_col).alias("_q_vec"),
         F.explode(ivf_route_col(vec_col, centroids, nprobe))
@@ -942,10 +962,7 @@ def _ivf_probe_score(keys: DataFrame, probed: list, index: DataFrame,
               .select("q_id", "n_id",
                       F.round(cosine(F.col("_q_vec"), F.col("_n_vec")), 6)
                       .alias("cos_sim")))
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"),
-                                           F.asc("n_id"))
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k))
+    return _topk_per_query(scored, k)
 
 
 def probe_ivf_store(delta: DataFrame, store, table: str, centroids,
@@ -1015,9 +1032,9 @@ def probe_ivf_partitioned(spark, path: str, queries: DataFrame,
     routing executes ONCE — the subsequent join reads the pinned rows
     instead of re-running the k·dim route expression."""
     from qvarn_mr_spark.functions.dedup import ensure_min_partitions
-    from qvarn_mr_spark.session import pin
+    from qvarn_mr_spark.session import serve_pin
 
-    routes = pin(ensure_min_partitions(queries).select(
+    routes = serve_pin(ensure_min_partitions(queries).select(
         F.col(id_col).alias("q_id"),
         _as_double(queries, vec_col).alias("_q_vec"),
         F.explode(ivf_route_col(vec_col, centroids, nprobe))
@@ -1035,10 +1052,7 @@ def probe_ivf_partitioned(spark, path: str, queries: DataFrame,
               .select("q_id", "n_id",
                       F.round(cosine(F.col("_q_vec"), F.col("_n_vec")), 6)
                       .alias("cos_sim")))
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"),
-                                           F.asc("n_id"))
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k))
+    return _topk_per_query(scored, k)
 
 
 def demo_query_vec(dim: int = 64) -> list:
@@ -1938,13 +1952,9 @@ def ivf_probe_search_multi(df: DataFrame, id_col: str, vec_col: str,
     routing table broadcast; no pairwise all-to-all anywhere.
 
     Returns ``(q_id, n_id, cos_sim, rn)`` with rn 1..k."""
-    return (_multi_probe_candidates(df, id_col, vec_col, centroid_filter,
-                                    query_filter, nprobe)
-            .withColumn("rn", F.row_number().over(
-                Window.partitionBy("q_id")
-                      .orderBy(F.desc("cos_sim"), F.asc("n_id"))))
-            .filter(F.col("rn") <= k)
-            .select("q_id", "n_id", "cos_sim", "rn"))
+    cand = _multi_probe_candidates(df, id_col, vec_col, centroid_filter,
+                                   query_filter, nprobe)
+    return _topk_per_query(cand, k).select("q_id", "n_id", "cos_sim", "rn")
 
 
 def _multi_probe_candidates(df: DataFrame, id_col: str, vec_col: str,
@@ -2021,10 +2031,7 @@ def tune_nprobe(df: DataFrame, id_col: str, vec_col: str,
                                        probes[-1]))
     grid = spark.createDataFrame([(p,) for p in probes], "nprobe int")
     gc = cand.join(F.broadcast(grid), F.col("q_rn") <= F.col("nprobe"))
-    w = Window.partitionBy("nprobe", "q_id") \
-              .orderBy(F.desc("cos_sim"), F.asc("n_id"))
-    topk = (gc.withColumn("rn", F.row_number().over(w))
-              .filter(F.col("rn") <= k))
+    topk = _topk_per_query(gc, k, keys=("nprobe", "q_id"))
     hits = (topk.join(exact, ["q_id", "n_id"])
             .groupBy("nprobe", "q_id")
             .agg(F.count(F.lit(1)).alias("n_hit")))

@@ -309,11 +309,19 @@ class BucketedParquetStateStore(ParquetStateStore):
         paths = [os.path.join(self._dir(table), f"v{ver}", f"_bucket={b}")
                  for b, vers in buckets.items()
                  for ver in vers]
+        from pyspark.sql import types as T
+        schema = T.StructType.fromJson(json.loads(manifest["schema"]))
         if not paths:
-            from pyspark.sql import types as T
-            return self.spark.createDataFrame(
-                [], T.StructType.fromJson(json.loads(manifest["schema"])))
-        return self.spark.read.parquet(*paths)
+            return self.spark.createDataFrame([], schema)
+        # Pin the read schema to the manifest's: an owner chain mixes files
+        # from many commits (appends, tombstone rewrites), and Spark's
+        # default single-sample-file inference would make column presence
+        # depend on WHICH file it sampled — a chain whose sampled file
+        # lacked ``_mr_deleted`` would silently resurrect tombstones in
+        # every presence-guarded consumer. With the committed schema,
+        # columns absent from an older file read as null deterministically
+        # (and the tombstone filters treat null as live — see ``live()``).
+        return self.spark.read.schema(schema).parquet(*paths)
 
     def _gc(self, table: str, keep: int) -> None:
         """Like the base GC, but never drop a version directory that still
@@ -631,7 +639,8 @@ class IncrementalEngine:
             .select(F.col("_mr_key").cast("string").alias("resource_id"))
         cur = self.store.read(source)
         if "_mr_deleted" in cur.columns:
-            cur = cur.filter(~F.col("_mr_deleted"))
+            cur = cur.filter(
+                ~F.coalesce(F.col("_mr_deleted"), F.lit(False)))
         live = cur.select(F.col("_mr_key").cast("string")
                           .alias("resource_id")).distinct()
         flagged = dirty.join(
@@ -650,7 +659,8 @@ class IncrementalEngine:
         if source in self.engine.config:
             df = self.store.read(source)
             if "_mr_deleted" in df.columns:
-                df = df.filter(~F.col("_mr_deleted"))
+                df = df.filter(
+                    ~F.coalesce(F.col("_mr_deleted"), F.lit(False)))
             return df
         return self.catalog.get(source)
 

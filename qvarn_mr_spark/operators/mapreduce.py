@@ -265,7 +265,9 @@ def live(df: DataFrame) -> DataFrame:
     table AS the data (the normalized LSH/IVF index views, map-over-map
     DAGs) must filter them. No-op for frames without the column."""
     if "_mr_deleted" in df.columns:
-        return df.filter(~F.col("_mr_deleted"))
+        # null-safe: a row from a file written before the column existed
+        # reads as null under a pinned schema — not tombstoned, so live
+        return df.filter(~F.coalesce(F.col("_mr_deleted"), F.lit(False)))
     return df
 
 
@@ -372,7 +374,8 @@ class ViewEngine:
         ((source, spec),) = self.config[target].items()
         mdf = map_df if map_df is not None else self._resolve(source)
         if "_mr_deleted" in mdf.columns:
-            mdf = mdf.filter(~F.col("_mr_deleted"))
+            mdf = mdf.filter(
+                ~F.coalesce(F.col("_mr_deleted"), F.lit(False)))
         if isinstance(spec, AggReduceSpec):
             return self._reduce_agg(mdf, spec)
         if isinstance(spec, JoinReduceSpec):

@@ -68,15 +68,18 @@ def salted_join(probe: DataFrame, build: DataFrame, key: str,
 
 def topk_per_key(df: DataFrame, key_cols: list[str], order_col: str,
                  k: int, salt: int = 16,
-                 tiebreak: list[str] | None = None) -> DataFrame:
-    """Top-k rows per key by ``order_col`` (descending), skew-safe.
+                 tiebreak: list[str] | None = None,
+                 ascending: bool = False) -> DataFrame:
+    """Top-k rows per key by ``order_col`` (descending unless
+    ``ascending``), skew-safe.
 
     Phase 1: rank within (key, salt) — the hot key's rows split across
     ``salt`` tasks; keep each shard's top k. Phase 2: rank the ≤ salt·k
     survivors per key. Output equals the naive single-window form (given a
     deterministic ``tiebreak``), with an added ``rn`` rank column."""
     tiebreak = tiebreak or []
-    order = [F.desc(order_col)] + [F.asc(c) for c in tiebreak]
+    lead = F.asc(order_col) if ascending else F.desc(order_col)
+    order = [lead] + [F.asc(c) for c in tiebreak]
     shard_cols = tiebreak or [order_col]
     salted = df.withColumn("_salt", _salt_of(shard_cols, salt))
     w1 = Window.partitionBy(*key_cols, "_salt").orderBy(*order)

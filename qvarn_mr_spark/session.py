@@ -65,6 +65,38 @@ def pin(df):
     return df
 
 
+#: FIFO of frames pinned by serving-path entry points OUTSIDE any
+#: cache_scope, capped at SERVE_PIN_BUDGET (oldest unpersisted first).
+_SERVE_PINS: list = []
+SERVE_PIN_BUDGET = 32
+
+
+def serve_pin(df):
+    """:func:`pin` for hot serving-path entry points (`probe_*`).
+
+    A probe call pins its routing frame so the collect-then-join
+    lifetime computes routing once. Inside a :func:`cache_scope` that
+    pin is released on scope exit — but a long-lived serving loop
+    (notebook, service) calling probes bare would leak one persisted
+    frame per call for the life of the session. ``serve_pin`` bounds
+    that: with a scope active it IS ``pin``; without one, the frame
+    joins a FIFO capped at ``SERVE_PIN_BUDGET`` and the oldest entry is
+    unpersisted when the cap is exceeded. Unpersisting an
+    already-consumed routing frame is safe — a straggling action would
+    just recompute the (delta-bounded) routing expression."""
+    if _CACHE_SCOPES:
+        return pin(df)
+    df = df.persist()
+    _SERVE_PINS.append(df)
+    while len(_SERVE_PINS) > SERVE_PIN_BUDGET:
+        old = _SERVE_PINS.pop(0)
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return df
+
+
 class cache_scope:
     """Deterministic release of operator-internal persists::
 

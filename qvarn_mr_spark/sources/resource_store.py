@@ -105,7 +105,7 @@ class ResourceStore:
         return self.create_many(resource_type, [doc])[0]
 
     def backfill(self, resource_type: str, df: DataFrame,
-                 id_col: str = "id") -> None:
+                 id_col: str = "id", check_ids: bool = True) -> None:
         """The BULK ingest path (class docstring: "the bulk path at
         100 TB is create_many/backfill which writes one DataFrame
         snapshot"): append a whole DataFrame as resources in ONE
@@ -115,7 +115,35 @@ class ResourceStore:
         notifications (a backfill's ids are corpus-sized — the feed is
         for trickle CRUD); drive dependent views with
         ``IncrementalEngine.resync*`` afterwards, exactly the
-        reference's bootstrap flow."""
+        reference's bootstrap flow.
+
+        Unlike ``create_many`` (fresh uuid4 ids, collision-free by
+        construction), the ids here are CALLER-supplied — a colliding
+        backfill would silently produce duplicate ``id`` rows, making
+        ``get()`` arbitrary and corrupting update/delete revision
+        semantics. ``check_ids`` (default on) therefore rejects the
+        commit when ``df`` repeats an id or collides with the existing
+        table — two short-circuiting ``limit(1)`` probes, each one scan
+        of the incoming frame (id-column only, pruned at the parquet
+        scan); pass ``check_ids=False`` for re-ingest flows that have
+        already proven uniqueness upstream."""
+        if check_ids:
+            ids = df.select(F.col(id_col).cast("string").alias("id"))
+            dup = (ids.groupBy("id").count()
+                   .filter(F.col("count") > 1).limit(1).collect())
+            if dup:
+                raise ValueError(
+                    f"backfill({resource_type!r}): duplicate id "
+                    f"{dup[0]['id']!r} within the incoming frame")
+            if self._store.exists(resource_type):
+                clash = (ids.join(self.table(resource_type)
+                                  .select("id"), "id", "left_semi")
+                         .limit(1).collect())
+                if clash:
+                    raise ValueError(
+                        f"backfill({resource_type!r}): id "
+                        f"{clash[0]['id']!r} already exists in the "
+                        f"table")
         new = df.select(
             F.col(id_col).cast("string").alias("id"),
             F.lit(resource_type).alias("type"),

@@ -192,3 +192,33 @@ def test_backfill_bulk_ingest(spark, tmp_path):
     # and migration applies to the backfilled snapshot
     rstore.migrate("doc", 1, [("rename", "n", "value")])
     assert rstore.get("doc", "7")["value"] == 71
+
+
+def test_backfill_rejects_colliding_ids(spark, tmp_path):
+    """r12 (ADVICE r11): caller-supplied backfill ids are checked —
+    duplicates within the frame and collisions against the existing
+    table both raise BEFORE anything is committed; check_ids=False
+    opts out for upstream-proven re-ingest."""
+    rstore = ResourceStore(spark, str(tmp_path / "store"),
+                           feed_dir=str(tmp_path / "feed"))
+    dup = spark.createDataFrame([("a", 1), ("a", 2), ("b", 3)],
+                                "rid string, n long")
+    with pytest.raises(ValueError, match="duplicate id"):
+        rstore.backfill("doc", dup, id_col="rid")
+    assert not rstore._store.exists("doc")        # nothing committed
+
+    ok = spark.createDataFrame([("a", 1), ("b", 2)],
+                               "rid string, n long")
+    rstore.backfill("doc", ok, id_col="rid")
+    assert rstore.table("doc").count() == 2
+
+    clash = spark.createDataFrame([("b", 9), ("c", 3)],
+                                  "rid string, n long")
+    with pytest.raises(ValueError, match="already exists"):
+        rstore.backfill("doc", clash, id_col="rid")
+    assert rstore.table("doc").count() == 2       # table unchanged
+
+    # the escape hatch still appends (caller owns uniqueness)
+    fresh = spark.createDataFrame([("c", 3)], "rid string, n long")
+    rstore.backfill("doc", fresh, id_col="rid", check_ids=False)
+    assert rstore.table("doc").count() == 3

@@ -614,3 +614,39 @@ def test_paragraph_dedup_regex_metachar_delimiter(spark):
     want = {r[0]: (r[1], r[2], r[3]) for r in con.execute(
         paragraph_dedup_sql(delimiter="|", min_chars=2)).fetchall()}
     assert got == want
+
+
+def test_serve_pin_bounds_bare_probe_persists(spark):
+    """r12 (ADVICE r11): probe entry points called OUTSIDE any
+    cache_scope must not leak one persisted frame per call — serve_pin
+    keeps a FIFO capped at SERVE_PIN_BUDGET and unpersists the oldest
+    beyond it. Inside a scope it defers to pin (scope releases)."""
+    from qvarn_mr_spark import session as S
+
+    budget_before = S.SERVE_PIN_BUDGET
+    pins_before = list(S._SERVE_PINS)
+    try:
+        S.SERVE_PIN_BUDGET = 3
+        S._SERVE_PINS.clear()
+        frames = []
+        for i in range(8):
+            df = spark.range(i + 1).select("id")
+            frames.append(S.serve_pin(df))
+            df.count()
+        assert len(S._SERVE_PINS) == 3
+        # oldest 5 released, newest 3 still cached
+        assert all(not f.storageLevel.useMemory for f in frames[:5])
+        assert all(f.storageLevel.useMemory for f in frames[5:])
+        # inside a scope: serve_pin == pin, scope releases on exit
+        with S.cache_scope() as scope:
+            g = S.serve_pin(spark.range(99).select("id"))
+            g.count()
+            assert scope.pinned == [g]
+        assert not g.storageLevel.useMemory
+        assert len(S._SERVE_PINS) == 3           # scope path bypassed FIFO
+    finally:
+        S.SERVE_PIN_BUDGET = budget_before
+        for f in S._SERVE_PINS:
+            f.unpersist(blocking=False)
+        S._SERVE_PINS.clear()
+        S._SERVE_PINS.extend(pins_before)
