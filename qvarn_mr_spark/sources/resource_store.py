@@ -297,8 +297,34 @@ class ResourceStore:
     # ``IncrementalEngine.resync_changed()``).
 
     def schema_version(self, resource_type: str) -> int:
+        """Current schema version of a type — or of one of its side
+        collections via the path form (``"person/private"``)."""
         from qvarn_mr_spark.sources.migration import SchemaRegistry
         return SchemaRegistry(self.root).version(resource_type)
+
+    def _migration_table(self, resource_type: str) -> str:
+        """Resolve a migration target to its physical store table.
+
+        The reference's versioned storage migrates EVERY prototype
+        table — list/side tables included (``[qvarn]
+        versioned_storage.py``); here the path form
+        ``"person/private"`` addresses the subresource table of
+        ``person``'s ``private`` prototype (falling back to the file
+        table for blob subresources). The plain form is the main
+        table. Each (type, sub) carries its OWN version chain in
+        ``_SCHEMAS.json`` — sub prototypes version independently of
+        the parent, exactly as separate YAML prototypes do."""
+        from qvarn_mr_spark.sources.migration import MigrationError
+        if "/" not in resource_type:
+            return resource_type
+        parent, sub = resource_type.split("/", 1)
+        for table in (self._sub_table(parent, sub),
+                      self._file_table(parent, sub)):
+            if self._store.exists(table):
+                return table
+        raise MigrationError(
+            f"{resource_type}: no subresource or file table exists "
+            f"for parent {parent!r}, sub {sub!r}")
 
     def migrate(self, resource_type: str, to_version: int,
                 transforms) -> bool:
@@ -318,12 +344,39 @@ class ResourceStore:
         change per id (and at 100 TB a per-id feed replay would be a full
         rescan through the slow path); dependent views that read migrated
         fields rebuild via ``resync_changed`` (one batch pipeline), the
-        same one-shot path a handler upgrade takes."""
+        same one-shot path a handler upgrade takes.
+
+        Side collections migrate through the SAME verb, addressed by
+        the path form: ``migrate("person/private", 1, …)`` rewrites the
+        ``private`` subresource table (or the blob/file table for file
+        subresources) under its own version chain — the reference's
+        versioned storage migrates every prototype table, list/side
+        tables included (``[qvarn] versioned_storage.py``). ``id`` (the
+        parent key every side table is keyed by) cannot be renamed,
+        retyped, or dropped there — it is the join spine dependent
+        views and ``get_subresource`` stand on."""
         from qvarn_mr_spark.sources.migration import (
             MigrationError,
             SchemaRegistry,
             apply_transforms,
         )
+        table = self._migration_table(resource_type)
+        if "/" in resource_type:
+            # the columns the accessor contract stands on: every side
+            # table joins on the parent key; a FILE table's get_file
+            # additionally reads (body, content_type) — its prototype
+            # is fixed by the reference's file-subresource API, only
+            # metadata columns around it may evolve
+            protected = {"id"}
+            if table.split("__", 2)[1] == "file":
+                protected |= {"body", "content_type"}
+            for t in transforms:
+                if t[0] in ("rename", "retype", "drop") \
+                        and t[1] in protected:
+                    raise MigrationError(
+                        f"{resource_type}: cannot {t[0]} protected "
+                        f"column {t[1]!r} of a side table (the "
+                        f"accessor contract reads it)")
         reg = SchemaRegistry(self.root)
         cur = reg.version(resource_type)
         if to_version <= cur:
@@ -332,7 +385,7 @@ class ResourceStore:
             raise MigrationError(
                 f"{resource_type}: cannot migrate v{cur}→v{to_version}; "
                 f"versions step by 1 (apply v{cur + 1} first)")
-        migrated = apply_transforms(self.table(resource_type), transforms)
-        self._store.overwrite(resource_type, migrated)
+        migrated = apply_transforms(self._store.read(table), transforms)
+        self._store.overwrite(table, migrated)
         reg.record(resource_type, to_version, transforms)
         return True
