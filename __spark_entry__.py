@@ -3226,18 +3226,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Order matters: the driver's correctness gate samples the FIRST 50
-    entries. Round 11 keeps the r10 window largely intact and rotates
-    in this round's proofs: hybrid_search_ivf (new, VERDICT r10 #6),
-    embedding_pq_search (upgraded rows-only → full committed-codebooks
-    value oracle, r10 #5), schema_migrate_search (new, r10 #3 — the
-    migration story end to end), ivf_store_probe (new — the probe
-    served through the store's manifest-level bucket pruning), and the
-    two LSH index probes back in-window for a driver re-proof on the
-    NORMALIZED per-member representation (r10 #1; ivf_index_probe
-    already in-window covers the third).
+    entries. Round 12 executes the rotation discipline (VERDICT r11 #7):
+    the window is rebuilt as the 42 longest-unsampled queries — the
+    TPC-H q1-q22 family, the mr_* reference anchors, the events window/
+    asof/sessionize family and the search operators, none of which has
+    had a driver row since r3 (plus multimodal_features, unsampled
+    since r1) — together with the 8 queries whose implementation or
+    oracle changed THIS round: the four oracle upgrades
+    (graph_pagerank_converged, events_distinct_users_hll,
+    price_quantiles_kll, doc_bpe_tokenize + corpus_bpe_merges) and the
+    three IVF probe paths re-ranked by the two-phase top-k.
     Everything outside the window remains value-checked every round by
-    the local mirror (tools/check_oracle.py)."""
-    return {
+    the local mirror (tools/check_oracle.py); the reordering below is
+    applied by the _R12_WINDOW head list at the end of this function.
+    """
+    base = {
         # --- r8 window rotation: every query below was green in the
         # LOCAL oracle mirror through r7 but had never appeared in the
         # driver's 50-row window; they lead round 8 so each gets its one
@@ -3469,6 +3472,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_sole_returners": q21_sole_returners,
         "q22_idle_customers": q22_idle_customers,
     }
+    head = [n for n in _R12_WINDOW if n in base]
+    assert len(head) == 50, len(head)
+    return {**{n: base[n] for n in head},
+            **{n: f for n, f in base.items() if n not in head}}
+
+
+#: Round-12 driver window (first 50 sampled): 42 longest-unsampled
+#: (r3-era TPC-H/mr_*/events/search anchors + r1's multimodal_features)
+#: + the 8 queries changed this round. Deferred to r13 from the r3
+#: pool: mr_join, mr_count, mr_sum, search_exact_ci, q1_pricing,
+#: events_asof (all re-proven by the r11 judge's local mirror),
+#: topk_per_key, window_latest.
+_R12_WINDOW = [
+    # changed this round (oracle upgrades + two-phase probe ranking)
+    "graph_pagerank_converged", "events_distinct_users_hll",
+    "price_quantiles_kll", "doc_bpe_tokenize", "corpus_bpe_merges",
+    "ivf_index_probe", "ivf_store_probe", "ivf_partitioned_probe",
+    # longest-unsampled (r1/r3)
+    "multimodal_features", "agg_cube", "agg_rollup",
+    "events_asof_bucketed", "events_error_window", "events_hourly",
+    "events_ntile_quartiles", "events_pivot", "events_running",
+    "events_sessionize", "events_sessionize_bucketed",
+    "events_top_users", "events_value_deltas", "except_unused_parts",
+    "intersect_nations", "mr_dict_map", "mr_median_pandas",
+    "mr_minmax", "mr_wordcount", "price_quantiles",
+    "q10_returned_items", "q11_important_parts",
+    "q13_order_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_variety", "q17_small_qty_revenue", "q18_big_orders",
+    "q19_disjunctive_revenue", "q20_heavy_shippers",
+    "q21_sole_returners", "q22_idle_customers",
+    "q2_min_cost_supplier", "q3_topk_revenue", "q4_late_orders",
+    "q5_region_revenue", "q6_selective_sum", "q7_nation_volume",
+    "q8_market_share", "q9_product_profit", "search_like",
+    "search_range_sort_limit",
+]
 
 
 def _doc_split_sample_sql() -> str:

@@ -294,10 +294,15 @@ class BucketedParquetStateStore(ParquetStateStore):
         manifest = self._load_manifest(table, v)
         if manifest is None:
             return super().read(table)
+        from pyspark.sql import types as T
         buckets = manifest["buckets"]
-        if keys is not None:
-            from pyspark.sql import types as T
-            schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+        # a manifest written before the schema field existed still has
+        # valid bucket pointers: keep the chain read, but skip the keys
+        # pruning (needs the key's committed type to hash faithfully)
+        # and read with mergeSchema instead of a pinned schema
+        schema = (T.StructType.fromJson(json.loads(manifest["schema"]))
+                  if "schema" in manifest else None)
+        if keys is not None and schema is not None:
             kt = T.StructType([T.StructField(
                 self.key_col, schema[self.key_col].dataType)])
             wanted = {str(r["b"]) for r in self.spark.createDataFrame(
@@ -309,10 +314,13 @@ class BucketedParquetStateStore(ParquetStateStore):
         paths = [os.path.join(self._dir(table), f"v{ver}", f"_bucket={b}")
                  for b, vers in buckets.items()
                  for ver in vers]
-        from pyspark.sql import types as T
-        schema = T.StructType.fromJson(json.loads(manifest["schema"]))
         if not paths:
-            return self.spark.createDataFrame([], schema)
+            if schema is not None:
+                return self.spark.createDataFrame([], schema)
+            return super().read(table).limit(0)
+        if schema is None:
+            return (self.spark.read.option("mergeSchema", "true")
+                    .parquet(*paths))
         # Pin the read schema to the manifest's: an owner chain mixes files
         # from many commits (appends, tombstone rewrites), and Spark's
         # default single-sample-file inference would make column presence

@@ -462,3 +462,112 @@ def test_chain_read_schema_pinned_to_manifest(spark, tmp_path):
     # sampled-file accident
     assert rows == {("a", 1, False), ("b", 2, True), ("c", 3, None)}
     assert {r["_mr_key"] for r in live(got).collect()} == {"a", "c"}
+
+
+def test_read_keys_on_pre_feature_manifest_and_push_keys_zero(
+        spark, tmp_path):
+    """r12 (VERDICT r11 #8): (a) store.read(table, keys=...) against a
+    manifest written BEFORE the schema field existed keeps the chain
+    read (carried-forward buckets included), just without pruning;
+    (b) probe_lsh_index with push_keys=0 skips the literal-IN push
+    entirely and still answers exactly."""
+    import json
+
+    from qvarn_mr_spark.functions import dedup
+    from qvarn_mr_spark.plans import explain_str
+
+    store = BucketedParquetStateStore(
+        spark, str(tmp_path / "s"), buckets=2, retain=4)
+    frame = spark.createDataFrame(
+        [("a", 1), ("b", 2)], "_mr_key string, v long")
+    store.overwrite("t", frame)
+    delta = spark.createDataFrame([("c", 3)], "_mr_key string, v long")
+    store.overwrite("t", frame.unionByName(delta),
+                    dirty_keys=delta.select("_mr_key"), inserts=delta)
+    # strip the schema field from the live manifest (pre-feature form)
+    mp = store._manifest_path("t", store.version("t"))
+    m = json.load(open(mp))
+    del m["schema"]
+    json.dump(m, open(mp, "w"))
+    got = {(r["_mr_key"], r["v"])
+           for r in store.read("t", keys=["a"]).collect()}
+    # no pruning, no loss: the whole chain (carried buckets + append)
+    assert got == {("a", 1), ("b", 2), ("c", 3)}
+
+    # (b) push_keys=0: never pushes, plans no literal IN, same answer
+    cat = Catalog(spark)
+    BASE = ("the quick brown fox jumps over the lazy dog and runs "
+            "far away")
+    cat.register("doc", spark.createDataFrame(
+        [("1", BASE), ("2", "unrelated text about broadcast joins "
+                            "and shuffle partitions entirely")],
+        "id string, text string"))
+    inc = IncrementalEngine(
+        ViewEngine(cat, dedup.lsh_index_views("doc", "id", "text"),
+                   id_cols={"doc": "id"}),
+        BucketedParquetStateStore(spark, str(tmp_path / "l"), buckets=2))
+    inc.resync_all()
+    d = spark.createDataFrame([("9", BASE.replace("runs", "walks"))],
+                              "id string, text string")
+    plain = dedup.probe_lsh_index(d, inc.read("lsh_buckets"),
+                                  "id", "text", push_keys=None)
+    zero = dedup.probe_lsh_index(d, inc.read("lsh_buckets"),
+                                 "id", "text", push_keys=0)
+    assert "In(_mr_key" not in explain_str(zero, "formatted")
+    want = {tuple(r) for r in plain.collect()}
+    assert {tuple(r) for r in zero.collect()} == want and want
+
+
+def test_probe_spanning_compaction_returns_pinned_answer(spark,
+                                                         tmp_path):
+    """r12 (VERDICT r11 #5): a probe PLAN built against one manifest and
+    executed AFTER later commits — including a chain COMPACTION that
+    rewrites the probed bucket's files into a new version directory —
+    still returns the pinned manifest's answer: the manifest-closure GC
+    keeps every retained manifest's files alive, so the serving reader
+    never sees a torn index."""
+    cat = Catalog(spark)
+    state = dict(hot_rows(40, 6))
+
+    def sync():
+        cat.register("emb", df_of(spark, sorted(state.items())))
+
+    sync()
+    root = str(tmp_path / "s")
+    store = BucketedParquetStateStore(spark, root, buckets=2, retain=4,
+                                      compact_after=2)
+    inc = IncrementalEngine(
+        ViewEngine(cat, similarity.ivf_index_views(
+            CENTS, "emb", "id", "embedding", index_name="ivf_members"),
+            id_cols={"emb": "id"}),
+        store)
+    inc.resync_all()
+
+    queries = df_of(spark, [("q1", vec(1, flip=0.01))])
+    pinned = similarity.probe_ivf_store(
+        queries, store, "ivf_members", CENTS, "id", "embedding", k=3)
+    want = {tuple(r) for r in pinned.collect()}       # pre-churn answer
+    assert want
+
+    # churn: repeated insert-only batches — with compact_after=2 the
+    # hot bucket's owner chain compacts (full bucket rewrite) en route
+    v_before = store.version("ivf_members")
+    for step in range(4):
+        rid = f"h{9000 + step}"
+        state[rid] = vec(1, flip=0.004 + step * 0.001)
+        sync()
+        inc.apply_changes(notifications(
+            spark, [("emb", "created", rid)]))
+    assert store.version("ivf_members") >= v_before + 4
+    # compaction really happened: no chain ever exceeds compact_after
+    m = store._load_manifest("ivf_members",
+                             store.version("ivf_members"))
+    assert all(len(vers) <= store.compact_after
+               for vers in m["buckets"].values())
+    # the pinned plan answers IDENTICALLY across the commits+compaction
+    assert {tuple(r) for r in pinned.collect()} == want
+    # while a FRESH probe sees the churned corpus (new members rank in)
+    fresh = similarity.probe_ivf_store(
+        queries, store, "ivf_members", CENTS, "id", "embedding", k=50)
+    fresh_ids = {r["n_id"] for r in fresh.collect()}
+    assert "h9000" in fresh_ids

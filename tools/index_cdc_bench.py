@@ -122,6 +122,100 @@ def measure(spark, d, delta_n, runs, tag):
     return round(min(attempts), 3), committed
 
 
+def measure_probe_under_churn(spark, d, delta_n, runs, tag,
+                              n_commits=6):
+    """The serving half (VERDICT r11 #5): bootstrap the maintained
+    index, then time probe_ivf_store executions WHILE a writer thread
+    lands insert-only CDC commits (+ chain compaction at
+    compact_after=3) against the same table. The probe plan is pinned
+    at the pre-churn manifest (retain covers the churn window — the
+    fault-injection contract), so besides wall-time we assert the
+    pinned answer is byte-identical on every execution."""
+    import threading
+
+    emb = load_tables(spark, d, ["embeddings"])["embeddings"]
+    base = emb.select(F.col("vec_id").cast("long").alias("id"),
+                      F.col("embedding").cast("array<double>")
+                      .alias("embedding"))
+    v0 = [float(x) for x in
+          base.filter(F.col("id") == 0).collect()[0]["embedding"]]
+    cents = [(0, v0), (1, [2.0 * x for x in v0])]
+
+    root = os.path.join(".scaledata", f"cdc_probe_{tag}")
+    import shutil
+    shutil.rmtree(root, ignore_errors=True)
+
+    extra = {"rows": []}
+
+    class Cat(Catalog):
+        def get(self, name):
+            if name != "emb":
+                return super().get(name)
+            df = base
+            if extra["rows"]:
+                df = df.unionByName(spark.createDataFrame(
+                    extra["rows"], "id long, embedding array<double>"))
+            return df
+
+    eng = ViewEngine(Cat(spark), similarity.ivf_index_views(
+        cents, "emb", "id", "embedding", index_name="idx"),
+        id_cols={"emb": "id"})
+    # retain must cover the whole churn window so the pinned probe's
+    # manifest closure stays on disk (the documented reader contract)
+    store = BucketedParquetStateStore(spark, root, buckets=16,
+                                      retain=n_commits + 2,
+                                      compact_after=3)
+    inc = IncrementalEngine(eng, store)
+    inc.resync_all()
+
+    queries = spark.createDataFrame(
+        [(10_000_000 + i, [x + (1 + i) * 1e-5 for x in v0])
+         for i in range(4)], "id long, embedding array<double>")
+    probe = similarity.probe_ivf_store(
+        queries, store, "idx", cents, "id", "embedding", k=8)
+    want = {tuple(r) for r in probe.collect()}        # quiet baseline
+    quiet = []
+    for _ in range(runs):
+        t0 = time.time()
+        got = {tuple(r) for r in probe.collect()}
+        quiet.append(time.time() - t0)
+        assert got == want
+
+    nxt = [20_000_000]
+
+    def churn():
+        for _ in range(n_commits):
+            ids = list(range(nxt[0], nxt[0] + delta_n))
+            nxt[0] += delta_n
+            extra["rows"] += [(i, [x + (i % 97) * 1e-6 for x in v0])
+                              for i in ids]
+            inc.apply_changes(notifications(
+                spark, [("emb", "created", str(i)) for i in ids]))
+
+    churned, errs = [], []
+
+    def run_churn():
+        try:
+            churn()
+        except Exception as e:          # surface, don't swallow
+            errs.append(e)
+
+    w = threading.Thread(target=run_churn)
+    w.start()
+    while w.is_alive():
+        t0 = time.time()
+        got = {tuple(r) for r in probe.collect()}
+        churned.append(time.time() - t0)
+        assert got == want, "pinned probe diverged under churn"
+    w.join()
+    if errs:
+        raise errs[0]
+    # post-churn: the pinned plan still answers (GC closure held)
+    assert {tuple(r) for r in probe.collect()} == want
+    return (round(min(quiet), 3), round(min(churned), 3),
+            len(churned))
+
+
 def main():
     runs = 2
     if "--runs" in sys.argv:
@@ -144,18 +238,33 @@ def main():
         print(f"delta {dn} @ sf0.1: apply={t}s committed={rows} rows",
               flush=True)
 
+    probe_sweep = {}
+    for sf, d in SCALE_POINTS:
+        q, c, n = measure_probe_under_churn(spark, d, 16,
+                                            max(runs, 2), f"p{sf}")
+        probe_sweep[str(sf)] = {"probe_quiet_s": q,
+                                "probe_under_churn_s": c,
+                                "probes_during_churn": n}
+        print(f"probe sf{sf}: quiet={q}s under-churn={c}s "
+              f"({n} probes during 6 concurrent commits; pinned answer "
+              f"identical throughout)", flush=True)
+
     sfs = [float(s) for s in corpus_sweep]
     a_corpus = fit_alpha(sfs, [corpus_sweep[str(s)]["apply_s"]
                                for s in sfs])
     dns = [int(s) for s in delta_sweep]
     a_delta = fit_alpha(dns, [delta_sweep[str(d)]["apply_s"]
                               for d in dns])
+    a_probe = fit_alpha(sfs, [probe_sweep[str(s)]["probe_under_churn_s"]
+                              for s in sfs])
     out = {"runs_per_point": runs,
            "regime": "planted 100%-hot cluster, insert-only batches",
            "corpus_sweep_fixed_delta_16": corpus_sweep,
            "delta_sweep_at_sf0.1": delta_sweep,
+           "probe_under_churn_sweep": probe_sweep,
            "alpha_apply_vs_corpus": round(a_corpus, 3),
-           "alpha_apply_vs_delta": round(a_delta, 3)}
+           "alpha_apply_vs_delta": round(a_delta, 3),
+           "alpha_probe_churn_vs_corpus": round(a_probe, 3)}
     with open("INDEX_CDC_BENCH.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({k: out[k] for k in
