@@ -271,8 +271,12 @@ def test_hll_rollup_partial_aggregates(q):
     rows twice."""
     df = q("events_distinct_users_hll")
     assert_partial_aggregation(df)
-    # day-level rollup + type-level merge + final orderBy range exchange
-    assert_max_shuffles(df, 3)
+    # day-level rollup + type-level merge, PLUS the r12 self-certifying
+    # companion: one exact count-distinct pass (expand + final agg — its
+    # own two exchanges) joined on the ~5-row type key, and the final
+    # orderBy range exchange. 5 total; the SKETCH path alone still
+    # contributes only two.
+    assert_max_shuffles(df, 5)
 
 
 def test_theta_funnel_tiny_join(q):
