@@ -1403,9 +1403,10 @@ def knn_bruteforce_arrow(df: DataFrame, id_col: str, vec_col: str,
     corpus = df.select(F.col(id_col).cast("long").alias("_nid"),
                        _as_double(df, vec_col).alias("_nvec"))
     local = corpus.mapInPandas(score, out_schema)
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
-    return (local.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k))
+    # local already holds <= k rows per (query, input partition); the
+    # global phase still two-phases (k*n_partitions rows per query can
+    # reach one task at 100k-task scans otherwise)
+    return _topk_per_query(local, k)
 
 
 # ---------------------------------------------------------------------------
@@ -1587,10 +1588,10 @@ def pq_search(df: DataFrame, id_col: str, vec_col: str,
 
     local = codes_df.mapInPandas(score,
                                  "q_id long, n_id long, adc_dist double")
-    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"),
-                                           F.asc("n_id"))
-    return (local.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k))
+    # per-batch local top-k above; the global rank two-phases like every
+    # other serving path (ascending: ADC is a distance)
+    return _topk_per_query(local, k, order_col="adc_dist",
+                           ascending=True)
 
 
 def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
