@@ -526,7 +526,8 @@ def doremi_mixture_sql(id_col: str, source_col: str, weight_expr: str,
 
 
 def stratified_fixed_k(df: DataFrame, id_col: str, strata_col: str,
-                       k: int, salt: str = "fixk") -> DataFrame:
+                       k: int, salt: str = "fixk",
+                       skew_safe: bool = False) -> DataFrame:
     """EXACTLY ``k`` rows per stratum (fewer only when the stratum is
     smaller), chosen by consistent hash order — the eval-set construction
     primitive: deterministic, retry-stable, and unbiased within each
@@ -534,11 +535,20 @@ def stratified_fixed_k(df: DataFrame, id_col: str, strata_col: str,
 
     Implementation: window per stratum ranked by ``(hash, id)``. A
     single-partition window over a billion-row stratum would serialize
-    one reducer, so for heavy strata use the skew-safe two-phase form in
-    :func:`qvarn_mr_spark.operators.skew.topk_per_key` with the hash as
-    the order column — identical output (the local-then-global top-k is
-    exact under the same total order); this direct form is the simple
-    exact shape for eval-sized ``k`` and bounded strata."""
+    one reducer, so ``skew_safe=True`` routes through the two-phase
+    form (:func:`qvarn_mr_spark.operators.skew.topk_per_key`, ascending
+    on the hash): local bottom-k per (stratum, salt-of-id) shard, then
+    bottom-k over the ≤ salt·k survivors — IDENTICAL output (the
+    local-then-global top-k is exact under the same total order, pinned
+    by test), with the heavy stratum's rows spread over the salt
+    shards. The direct window stays the default: for eval-sized ``k``
+    over bounded strata it is one exchange cheaper."""
+    if skew_safe:
+        from qvarn_mr_spark.operators.skew import topk_per_key
+        hashed = df.withColumn("_h", hash_unit(id_col, salt))
+        return (topk_per_key(hashed, [strata_col], "_h", k,
+                             tiebreak=[id_col], ascending=True)
+                .drop("_h", "rn"))
     w = Window.partitionBy(strata_col).orderBy(
         hash_unit(id_col, salt).asc(), F.col(id_col).asc())
     return (df.withColumn("_rk", F.row_number().over(w))

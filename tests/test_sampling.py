@@ -140,6 +140,15 @@ def test_stratified_fixed_k_exact_and_deterministic(spark):
     # different salt -> (almost surely) different members, same counts
     other = stratified_fixed_k(df, "doc_id", "s", k=5, salt="other")
     assert other.count() == 11
+    # r12: the skew-safe two-phase form selects the IDENTICAL rows (the
+    # local-then-global bottom-k is exact under the same total order)
+    # and its plan shards the stratum window by a salt column
+    safe = stratified_fixed_k(df, "doc_id", "s", k=5, skew_safe=True)
+    assert sorted(map(tuple, safe.select("doc_id", "s").collect())) == \
+        sorted(map(tuple, got.select("doc_id", "s").collect()))
+    from qvarn_mr_spark.plans import explain_str
+    txt = explain_str(safe, "formatted")
+    assert "_salt" in txt
 
 
 def test_budget_cap_greedy_and_exact(spark):
