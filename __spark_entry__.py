@@ -1848,7 +1848,16 @@ def q_price_quantiles_kll(spark, sf_dir):
     within ±(0.0165 + 1/n) of the target rank — KLL k=200's published
     distribution-free two-sided rank error. The oracle reproduces the
     exact percentiles and TRUE; a bound violation goes hash-red. The
-    bound is additionally pinned in tests/test_theta_kll.py."""
+    bound is additionally pinned in tests/test_theta_kll.py.
+
+    Scale note: the exact companion's single-group ``percentile`` is
+    CERTIFICATION machinery for the oracle gate, run at oracle scales —
+    it buffers the group's values in one aggregator, the cost the
+    sketch exists to avoid. A production deployment serves from the
+    sketch alone (the pre-r12 body of this query: kll_rollup →
+    kll_quantiles, mergeable kilobyte state end to end) and certifies
+    on a sampled/bounded slice; the rank-flag arithmetic (count + two
+    conditional sums) is fully distributed either way."""
     from qvarn_mr_spark.functions import sketches
     li = _t(spark, sf_dir, "lineitem")["lineitem"]
     daily = sketches.kll_rollup(
@@ -2727,18 +2736,23 @@ def _pr_key(sf_dir):
 
 
 def _graph_rtfp(sf_dir):
-    """SQL-recomputable fingerprint of the orders table (the purchase
-    graph's spine) — the pair oracle.pagerank_converged_dispatch_sql
-    re-evaluates at run time to pick the committed superstep count."""
+    """SQL-recomputable fingerprint of BOTH purchase-graph inputs
+    (orders stats + lineitem count — the graph derives from their
+    join, so orders-only stats could collide across datasets whose
+    lineitem differs) — the triple
+    oracle.pagerank_converged_dispatch_sql re-evaluates at run time to
+    pick the committed superstep count."""
     import os
 
     import duckdb
 
-    p = os.path.join(sf_dir, "orders.parquet")
-    n, s = duckdb.sql(
-        "SELECT count(*), CAST(coalesce(sum(o_orderkey), 0) AS BIGINT)"
-        f" FROM '{p}'").fetchone()
-    return [int(n), int(s)]
+    po = os.path.join(sf_dir, "orders.parquet")
+    pl = os.path.join(sf_dir, "lineitem.parquet")
+    n, s, ln = duckdb.sql(
+        f"SELECT (SELECT count(*) FROM '{po}'), "
+        f"(SELECT CAST(coalesce(sum(o_orderkey), 0) AS BIGINT) "
+        f"FROM '{po}'), (SELECT count(*) FROM '{pl}')").fetchone()
+    return [int(n), int(s), int(ln)]
 
 
 def _pr_record(sf_dir, n_run):

@@ -317,7 +317,14 @@ class BucketedParquetStateStore(ParquetStateStore):
         if not paths:
             if schema is not None:
                 return self.spark.createDataFrame([], schema)
-            return super().read(table).limit(0)
+            # pre-schema manifest AND zero buckets: the version dir holds
+            # no part files (a partitionBy write of zero rows emits only
+            # _SUCCESS), so there is nothing to infer a schema from —
+            # raise a contract error instead of Spark's opaque
+            # 'Unable to infer schema' at action time
+            raise ValueError(
+                f"table {table!r}: empty pre-schema manifest — no rows "
+                f"and no committed schema to type an empty frame with")
         if schema is None:
             return (self.spark.read.option("mergeSchema", "true")
                     .parquet(*paths))
@@ -818,7 +825,12 @@ class IncrementalEngine:
                 for x in (F.lit(st), F.lit(mspec.version))])
             stale_keys = (map_df
                           .join(F.broadcast(dirty), "_mr_key", "left_semi")
-                          .filter(~F.col("_mr_deleted") & (
+                          # null-safe like every other tombstone filter
+                          # (r12): a chain file written without the
+                          # column reads null under the pinned schema —
+                          # live, so its version still gates the key
+                          .filter(~F.coalesce(F.col("_mr_deleted"),
+                                              F.lit(False)) & (
                               F.col("_mr_version")
                               != ver_map[F.col("_mr_source_type")]))
                           .select("_mr_key").distinct())

@@ -2289,6 +2289,11 @@ def bpe_merges_dispatch_sql(entries: list,
     the recomputed rank-k row would differ from the Spark output and
     the hash goes red; so the per-iteration argmax chain is genuinely
     re-derived, not echoed."""
+    # an entry with ZERO committed merges (no pair reached
+    # min_pair_count) has no rank rows to emit — and an empty UNION
+    # branch would be malformed SQL; its honest oracle is the empty
+    # result, which the fingerprint dispatch yields by omission
+    entries = [(fp, pairs) for fp, pairs in entries if pairs]
     if not entries:
         return None
     parts = [f"rt AS (SELECT count(*) AS n, "
@@ -2486,17 +2491,25 @@ def pagerank_converged_dispatch_sql(entries: list, edges_sql: str,
     with no committed N yields an empty result (honest mismatch)."""
     if not entries:
         return None
-    depths = sorted({int(n) for _, n in entries})
+    # dedup on the full fingerprint: a duplicate (fn, fs, fl) row in
+    # sel would double every output row through the chosen join
+    entries = sorted({(tuple(int(x) for x in fp), int(n))
+                      for fp, n in entries})
+    depths = sorted({n for _, n in entries})
     parts = _pagerank_parts(edges_sql, depths[-1], damping)
+    # fingerprint BOTH graph inputs: the purchase graph derives from
+    # orders AND lineitem, so orders-only stats could collide across
+    # datasets whose lineitem differs
     parts.append(
-        f"rt AS (SELECT count(*) AS n, "
-        f"CAST(coalesce(sum(o_orderkey), 0) AS BIGINT) AS s "
-        f"FROM {rt_table})")
-    vals = ", ".join(f"({int(fp[0])}, {int(fp[1])}, {int(n)})"
+        f"rt AS (SELECT (SELECT count(*) FROM {rt_table}) AS n, "
+        f"(SELECT CAST(coalesce(sum(o_orderkey), 0) AS BIGINT) "
+        f"FROM {rt_table}) AS s, "
+        f"(SELECT count(*) FROM lineitem) AS ln)")
+    vals = ", ".join(f"({fp[0]}, {fp[1]}, {fp[2]}, {n})"
                      for fp, n in entries)
-    parts.append(f"sel(fn, fs, it) AS (VALUES {vals})")
+    parts.append(f"sel(fn, fs, fl, it) AS (VALUES {vals})")
     parts.append("chosen AS (SELECT it FROM sel JOIN rt"
-                 " ON fn = rt.n AND fs = rt.s)")
+                 " ON fn = rt.n AND fs = rt.s AND fl = rt.ln)")
     branches = " UNION ALL ".join(
         f"SELECT node, rank, {d} AS it FROM pr{d}" for d in depths)
     parts.append(f"alldepths AS ({branches})")

@@ -361,22 +361,28 @@ class ResourceStore:
             apply_transforms,
         )
         table = self._migration_table(resource_type)
+        # the columns the accessor contract stands on are immutable:
+        # every table joins/matches on `id`; a MAIN table's CRUD verbs
+        # additionally read the stamped `type`/`revision` system
+        # columns; a FILE table's get_file reads (body, content_type) —
+        # its prototype is fixed by the reference's file-subresource
+        # API, only metadata columns around it may evolve. File-ness is
+        # decided by EXACT table-name comparison, never by parsing (a
+        # parent type containing '__' would fool a substring check).
         if "/" in resource_type:
-            # the columns the accessor contract stands on: every side
-            # table joins on the parent key; a FILE table's get_file
-            # additionally reads (body, content_type) — its prototype
-            # is fixed by the reference's file-subresource API, only
-            # metadata columns around it may evolve
+            parent, sub = resource_type.split("/", 1)
             protected = {"id"}
-            if table.split("__", 2)[1] == "file":
+            if table == self._file_table(parent, sub):
                 protected |= {"body", "content_type"}
-            for t in transforms:
-                if t[0] in ("rename", "retype", "drop") \
-                        and t[1] in protected:
-                    raise MigrationError(
-                        f"{resource_type}: cannot {t[0]} protected "
-                        f"column {t[1]!r} of a side table (the "
-                        f"accessor contract reads it)")
+        else:
+            protected = {"id", "type", "revision"}
+        for t in transforms:
+            if t[0] in ("rename", "retype", "drop") \
+                    and t[1] in protected:
+                raise MigrationError(
+                    f"{resource_type}: cannot {t[0]} protected "
+                    f"column {t[1]!r} (the accessor contract reads "
+                    f"it)")
         reg = SchemaRegistry(self.root)
         cur = reg.version(resource_type)
         if to_version <= cur:

@@ -362,3 +362,34 @@ def test_migrate_rewrite_plan_is_narrow(spark, tmp_path):
     txt = explain_str(migrated, "formatted")
     assert "Exchange" not in txt, txt
     assert "Project" in txt or "Scan" in txt
+
+
+def test_main_table_system_columns_protected(spark, tmp_path):
+    """r12 review: the accessor contract's system columns are immutable
+    on MAIN tables too — id/type/revision feed get/update/delete and
+    backfill's collision probe."""
+    rstore = ResourceStore(spark, str(tmp_path / "store"))
+    rstore.create_many("doc", [{"name": "x"}])
+    for col in ("id", "type", "revision"):
+        with pytest.raises(MigrationError, match="protected"):
+            rstore.migrate("doc", 1, [("drop", col)])
+        with pytest.raises(MigrationError, match="protected"):
+            rstore.migrate("doc", 1, [("rename", col, "other")])
+    # ordinary columns still migrate
+    assert rstore.migrate("doc", 1, [("rename", "name", "title")])
+
+
+def test_file_detection_survives_dunder_parent_type(spark, tmp_path):
+    """r12 review: file-ness is decided by exact table-name comparison
+    — a parent type containing '__' must not dodge (or false-trigger)
+    the blob-contract protection."""
+    rstore = ResourceStore(spark, str(tmp_path / "store"))
+    ids = rstore.create_many("audit__log", [{"name": "x"}])
+    rstore.put_file("audit__log", ids[0], "blob", b"\x00\x01",
+                    "application/octet-stream")
+    with pytest.raises(MigrationError, match="protected"):
+        rstore.migrate("audit__log/blob", 1, [("drop", "body")])
+    # and a SUB table named 'file' is NOT treated as a blob table
+    rstore.put_subresource("audit__log", ids[0], "file", {"n": 1})
+    assert rstore.migrate("audit__log/file", 1,
+                          [("rename", "n", "m")]) is True

@@ -202,11 +202,16 @@ def measure_probe_under_churn(spark, d, delta_n, runs, tag,
 
     w = threading.Thread(target=run_churn)
     w.start()
-    while w.is_alive():
+    # do-while: record at least one probe even if the churn thread
+    # outruns the first is_alive() check (fast box / tiny scale) —
+    # min(churned) must never see an empty list
+    while True:
         t0 = time.time()
         got = {tuple(r) for r in probe.collect()}
         churned.append(time.time() - t0)
         assert got == want, "pinned probe diverged under churn"
+        if not w.is_alive():
+            break
     w.join()
     if errs:
         raise errs[0]
