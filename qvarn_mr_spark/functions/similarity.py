@@ -33,7 +33,18 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    """Cosine similarity, total over zero-norm inputs: ``try_divide``
+    yields NULL for the 0/0 case in BOTH ANSI (Spark 4 default, where a
+    plain ``/`` would abort the whole job on one bad embedding row) and
+    legacy mode (where ``/`` yields NULL anyway). Argmax/rank consumers
+    must treat NULL as "undefined, always loses": the ``min_by`` sites
+    filter it out, the window/top-k sites order it last. The Arrow twins
+    instead pin zero vectors to norm 1 (score 0.0, deterministically
+    loses ties) — both paths agree a zero vector never wins; only its
+    emitted-vs-dropped fate differs, and only on contract-violating
+    input (see :func:`_unit_rows`)."""
+    return F.try_divide(dot(a, b),
+                        F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
 def _as_double(df: DataFrame, vec_col: str) -> Column:
@@ -187,7 +198,13 @@ def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
     scored = v.crossJoin(F.broadcast(cent)).select(
         "vec_id", "cluster_id",
         F.round(cosine(F.col("v_vec"), F.col("c_vec")), 6).alias("cos_sim"))
-    return (scored.groupBy("vec_id")
+    # nulls out before the argmax: a zero-norm CENTROID scores NULL vs
+    # every vector and NULL sorts first in ascending struct comparison —
+    # unfiltered it would win every assignment (a zero-norm vector's
+    # all-NULL row is dropped instead of crowned; contract-violating
+    # input either way, see cosine()).
+    return (scored.filter(F.col("cos_sim").isNotNull())
+            .groupBy("vec_id")
             .agg(F.min_by(
                 F.struct(F.col("cluster_id"), F.col("cos_sim")),
                 F.struct((-F.col("cos_sim")).alias("neg_sim"),
@@ -370,7 +387,10 @@ def nearest_neighbor_ivf(df: DataFrame, id_col: str, vec_col: str,
     # the map side reduces each candidate partition to one row per query
     # before any shuffle, so no task ever sorts a cluster's full
     # membership (same shape as the Arrow twin's global phase below).
-    return (scored.groupBy("q_id")
+    # NULL cos_sim sorts FIRST in ascending struct comparison — it would
+    # WIN the argmax. The old window ordered nulls last; drop them instead.
+    return (scored.filter(F.col("cos_sim").isNotNull())
+            .groupBy("q_id")
             .agg(F.min_by(F.struct(F.col("n_id"), F.col("cos_sim")),
                           F.struct((-F.col("cos_sim")).alias("neg"),
                                    F.col("n_id"))).alias("_b"))
@@ -474,7 +494,10 @@ def nearest_neighbor_ivf_arrow(df: DataFrame, id_col: str, vec_col: str,
     local = (probes.groupBy("p_cluster")
              .cogroup(members.groupBy("m_cluster"))
              .applyInPandas(best_per_cluster, out_schema))
-    return (local.groupBy("q_id")
+    # _unit_rows keeps cos_sim finite here, but the global argmax shares
+    # the JVM form's NULL-wins-min_by hazard — same nulls-out hardening.
+    return (local.filter(F.col("cos_sim").isNotNull())
+            .groupBy("q_id")
             .agg(F.min_by(F.struct(F.col("n_id"), F.col("cos_sim")),
                           F.struct((-F.col("cos_sim")).alias("neg"),
                                    F.col("n_id"))).alias("_b"))
@@ -1645,6 +1668,8 @@ def _kmeans_score(v: DataFrame, cent: DataFrame,
     scored = v.crossJoin(F.broadcast(cent)).select(
         "vec_id", "cluster_id", "v_vec",
         F.round(cosine(F.col("v_vec"), F.col("c_vec")), 6).alias("cos_sim"))
+    # same NULL-wins-min_by hardening as ivf_assign (zero-norm guard)
+    scored = scored.filter(F.col("cos_sim").isNotNull())
     aggs = [F.min_by(F.struct(F.col("cluster_id"), F.col("cos_sim")),
                      F.struct((-F.col("cos_sim")).alias("neg_sim"),
                               F.col("cluster_id"))).alias("_best")]

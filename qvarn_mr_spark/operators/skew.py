@@ -78,7 +78,12 @@ def topk_per_key(df: DataFrame, key_cols: list[str], order_col: str,
     survivors per key. Output equals the naive single-window form (given a
     deterministic ``tiebreak``), with an added ``rn`` rank column."""
     tiebreak = tiebreak or []
-    lead = F.asc(order_col) if ascending else F.desc(order_col)
+    # nulls always LAST on the lead column: F.asc's default is NULLS
+    # FIRST, so an undefined score (e.g. NULL cosine from a zero-norm
+    # vector, see similarity.cosine) would outrank every real candidate
+    # in ascending (distance) rankings. A null score must lose, both ways.
+    lead = (F.asc_nulls_last(order_col) if ascending
+            else F.desc_nulls_last(order_col))
     order = [lead] + [F.asc(c) for c in tiebreak]
     shard_cols = tiebreak or [order_col]
     salted = df.withColumn("_salt", _salt_of(shard_cols, salt))

@@ -2212,6 +2212,35 @@ SELECT q_id, n_id, cos_sim, rn FROM (
 """
 
 
+def _dedup_fp_entries(entries: list, what: str) -> list:
+    """Collapse committed-artifact entries to ONE per fingerprint.
+
+    Exact duplicate (fingerprint, payload) rows are merged; the same
+    fingerprint mapping to CONFLICTING payloads raises — two committed
+    sidecar entries whose weak fingerprints collide across md5-distinct
+    datasets would otherwise BOTH match at runtime, land two branches in
+    the dispatch, and duplicate/mix the output rows. Deduping on the
+    (fingerprint, payload) pair alone would not catch that."""
+    by_fp: dict = {}
+    out = []
+    for fp, payload in entries:
+        key = tuple(int(x) for x in fp) if not isinstance(fp, int) else fp
+        canon = (tuple(tuple(p) for p in payload)
+                 if isinstance(payload, list) else payload)
+        if key in by_fp:
+            if by_fp[key] != canon:
+                raise ValueError(
+                    f"{what}: fingerprint {key} maps to conflicting "
+                    f"committed payloads — the weak fingerprint collides "
+                    f"across distinct datasets; strengthen the "
+                    f"fingerprint (add a content stat) or regenerate the "
+                    f"sidecar")
+            continue
+        by_fp[key] = canon
+        out.append((fp, payload))
+    return out
+
+
 def bpe_tokenize_dispatch_sql(entries: list,
                               table: str = "documents") -> str:
     """text.bpe_encode_arrow over COMMITTED merge tables — the full
@@ -2233,6 +2262,7 @@ def bpe_tokenize_dispatch_sql(entries: list,
     against bpe_fold_reference on run/overlap edge cases)."""
     if not entries:
         return None
+    entries = _dedup_fp_entries(entries, "bpe_tokenize_dispatch_sql")
     selects = []
     for fp, pairs in entries:
         n, slen = int(fp[0]), int(fp[1])
@@ -2296,6 +2326,7 @@ def bpe_merges_dispatch_sql(entries: list,
     entries = [(fp, pairs) for fp, pairs in entries if pairs]
     if not entries:
         return None
+    entries = _dedup_fp_entries(entries, "bpe_merges_dispatch_sql")
     parts = [f"rt AS (SELECT count(*) AS n, "
              f"CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS s "
              f"FROM {table})"]
@@ -2491,10 +2522,13 @@ def pagerank_converged_dispatch_sql(entries: list, edges_sql: str,
     with no committed N yields an empty result (honest mismatch)."""
     if not entries:
         return None
-    # dedup on the full fingerprint: a duplicate (fn, fs, fl) row in
-    # sel would double every output row through the chosen join
-    entries = sorted({(tuple(int(x) for x in fp), int(n))
-                      for fp, n in entries})
+    # one entry per FINGERPRINT (not per (fingerprint, N) pair): a weak
+    # (fn, fs, fl) triple colliding across md5-distinct sidecar datasets
+    # with different N would land two rows in `chosen` and double/mix
+    # the output — conflicting payloads raise instead
+    entries = sorted(_dedup_fp_entries(
+        [(tuple(int(x) for x in fp), int(n)) for fp, n in entries],
+        "pagerank_converged_dispatch_sql"))
     depths = sorted({n for _, n in entries})
     parts = _pagerank_parts(edges_sql, depths[-1], damping)
     # fingerprint BOTH graph inputs: the purchase graph derives from

@@ -11,6 +11,7 @@ rely on AQE's coalescing from a high initial value).
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import SparkSession
 
@@ -67,7 +68,12 @@ def pin(df):
 
 #: FIFO of frames pinned by serving-path entry points OUTSIDE any
 #: cache_scope, capped at SERVE_PIN_BUDGET (oldest unpersisted first).
+#: Guarded by _SERVE_PINS_LOCK: the stated use case is long-lived
+#: serving loops, and concurrent probe builders (e.g. a reader thread
+#: alongside index_cdc_bench's writer thread) would otherwise race the
+#: append/evict section — over-popping or leaving the list above budget.
 _SERVE_PINS: list = []
+_SERVE_PINS_LOCK = threading.Lock()
 SERVE_PIN_BUDGET = 32
 
 
@@ -87,9 +93,13 @@ def serve_pin(df):
     if _CACHE_SCOPES:
         return pin(df)
     df = df.persist()
-    _SERVE_PINS.append(df)
-    while len(_SERVE_PINS) > SERVE_PIN_BUDGET:
-        old = _SERVE_PINS.pop(0)
+    evicted: list = []
+    with _SERVE_PINS_LOCK:
+        _SERVE_PINS.append(df)
+        while len(_SERVE_PINS) > SERVE_PIN_BUDGET:
+            evicted.append(_SERVE_PINS.pop(0))
+    # unpersist outside the lock — it's a py4j round-trip
+    for old in evicted:
         try:
             old.unpersist(blocking=False)
         except Exception:

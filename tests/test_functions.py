@@ -1049,6 +1049,26 @@ def test_arrow_zero_norm_vectors_deterministic(spark):
     assert out[2] == (20, 0.8)            # normal rows unaffected
 
 
+def test_nearest_neighbor_ivf_zero_norm_member_loses(spark):
+    """JVM-path regression for the min_by rewrite: a zero-norm member
+    scores NULL cos_sim (Spark double division by zero → NULL), and NULL
+    sorts FIRST in ascending struct comparison — unguarded it would WIN
+    the argmax and be returned as 'nearest' with a null score. The old
+    window ordered nulls last; the aggregate must drop them."""
+    rows = [(10, [1.0, 0.0]),             # sole centroid → one cluster
+            (1, [1.0, 0.1]),              # query under test
+            (2, [0.0, 0.0]),              # zero-norm member (NULL scores)
+            (3, [0.9, 0.05])]             # true nearest of vec 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    flt = F.col("vec_id") >= 10
+    out = {r["q_id"]: r for r in similarity.nearest_neighbor_ivf(
+        df, "vec_id", "embedding", flt, nprobe=1).collect()}
+    assert out[1]["n_id"] == 3 and out[1]["cos_sim"] is not None
+    assert all(r["cos_sim"] is not None for r in out.values())
+    # the zero-norm QUERY has only NULL scores -> no row, not a null row
+    assert 2 not in out
+
+
 # ---------------------------------------------------------------------------
 # k-means (Lloyd) + cluster-density sampling
 # ---------------------------------------------------------------------------

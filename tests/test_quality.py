@@ -650,3 +650,69 @@ def test_serve_pin_bounds_bare_probe_persists(spark):
             f.unpersist(blocking=False)
         S._SERVE_PINS.clear()
         S._SERVE_PINS.extend(pins_before)
+
+
+def test_serve_pin_thread_safe(spark):
+    """r13 (ADVICE r12): the serve-pin FIFO is mutated by long-lived
+    serving loops — concurrent probe builders (e.g. a reader thread next
+    to index_cdc_bench's writer) must not race the append/evict section
+    into over-popping or leaving the list above budget."""
+    import threading
+
+    from qvarn_mr_spark import session as S
+
+    budget_before = S.SERVE_PIN_BUDGET
+    pins_before = list(S._SERVE_PINS)
+    errs: list = []
+    try:
+        S.SERVE_PIN_BUDGET = 4
+        S._SERVE_PINS.clear()
+
+        def worker():
+            try:
+                for i in range(25):
+                    S.serve_pin(spark.range(1).select("id"))
+            except Exception as e:              # pragma: no cover
+                errs.append(e)
+
+        threads = [threading.Thread(target=worker) for _ in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs
+        assert len(S._SERVE_PINS) == 4          # exactly at budget
+    finally:
+        S.SERVE_PIN_BUDGET = budget_before
+        for f in S._SERVE_PINS:
+            f.unpersist(blocking=False)
+        S._SERVE_PINS.clear()
+        S._SERVE_PINS.extend(pins_before)
+
+
+def test_dispatch_fingerprint_collision_guard():
+    """r13 (ADVICE r12): committed-artifact dispatch builders dedup on
+    the FINGERPRINT alone — one fingerprint mapping to conflicting
+    payloads (a weak-fingerprint collision across md5-distinct sidecar
+    datasets) must raise instead of emitting two matching dispatch
+    branches that double/mix the output rows."""
+    from qvarn_mr_spark import oracle
+
+    # exact duplicates collapse
+    ents = oracle._dedup_fp_entries([((1, 2, 3), 5), ((1, 2, 3), 5)], "t")
+    assert ents == [((1, 2, 3), 5)]
+    # conflicting payloads raise (pagerank shape: payload = int N)
+    with pytest.raises(ValueError, match="conflicting"):
+        oracle._dedup_fp_entries([((1, 2, 3), 5), ((1, 2, 3), 7)], "t")
+    # bpe shape: payload = list of pairs; list vs tuple spelling is
+    # canonicalized before comparison
+    ents = oracle._dedup_fp_entries(
+        [((1, 2), [("a", "b")]), ((1, 2), [("a", "b")])], "t")
+    assert len(ents) == 1
+    with pytest.raises(ValueError, match="conflicting"):
+        oracle._dedup_fp_entries(
+            [((1, 2), [("a", "b")]), ((1, 2), [("a", "c")])], "t")
+    # end-to-end: the pagerank builder itself trips on the collision
+    with pytest.raises(ValueError, match="pagerank_converged"):
+        oracle.pagerank_converged_dispatch_sql(
+            [((1, 2, 3), 4), ((1, 2, 3), 6)], oracle.CS_EDGES_SQL)
