@@ -334,7 +334,12 @@ def compression_ratio(df: DataFrame, id_col: str = "doc_id",
     no shuffle) — this is the documented exception to the
     Column-expression rule: there is no JVM-side compressor exposed to
     SQL, and the per-batch Python cost is one vectorized loop of C
-    calls. Returns ``(doc_id, n_bytes, ratio)``; empty docs report
+    calls. Only the two byte LENGTHS cross the Python boundary; the
+    ratio divides and rounds JVM-side — Python's ``round`` is banker's
+    (half-to-even) while Spark/DuckDB round half away from zero, and
+    power-of-two byte counts land quotients EXACTLY on .5 boundaries
+    (93/128 = 0.7265625), so a Python-side round would diverge from the
+    SQL oracle. Returns ``(doc_id, n_bytes, ratio)``; empty docs report
     ratio 1.0."""
     import zlib
     from collections.abc import Iterator
@@ -346,20 +351,25 @@ def compression_ratio(df: DataFrame, id_col: str = "doc_id",
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, nb, ratio = [], [], []
+            ids, nb, nc = [], [], []
             for i, t in zip(pdf["_id"], pdf["_text"]):
                 raw = (t or "").encode("utf-8")
                 ids.append(i)
                 nb.append(len(raw))
-                ratio.append(
-                    round(len(zlib.compress(raw, level)) / len(raw), 6)
-                    if raw else 1.0)
+                nc.append(len(zlib.compress(raw, level)))
             yield pd.DataFrame({"doc_id": ids, "n_bytes": nb,
-                                "ratio": ratio})
+                                "_n_comp": nc})
 
     src = df.select(F.col(id_col).alias("_id"),
                     F.col(text_col).alias("_text"))
-    return src.mapInPandas(batches, "doc_id long, n_bytes long, ratio double")
+    lens = src.mapInPandas(
+        batches, "doc_id long, n_bytes long, _n_comp long")
+    return lens.select(
+        "doc_id", "n_bytes",
+        F.when(F.col("n_bytes") == 0, F.lit(1.0))
+        .otherwise(F.round(F.try_divide(F.col("_n_comp"),
+                                        F.col("n_bytes")), 6))
+        .alias("ratio"))
 
 
 def perplexity_buckets(df: DataFrame, id_col: str = "doc_id",
