@@ -372,6 +372,28 @@ def compression_ratio(df: DataFrame, id_col: str = "doc_id",
         .alias("ratio"))
 
 
+def perplexity_cut_points(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", by: str = "lang",
+                          n_buckets: int = 3,
+                          smoothing: float = 0.5) -> DataFrame:
+    """Per-group surprisal cut points for the threshold form of
+    :func:`perplexity_buckets`: one ``percentile_approx`` aggregate over
+    the corpus-fitted unigram surprisal, ``n_buckets - 1`` quantiles per
+    ``by`` group. Returns ``(<by>, _cuts array<double>)`` — a tiny frame
+    (one row per group) meant to be broadcast. Deterministic for a given
+    corpus (the KLL-style sketch is deterministic over the input
+    multiset), which is what lets the cuts commit to a sidecar and the
+    bucket assignment replay exactly in SQL."""
+    from qvarn_mr_spark.functions.text import unigram_surprisal
+
+    sur = unigram_surprisal(df, id_col, text_col, smoothing=smoothing)
+    keyed = sur.join(
+        df.select(F.col(id_col).alias("doc_id"), F.col(by)), "doc_id")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    return keyed.groupBy(by).agg(F.percentile_approx(
+        "mean_nll", qs, 100_000).alias("_cuts"))
+
+
 def perplexity_buckets(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", by: str = "lang",
                        n_buckets: int = 3, smoothing: float = 0.5,
@@ -400,9 +422,11 @@ def perplexity_buckets(df: DataFrame, id_col: str = "doc_id",
       cut points from one ``percentile_approx`` aggregate (B-bounded
       sketch state), broadcast back, bucket = 1 + #cuts below the doc's
       score — assignment happens in the scan stage with no per-group
-      sort at all. Deterministic, but the sketch cuts are approximate
-      (ties share a bucket; bucket sizes are ~equal, not exactly
-      equal), so this form is rows-only against the oracle.
+      sort at all. Deterministic; the sketch cuts are approximate
+      rank-wise (ties share a bucket; bucket sizes are ~equal, not
+      exactly equal), but since the cut VALUES are deterministic they
+      commit to a sidecar and the assignment replays exactly in SQL
+      (``oracle.perplexity_buckets_dispatch_sql``).
 
     No reference analogue (the reference has no scoring operators); the
     closest shape is its map/reduce word statistics
@@ -418,9 +442,9 @@ def perplexity_buckets(df: DataFrame, id_col: str = "doc_id",
         w = Window.partitionBy(by).orderBy("mean_nll", "doc_id")
         bucket = F.ntile(n_buckets).over(w)
     elif method == "thresholds":
-        qs = [i / n_buckets for i in range(1, n_buckets)]
-        cuts = keyed.groupBy(by).agg(F.percentile_approx(
-            "mean_nll", qs, 100_000).alias("_cuts"))
+        cuts = perplexity_cut_points(df, id_col, text_col, by=by,
+                                     n_buckets=n_buckets,
+                                     smoothing=smoothing)
         keyed = keyed.join(F.broadcast(cuts), by)
         bucket = F.lit(1) + F.aggregate(
             "_cuts", F.lit(0),

@@ -2429,6 +2429,62 @@ WHERE (SELECT n FROM rt) = {n} AND (SELECT s FROM rt) = {slen}""")
             f"FROM {table})\n" + body)
 
 
+def perplexity_buckets_dispatch_sql(entries: list, n_buckets: int = 3,
+                                    by: str = "lang",
+                                    smoothing: float = 0.5,
+                                    table: str = "documents") -> str:
+    """quality.perplexity_buckets(method='thresholds') — FULL value
+    oracle via committed cut points (VERDICT r12 #3): the
+    percentile_approx cuts are sketch-derived (not SQL-computable), but
+    they are deterministic values drawn from the data, so ``entries``
+    commits ``((n_docs, sum_text_len), {lang: [cut, ...]})`` per scale;
+    at SQL runtime the live table's fingerprint picks the entry, the
+    surprisal scores are RECOMPUTED live (the value-oracled unigram-LM
+    twin), and the bucket re-derived as ``1 + #cuts below the score`` —
+    only the ``n_buckets - 1`` doubles per language are echoed, so a
+    wrong score, assignment rule, label, or language set goes hash-red,
+    and the inner join on ``lang`` drops rows for any language missing
+    from the sidecar (honest row-count mismatch). A scale with no
+    committed entry yields an empty result (honest mismatch). Cut
+    literals replay via ``repr`` (shortest round-tripping decimal), so
+    the strict ``>`` against Spark's 6-dp-rounded scores lands on
+    bit-identical doubles in both engines."""
+    if not entries:
+        return None
+    entries = _dedup_fp_entries(entries, "perplexity_buckets_dispatch_sql")
+    if n_buckets == 3:
+        label = ("CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' "
+                 "ELSE 'tail' END")
+    else:
+        label = "'b' || CAST(b AS VARCHAR)"
+    selects = []
+    for fp, cuts_by_group in entries:
+        n, slen = int(fp[0]), int(fp[1])
+        vals = ", ".join(
+            "('" + str(g).replace("'", "''") + "', "
+            + ", ".join(f"CAST({float(c)!r} AS DOUBLE)" for c in cs) + ")"
+            for g, cs in sorted(cuts_by_group.items()))
+        cut_cols = ", ".join(f"c{i}" for i in range(1, n_buckets))
+        bucket = " + ".join(
+            f"(CASE WHEN j.mean_nll > cu.c{i} THEN 1 ELSE 0 END)"
+            for i in range(1, n_buckets))
+        selects.append(f"""
+SELECT j.doc_id, j.{by}, j.n_tokens, j.mean_nll,
+       CAST(1 + {bucket} AS INT) AS b
+FROM j JOIN (VALUES {vals}) AS cu({by}, {cut_cols})
+  ON j.{by} = cu.{by}
+WHERE (SELECT n FROM rt) = {n} AND (SELECT s FROM rt) = {slen}""")
+    body = "\nUNION ALL\n".join(selects)
+    return (f"WITH rt AS (SELECT count(*) AS n, "
+            f"CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS s "
+            f"FROM {table}),\n"
+            f"sur AS ({unigram_surprisal_sql(smoothing, table)}),\n"
+            f"j AS (SELECT s.doc_id, d.{by}, s.n_tokens, s.mean_nll "
+            f"FROM sur s JOIN {table} d USING (doc_id))\n"
+            f"SELECT doc_id, {by}, n_tokens, mean_nll, b AS bucket, "
+            f"{label} AS bucket_label FROM ({body})")
+
+
 # --- link-graph centrality (operators/graph.py) ------------------------
 
 #: Deterministic bipartite test graph from the TPC-H-ish tables: customer

@@ -716,3 +716,54 @@ def test_dispatch_fingerprint_collision_guard():
     with pytest.raises(ValueError, match="pagerank_converged"):
         oracle.pagerank_converged_dispatch_sql(
             [((1, 2, 3), 4), ((1, 2, 3), 6)], oracle.CS_EDGES_SQL)
+    # ppl-cuts shape: payload = {lang: [cuts]} dicts compare by value
+    ents = oracle._dedup_fp_entries(
+        [((1, 2), {"en": [1.0]}), ((1, 2), {"en": [1.0]})], "t")
+    assert len(ents) == 1
+    with pytest.raises(ValueError, match="perplexity_buckets"):
+        oracle.perplexity_buckets_dispatch_sql(
+            [((1, 2), {"en": [1.0, 2.0]}), ((1, 2), {"en": [1.0, 3.0]})])
+
+
+def test_perplexity_buckets_dispatch_sql():
+    """r13 (VERDICT r12 #3): the committed-cuts oracle recomputes the
+    surprisal scores LIVE and re-derives bucket = 1 + #cuts below the
+    score; only the cut doubles are echoed. Checked on a toy corpus
+    whose unigram scores are hand-orderable: the matching-fingerprint
+    branch reproduces the threshold assignment, a wrong fingerprint
+    yields zero rows (honest mismatch), and a language missing from the
+    sidecar drops its rows via the inner join."""
+    import duckdb
+
+    from qvarn_mr_spark import oracle
+
+    con = duckdb.connect()
+    con.execute("""CREATE TABLE documents AS SELECT * FROM (VALUES
+        (1, 'en', 'aa aa aa aa'), (2, 'en', 'aa aa aa zz'),
+        (3, 'en', 'aa zz yy xx'), (4, 'de', 'aa aa aa aa'),
+        (5, 'de', 'zz yy xx ww')) AS t(doc_id, lang, text)""")
+    n, slen = con.execute(
+        "SELECT count(*), CAST(sum(length(text)) AS BIGINT) "
+        "FROM documents").fetchone()
+    sur = {row[0]: row[2] for row in con.execute(
+        oracle.unigram_surprisal_sql()).fetchall()}
+    # cuts straddling the observed scores: doc1/doc4 (all-'aa') lowest
+    lo, hi = sorted(sur.values())[0], sorted(sur.values())[-1]
+    cuts = {"en": [lo, (lo + hi) / 2], "de": [lo, (lo + hi) / 2]}
+    sql = oracle.perplexity_buckets_dispatch_sql(
+        [((n, slen), cuts)])
+    got = {d: (b, bl) for d, _, _, _, b, bl in
+           con.execute(sql).fetchall()}
+    want = {d: 1 + sum(1 for c in cuts["en"] if m > c)
+            for d, m in sur.items()}
+    assert {d: b for d, (b, _) in got.items()} == want
+    labels = {1: "head", 2: "middle", 3: "tail"}
+    assert all(bl == labels[b] for b, bl in got.values())
+    # wrong fingerprint -> empty (honest row-count mismatch)
+    miss = oracle.perplexity_buckets_dispatch_sql(
+        [((n + 1, slen), cuts)])
+    assert con.execute(miss).fetchall() == []
+    # language absent from the sidecar -> its rows drop
+    part = oracle.perplexity_buckets_dispatch_sql(
+        [((n, slen), {"en": cuts["en"]})])
+    assert {r[0] for r in con.execute(part).fetchall()} == {1, 2, 3}
