@@ -363,7 +363,10 @@ def corpus_gate_stream(stream: DataFrame, id_col: str = "doc_id",
                        surprisal_lm: dict | None = None,
                        max_mean_nll: float | None = None,
                        watermark: str | None = None,
-                       ts_col: str | None = None) -> DataFrame:
+                       ts_col: str | None = None,
+                       lsh_index: DataFrame | None = None,
+                       lsh_n_hashes: int | None = None,
+                       lsh_n_bands: int | None = None) -> DataFrame:
     """Streaming twin of :func:`corpus_prepare`'s gate + exact-dedup
     stages: an ingest stream of documents is profiled (the SAME staged
     ``profile_frame`` expressions — stateless Columns, so they apply to
@@ -376,12 +379,31 @@ def corpus_gate_stream(stream: DataFrame, id_col: str = "doc_id",
     ``watermark``/``ts_col`` are given (the bounded-memory form an
     unbounded ingest needs).
 
-    Near-dup streaming dedup is deliberately NOT here — that is the
-    maintained LSH index (:func:`qvarn_mr_spark.functions.dedup.
-    lsh_index_views` + ``probe_lsh_index`` through the IVM engine),
-    which pays O(delta) per CDC batch. This operator is the stateless+
-    fingerprint front half, the part that drops the bulk of the volume
-    before any stateful machinery sees it.
+    Near-dup gating against the MAINTAINED LSH index (r13, VERDICT r12
+    #7): pass ``lsh_index`` (the normalized ``(_mr_key = band_bucket,
+    _mr_value = doc_id)`` table of :func:`qvarn_mr_spark.functions.
+    dedup.lsh_index_views`, read via ``IncrementalEngine.read``) and
+    every surviving doc is probed against it — a doc ANY of whose band
+    keys lands in a bucket holding a DIFFERENT doc is dropped. The
+    stream form is one stream-static LEFT ANTI equi-join per band
+    (``lsh_n_bands`` of them, default 4): append-mode-safe, zero
+    streaming state, no watermark needed, and each join is an ordinary
+    distributed hash/merge join — the per-doc "any band collides"
+    disjunction is expressed as the conjunction of per-band anti-joins
+    instead of a stream-side aggregation (which append mode would
+    reject) or an ``array_contains`` theta-join (which would force a
+    nested-loop broadcast of the index). Cost: the index scans once per
+    band per micro-batch; for delta-bounded probing with literal
+    key pushdown (one index touch, ``IN``-pruned row groups) use the
+    foreachBatch twin :func:`qvarn_mr_spark.functions.dedup.
+    lsh_gate_batch` inside the sink instead — same survivor set,
+    pytest-pinned. Docs the index can't key (no shingles → empty band
+    array) pass through ungated, the ADVICE-r10 rule: a gate only
+    drops what a rule rejected.
+
+    This operator remains the stateless+fingerprint front half
+    otherwise; the exact-fp dedup runs BEFORE the probe so only
+    first-seen docs pay the index joins.
 
     Returns surviving rows ``(doc_id, text, lang, n_tokens, quality,
     fp[, ts])`` — stream==batch conformance is pytest-pinned against
@@ -459,9 +481,35 @@ def corpus_gate_stream(stream: DataFrame, id_col: str = "doc_id",
     if watermark is not None:
         if ts_col is None:
             raise ValueError("watermark requires ts_col")
-        return (out.withWatermark("ts", watermark)
-                .dropDuplicatesWithinWatermark(["fp"]))
-    return out.dropDuplicates(["fp"])
+        deduped = (out.withWatermark("ts", watermark)
+                   .dropDuplicatesWithinWatermark(["fp"]))
+    else:
+        deduped = out.dropDuplicates(["fp"])
+    if lsh_index is None:
+        return deduped
+    from qvarn_mr_spark.functions.dedup import (
+        MINHASH_BANDS,
+        MINHASH_N,
+        minhash_band_keys_col,
+    )
+    from qvarn_mr_spark.operators.mapreduce import live
+    n_hashes = MINHASH_N if lsh_n_hashes is None else int(lsh_n_hashes)
+    n_bands = MINHASH_BANDS if lsh_n_bands is None else int(lsh_n_bands)
+    gated = deduped.withColumn(
+        "_lsh_keys", minhash_band_keys_col("text", n_hashes, n_bands))
+    for b in range(n_bands):
+        # fresh alias per band: the same index frame joins n_bands
+        # times and left-anti output carries no right-side columns,
+        # but distinct aliases keep every join's resolution unambiguous
+        idx = live(lsh_index).select(
+            F.col("_mr_key").alias(f"_ik{b}"),
+            F.col("_mr_value").alias(f"_im{b}"))
+        gated = gated.join(
+            idx,
+            (F.get(F.col("_lsh_keys"), b) == F.col(f"_ik{b}"))
+            & (F.col(f"_im{b}") != F.col("doc_id")),
+            "left_anti")
+    return gated.drop("_lsh_keys")
 
 
 def corpus_stats(df: DataFrame, prepared: DataFrame,

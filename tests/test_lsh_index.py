@@ -315,3 +315,40 @@ def test_merged_index_fragments_do_not_collide():
     (text_src,) = views["text_buckets__stats"].keys()
     (emb_src,) = views["emb_buckets__stats"].keys()
     assert text_src == "text_buckets" and emb_src == "emb_buckets"
+
+
+def test_lsh_gate_batch_modes(spark):
+    """r13 (VERDICT r12 #7): the foreachBatch near-dup gate. NEAR
+    shares bands with the indexed BASE doc (drop/flag), a doc whose
+    only collisions are its own index entry survives, min_bands
+    tightens the gate to the multi-band threshold, and mode='flag'
+    keeps every row with a boolean verdict instead of dropping."""
+    corpus = _df(spark, [("a", BASE), ("b", OTHER)])
+    index = corpus.select(
+        F.col("id").alias("_mr_value"),
+        F.explode(dedup.minhash_band_keys_col("text")).alias("_mr_key"))
+    batch = _df(spark, [("p1", NEAR),      # near-dup of indexed a
+                        ("b", OTHER),      # self-collision only: kept
+                        ("p2", THIRD)])    # novel: kept
+
+    kept = sorted(r["id"] for r in dedup.lsh_gate_batch(
+        batch, index, id_col="id").collect())
+    assert kept == ["b", "p2"]
+
+    flagged = {r["id"]: r["lsh_collided"] for r in dedup.lsh_gate_batch(
+        batch, index, id_col="id", mode="flag").collect()}
+    assert flagged == {"p1": True, "b": False, "p2": False}
+
+    # NEAR vs BASE share some but not all bands: a threshold above the
+    # shared count lets the near-dup through
+    shared = dedup.probe_lsh_index(
+        batch.filter(F.col("id") == "p1"), index, "id", "text"
+    ).collect()
+    n_shared = shared[0]["n_bands"] if shared else 0
+    assert 0 < n_shared <= dedup.MINHASH_BANDS
+    kept_hi = sorted(r["id"] for r in dedup.lsh_gate_batch(
+        batch, index, id_col="id", min_bands=n_shared + 1).collect())
+    assert kept_hi == ["b", "p1", "p2"]
+
+    with pytest.raises(ValueError, match="unknown mode"):
+        dedup.lsh_gate_batch(batch, index, id_col="id", mode="zap")

@@ -496,6 +496,68 @@ def test_corpus_gate_stream_classifier_matches_batch(spark, tmp_path):
     assert streamed == batch == ["k1", "k2"]
 
 
+def test_corpus_gate_stream_lsh_matches_batch(spark, tmp_path):
+    """r13 (VERDICT r12 #7): the streaming near-dup gate — per-band
+    stream-static LEFT ANTI joins against the maintained LSH index —
+    must drop exactly the docs the foreachBatch twin lsh_gate_batch
+    drops: any doc sharing a band bucket with a DIFFERENT indexed doc
+    dies, a doc colliding only with its own index entry survives
+    (self-exclusion), a novel doc survives, and a doc too short to
+    shingle passes through ungated."""
+    import glob
+    import shutil
+
+    from qvarn_mr_spark.functions import dedup
+    from qvarn_mr_spark.functions.pipeline import corpus_gate_stream
+
+    indexed = [
+        ("i1", "the quick brown fox jumps over the lazy dog in the sun "
+               "and then the dog ran back to the house for some food"),
+        ("i2", "a man of the people told the story for all of the town "
+               "and they all listened to it with great joy and wonder"),
+    ]
+    corpus = spark.createDataFrame(indexed, "doc_id string, text string")
+    # the normalized maintained-index representation: one
+    # (_mr_key = band_bucket, _mr_value = doc_id) row per (doc, band)
+    index = corpus.select(
+        F.col("doc_id").alias("_mr_value"),
+        F.explode(dedup.minhash_band_keys_col("text")).alias("_mr_key"))
+    rows = [
+        # near-dup of indexed i1 (identical text -> every band collides)
+        ("x1", indexed[0][1]),
+        # SAME id as its own index entry -> only self-collisions: kept
+        ("i2", indexed[1][1]),
+        # novel text: kept
+        ("k1", "colorless green ideas sleep furiously under the bright "
+               "red moon while seven silent ships sail slowly home now"),
+        # too short to shingle (2 tokens < SHINGLE_K): passes ungated
+        ("k2", "hello world"),
+    ]
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "tmp"))
+    for i, f in enumerate(glob.glob(str(tmp_path / "tmp" / "*.parquet"))):
+        shutil.move(f, str(feed / f"b-{i}.parquet"))
+
+    arrived = []
+    stream = spark.readStream.schema("doc_id string, text string") \
+        .parquet(str(feed))
+    q = (corpus_gate_stream(stream, min_quality=0.0, min_tokens=1,
+                            lsh_index=index)
+         .writeStream.outputMode("append")
+         .foreachBatch(lambda b, _: arrived.extend(b.collect()))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    streamed = sorted(r["doc_id"] for r in arrived)
+    batch = sorted(r["doc_id"] for r in
+                   dedup.lsh_gate_batch(df, index)
+                   .select("doc_id").collect())
+    assert streamed == batch == ["i2", "k1", "k2"]
+
+
 def test_unigram_surprisal_stream_matches_batch(spark, sf_dir):
     """r10: the exported-LM streaming scorer must reproduce the batch
     unigram_surprisal value-for-value on in-vocabulary documents (LM
