@@ -9,6 +9,7 @@ from qvarn_mr_spark.operators.mapreduce import (
 )
 from qvarn_mr_spark.operators.incremental import (
     BucketedParquetStateStore,
+    EngineSnapshot,
     IncrementalEngine,
     ParquetStateStore,
 )
@@ -23,6 +24,7 @@ __all__ = [
     "reduce_agg",
     "reduce_join",
     "reduce_pandas",
+    "EngineSnapshot",
     "IncrementalEngine",
     "BucketedParquetStateStore",
     "ParquetStateStore",

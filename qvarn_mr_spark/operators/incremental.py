@@ -98,12 +98,17 @@ class ParquetStateStore:
     def exists(self, table: str) -> bool:
         return self.version(table) is not None
 
-    def read(self, table: str, keys=None) -> DataFrame:
+    def read(self, table: str, keys=None,
+             version: int | None = None) -> DataFrame:
         """Read the current snapshot. ``keys`` (an optional bounded list
         of key values) is a PRUNING HINT for stores that can skip files
         by key — this base store ignores it and scans the snapshot (the
-        caller's filter still applies downstream)."""
-        v = self.version(table)
+        caller's filter still applies downstream). ``version`` pins the
+        read at a specific committed version instead of the pointer —
+        the consistent-snapshot path (:meth:`IncrementalEngine.
+        snapshot`); pinned versions stay readable for ``retain``
+        subsequent commits of the table."""
+        v = self.version(table) if version is None else int(version)
         if v is None:
             raise KeyError(f"no state for table {table!r}")
         return self.spark.read.parquet(os.path.join(self._dir(table), f"v{v}"))
@@ -137,6 +142,32 @@ class ParquetStateStore:
             if name.startswith("v") and name[1:].isdigit():
                 if int(name[1:]) <= keep - self.retain:
                     shutil.rmtree(os.path.join(d, name), ignore_errors=True)
+
+    # -- engine epoch (cross-table consistent snapshot) ----------------------
+
+    def _epoch_path(self) -> str:
+        return os.path.join(self.root, "_EPOCH")
+
+    def get_epoch(self) -> dict:
+        """The last committed cross-table epoch: ``{table: version}`` as
+        of the end of the most recent engine batch. Empty before the
+        first epoch commit (stores written by pre-epoch code)."""
+        try:
+            with open(self._epoch_path()) as f:
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            return {}
+
+    def set_epoch(self, versions: dict) -> None:
+        """Atomically (tmp+rename, like ``_LATEST``) record the set of
+        per-table versions that together form one consistent state —
+        written by the engine AFTER every table of a batch committed,
+        so a concurrently opened snapshot resolves to either the whole
+        batch or none of it."""
+        tmp = self._epoch_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(versions, f, sort_keys=True)
+        os.replace(tmp, self._epoch_path())
 
     # -- handler-version metadata (reference qvarnmr_handlers state,
     #    ``resync.py:52-74``) ------------------------------------------------
@@ -278,7 +309,8 @@ class BucketedParquetStateStore(ParquetStateStore):
             json.dump(manifest, f)
         self._commit(table, v)
 
-    def read(self, table: str, keys=None) -> DataFrame:
+    def read(self, table: str, keys=None,
+             version: int | None = None) -> DataFrame:
         """Read the current snapshot; with ``keys`` (a BOUNDED list of
         key values — probe routes, dirty keys), prune at the MANIFEST:
         only the bucket directories those keys hash into are listed at
@@ -287,13 +319,15 @@ class BucketedParquetStateStore(ParquetStateStore):
         |keys|-row Spark job computes the buckets with the exact hash
         the writer used, so Python and JVM hashing can never drift. The
         caller still applies its own key filter (a bucket holds other
-        keys too)."""
-        v = self.version(table)
+        keys too). ``version`` pins the read at a specific committed
+        manifest (the consistent-snapshot path) — the manifest-closure
+        GC keeps every retained manifest's bucket chain on disk."""
+        v = self.version(table) if version is None else int(version)
         if v is None:
             raise KeyError(f"no state for table {table!r}")
         manifest = self._load_manifest(table, v)
         if manifest is None:
-            return super().read(table)
+            return super().read(table, version=version)
         from pyspark.sql import types as T
         buckets = manifest["buckets"]
         # a manifest written before the schema field existed still has
@@ -429,6 +463,7 @@ class IncrementalEngine:
                 target, self.engine.map_table(target, overrides or None))
             for src, spec in sources.items():
                 self.store.set_handler_version(target, src, spec.version)
+        self._commit_epoch()
 
     def resync_all(self) -> None:
         """Rebuild every target in dependency order — the reference's
@@ -544,6 +579,7 @@ class IncrementalEngine:
                 for src, spec in sources.items():
                     self.store.set_handler_version(target, src, spec.version)
                 drain()
+        self._commit_epoch()
         return changed
 
     def _resync_batch(self, sources: dict, chunks: int, i: int) -> DataFrame:
@@ -621,6 +657,9 @@ class IncrementalEngine:
                             eff = eff.unionByName(synth)
                 self._apply_map(target, sources, eff)
         changes.unpersist()
+        # all targets committed: publish this batch's versions as ONE
+        # atomic epoch — the consistent-snapshot barrier (snapshot())
+        self._commit_epoch()
 
     def _topo_targets(self) -> list[str]:
         """Config targets in dependency order (sources before consumers),
@@ -999,6 +1038,7 @@ class IncrementalEngine:
             ["resource_type", "resource_id"], "left_anti")
         self.store.overwrite(table, remaining)
         ready.unpersist()
+        self._commit_epoch()
         return n
 
     # -- convenience ----------------------------------------------------------
@@ -1009,6 +1049,65 @@ class IncrementalEngine:
         serving path for probes that know their routes up front (see
         ``similarity.probe_ivf_store``)."""
         return self.store.read(target, keys=keys)
+
+    def _commit_epoch(self) -> None:
+        """Record the current per-table versions as one consistent epoch
+        — called after every batch/rebuild finished committing ALL its
+        targets (single-writer discipline: concurrent writers need the
+        streaming lease, same as every other commit path)."""
+        self.store.set_epoch(
+            {t: self.store.version(t) for t in self.engine.config
+             if self.store.exists(t)})
+
+    def snapshot(self) -> "EngineSnapshot":
+        """A CONSISTENT multi-table reader (r13, VERDICT r12 #8): pins
+        every maintained view at the version recorded by the last
+        completed batch's epoch commit, so map/reduce/view joins across
+        tables can never observe a half-applied ``apply_changes`` —
+        targets commit one at a time in topo order, and a reader opened
+        between two of those commits would otherwise join table A
+        post-batch against table B pre-batch. The epoch file is written
+        atomically AFTER the batch's last target committed, so
+        ``snapshot()`` taken mid-batch resolves to the previous epoch
+        (none of the batch) and taken after resolves to all of it —
+        pytest-pinned in tests/test_incremental.py.
+
+        A table the engine config knows but no epoch has covered yet
+        (bootstrap before the first batch, or a store written by
+        pre-epoch code) pins at its CURRENT version, documented
+        weaker. Pinned versions stay readable for ``store.retain``
+        subsequent commits per table (the bucketed store's
+        manifest-closure GC protects every retained manifest's chain);
+        long-lived snapshots across many batches need a raised
+        ``retain``, same contract as any pinned reader."""
+        epoch = self.store.get_epoch()
+        versions: dict[str, int] = {}
+        for t in self.engine.config:
+            if t in epoch:
+                versions[t] = int(epoch[t])
+            elif self.store.exists(t):
+                versions[t] = self.store.version(t)
+        return EngineSnapshot(store=self.store, versions=versions)
+
+
+@dataclass
+class EngineSnapshot:
+    """A pinned, cross-table-consistent view of an engine's maintained
+    tables — every ``read`` resolves to the version set one epoch commit
+    recorded, regardless of what later batches do. Lazy frames: the pin
+    is the version number; the parquet files stay on disk for
+    ``store.retain`` commits (see :meth:`IncrementalEngine.snapshot`)."""
+
+    store: ParquetStateStore
+    versions: dict
+
+    def read(self, target: str, keys=None) -> DataFrame:
+        v = self.versions.get(target)
+        if v is None:
+            raise KeyError(
+                f"table {target!r} not covered by this snapshot "
+                f"(not yet committed when the snapshot was taken)")
+        return self.store.read(target, keys=keys, version=v)
 
 
 def notifications(spark: SparkSession, rows: list[tuple[str, str, str]]) -> DataFrame:

@@ -410,3 +410,74 @@ def test_map_version_bump_refreshes_downstream_reduce(setup):
     changed = inc.resync_changed()
     assert changed == ["source__map", "sum_target"]
     assert read_sums(inc) == {"1": 12}
+
+
+def test_snapshot_is_all_or_none_across_tables(setup):
+    """r13 (VERDICT r12 #8): a snapshot opened MID-apply_changes —
+    after the map target committed but before the reduce target did —
+    must expose the PREVIOUS batch across both tables (none of the
+    in-flight batch); a snapshot opened after the batch exposes all of
+    it. Direct per-table reads at the same moment WOULD mix levels
+    (map post-batch, reduce pre-batch) — the inconsistency snapshot()
+    exists to remove."""
+    spark, cat, inc, set_source = setup
+
+    inc.apply_changes(notifications(spark, [
+        ("source", "created", "1"),
+        ("source", "created", "2"),
+        ("source", "created", "3")]))
+    assert read_sums(inc) == {"1": 6}
+
+    # second batch: value 3 -> 5; pause right after the FIRST commit
+    set_source([("1", "source", "a", 1, 1),
+                ("2", "source", "a", 1, 2),
+                ("3", "source", "b", 1, 5)])
+    mid = {}
+    orig = inc.store.overwrite
+
+    def hooked(table, df, **kw):
+        orig(table, df, **kw)
+        if table == "source__map" and not mid:
+            snap = inc.snapshot()
+            mid["map"] = {(r["_mr_key"], r["_mr_value"])
+                          for r in snap.read("source__map")
+                          .select("_mr_key", "_mr_value").collect()}
+            mid["sum"] = {r["_mr_key"]: r["_mr_value"]
+                          for r in snap.read("sum_target").collect()}
+            # the direct (pointer-chasing) read DOES see the half state
+            mid["direct_map"] = {
+                (r["_mr_key"], r["_mr_value"])
+                for r in inc.read("source__map")
+                .select("_mr_key", "_mr_value").collect()}
+
+    inc.store.overwrite = hooked
+    try:
+        inc.apply_changes(notifications(spark, [
+            ("source", "updated", "3")]))
+    finally:
+        inc.store.overwrite = orig
+
+    # mid-batch snapshot: the whole PREVIOUS state, both tables
+    assert mid["map"] == {("1", 1), ("1", 2), ("1", 3)}
+    assert mid["sum"] == {"1": 6}
+    # while the unpinned read already observed the half-applied batch
+    assert ("1", 5) in mid["direct_map"]
+    # post-batch snapshot: the whole NEW state, both tables
+    snap = inc.snapshot()
+    live = snap.read("source__map")
+    if "_mr_deleted" in live.columns:
+        live = live.filter(~F.coalesce(F.col("_mr_deleted"), F.lit(False)))
+    assert {(r["_mr_key"], r["_mr_value"]) for r in
+            live.select("_mr_key", "_mr_value").collect()} \
+        == {("1", 1), ("1", 2), ("1", 5)}
+    assert {r["_mr_key"]: r["_mr_value"]
+            for r in snap.read("sum_target").collect()} == {"1": 8}
+    # the pinned frames survive the NEXT batch (retain window)
+    held = inc.snapshot()
+    set_source([("1", "source", "a", 1, 1),
+                ("2", "source", "a", 1, 9),
+                ("3", "source", "b", 1, 5)])
+    inc.apply_changes(notifications(spark, [("source", "updated", "2")]))
+    assert {r["_mr_key"]: r["_mr_value"]
+            for r in held.read("sum_target").collect()} == {"1": 8}
+    assert read_sums(inc) == {"1": 15}
