@@ -15,7 +15,14 @@ Two sweeps:
 - corpus sweep: fixed 16-row delta at sf0.1 / sf0.3 / sf1 → apply
   seconds + rows committed should be ~flat in corpus size;
 - delta sweep: 8 / 32 / 128-row deltas at sf0.1 → cost tracks the
-  delta (rows committed == delta rows exactly).
+  delta (rows committed == delta rows exactly);
+- probe-under-churn sweeps: pinned probe wall time while a writer
+  thread lands concurrent commits — once with insert-only batches
+  (append fast path) and once (r13, VERDICT r12 #5) with an
+  update/delete MIX per commit (tombstone appends, chain compaction
+  folds, manifest-closure GC — the expensive maintenance mode), with
+  the pinned answer asserted byte-identical throughout and the final
+  live membership asserted equal to the mutated catalog.
 
 Writes INDEX_CDC_BENCH.json and prints the SCALE.md markdown rows.
 Usage: python tools/index_cdc_bench.py [--runs N]
@@ -123,14 +130,22 @@ def measure(spark, d, delta_n, runs, tag):
 
 
 def measure_probe_under_churn(spark, d, delta_n, runs, tag,
-                              n_commits=6):
+                              n_commits=6, mix=False):
     """The serving half (VERDICT r11 #5): bootstrap the maintained
     index, then time probe_ivf_store executions WHILE a writer thread
-    lands insert-only CDC commits (+ chain compaction at
-    compact_after=3) against the same table. The probe plan is pinned
-    at the pre-churn manifest (retain covers the churn window — the
-    fault-injection contract), so besides wall-time we assert the
-    pinned answer is byte-identical on every execution."""
+    lands CDC commits (+ chain compaction at compact_after=3) against
+    the same table. The probe plan is pinned at the pre-churn manifest
+    (retain covers the churn window — the fault-injection contract),
+    so besides wall-time we assert the pinned answer is byte-identical
+    on every execution.
+
+    ``mix=False``: insert-only batches (append fast path — the cheap
+    maintenance mode). ``mix=True`` (r13, VERDICT r12 #5): each batch
+    is half inserts, a quarter UPDATES of live corpus ids and a
+    quarter DELETES of (distinct) corpus ids — the expensive mode that
+    exercises tombstone appends, chain compaction folds and
+    manifest-closure GC while the reader stays pinned; afterwards the
+    live index membership is asserted equal to the mutated catalog."""
     import threading
 
     emb = load_tables(spark, d, ["embeddings"])["embeddings"]
@@ -145,13 +160,20 @@ def measure_probe_under_churn(spark, d, delta_n, runs, tag,
     import shutil
     shutil.rmtree(root, ignore_errors=True)
 
-    extra = {"rows": []}
+    extra = {"rows": [], "upd": {}, "del": set()}
 
     class Cat(Catalog):
         def get(self, name):
             if name != "emb":
                 return super().get(name)
             df = base
+            gone = set(extra["del"]) | set(extra["upd"])
+            if gone:
+                df = df.filter(~F.col("id").isin(sorted(gone)))
+            if extra["upd"]:
+                df = df.unionByName(spark.createDataFrame(
+                    sorted(extra["upd"].items()),
+                    "id long, embedding array<double>"))
             if extra["rows"]:
                 df = df.unionByName(spark.createDataFrame(
                     extra["rows"], "id long, embedding array<double>"))
@@ -167,6 +189,23 @@ def measure_probe_under_churn(spark, d, delta_n, runs, tag,
                                       compact_after=3)
     inc = IncrementalEngine(eng, store)
     inc.resync_all()
+    n_base = base.count()
+
+    # disjoint per-commit update/delete targets drawn from REAL corpus
+    # ids (never id 0 — the centroid source): updates from the low end,
+    # deletes from the middle of the id range
+    upd_n = delta_n // 4 if mix else 0
+    del_n = delta_n // 4 if mix else 0
+    ins_n = delta_n - upd_n - del_n
+    upd_ids, del_ids = [], []
+    if mix:
+        need = n_commits * (upd_n + del_n)
+        pool = [r["id"] for r in base.select("id")
+                .filter(F.col("id") != 0).orderBy("id")
+                .limit(2 * need).collect()]
+        assert len(pool) >= need, (len(pool), need)
+        upd_ids = pool[:n_commits * upd_n]
+        del_ids = pool[n_commits * upd_n:need]
 
     queries = spark.createDataFrame(
         [(10_000_000 + i, [x + (1 + i) * 1e-5 for x in v0])
@@ -184,13 +223,19 @@ def measure_probe_under_churn(spark, d, delta_n, runs, tag,
     nxt = [20_000_000]
 
     def churn():
-        for _ in range(n_commits):
-            ids = list(range(nxt[0], nxt[0] + delta_n))
-            nxt[0] += delta_n
+        for c in range(n_commits):
+            ids = list(range(nxt[0], nxt[0] + ins_n))
+            nxt[0] += ins_n
             extra["rows"] += [(i, [x + (i % 97) * 1e-6 for x in v0])
                               for i in ids]
-            inc.apply_changes(notifications(
-                spark, [("emb", "created", str(i)) for i in ids]))
+            events = [("emb", "created", str(i)) for i in ids]
+            for i in upd_ids[c * upd_n:(c + 1) * upd_n]:
+                extra["upd"][i] = [x + (i % 89) * 1e-6 for x in v0]
+                events.append(("emb", "updated", str(i)))
+            for i in del_ids[c * del_n:(c + 1) * del_n]:
+                extra["del"].add(i)
+                events.append(("emb", "deleted", str(i)))
+            inc.apply_changes(notifications(spark, events))
 
     churned, errs = [], []
 
@@ -217,6 +262,19 @@ def measure_probe_under_churn(spark, d, delta_n, runs, tag,
         raise errs[0]
     # post-churn: the pinned plan still answers (GC closure held)
     assert {tuple(r) for r in probe.collect()} == want
+    if mix:
+        # conformance: after update/delete churn the LIVE index
+        # membership equals the mutated catalog — tombstones really
+        # removed the deleted ids, updates kept theirs
+        from qvarn_mr_spark.operators.mapreduce import live
+        live_ids = {r["m"] for r in live(inc.read("idx"))
+                    .select(F.col("_mr_value.m_id").alias("m"))
+                    .collect()}
+        want_ids = ({r["id"] for r in base.select("id").collect()}
+                    - extra["del"]) | {i for i, _ in extra["rows"]}
+        assert live_ids == want_ids, (
+            len(live_ids), len(want_ids),
+            sorted(live_ids ^ want_ids)[:10])
     return (round(min(quiet), 3), round(min(churned), 3),
             len(churned))
 
@@ -254,6 +312,20 @@ def main():
               f"({n} probes during 6 concurrent commits; pinned answer "
               f"identical throughout)", flush=True)
 
+    mixed_sweep = {}
+    for sf, d in SCALE_POINTS:
+        q, c, n = measure_probe_under_churn(spark, d, 16,
+                                            max(runs, 2), f"m{sf}",
+                                            mix=True)
+        mixed_sweep[str(sf)] = {"probe_quiet_s": q,
+                                "probe_under_churn_s": c,
+                                "probes_during_churn": n}
+        print(f"probe sf{sf} MIXED churn (8 ins / 4 upd / 4 del per "
+              f"commit): quiet={q}s under-churn={c}s ({n} probes "
+              f"during 6 concurrent commits incl. tombstone rewrites "
+              f"+ compaction; pinned answer identical throughout, "
+              f"live membership == mutated catalog)", flush=True)
+
     sfs = [float(s) for s in corpus_sweep]
     a_corpus = fit_alpha(sfs, [corpus_sweep[str(s)]["apply_s"]
                                for s in sfs])
@@ -262,14 +334,19 @@ def main():
                               for d in dns])
     a_probe = fit_alpha(sfs, [probe_sweep[str(s)]["probe_under_churn_s"]
                               for s in sfs])
+    a_mixed = fit_alpha(sfs, [mixed_sweep[str(s)]["probe_under_churn_s"]
+                              for s in sfs])
     out = {"runs_per_point": runs,
-           "regime": "planted 100%-hot cluster, insert-only batches",
+           "regime": "planted 100%-hot cluster; insert-only batches "
+                     "plus an update/delete-mix churn sweep",
            "corpus_sweep_fixed_delta_16": corpus_sweep,
            "delta_sweep_at_sf0.1": delta_sweep,
            "probe_under_churn_sweep": probe_sweep,
+           "probe_under_mixed_churn_sweep": mixed_sweep,
            "alpha_apply_vs_corpus": round(a_corpus, 3),
            "alpha_apply_vs_delta": round(a_delta, 3),
-           "alpha_probe_churn_vs_corpus": round(a_probe, 3)}
+           "alpha_probe_churn_vs_corpus": round(a_probe, 3),
+           "alpha_probe_mixed_churn_vs_corpus": round(a_mixed, 3)}
     with open("INDEX_CDC_BENCH.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({k: out[k] for k in
