@@ -3512,19 +3512,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Order matters: the driver's correctness gate samples the FIRST 50
-    entries. Round 12 executes the rotation discipline (VERDICT r11 #7):
-    the window is rebuilt as the 42 longest-unsampled queries — the
-    TPC-H q1-q22 family, the mr_* reference anchors, the events window/
-    asof/sessionize family and the search operators, none of which has
-    had a driver row since r3 (plus multimodal_features, unsampled
-    since r1) — together with the 8 queries whose implementation or
-    oracle changed THIS round: the four oracle upgrades
-    (graph_pagerank_converged, events_distinct_users_hll,
-    price_quantiles_kll, doc_bpe_tokenize + corpus_bpe_merges) and the
-    three IVF probe paths re-ranked by the two-phase top-k.
-    Everything outside the window remains value-checked every round by
-    the local mirror (tools/check_oracle.py); the reordering below is
-    applied by the _R12_WINDOW head list at the end of this function.
+    entries. Round 13 applies the rotation discipline's r12 lesson in
+    full — EVERY query whose code path the round touched goes in the
+    window, not a sample of them: the five oracle graduations and the
+    dispatch-dedup rebuilds, plus the entire consumer set of the
+    hardened cosine()/min_by-argmax/topk_per_key ordering (the
+    embedding/IVF/kNN/k-means/hybrid/PQ family, the tuning grids,
+    dedup_tune_bands, doc_stratified_fixed_k, schema_migrate_search) —
+    42 in all — then the 7 r3-era anchors deferred from the r12 window
+    and the 2 stalest r4 rows. Everything outside the window remains
+    value-checked every round by the local mirror
+    (tools/check_oracle.py); the reordering below is applied by the
+    _R13_WINDOW head list at the end of this function.
     """
     base = {
         # --- r8 window rotation: every query below was green in the
@@ -3758,40 +3757,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_sole_returners": q21_sole_returners,
         "q22_idle_customers": q22_idle_customers,
     }
-    head = [n for n in _R12_WINDOW if n in base]
+    head = [n for n in _R13_WINDOW if n in base]
     assert len(head) == 50, len(head)
     return {**{n: base[n] for n in head},
             **{n: f for n, f in base.items() if n not in head}}
 
 
-#: Round-12 driver window (first 50 sampled): 42 longest-unsampled
-#: (r3-era TPC-H/mr_*/events/search anchors + r1's multimodal_features)
-#: + the 8 queries changed this round. Deferred to r13 from the r3
-#: pool: mr_join, mr_count, mr_sum, search_exact_ci, q1_pricing,
-#: events_asof (all re-proven by the r11 judge's local mirror),
-#: topk_per_key, window_latest.
-_R12_WINDOW = [
-    # changed this round (oracle upgrades + two-phase probe ranking)
-    "graph_pagerank_converged", "events_distinct_users_hll",
-    "price_quantiles_kll", "doc_bpe_tokenize", "corpus_bpe_merges",
+#: Round-13 driver window (first 50 sampled): the 42 queries whose
+#: code paths round 13 touched — the five oracle graduations
+#: (multimodal ×2 via committed rows, zlib ratios via committed
+#: lengths, perplexity scale buckets via committed cuts, plus the
+#: refactored doc_perplexity_buckets) and the three fingerprint-dedup
+#: dispatch oracles, together with EVERY consumer of the hardened
+#: cosine()/min_by argmax/topk_per_key ordering (the whole
+#: embedding/IVF/kNN/k-means/hybrid/PQ family, the tuning grids,
+#: dedup_tune_bands, doc_stratified_fixed_k) — plus the 7 remaining
+#: r3-era anchors the driver has not sampled since r3 (deferred from
+#: the r12 window; mirror-proven r12) and the 2 stalest r4 rows.
+_R13_WINDOW = [
+    # oracle graduations + dispatch-dedup rebuilds (r13 / post-r12)
+    "multimodal_features", "multimodal_signal_features",
+    "doc_compression_ratio", "doc_perplexity_buckets_scale",
+    "doc_perplexity_buckets", "graph_pagerank_converged",
+    "doc_bpe_tokenize", "corpus_bpe_merges",
+    # hardened cosine()/argmax/topk consumers (null/zero-norm change)
     "ivf_index_probe", "ivf_store_probe", "ivf_partitioned_probe",
-    # longest-unsampled (r1/r3)
-    "multimodal_features", "agg_cube", "agg_rollup",
-    "events_asof_bucketed", "events_error_window", "events_hourly",
-    "events_ntile_quartiles", "events_pivot", "events_running",
-    "events_sessionize", "events_sessionize_bucketed",
-    "events_top_users", "events_value_deltas", "except_unused_parts",
-    "intersect_nations", "mr_dict_map", "mr_median_pandas",
-    "mr_minmax", "mr_wordcount", "price_quantiles",
-    "q10_returned_items", "q11_important_parts",
-    "q13_order_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q16_supplier_variety", "q17_small_qty_revenue", "q18_big_orders",
-    "q19_disjunctive_revenue", "q20_heavy_shippers",
-    "q21_sole_returners", "q22_idle_customers",
-    "q2_min_cost_supplier", "q3_topk_revenue", "q4_late_orders",
-    "q5_region_revenue", "q6_selective_sum", "q7_nation_volume",
-    "q8_market_share", "q9_product_profit", "search_like",
-    "search_range_sort_limit",
+    "ivf_assign", "ivf_assign_arrow", "ivf_probe_search",
+    "knn_bruteforce", "knn_bruteforce_arrow",
+    "embedding_nn", "embedding_nn_ivf", "embedding_nn_ivf_arrow",
+    "embedding_kmeans_assign", "embedding_kmeans_assign_arrow",
+    "embedding_kmeans_warm", "embedding_kmeans_centroids",
+    "kmeans_probe_search", "kmeans_probe_fixed_nlist",
+    "tune_nprobe_fixed_nlist", "embedding_tune_nprobe",
+    "embedding_ann_recall", "embedding_density_sample",
+    "embedding_semantic_dedup", "embedding_near_dup_lsh",
+    "embedding_lsh_probe", "embedding_quantize", "embedding_pq_search",
+    "embedding_hard_negatives", "hybrid_search", "hybrid_search_ivf",
+    "centroid_by_label", "topk_per_key", "dedup_tune_bands",
+    "doc_stratified_fixed_k", "schema_migrate_search",
+    # r3-era anchors deferred from r12 + the stalest r4 rows
+    "events_asof", "mr_count", "mr_join", "mr_sum", "q1_pricing",
+    "search_exact_ci", "window_latest", "doc_chunk",
 ]
 
 
