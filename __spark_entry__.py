@@ -2326,6 +2326,30 @@ def q_embedding_hard_negatives(spark, sf_dir):
                                      F.col("vec_id") < 16, k=2)
 
 
+def q_doc_lsh_gate(spark, sf_dir):
+    """Batch form of the r13 streaming near-dup gate (dedup.
+    lsh_gate_batch, VERDICT r12 #7): the corpus splits into an
+    "incoming" delta (doc_id % 10 == 0) and the indexed rest; the
+    index is the normalized (band_bucket, member) table the
+    IncrementalEngine maintains (built here with the batch signature
+    pipeline - one shingle-hash shuffle), and every incoming doc is
+    flagged iff any of its band keys lands in an indexed bucket.
+    mode='flag' keeps all delta rows with a boolean verdict - the
+    observability form; mode='drop' (the stream twin's semantics) is
+    its anti-join. Value-oracled via oracle.lsh_gate_sql."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    incoming = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    sigs = dedup.minhash_signatures(corpus, "doc_id", "text")
+    index = sigs.select("doc_id", F.posexplode(F.array(
+        *[F.col(f"band_{b}") for b in range(dedup.MINHASH_BANDS)]))
+        .alias("_pos", "_sig")).select(
+        F.concat_ws("|", "_pos", "_sig").alias("_mr_key"),
+        F.col("doc_id").alias("_mr_value"))
+    return dedup.lsh_gate_batch(incoming, index, mode="flag") \
+        .select("doc_id", "lsh_collided")
+
+
 def q_lsh_index_probe(spark, sf_dir):
     """Maintained-LSH-index probe (functions/dedup.py): the streaming-
     dedup shape — buckets batch-bootstrapped from minhash_signatures
@@ -3520,7 +3544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     embedding/IVF/kNN/k-means/hybrid/PQ family, the tuning grids,
     dedup_tune_bands, doc_stratified_fixed_k, schema_migrate_search) —
     42 in all — then the 7 r3-era anchors deferred from the r12 window
-    and the 2 stalest r4 rows. Everything outside the window remains
+    and the brand-new doc_lsh_gate (first driver proof). Everything outside the window remains
     value-checked every round by the local mirror
     (tools/check_oracle.py); the reordering below is applied by the
     _R13_WINDOW head list at the end of this function.
@@ -3593,6 +3617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NORMALIZED this round (VERDICT r10 #1) — both LSH probes
         # return to the window so the driver re-proves them on the
         # new per-member-row form (ivf_index_probe is above)
+        "doc_lsh_gate": q_doc_lsh_gate,
         "lsh_index_probe": q_lsh_index_probe,
         "embedding_lsh_probe": q_embedding_lsh_probe,
         # new in r11 (VERDICT r10 #3): schema migration end to end —
@@ -3773,7 +3798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: embedding/IVF/kNN/k-means/hybrid/PQ family, the tuning grids,
 #: dedup_tune_bands, doc_stratified_fixed_k) — plus the 7 remaining
 #: r3-era anchors the driver has not sampled since r3 (deferred from
-#: the r12 window; mirror-proven r12) and the 2 stalest r4 rows.
+#: the r12 window; mirror-proven r12) and the brand-new doc_lsh_gate.
 _R13_WINDOW = [
     # oracle graduations + dispatch-dedup rebuilds (r13 / post-r12)
     "multimodal_features", "multimodal_signal_features",
@@ -3795,9 +3820,9 @@ _R13_WINDOW = [
     "embedding_hard_negatives", "hybrid_search", "hybrid_search_ivf",
     "centroid_by_label", "topk_per_key", "dedup_tune_bands",
     "doc_stratified_fixed_k", "schema_migrate_search",
-    # r3-era anchors deferred from r12 + the stalest r4 rows
+    # r3-era anchors deferred from r12 + the new r13 query
     "events_asof", "mr_count", "mr_join", "mr_sum", "q1_pricing",
-    "search_exact_ci", "window_latest", "doc_chunk",
+    "search_exact_ci", "window_latest", "doc_lsh_gate",
 ]
 
 
@@ -4517,6 +4542,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(doc_id AS BIGINT) % 20 = 0", k=quality.DECONTAM_K),
         "doc_decontaminate_bloom": oracle.decontaminate_sql(
             "CAST(doc_id AS BIGINT) % 20 = 0", k=quality.DECONTAM_K),
+        "doc_lsh_gate": oracle.lsh_gate_sql(
+            "CAST(doc_id AS BIGINT) % 10 = 0"),
         "doc_decontaminate_fuzzy": oracle.minhash_contamination_sql(
             "CAST(doc_id AS BIGINT) % 20 = 0"),
         "doc_bigram_surprisal": oracle.bigram_surprisal_sql(),

@@ -1381,6 +1381,35 @@ GROUP BY 1
 """
 
 
+def lsh_gate_sql(incoming_pred: str, table: str = "documents") -> str:
+    """dedup.lsh_gate_batch(mode='flag') — every INCOMING document
+    (``incoming_pred``) flagged true iff any of its band keys lands in
+    a band bucket of the indexed rest of the corpus. The maintained
+    index's ``'{band_pos}|{sig}'`` string keys join here as the
+    equivalent (band_pos, sig) pairs; docs too short to shingle have no
+    band rows and flag false (the pass-ungated rule). Incoming and
+    indexed sets are disjoint by construction, so the gate's
+    self-exclusion (member != probe) is vacuous — its non-vacuous form
+    is pytest-pinned in tests/test_lsh_index.py."""
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_pos, band_{b} AS sig FROM bands"
+        for b in range(MINHASH_BANDS))
+    return f"""
+WITH {_minhash_sig_cte(table)},
+melted AS ({unions}),
+idx AS (SELECT DISTINCT band_pos, sig FROM melted
+        WHERE doc_id IN (SELECT doc_id FROM {table}
+                         WHERE NOT ({incoming_pred}))),
+hits AS (SELECT DISTINCT m.doc_id FROM melted m JOIN idx
+         USING (band_pos, sig)
+         WHERE m.doc_id IN (SELECT doc_id FROM {table}
+                            WHERE {incoming_pred}))
+SELECT d.doc_id, (d.doc_id IN (SELECT doc_id FROM hits))
+         AS lsh_collided
+FROM {table} d WHERE {incoming_pred}
+"""
+
+
 def cluster_keepers_sql(table: str = "documents") -> str:
     """dedup.cluster_keepers over exact-dup fingerprint clusters with
     quality_score — the max-over-(score, id)-tuple construct is the same
