@@ -1521,22 +1521,54 @@ def q_embedding_tune_nprobe(spark, sf_dir):
         query_filter=F.col("vec_id") < 50, k=5, nprobes=(1, 2, 4))
 
 
+def _content_key(sf_dir, table, suffix):
+    """Shared content-addressed sidecar key: full-file md5 + size of the
+    fingerprinted parquet, plus a parameter suffix — ONE copy of the
+    md5-chunk loop for every committed-artifact discipline (clf/pca/pq/
+    bpe/zlib/ppl), so a fingerprint-scheme change cannot drift between
+    sidecars. Raises OSError if the file is unreadable."""
+    import hashlib
+    import os
+
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    h = hashlib.md5()
+    with open(p, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return f"{os.path.getsize(p)}:{h.hexdigest()}:{suffix}"
+
+
+def _sidecar_entries(filename, payload=None):
+    """Shared committed-artifact reader: every (runtime-fingerprint,
+    payload) pair from ``filename``'s ``__rtfp__`` map — ONE copy of
+    the sidecar decode for every dispatch oracle, sorted for stable SQL
+    generation. ``payload`` post-processes each committed value (the
+    BPE pair-tuple coercion); missing/corrupt sidecars read as empty
+    (the dispatching oracle then emits no branch — honest mismatch)."""
+    import json
+    import os
+
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           filename)
+    try:
+        with open(sidecar) as f:
+            disk = json.load(f)
+    except (OSError, ValueError):
+        return []
+    rtfp = disk.get("__rtfp__", {})
+    return sorted(((tuple(fp), payload(disk[k]) if payload else disk[k])
+                   for k, fp in rtfp.items() if k in disk),
+                  key=lambda e: e[0])
+
+
 #: committed-codebooks memo for q_embedding_pq_search (the _clf_weights /
 #: _pca_model pattern: deterministic training, content-fingerprinted data)
 _PQ_BOOKS: dict = {}
 
 
 def _pq_key(sf_dir):
-    import hashlib
-    import os
-
-    p = os.path.join(sf_dir, "embeddings.parquet")
-    h = hashlib.md5()
-    with open(p, "rb") as f:
-        for chunk in iter(lambda: f.read(1 << 20), b""):
-            h.update(chunk)
-    return (f"{os.path.getsize(p)}:{h.hexdigest()}:"
-            f"m={similarity.PQ_M}:k={similarity.PQ_K}")
+    return _content_key(sf_dir, "embeddings",
+                        f"m={similarity.PQ_M}:k={similarity.PQ_K}")
 
 
 def _pq_books_for(sf_dir, fit):
@@ -1582,23 +1614,8 @@ def _pq_books_for(sf_dir, fit):
 
 def _pq_committed_entries():
     """Every committed (runtime-fingerprint, books) pair from the
-    sidecar (no training, no SparkSession) — inlined by oracle_sql()
-    into one runtime-dispatched query (the _pca_committed_entries
-    discipline; the embeddings-table fingerprint is shared with PCA)."""
-    import json
-    import os
-
-    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           ".pq_books.json")
-    try:
-        with open(sidecar) as f:
-            disk = json.load(f)
-    except (OSError, ValueError):
-        return []
-    rtfp = disk.get("__rtfp__", {})
-    return sorted(((tuple(fp), disk[k])
-                   for k, fp in rtfp.items() if k in disk),
-                  key=lambda e: e[0])
+    sidecar (no training, no SparkSession) — see _sidecar_entries."""
+    return _sidecar_entries(".pq_books.json")
 
 
 def q_embedding_pq_search(spark, sf_dir):
@@ -1991,17 +2008,9 @@ _ZLIB_LEVEL = 6
 
 
 def _zlib_key(sf_dir):
-    """Content-addressed key: full-file md5 + size of the documents
-    parquet, plus the zlib level — same discipline as _clf_key."""
-    import hashlib
-    import os
-
-    p = os.path.join(sf_dir, "documents.parquet")
-    h = hashlib.md5()
-    with open(p, "rb") as f:
-        for chunk in iter(lambda: f.read(1 << 20), b""):
-            h.update(chunk)
-    return f"{os.path.getsize(p)}:{h.hexdigest()}:zlib:{_ZLIB_LEVEL}"
+    """Content-addressed key (see _content_key): documents parquet +
+    the zlib level."""
+    return _content_key(sf_dir, "documents", f"zlib:{_ZLIB_LEVEL}")
 
 
 def _zlib_lens_for(sf_dir):
@@ -2056,23 +2065,9 @@ def _zlib_lens_for(sf_dir):
 
 
 def _zlib_committed_entries():
-    """Every committed (runtime-fingerprint, lens) pair from the sidecar
-    — inlined by oracle_sql() behind the (count, total-text-length)
-    runtime dispatch (the _clf_committed_entries discipline)."""
-    import json
-    import os
-
-    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           ".zlib_lens.json")
-    try:
-        with open(sidecar) as f:
-            disk = json.load(f)
-    except (OSError, ValueError):
-        return []
-    rtfp = disk.get("__rtfp__", {})
-    return sorted(((tuple(fp), disk[k])
-                   for k, fp in rtfp.items() if k in disk),
-                  key=lambda e: e[0])
+    """Every committed (runtime-fingerprint, lens) pair from the
+    sidecar — see _sidecar_entries."""
+    return _sidecar_entries(".zlib_lens.json")
 
 
 #: per-scale committed perplexity cut points memo (keyed on fingerprint)
@@ -2081,19 +2076,10 @@ _PPL_PARAMS = (3, 0.5, "lang")        # (n_buckets, smoothing, by)
 
 
 def _ppl_key(sf_dir):
-    """Content-addressed key for the perplexity-cuts sidecar: full-file
-    md5 + size of the documents parquet plus the bucketing parameters —
-    the _zlib_key discipline."""
-    import hashlib
-    import os
-
-    p = os.path.join(sf_dir, "documents.parquet")
-    h = hashlib.md5()
-    with open(p, "rb") as f:
-        for chunk in iter(lambda: f.read(1 << 20), b""):
-            h.update(chunk)
+    """Content-addressed key (see _content_key): documents parquet +
+    the bucketing parameters."""
     nb, sm, by = _PPL_PARAMS
-    return (f"{os.path.getsize(p)}:{h.hexdigest()}:pplcuts:{nb}:{sm}:{by}")
+    return _content_key(sf_dir, "documents", f"pplcuts:{nb}:{sm}:{by}")
 
 
 def _ppl_cuts_for(spark, sf_dir):
@@ -2133,6 +2119,34 @@ def _ppl_cuts_for(spark, sf_dir):
             docs, "doc_id", "text", by=by, n_buckets=nb,
             smoothing=sm).collect()
         cuts = {r[by]: [float(c) for c in r["_cuts"]] for r in rows}
+        # commit-time guard (the retired bound oracle's rank check,
+        # r13 self-review): the FIRST commit must not self-certify —
+        # a deterministic regression in perplexity_cut_points (wrong
+        # fractions, broken accuracy) would otherwise commit garbage
+        # the dispatch oracle then faithfully replays. Each cut must
+        # be an actual element of its group's exact surprisal multiset
+        # whose rank interval overlaps the target quantile within the
+        # published sketch error (±n/accuracy, +1 tie slack).
+        import bisect
+
+        from qvarn_mr_spark.functions.text import unigram_surprisal
+        sur = unigram_surprisal(docs, "doc_id", "text", smoothing=sm)
+        keyed = sur.join(docs.select("doc_id", by), "doc_id")
+        per = {}
+        for r in keyed.select(by, "mean_nll").collect():
+            per.setdefault(r[by], []).append(r["mean_nll"])
+        assert set(cuts) == set(per), (sorted(cuts), sorted(per))
+        for g, cs in cuts.items():
+            vals = sorted(per[g])
+            n = len(vals)
+            err = n / 100_000 + 1
+            for j, c in enumerate(cs, start=1):
+                lo = bisect.bisect_left(vals, c)
+                hi = bisect.bisect_right(vals, c)
+                assert lo < hi, (g, j, c, "cut is not a data element")
+                target = j * n / nb
+                assert lo - err <= target <= hi + err, \
+                    (g, j, c, lo, hi, target, n)
         disk[key] = cuts
         try:
             disk.setdefault("__rtfp__", {})[key] = _clf_rtfp(sf_dir)
@@ -2148,24 +2162,9 @@ def _ppl_cuts_for(spark, sf_dir):
 
 
 def _ppl_committed_entries():
-    """Every committed (runtime-fingerprint, {lang: cuts}) pair from the
-    sidecar — inlined by oracle_sql() behind the (count,
-    total-text-length) runtime dispatch (the _clf_committed_entries
-    discipline)."""
-    import json
-    import os
-
-    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           ".ppl_cuts.json")
-    try:
-        with open(sidecar) as f:
-            disk = json.load(f)
-    except (OSError, ValueError):
-        return []
-    rtfp = disk.get("__rtfp__", {})
-    return sorted(((tuple(fp), disk[k])
-                   for k, fp in rtfp.items() if k in disk),
-                  key=lambda e: e[0])
+    """Every committed (runtime-fingerprint, {lang: cuts}) pair from
+    the sidecar — see _sidecar_entries."""
+    return _sidecar_entries(".ppl_cuts.json")
 
 
 def q_doc_compression_ratio(spark, sf_dir):
@@ -2344,7 +2343,7 @@ def q_doc_lsh_gate(spark, sf_dir):
     index = sigs.select("doc_id", F.posexplode(F.array(
         *[F.col(f"band_{b}") for b in range(dedup.MINHASH_BANDS)]))
         .alias("_pos", "_sig")).select(
-        F.concat_ws("|", "_pos", "_sig").alias("_mr_key"),
+        dedup.band_bucket_key("_pos", "_sig").alias("_mr_key"),
         F.col("doc_id").alias("_mr_value"))
     return dedup.lsh_gate_batch(incoming, index, mode="flag") \
         .select("doc_id", "lsh_collided")
@@ -2372,7 +2371,7 @@ def q_lsh_index_probe(spark, sf_dir):
     # collect_set member array anywhere, so a hot bucket is many small
     # rows joined in parallel, never one giant row exploded in one task
     members = keys.select(
-        F.concat_ws("|", F.col("_pos"), F.col("_sig")).alias("_mr_key"),
+        dedup.band_bucket_key("_pos", "_sig").alias("_mr_key"),
         F.col("doc_id").alias("member_id"))
     # delta ⊆ corpus here, so the probe reuses the SAME signature frame
     # (one shingle-hash pass total — the pattern the embedding probe
@@ -2380,7 +2379,7 @@ def q_lsh_index_probe(spark, sf_dir):
     # Column twin and exists for true out-of-corpus deltas
     probe_keys = (keys.filter(F.col("doc_id") % 10 == 0)
                   .select(F.col("doc_id").alias("probe_id"),
-                          F.concat_ws("|", F.col("_pos"), F.col("_sig"))
+                          dedup.band_bucket_key("_pos", "_sig")
                           .alias("_mr_key")))
     return (probe_keys.join(members, "_mr_key")
             .filter(F.col("probe_id") != F.col("member_id"))
@@ -2545,15 +2544,7 @@ _BPE_MERGES: dict = {}
 
 
 def _bpe_key(sf_dir):
-    import hashlib
-    import os
-
-    p = os.path.join(sf_dir, "documents.parquet")
-    h = hashlib.md5()
-    with open(p, "rb") as f:
-        for chunk in iter(lambda: f.read(1 << 20), b""):
-            h.update(chunk)
-    return f"{os.path.getsize(p)}:{h.hexdigest()}:merges=8:minpair=2"
+    return _content_key(sf_dir, "documents", "merges=8:minpair=2")
 
 
 def _bpe_merges_for(sf_dir, fit):
@@ -2598,22 +2589,9 @@ def _bpe_merges_for(sf_dir, fit):
 
 def _bpe_committed_entries():
     """Every committed (runtime-fingerprint, merges) pair from the
-    sidecar — inlined by oracle_sql() into one runtime-dispatched fold
-    replay (the _pq_committed_entries discipline)."""
-    import json
-    import os
-
-    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           ".bpe_merges.json")
-    try:
-        with open(sidecar) as f:
-            disk = json.load(f)
-    except (OSError, ValueError):
-        return []
-    rtfp = disk.get("__rtfp__", {})
-    return sorted(((tuple(fp), [tuple(p) for p in disk[k]])
-                   for k, fp in rtfp.items() if k in disk),
-                  key=lambda e: e[0])
+    sidecar — see _sidecar_entries (pairs re-coerced to tuples)."""
+    return _sidecar_entries(
+        ".bpe_merges.json", payload=lambda m: [tuple(p) for p in m])
 
 
 def q_doc_bpe_tokenize(spark, sf_dir):
@@ -2663,19 +2641,11 @@ _CLF_LR = 1.0
 
 
 def _clf_key(sf_dir):
-    """Content-addressed cache key: full-file md5 + size of the documents
-    parquet, plus every fit hyperparameter (from the shared constants).
-    Raises OSError if the file is unreadable."""
-    import hashlib
-    import os
-
-    p = os.path.join(sf_dir, "documents.parquet")
-    h = hashlib.md5()
-    with open(p, "rb") as f:
-        for chunk in iter(lambda: f.read(1 << 20), b""):
-            h.update(chunk)
-    return (f"{os.path.getsize(p)}:{h.hexdigest()}:{_CLF_SALT}:"
-            f"{_CLF_FRACTION}:{_CLF_ITERS}:{_CLF_LR}")
+    """Content-addressed key (see _content_key): documents parquet +
+    every fit hyperparameter (from the shared constants)."""
+    return _content_key(sf_dir, "documents",
+                        f"{_CLF_SALT}:{_CLF_FRACTION}:{_CLF_ITERS}:"
+                        f"{_CLF_LR}")
 
 
 def _clf_weights_for(sf_dir, fit):
@@ -2740,25 +2710,10 @@ def _clf_rtfp(sf_dir):
 
 def _clf_committed_entries():
     """Every committed (runtime-fingerprint, weights) pair from the
-    sidecar (no training, no SparkSession). oracle_sql() inlines ALL of
-    them into one SQL-runtime-dispatched query, so the classifier oracle
-    scores with the right weights at whichever committed scale the
-    driver actually evaluates — a scale with no committed entry yields
-    NULL scores (honest mismatch) rather than another scale's weights."""
-    import json
-    import os
-
-    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           ".clf_weights.json")
-    try:
-        with open(sidecar) as f:
-            disk = json.load(f)
-    except (OSError, ValueError):
-        return []
-    rtfp = disk.get("__rtfp__", {})
-    return sorted(((tuple(fp), disk[k])
-                   for k, fp in rtfp.items() if k in disk),
-                  key=lambda e: e[0])
+    sidecar (no training, no SparkSession) — see _sidecar_entries. A
+    scale with no committed entry yields NULL scores downstream
+    (honest mismatch) rather than another scale's weights."""
+    return _sidecar_entries(".clf_weights.json")
 
 
 def q_doc_quality_classifier(spark, sf_dir):
@@ -3089,22 +3044,8 @@ def _pr_record(sf_dir, n_run):
 
 def _pr_committed_entries():
     """Every committed (runtime-fingerprint, superstep-count) pair from
-    the sidecar — inlined by oracle_sql() into one runtime-dispatched
-    unroll (the _pq_committed_entries discipline)."""
-    import json
-    import os
-
-    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           ".pagerank_iters.json")
-    try:
-        with open(sidecar) as f:
-            disk = json.load(f)
-    except (OSError, ValueError):
-        return []
-    rtfp = disk.get("__rtfp__", {})
-    return sorted(((tuple(fp), disk[k])
-                   for k, fp in rtfp.items() if k in disk),
-                  key=lambda e: e[0])
+    the sidecar — see _sidecar_entries."""
+    return _sidecar_entries(".pagerank_iters.json")
 
 
 def q_graph_pagerank_converged(spark, sf_dir):
@@ -3453,23 +3394,9 @@ def _pca_model_for(sf_dir, fit):
 
 
 def _pca_committed_entries():
-    """Every committed (runtime-fingerprint, model) pair from the sidecar
-    (no fitting, no SparkSession) — inlined by oracle_sql() into one
-    runtime-dispatched query."""
-    import json
-    import os
-
-    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           ".pca_components.json")
-    try:
-        with open(sidecar) as f:
-            disk = json.load(f)
-    except (OSError, ValueError):
-        return []
-    rtfp = disk.get("__rtfp__", {})
-    return sorted(((tuple(fp), disk[k])
-                   for k, fp in rtfp.items() if k in disk),
-                  key=lambda e: e[0])
+    """Every committed (runtime-fingerprint, model) pair from the
+    sidecar (no fitting, no SparkSession) — see _sidecar_entries."""
+    return _sidecar_entries(".pca_components.json")
 
 
 def q_embedding_pca(spark, sf_dir):

@@ -299,19 +299,25 @@ def main() -> None:
             for _ in range(2):
                 one_attempt()
             run_attempts = [t - p for t, p in zip(attempts, plan_only)]
-        times[name] = round(min(attempts), 3)
+        # headline/construct/spread stay on the FIRST `runs` attempts:
+        # the extra sub-second samples tighten the run-only MEDIAN
+        # only — feeding them into min(attempts) would bias the fast
+        # tail's published minimum downward vs prior sidecars (more
+        # draws, lower min) with no code change behind it
+        base = attempts[:runs]
+        times[name] = round(min(base), 3)
         # attribution split (sidecar only): construction share of the
         # fastest attempt — NOT subtracted from the headline
-        construct[name] = round(plan_only[attempts.index(min(attempts))], 3)
+        construct[name] = round(plan_only[base.index(min(base))], 3)
         # attempt spread (sidecar only): {min, med, max, n} across
         # attempts, so a sidecar-to-sidecar delta inside the noise band
         # can't masquerade as a regression (r7's warm-state
         # minhash_candidates 0.49s vs r8's cold 2.26s taught this
         # lesson). A DICT, not a positional list (ADVICE r10): the
         # next format change can't silently shift a decode.
-        a = sorted(attempts)
+        a = sorted(base)
         spread[name] = {"min": round(a[0], 3),
-                        "med": round(_median(attempts), 3),
+                        "med": round(_median(base), 3),
                         "max": round(a[-1], 3), "n": len(a)}
         # run-only spread: execution time with the construction share
         # removed per attempt — the regression-gate basis (VERDICT r12

@@ -850,6 +850,20 @@ def expr_let(bound: Column, body) -> Column:
     return F.get(F.transform(F.array(bound), body), 0)
 
 
+def band_bucket_key(pos, sig) -> Column:
+    """The LSH bucket-key string ``"{band_pos}|{sig}"`` from a band
+    position and a pre-joined signature column (the ``band_{b}`` columns
+    of :func:`minhash_signatures`) — THE format
+    :func:`minhash_band_keys_col` emits and every maintained index /
+    probe joins on. Corpus-side index builders that bootstrap from the
+    batch signature pipeline derive their ``_mr_key`` through this one
+    helper so the format cannot drift from the per-row Column form
+    (their equality is pytest-pinned)."""
+    pos = F.col(pos) if isinstance(pos, str) else pos
+    sig = F.col(sig) if isinstance(sig, str) else sig
+    return F.concat_ws("|", pos, sig)
+
+
 def minhash_band_keys_col(text_col: Column | str,
                           n_hashes: int = MINHASH_N,
                           n_bands: int = MINHASH_BANDS) -> Column:

@@ -766,11 +766,18 @@ def _ivf_score_structs(vv: Column, nv: Column, cents) -> list:
         acc = 0.0
         for x in cv:
             acc += x * x
-        sim = F.round(
-            dot(vv, F.array(*[F.lit(float(x)) for x in cv]))
-            / (nv * F.lit(math.sqrt(acc))), 6)
-        out.append(F.struct((-sim).alias("ns"),
-                            F.lit(int(cid)).cast("long").alias("c")))
+        # try_divide + coalesce-to-+inf (r13 self-review — the same
+        # hardening as cosine()/the min_by argmax sites): a zero-norm
+        # centroid or row vector makes the quotient NULL instead of
+        # aborting under ANSI, and +inf makes that struct LOSE every
+        # ascending comparison instead of NULL sorting first and
+        # winning the argmin
+        sim = F.round(F.try_divide(
+            dot(vv, F.array(*[F.lit(float(x)) for x in cv])),
+            nv * F.lit(math.sqrt(acc))), 6)
+        out.append(F.struct(
+            F.coalesce(-sim, F.lit(float("inf"))).alias("ns"),
+            F.lit(int(cid)).cast("long").alias("c")))
     return out
 
 
@@ -817,12 +824,20 @@ def ivf_cluster_col(vec_col, centroids, with_sim: bool = False) -> Column:
 
     def best_from(vv: Column) -> Column:
         def with_norm(nv: Column) -> Column:
-            best = F.array_min(F.array(*_ivf_score_structs(vv, nv, cents)))
+            # drop undefined scores (ns = +inf, see _ivf_score_structs)
+            # BEFORE the argmin: a zero-norm row vector then assigns to
+            # NULL — the Column mirror of the batch argmax paths
+            # dropping null-scored candidates (r13 self-review)
+            scored = F.filter(
+                F.array(*_ivf_score_structs(vv, nv, cents)),
+                lambda s: s["ns"] != F.lit(float("inf")))
+            best = F.array_min(scored)
             if not with_sim:
                 return best["c"]
-            return expr_let(best, lambda b: F.struct(
-                b["c"].alias("cluster_id"),
-                (-b["ns"]).alias("cos_sim")))
+            return expr_let(best, lambda b: F.when(
+                b.isNotNull(), F.struct(
+                    b["c"].alias("cluster_id"),
+                    (-b["ns"]).alias("cos_sim"))))
         return expr_let(F.sqrt(dot(vv, vv)), with_norm)
 
     return expr_let(v, best_from)
@@ -843,8 +858,13 @@ def ivf_route_col(vec_col, centroids, nprobe: int = 1) -> Column:
 
     def routes_from(vv: Column) -> Column:
         def with_norm(nv: Column) -> Column:
-            ranked = F.array_sort(
-                F.array(*_ivf_score_structs(vv, nv, cents)))
+            # undefined scores (ns = +inf) never route: a zero-norm
+            # centroid drops out of every probe list and a zero-norm
+            # row routes nowhere (empty array) — the batch paths'
+            # null-candidate drop, in Column form (r13 self-review)
+            ranked = F.filter(
+                F.array_sort(F.array(*_ivf_score_structs(vv, nv, cents))),
+                lambda s: s["ns"] != F.lit(float("inf")))
             return F.transform(F.slice(ranked, 1, int(nprobe)),
                                lambda s: s["c"])
         return expr_let(F.sqrt(dot(vv, vv)), with_norm)

@@ -431,7 +431,7 @@ class IncrementalEngine:
 
     # -- bootstrap / resync (T8) --------------------------------------------
 
-    def resync(self, target: str) -> None:
+    def resync(self, target: str, _epoch: bool = True) -> None:
         """Full rebuild of one target — bootstrap and handler-upgrade path.
 
         Reference: ``resync.py:91-128`` walks every source id through the
@@ -439,6 +439,12 @@ class IncrementalEngine:
         skips so an interrupted resync resumes. Here the rebuild is ONE
         batch pipeline + atomic overwrite: interruption leaves the old
         snapshot live, so the skip machinery is unnecessary.
+
+        ``_epoch`` (internal): the multi-target drivers (resync_all /
+        resync_changed / resync_interleaved) pass False and publish ONE
+        epoch after their last target — a per-target epoch would let a
+        concurrent snapshot() pin a half-rebuilt upgrade as consistent
+        (r13 self-review).
         """
         sources = self.engine.config[target]
         first = next(iter(sources.values()))
@@ -463,14 +469,18 @@ class IncrementalEngine:
                 target, self.engine.map_table(target, overrides or None))
             for src, spec in sources.items():
                 self.store.set_handler_version(target, src, spec.version)
-        self._commit_epoch()
+        if _epoch:
+            self._commit_epoch()
 
     def resync_all(self) -> None:
         """Rebuild every target in dependency order — the reference's
         startup resync loop (``scripts/worker.py:66-71``); topological
-        order generalizes its map-then-reduce pass to deep DAGs."""
+        order generalizes its map-then-reduce pass to deep DAGs. The
+        epoch publishes ONCE at the end: snapshots opened mid-rebuild
+        resolve to the whole pre-rebuild state."""
         for target in self._topo_targets():
-            self.resync(target)
+            self.resync(target, _epoch=False)
+        self._commit_epoch()
 
     def _changed_targets(self) -> list[str]:
         """Targets whose configured handler version differs from the stored
@@ -506,10 +516,14 @@ class IncrementalEngine:
 
     def resync_changed(self) -> list[str]:
         """Resync only targets whose configured handler version differs from
-        the stored one (``resync.py:77-88`` version diff)."""
+        the stored one (``resync.py:77-88`` version diff). One epoch at
+        the end, like resync_all — a handler upgrade's map and reduce
+        rebuilds land in the same consistent snapshot."""
         changed = self._changed_targets()
         for target in changed:
-            self.resync(target)
+            self.resync(target, _epoch=False)
+        if changed:
+            self._commit_epoch()
         return changed
 
     def resync_interleaved(self, drain=None, chunks: int = 8) -> list[str]:
@@ -547,7 +561,7 @@ class IncrementalEngine:
                 ((src, spec),) = sources.items()
                 if not self.store.exists(src):
                     # no stored map yet: nothing to slice — one-shot bootstrap
-                    self.resync(target)
+                    self.resync(target, _epoch=False)
                 else:
                     for i in range(chunks):
                         keys = (self.store.read(src).select("_mr_key")
@@ -567,7 +581,7 @@ class IncrementalEngine:
                 # resync pass rebuilds, so chunk-slicing the catalog makes
                 # no sense — one-shot rebuild after upstream finished
                 # (topo order of _changed_targets guarantees that)
-                self.resync(target)
+                self.resync(target, _epoch=False)
                 drain()
             else:
                 for i in range(chunks):
@@ -1036,9 +1050,11 @@ class IncrementalEngine:
         remaining = dl.join(
             ready.select("resource_type", "resource_id"),
             ["resource_type", "resource_id"], "left_anti")
+        # no epoch commit here: apply_changes above already published
+        # one, and the dead-letter table is outside engine.config so the
+        # trailing overwrite cannot change epoch content (r13 review)
         self.store.overwrite(table, remaining)
         ready.unpersist()
-        self._commit_epoch()
         return n
 
     # -- convenience ----------------------------------------------------------

@@ -1069,6 +1069,38 @@ def test_nearest_neighbor_ivf_zero_norm_member_loses(spark):
     assert 2 not in out
 
 
+def test_ivf_column_forms_zero_norm_hardening(spark):
+    """r13 self-review: the _ivf_score_structs Column family
+    (ivf_cluster_col / ivf_route_col — the maintained-IVF engine and
+    probe routing) must apply the same zero-norm discipline as the
+    batch argmax paths: a zero-norm CENTROID never wins an assignment
+    or appears in a route (its undefined score coalesces to +inf and
+    loses every ascending comparison, instead of NULL sorting first
+    and winning), and a zero-norm ROW assigns to NULL / routes nowhere
+    (the Column mirror of the batch paths dropping null-scored rows) —
+    with no ANSI divide-by-zero abort anywhere."""
+    cents = [(0, [0.0, 0.0]),             # zero-norm centroid
+             (1, [1.0, 0.0]), (2, [0.0, 1.0])]
+    rows = [(1, [0.9, 0.1]),              # nearest live centroid: 1
+            (2, [0.1, 0.9]),              # nearest live centroid: 2
+            (3, [0.0, 0.0])]              # zero-norm row
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    got = {r["id"]: r for r in df.select(
+        "id",
+        similarity.ivf_cluster_col("v", cents).alias("c"),
+        similarity.ivf_cluster_col("v", cents, with_sim=True).alias("cs"),
+        similarity.ivf_route_col("v", cents, nprobe=3).alias("routes"))
+        .collect()}
+    assert got[1]["c"] == 1 and got[2]["c"] == 2
+    assert got[3]["c"] is None and got[3]["cs"] is None
+    assert got[1]["cs"]["cluster_id"] == 1
+    assert got[1]["cs"]["cos_sim"] is not None
+    # routes: ranked live centroids only — cluster 0 never routes
+    assert list(got[1]["routes"]) == [1, 2]
+    assert list(got[2]["routes"]) == [2, 1]
+    assert list(got[3]["routes"]) == []
+
+
 # ---------------------------------------------------------------------------
 # k-means (Lloyd) + cluster-density sampling
 # ---------------------------------------------------------------------------

@@ -481,3 +481,48 @@ def test_snapshot_is_all_or_none_across_tables(setup):
     assert {r["_mr_key"]: r["_mr_value"]
             for r in held.read("sum_target").collect()} == {"1": 8}
     assert read_sums(inc) == {"1": 15}
+
+
+def test_resync_publishes_one_epoch(setup):
+    """r13 self-review: resync_all/resync_changed publish ONE epoch
+    after the last target — a snapshot opened between two rebuilds
+    (map new, reduce not yet) must still resolve to the whole
+    pre-rebuild state, not pin a half-applied handler upgrade as
+    consistent."""
+    spark, cat, inc, set_source = setup
+    inc.apply_changes(notifications(spark, [
+        ("source", "created", "1"),
+        ("source", "created", "2"),
+        ("source", "created", "3")]))
+    assert read_sums(inc) == {"1": 6}
+
+    set_source([("1", "source", "a", 1, 10),
+                ("2", "source", "a", 1, 20),
+                ("3", "source", "a", 1, 30)])
+    mid = {}
+    orig = inc.store.overwrite
+
+    def hooked(table, df, **kw):
+        orig(table, df, **kw)
+        if table == "source__map" and not mid:
+            snap = inc.snapshot()
+            mid["map"] = {(r["_mr_key"], r["_mr_value"]) for r in
+                          snap.read("source__map")
+                          .select("_mr_key", "_mr_value").collect()}
+            mid["sum"] = {r["_mr_key"]: r["_mr_value"]
+                          for r in snap.read("sum_target").collect()}
+
+    inc.store.overwrite = hooked
+    try:
+        inc.resync_all()
+    finally:
+        inc.store.overwrite = orig
+    # mid-rebuild snapshot: the whole PRE-resync state, both tables
+    assert mid["map"] == {("1", 1), ("1", 2), ("1", 3)}
+    assert mid["sum"] == {"1": 6}
+    # post-rebuild snapshot: the whole NEW state
+    snap = inc.snapshot()
+    assert {r["_mr_value"] for r in snap.read("source__map")
+            .select("_mr_value").collect()} == {10, 20, 30}
+    assert {r["_mr_key"]: r["_mr_value"]
+            for r in snap.read("sum_target").collect()} == {"1": 60}
