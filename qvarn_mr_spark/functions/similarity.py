@@ -198,17 +198,20 @@ def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
     scored = v.crossJoin(F.broadcast(cent)).select(
         "vec_id", "cluster_id",
         F.round(cosine(F.col("v_vec"), F.col("c_vec")), 6).alias("cos_sim"))
-    # nulls out before the argmax: a zero-norm CENTROID scores NULL vs
-    # every vector and NULL sorts first in ascending struct comparison —
-    # unfiltered it would win every assignment (a zero-norm vector's
-    # all-NULL row is dropped instead of crowned; contract-violating
-    # input either way, see cosine()).
-    return (scored.filter(F.col("cos_sim").isNotNull())
-            .groupBy("vec_id")
+    # zero-norm guard, in the ORDERING not a pre-agg filter: a NULL
+    # score (zero-norm centroid or vector, see cosine()) coalesces to
+    # +inf so it loses every ascending comparison — a pre-agg
+    # filter(cos_sim IS NOT NULL) pushes below the project into the
+    # join condition and re-evaluates the whole interpreted cosine per
+    # pair (measured ~1.5× on this family, r13 bench); the post-agg
+    # filter below drops all-NULL vectors at one row per vec instead.
+    return (scored.groupBy("vec_id")
             .agg(F.min_by(
                 F.struct(F.col("cluster_id"), F.col("cos_sim")),
-                F.struct((-F.col("cos_sim")).alias("neg_sim"),
+                F.struct(F.coalesce(-F.col("cos_sim"),
+                                    F.lit(float("inf"))).alias("neg_sim"),
                          F.col("cluster_id"))).alias("_best"))
+            .filter(F.col("_best.cos_sim").isNotNull())
             .select("vec_id", "_best.cluster_id", "_best.cos_sim"))
 
 
@@ -387,13 +390,18 @@ def nearest_neighbor_ivf(df: DataFrame, id_col: str, vec_col: str,
     # the map side reduces each candidate partition to one row per query
     # before any shuffle, so no task ever sorts a cluster's full
     # membership (same shape as the Arrow twin's global phase below).
-    # NULL cos_sim sorts FIRST in ascending struct comparison — it would
-    # WIN the argmax. The old window ordered nulls last; drop them instead.
-    return (scored.filter(F.col("cos_sim").isNotNull())
-            .groupBy("q_id")
+    # NULL cos_sim sorts FIRST in ascending struct comparison — it
+    # would WIN the argmax. Coalesce it to +inf in the ORDERING (a
+    # pre-agg filter would push into the join condition and double-
+    # evaluate the interpreted cosine — r13 bench); all-NULL queries
+    # drop at the post-agg filter below, one row each.
+    return (scored.groupBy("q_id")
             .agg(F.min_by(F.struct(F.col("n_id"), F.col("cos_sim")),
-                          F.struct((-F.col("cos_sim")).alias("neg"),
+                          F.struct(F.coalesce(-F.col("cos_sim"),
+                                              F.lit(float("inf")))
+                                   .alias("neg"),
                                    F.col("n_id"))).alias("_b"))
+            .filter(F.col("_b.cos_sim").isNotNull())
             .select("q_id", F.col("_b.n_id"), F.col("_b.cos_sim"),
                     F.lit(1).alias("rn")))
 
@@ -501,6 +509,7 @@ def nearest_neighbor_ivf_arrow(df: DataFrame, id_col: str, vec_col: str,
             .agg(F.min_by(F.struct(F.col("n_id"), F.col("cos_sim")),
                           F.struct((-F.col("cos_sim")).alias("neg"),
                                    F.col("n_id"))).alias("_b"))
+            .filter(F.col("_b.cos_sim").isNotNull())
             .select("q_id", F.col("_b.n_id"), F.col("_b.cos_sim"),
                     F.lit(1).alias("rn")))
 
@@ -1688,14 +1697,19 @@ def _kmeans_score(v: DataFrame, cent: DataFrame,
     scored = v.crossJoin(F.broadcast(cent)).select(
         "vec_id", "cluster_id", "v_vec",
         F.round(cosine(F.col("v_vec"), F.col("c_vec")), 6).alias("cos_sim"))
-    # same NULL-wins-min_by hardening as ivf_assign (zero-norm guard)
-    scored = scored.filter(F.col("cos_sim").isNotNull())
+    # same zero-norm guard as ivf_assign — in the ORDERING, not a
+    # pre-agg filter (which would push into the join condition and
+    # double-evaluate the interpreted cosine: measured ~1.5× across
+    # the whole k-means family, r13 bench)
     aggs = [F.min_by(F.struct(F.col("cluster_id"), F.col("cos_sim")),
-                     F.struct((-F.col("cos_sim")).alias("neg_sim"),
+                     F.struct(F.coalesce(-F.col("cos_sim"),
+                                         F.lit(float("inf")))
+                              .alias("neg_sim"),
                               F.col("cluster_id"))).alias("_best")]
     if keep_vec:
         aggs.append(F.first("v_vec").alias("v_vec"))
-    out = scored.groupBy("vec_id").agg(*aggs)
+    out = scored.groupBy("vec_id").agg(*aggs) \
+        .filter(F.col("_best.cos_sim").isNotNull())
     cols = ["vec_id", "_best.cluster_id", "_best.cos_sim"]
     return out.select(*cols, "v_vec") if keep_vec else out.select(*cols)
 
