@@ -558,6 +558,60 @@ def test_corpus_gate_stream_lsh_matches_batch(spark, tmp_path):
     assert streamed == batch == ["i2", "k1", "k2"]
 
 
+def test_corpus_gate_stream_lsh_with_watermark(spark, tmp_path):
+    """The LSH gate composes with the watermarked fp-dedup form: the
+    per-band stream-static anti-joins sit AFTER
+    dropDuplicatesWithinWatermark in the plan, and the combination must
+    still run in append mode (stateless joins after a stateful op) and
+    keep/drop the same docs."""
+    import glob
+    import shutil
+
+    from qvarn_mr_spark.functions import dedup
+    from qvarn_mr_spark.functions.pipeline import corpus_gate_stream
+
+    indexed = [("i1", "the quick brown fox jumps over the lazy dog in "
+                      "the sun and then the dog ran back to the house")]
+    corpus = spark.createDataFrame(indexed, "doc_id string, text string")
+    index = corpus.select(
+        F.col("doc_id").alias("_mr_value"),
+        F.explode(dedup.minhash_band_keys_col("text")).alias("_mr_key"))
+    rows = [
+        ("x1", indexed[0][1], "2024-01-01 10:00:00"),   # near-dup: drop
+        ("k1", "colorless green ideas sleep furiously under the bright "
+               "red moon while seven silent ships sail slowly home",
+         "2024-01-01 10:00:05"),                        # novel: keep
+        ("k2", "colorless green ideas sleep furiously under the bright "
+               "red moon while seven silent ships sail slowly home",
+         "2024-01-01 10:00:09"),                        # exact dup: drop
+    ]
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    df = spark.createDataFrame(
+        rows, "doc_id string, text string, ts_s string").select(
+        "doc_id", "text", F.to_timestamp("ts_s").alias("ts"))
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "tmp"))
+    for i, f in enumerate(glob.glob(str(tmp_path / "tmp" / "*.parquet"))):
+        shutil.move(f, str(feed / f"b-{i}.parquet"))
+
+    arrived = []
+    stream = spark.readStream \
+        .schema("doc_id string, text string, ts timestamp") \
+        .parquet(str(feed))
+    q = (corpus_gate_stream(stream, min_quality=0.0, min_tokens=1,
+                            lsh_index=index, watermark="10 minutes",
+                            ts_col="ts")
+         .writeStream.outputMode("append")
+         .foreachBatch(lambda b, _: arrived.extend(b.collect()))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    # x1 dies at the LSH gate; exactly ONE of the exact-dup pair
+    # survives the fp dedup (first-seen within the batch)
+    got = sorted(r["doc_id"] for r in arrived)
+    assert len(got) == 1 and got[0] in ("k1", "k2"), got
+
+
 def test_unigram_surprisal_stream_matches_batch(spark, sf_dir):
     """r10: the exported-LM streaming scorer must reproduce the batch
     unigram_surprisal value-for-value on in-vocabulary documents (LM
