@@ -320,11 +320,39 @@ def _minhash_cols_linear(n_hashes: int) -> list[Column]:
     return cols
 
 
+def minhash_raw_signatures(df: DataFrame, id_col: str, text_col: str,
+                           n_hashes: int = MINHASH_N,
+                           hash_family: str = "md5slice",
+                           shingles: DataFrame | None = None) -> DataFrame:
+    """The UNBANDED ``(doc_id, h0..h{n-1})`` MinHash signature table —
+    the banding-independent half of :func:`minhash_signatures`, split
+    out (r13) so a grid sweep over band counts (:func:`tune_lsh_bands`)
+    computes the n_hashes min-aggregates ONCE and re-bands the result
+    per grid point instead of re-running the whole signature pass.
+
+    ``shingles``: a caller-supplied (doc_id, shingle) table — composed
+    pipelines (dedup_corpus) pin ONE shingle table and feed both the
+    signature path and the Jaccard-verify path from it, saving a full
+    tokenize+shingle+distinct corpus pass."""
+    sh = (shingles if shingles is not None
+          else shingle_table(df, id_col, text_col))
+    if hash_family == "linear":
+        # staged projection: the base digest is ONE named column the 128
+        # min-aggregates reference — never re-inlined per aggregate
+        staged = sh.select("doc_id", _minhash_base_col().alias("_mhv"))
+        return staged.groupBy("doc_id").agg(*_minhash_cols_linear(n_hashes))
+    if hash_family == "md5slice":
+        return sh.groupBy("doc_id").agg(*_minhash_cols(n_hashes))
+    raise ValueError(f"unknown hash_family={hash_family!r} "
+                     "(md5slice | linear)")
+
+
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        n_hashes: int = MINHASH_N,
                        n_bands: int = MINHASH_BANDS,
                        hash_family: str = "md5slice",
-                       shingles: DataFrame | None = None) -> DataFrame:
+                       shingles: DataFrame | None = None,
+                       raw_sigs: DataFrame | None = None) -> DataFrame:
     """Per-document MinHash signature, banded for LSH.
 
     Returns ``(doc_id, band_0 … band_{B-1})`` where each band is the
@@ -347,22 +375,9 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
         raise ValueError(f"n_hashes={n_hashes} not divisible by "
                          f"n_bands={n_bands}")
     rows = n_hashes // n_bands
-    # ``shingles``: a caller-supplied (doc_id, shingle) table — composed
-    # pipelines (dedup_corpus) pin ONE shingle table and feed both the
-    # signature path and the Jaccard-verify path from it, saving a full
-    # tokenize+shingle+distinct corpus pass
-    sh = (shingles if shingles is not None
-          else shingle_table(df, id_col, text_col))
-    if hash_family == "linear":
-        # staged projection: the base digest is ONE named column the 128
-        # min-aggregates reference — never re-inlined per aggregate
-        staged = sh.select("doc_id", _minhash_base_col().alias("_mhv"))
-        sig = staged.groupBy("doc_id").agg(*_minhash_cols_linear(n_hashes))
-    elif hash_family == "md5slice":
-        sig = sh.groupBy("doc_id").agg(*_minhash_cols(n_hashes))
-    else:
-        raise ValueError(f"unknown hash_family={hash_family!r} "
-                         "(md5slice | linear)")
+    sig = (raw_sigs if raw_sigs is not None
+           else minhash_raw_signatures(df, id_col, text_col, n_hashes,
+                                       hash_family, shingles))
     bands = [
         F.concat_ws("|", *[F.col(f"h{b * rows + r}")
                            for r in range(rows)]).alias(f"band_{b}")
@@ -376,7 +391,8 @@ def minhash_candidates(df: DataFrame, id_col: str, text_col: str,
                        n_bands: int = MINHASH_BANDS,
                        max_bucket: int | None = None,
                        hash_family: str = "md5slice",
-                       shingles: DataFrame | None = None) -> DataFrame:
+                       shingles: DataFrame | None = None,
+                       raw_sigs: DataFrame | None = None) -> DataFrame:
     """LSH candidate pairs: documents agreeing on ≥1 band.
 
     Melt signatures to (doc_id, band_pos, sig) and self-equi-join on the
@@ -404,7 +420,8 @@ def minhash_candidates(df: DataFrame, id_col: str, text_col: str,
     self-join shape. Returns ``(a_id, b_id, n_bands)``.
     """
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, n_bands,
-                              hash_family=hash_family, shingles=shingles)
+                              hash_family=hash_family, shingles=shingles,
+                              raw_sigs=raw_sigs)
     melted = sigs.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"band_{b}")
@@ -611,8 +628,14 @@ def dup_clusters(pairs: DataFrame, a: str = "a_id", b: str = "b_id",
     # the full sf0.1 pipeline)
     pairs = pairs.select(F.col(a).alias("u"), F.col(b).alias("v")) \
                  .localCheckpoint(eager=True)
-    sym = pairs.unionByName(
+    # r13 (guide §2.4): the symmetric pair list is static and joined on
+    # v every round — pin it pre-partitioned+sorted on that key so the
+    # per-round neighbor-label join needs no Exchange and no Sort on
+    # the edge-sized side (label frames arrive hash-partitioned out of
+    # each round's checkpoint)
+    sym = pin(pairs.unionByName(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition("v").sortWithinPartitions("v"))
     labels = (sym.select(F.col("u").alias("node")).distinct()
               .withColumn("label", F.col("node")))
     if init_labels is not None:
@@ -623,16 +646,24 @@ def dup_clusters(pairs: DataFrame, a: str = "a_id", b: str = "b_id",
             .select("node", F.coalesce(F.col("_l0"), F.col("node"))
                     .alias("label")))
     for _ in range(max_iter):
-        # pointer doubling: treat (node -> label) as extra edges both ways
-        edges = sym.unionByName(
-            labels.select(F.col("node").alias("u"),
-                          F.col("label").alias("v"))
-        ).unionByName(
-            labels.select(F.col("label").alias("u"),
-                          F.col("node").alias("v"))
-        )
-        nbr = (edges.join(labels.select(F.col("node").alias("v"),
-                                        F.col("label").alias("vlabel")), "v")
+        # pointer doubling: treat (node -> label) as extra edges both
+        # ways. r13 (guide §2.4): the three edge branches resolve their
+        # tip label SEPARATELY instead of unioning into one join — the
+        # static sym branch hits the pre-partitioned pin (no shuffle of
+        # the edge-sized side, no sort), the forward label-link branch
+        # is a node-sized self-join, and the backward branch needs no
+        # join at all (the (label -> node) edge's tip label is
+        # label(node), i.e. the u value itself). Row-for-row the same
+        # (u, vlabel) multiset as the unioned join, so min is unchanged.
+        lab_v = labels.select(F.col("node").alias("v"),
+                              F.col("label").alias("vlabel"))
+        nb1 = sym.join(lab_v, "v").select("u", "vlabel")
+        nb2 = (labels.select(F.col("node").alias("u"),
+                             F.col("label").alias("v"))
+               .join(lab_v, "v").select("u", "vlabel"))
+        nb3 = labels.select(F.col("label").alias("u"),
+                            F.col("label").alias("vlabel"))
+        nbr = (nb1.unionByName(nb2).unionByName(nb3)
                .groupBy("u").agg(F.min("vlabel").alias("nlabel")))
         # carry a changed-flag INTO the checkpoint: the convergence probe
         # then reads the already-materialized partitions with an
@@ -1127,12 +1158,22 @@ def tune_lsh_bands(df: DataFrame, id_col: str, text_col: str,
                 .filter(F.col("jaccard") >= float(threshold))
                 .select("a_id", "b_id"))
     n_truth = truth.count()                       # one scalar, bounded
+    # ONE signature pass for the whole grid (r13): the n_hashes
+    # min-aggregates are band-count-independent — each grid point only
+    # re-concatenates the pinned raw signature table into its own band
+    # layout (previously every grid point re-ran tokenize→hash→min over
+    # the shingle table: |grid|−1 redundant corpus aggregations)
+    raw = pin(minhash_raw_signatures(df, id_col, text_col,
+                                     n_hashes=n_hashes,
+                                     hash_family=hash_family,
+                                     shingles=sh))
     out = None
     for b in grid:
         cand = minhash_candidates(df, id_col, text_col,
                                   n_hashes=n_hashes, n_bands=b,
                                   hash_family=hash_family,
-                                  shingles=sh).select("a_id", "b_id")
+                                  shingles=sh,
+                                  raw_sigs=raw).select("a_id", "b_id")
         cand = pin(cand)
         nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
         nt = (cand.join(truth, ["a_id", "b_id"], "left_semi")

@@ -51,6 +51,38 @@ def _as_double(df: DataFrame, vec_col: str) -> Column:
     return F.col(vec_col).cast("array<double>")
 
 
+def _with_norm(df: DataFrame, vec: str, out: str) -> DataFrame:
+    """Attach ``sqrt(dot(v, v))`` once per ROW, before pair expansion
+    (r13, guide §1.2 "per-task work"): :func:`cosine` evaluates THREE
+    interpreted higher-order dot products per candidate pair — the two
+    norm dots depend only on one side each, so hoisting them into the
+    pre-join projections cuts the per-pair expression work to one dot
+    plus a multiply/divide (~3x less HOF evaluation on every scoring
+    join). ``try_divide(dot, na*nb)`` is bit-identical to
+    :func:`cosine`: the same doubles flow through the same operations
+    in the same order, only computed once instead of per pair."""
+    return df.withColumn(out, F.sqrt(dot(F.col(vec), F.col(vec))))
+
+
+def _cos_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``round(cosine, 6)`` with both norms precomputed by
+    :func:`_with_norm` — the pair-scoring form of :func:`cosine`, same
+    NULL-on-zero-norm totality (0/0 -> NULL under ``try_divide``)."""
+    return F.round(F.try_divide(dot(a, b), na * nb), 6)
+
+
+def _py_norm(vec) -> float:
+    """Driver-side ``sqrt(dot(v, v))`` of a literal vector: the
+    sequential ``acc += x*x`` fold over Python floats (IEEE doubles)
+    is bit-identical to the JVM ``aggregate`` fold — the same contract
+    :func:`_ivf_score_structs` documents for literal centroid norms."""
+    import math
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
 def _topk_per_query(scored: DataFrame, k: int, order_col: str = "cos_sim",
                     ascending: bool = False,
                     keys: tuple = ("q_id",)) -> DataFrame:
@@ -99,16 +131,22 @@ def knn_bruteforce(df: DataFrame, id_col: str, vec_col: str,
     *rounded* similarity with id tiebreak so it is reproducible across
     engines regardless of last-ulp noise.
     """
-    q = df.filter(query_filter).select(
-        F.col(id_col).alias("q_id"), _as_double(df, vec_col).alias("q_vec"))
-    c = df.select(
-        F.col(id_col).alias("n_id"), _as_double(df, vec_col).alias("n_vec"))
+    from qvarn_mr_spark.functions.dedup import ensure_min_partitions
+    q = _with_norm(df.filter(query_filter).select(
+        F.col(id_col).alias("q_id"),
+        _as_double(df, vec_col).alias("q_vec")), "q_vec", "_qn")
+    # parallelism floor on the corpus side (r13): a single-file corpus
+    # otherwise scores every (query, vector) pair in ONE scan task —
+    # no-op at scale, where file count alone exceeds the floor
+    c = _with_norm(ensure_min_partitions(df).select(
+        F.col(id_col).alias("n_id"),
+        _as_double(df, vec_col).alias("n_vec")), "n_vec", "_nn")
     scored = (
         F.broadcast(q).crossJoin(c)
         .filter(F.col("q_id") != F.col("n_id"))
         .select("q_id", "n_id",
-                F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6)
-                .alias("cos_sim"))
+                _cos_pre(F.col("q_vec"), F.col("n_vec"),
+                         F.col("_qn"), F.col("_nn")).alias("cos_sim"))
     )
     return _topk_per_query(scored, k)
 
@@ -129,20 +167,21 @@ def hard_negatives(df: DataFrame, id_col: str, vec_col: str,
     corpus as queries, route candidates through IVF first
     (:func:`nearest_neighbor_ivf` with the label predicate applied to
     the probed members) — same output on everything the probes reach."""
-    q = df.filter(query_filter).select(
+    from qvarn_mr_spark.functions.dedup import ensure_min_partitions
+    q = _with_norm(df.filter(query_filter).select(
         F.col(id_col).alias("q_id"),
         F.col(label_col).alias("q_label"),
-        _as_double(df, vec_col).alias("q_vec"))
-    c = df.select(
+        _as_double(df, vec_col).alias("q_vec")), "q_vec", "_qn")
+    c = _with_norm(ensure_min_partitions(df).select(
         F.col(id_col).alias("n_id"),
         F.col(label_col).alias("n_label"),
-        _as_double(df, vec_col).alias("n_vec"))
+        _as_double(df, vec_col).alias("n_vec")), "n_vec", "_nn")
     scored = (
         F.broadcast(q).crossJoin(c)
         .filter(F.col("q_label") != F.col("n_label"))
         .select("q_id", "n_id",
-                F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6)
-                .alias("cos_sim"))
+                _cos_pre(F.col("q_vec"), F.col("n_vec"),
+                         F.col("_qn"), F.col("_nn")).alias("cos_sim"))
     )
     return _topk_per_query(scored, k)
 
@@ -158,14 +197,17 @@ def ivf_assign_topn(df: DataFrame, id_col: str, vec_col: str,
     recover neighbors that fell across a Voronoi boundary. Ranking uses the
     *rounded* similarity with cluster-id tiebreak (engine-reproducible).
     """
-    cent = df.filter(centroid_filter).select(
+    from qvarn_mr_spark.functions.dedup import ensure_min_partitions
+    cent = _with_norm(df.filter(centroid_filter).select(
         F.col(id_col).alias("cluster_id"),
-        _as_double(df, vec_col).alias("c_vec"))
-    v = df.select(F.col(id_col).alias("vec_id"),
-                  _as_double(df, vec_col).alias("v_vec"))
+        _as_double(df, vec_col).alias("c_vec")), "c_vec", "_cn")
+    v = _with_norm(ensure_min_partitions(df).select(
+        F.col(id_col).alias("vec_id"),
+        _as_double(df, vec_col).alias("v_vec")), "v_vec", "_vn")
     scored = v.crossJoin(F.broadcast(cent)).select(
         "vec_id", "cluster_id",
-        F.round(cosine(F.col("v_vec"), F.col("c_vec")), 6).alias("cos_sim"))
+        _cos_pre(F.col("v_vec"), F.col("c_vec"),
+                 F.col("_vn"), F.col("_cn")).alias("cos_sim"))
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"),
                                              F.asc("cluster_id"))
     return (scored.withColumn("rn", F.row_number().over(w))
@@ -190,14 +232,17 @@ def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
     smallest cluster id on ties — identical ordering to the window form,
     without assuming cluster ids are numeric.)
     """
-    cent = df.filter(centroid_filter).select(
+    from qvarn_mr_spark.functions.dedup import ensure_min_partitions
+    cent = _with_norm(df.filter(centroid_filter).select(
         F.col(id_col).alias("cluster_id"),
-        _as_double(df, vec_col).alias("c_vec"))
-    v = df.select(F.col(id_col).alias("vec_id"),
-                  _as_double(df, vec_col).alias("v_vec"))
+        _as_double(df, vec_col).alias("c_vec")), "c_vec", "_cn")
+    v = _with_norm(ensure_min_partitions(df).select(
+        F.col(id_col).alias("vec_id"),
+        _as_double(df, vec_col).alias("v_vec")), "v_vec", "_vn")
     scored = v.crossJoin(F.broadcast(cent)).select(
         "vec_id", "cluster_id",
-        F.round(cosine(F.col("v_vec"), F.col("c_vec")), 6).alias("cos_sim"))
+        _cos_pre(F.col("v_vec"), F.col("c_vec"),
+                 F.col("_vn"), F.col("_cn")).alias("cos_sim"))
     # zero-norm guard, in the ORDERING not a pre-agg filter: a NULL
     # score (zero-norm centroid or vector, see cosine()) coalesces to
     # +inf so it loses every ascending comparison — a pre-agg
@@ -378,13 +423,16 @@ def nearest_neighbor_ivf(df: DataFrame, id_col: str, vec_col: str,
     cand = (probes.join(members, "cluster_id")
             .filter(F.col("q_id") != F.col("n_id"))
             .select("q_id", "n_id"))
-    qv = df.select(F.col(id_col).alias("q_id"),
-                   _as_double(df, vec_col).alias("q_vec"))
-    nv = df.select(F.col(id_col).alias("n_id"),
-                   _as_double(df, vec_col).alias("n_vec"))
+    qv = _with_norm(df.select(F.col(id_col).alias("q_id"),
+                              _as_double(df, vec_col).alias("q_vec")),
+                    "q_vec", "_qn")
+    nv = _with_norm(df.select(F.col(id_col).alias("n_id"),
+                              _as_double(df, vec_col).alias("n_vec")),
+                    "n_vec", "_nn")
     scored = (cand.join(qv, "q_id").join(nv, "n_id")
               .select("q_id", "n_id",
-                      F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6)
+                      _cos_pre(F.col("q_vec"), F.col("n_vec"),
+                               F.col("_qn"), F.col("_nn"))
                       .alias("cos_sim")))
     # k=1: a partial-aggregating min_by instead of a per-query window —
     # the map side reduces each candidate partition to one row per query
@@ -554,19 +602,22 @@ def _probe_search(df: DataFrame, id_col: str, vec_col: str,
         F.col(id_col).alias("vec_id")), "vec_id", "left_semi")
         .select(F.col("vec_id").alias("q_id"),
                 F.col("cluster_id").alias("q_cluster")))
-    vecs = df.select(F.col(id_col).alias("n_id"),
-                     _as_double(df, vec_col).alias("n_vec"))
+    vecs = _with_norm(df.select(F.col(id_col).alias("n_id"),
+                                _as_double(df, vec_col).alias("n_vec")),
+                      "n_vec", "_nn")
     cluster_members = assign.select(F.col("vec_id").alias("n_id"),
                                     "cluster_id")
-    qv = df.select(F.col(id_col).alias("q_id"),
-                   _as_double(df, vec_col).alias("q_vec"))
+    qv = _with_norm(df.select(F.col(id_col).alias("q_id"),
+                              _as_double(df, vec_col).alias("q_vec")),
+                    "q_vec", "_qn")
     scored = (F.broadcast(q_assign).join(qv, "q_id")
               .join(cluster_members,
                     F.col("q_cluster") == cluster_members["cluster_id"])
               .join(vecs, "n_id")
               .filter(F.col("q_id") != F.col("n_id"))
               .select("q_id", "n_id",
-                      F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6)
+                      _cos_pre(F.col("q_vec"), F.col("n_vec"),
+                               F.col("_qn"), F.col("_nn"))
                       .alias("cos_sim")))
     return _topk_per_query(scored, k)
 
@@ -743,6 +794,8 @@ def probe_embedding_lsh_index(delta: DataFrame, corpus: DataFrame,
     keys = ensure_min_partitions(delta).select(
         F.col(id_col).alias("probe_id"),
         _as_double(delta, vec_col).alias("_p_vec"),
+        F.sqrt(dot(_as_double(delta, vec_col),
+                   _as_double(delta, vec_col))).alias("_pn"),
         F.explode(embedding_band_keys_col(vec_col, planes, bands, dim,
                                           seed)).alias("_mr_key"))
     members = live(index).select(
@@ -751,11 +804,13 @@ def probe_embedding_lsh_index(delta: DataFrame, corpus: DataFrame,
     cand = (keys.join(members, "_mr_key")
             .filter(F.col("probe_id") != F.col("member_id"))
             .dropDuplicates(["probe_id", "member_id"]))
-    mv = corpus.select(F.col(id_col).alias("member_id"),
-                       _as_double(corpus, vec_col).alias("_m_vec"))
+    mv = _with_norm(corpus.select(
+        F.col(id_col).alias("member_id"),
+        _as_double(corpus, vec_col).alias("_m_vec")), "_m_vec", "_mn")
     return (cand.join(mv, "member_id")
             .select("probe_id", "member_id",
-                    F.round(cosine(F.col("_p_vec"), F.col("_m_vec")), 6)
+                    _cos_pre(F.col("_p_vec"), F.col("_m_vec"),
+                             F.col("_pn"), F.col("_mn"))
                     .alias("cos_sim"))
             .filter(F.col("cos_sim") >= threshold))
 
@@ -989,12 +1044,15 @@ def _ivf_probe_routes(delta, centroids, id_col, vec_col, nprobe):
     routes = serve_pin(ensure_min_partitions(delta).select(
         F.col(id_col).alias("q_id"),
         _as_double(delta, vec_col).alias("_q_vec"),
+        F.sqrt(dot(_as_double(delta, vec_col),
+                   _as_double(delta, vec_col))).alias("_qn"),
         F.explode(ivf_route_col(vec_col, centroids, nprobe))
         .alias("_c")))
     probed = sorted({str(r["_c"]) for r in
                      routes.select("_c").distinct().collect()})
     keys = routes.select(
-        "q_id", "_q_vec", F.col("_c").cast("string").alias("_mr_key"))
+        "q_id", "_q_vec", "_qn",
+        F.col("_c").cast("string").alias("_mr_key"))
     return keys, probed
 
 
@@ -1005,14 +1063,17 @@ def _ivf_probe_score(keys: DataFrame, probed: list, index: DataFrame,
     cosine against the index-carried vectors, per-query top-k."""
     from qvarn_mr_spark.operators.mapreduce import live
 
-    m = (live(index)
-         .filter(F.col("_mr_key").isin(probed))
-         .select("_mr_key", F.col("_mr_value.m_id").alias("n_id"),
-                 F.col("_mr_value.m_vec").alias("_n_vec")))
+    m = _with_norm(
+        live(index)
+        .filter(F.col("_mr_key").isin(probed))
+        .select("_mr_key", F.col("_mr_value.m_id").alias("n_id"),
+                F.col("_mr_value.m_vec").alias("_n_vec")),
+        "_n_vec", "_nn")
     scored = (F.broadcast(keys).join(m, "_mr_key")
               .filter(F.col("q_id") != F.col("n_id"))
               .select("q_id", "n_id",
-                      F.round(cosine(F.col("_q_vec"), F.col("_n_vec")), 6)
+                      _cos_pre(F.col("_q_vec"), F.col("_n_vec"),
+                               F.col("_qn"), F.col("_nn"))
                       .alias("cos_sim")))
     return _topk_per_query(scored, k)
 
@@ -1089,20 +1150,24 @@ def probe_ivf_partitioned(spark, path: str, queries: DataFrame,
     routes = serve_pin(ensure_min_partitions(queries).select(
         F.col(id_col).alias("q_id"),
         _as_double(queries, vec_col).alias("_q_vec"),
+        F.sqrt(dot(_as_double(queries, vec_col),
+                   _as_double(queries, vec_col))).alias("_qn"),
         F.explode(ivf_route_col(vec_col, centroids, nprobe))
         .alias("cluster_id")))
     probed = sorted({r["cluster_id"] for r in
                      routes.select("cluster_id").distinct().collect()})
-    corpus = (spark.read.parquet(path)
-              .filter(F.col("cluster_id").isin([int(c) for c in probed]))
-              .select(F.col(id_col).alias("n_id"),
-                      F.col(vec_col).cast("array<double>")
-                      .alias("_n_vec"),
-                      F.col("cluster_id").cast("long").alias("cluster_id")))
+    corpus = _with_norm(
+        spark.read.parquet(path)
+        .filter(F.col("cluster_id").isin([int(c) for c in probed]))
+        .select(F.col(id_col).alias("n_id"),
+                F.col(vec_col).cast("array<double>").alias("_n_vec"),
+                F.col("cluster_id").cast("long").alias("cluster_id")),
+        "_n_vec", "_nn")
     scored = (F.broadcast(routes).join(corpus, "cluster_id")
               .filter(F.col("q_id") != F.col("n_id"))
               .select("q_id", "n_id",
-                      F.round(cosine(F.col("_q_vec"), F.col("_n_vec")), 6)
+                      _cos_pre(F.col("_q_vec"), F.col("_n_vec"),
+                               F.col("_qn"), F.col("_nn"))
                       .alias("cos_sim")))
     return _topk_per_query(scored, k)
 
@@ -1146,9 +1211,17 @@ def hybrid_search(docs: DataFrame, emb: DataFrame, query_terms,
     terms, qv = _hybrid_query(query_terms, query_vec, "hybrid_search")
     lex = _hybrid_lex_leg(docs, terms, id_col, text_col)
     qlit = F.array(*[F.lit(x) for x in qv])
+    # query-literal norm precomputed driver-side (r13): the sequential
+    # acc += x*x fold over doubles is bit-identical to the JVM
+    # aggregate fold (the _ivf_score_structs contract) — one HOF dot
+    # per corpus row saved
     vec = emb.select(
         F.col(vec_id_col).alias("doc_id"),
-        F.round(cosine(_as_double(emb, vec_col), qlit), 6)
+        F.round(F.try_divide(
+            dot(_as_double(emb, vec_col), qlit),
+            F.sqrt(dot(_as_double(emb, vec_col),
+                       _as_double(emb, vec_col)))
+            * F.lit(_py_norm(qv))), 6)
         .alias("cos_sim"))
     return _hybrid_rrf_fuse(lex, vec, k, rrf_k, pool)
 
@@ -1265,10 +1338,16 @@ def hybrid_search_ivf(docs: DataFrame, emb: DataFrame, query_terms,
         F.explode(ivf_route_col("q", centroids, nprobe)).alias("c"))
         .collect() for c in [r["c"]]})
     qlit = F.array(*[F.lit(x) for x in qv])
+    # same driver-side query-norm hoist as hybrid_search (bit-identical
+    # acc fold, one HOF dot per probed row saved)
     vec = (emb.filter(
         ivf_cluster_col(vec_col, centroids).isin(probed))
         .select(F.col(vec_id_col).alias("doc_id"),
-                F.round(cosine(_as_double(emb, vec_col), qlit), 6)
+                F.round(F.try_divide(
+                    dot(_as_double(emb, vec_col), qlit),
+                    F.sqrt(dot(_as_double(emb, vec_col),
+                               _as_double(emb, vec_col)))
+                    * F.lit(_py_norm(qv))), 6)
                 .alias("cos_sim")))
     return _hybrid_rrf_fuse(lex, vec, k, rrf_k, pool)
 
@@ -1323,13 +1402,16 @@ def hyperplane_near_dup(df: DataFrame, id_col: str, vec_col: str,
     cand = (a.join(b, ["band_pos", "bv"])
             .filter(F.col("a_id") < F.col("b_id"))
             .select("a_id", "b_id").distinct())
-    av = df.select(F.col(id_col).alias("a_id"),
-                   _as_double(df, vec_col).alias("a_vec"))
-    bv = df.select(F.col(id_col).alias("b_id"),
-                   _as_double(df, vec_col).alias("b_vec"))
+    av = _with_norm(df.select(F.col(id_col).alias("a_id"),
+                              _as_double(df, vec_col).alias("a_vec")),
+                    "a_vec", "_an")
+    bv = _with_norm(df.select(F.col(id_col).alias("b_id"),
+                              _as_double(df, vec_col).alias("b_vec")),
+                    "b_vec", "_bn")
     return (cand.join(av, "a_id").join(bv, "b_id")
             .select("a_id", "b_id",
-                    F.round(cosine(F.col("a_vec"), F.col("b_vec")), 6)
+                    _cos_pre(F.col("a_vec"), F.col("b_vec"),
+                             F.col("_an"), F.col("_bn"))
                     .alias("cos_sim"))
             .filter(F.col("cos_sim") >= threshold))
 
@@ -1359,16 +1441,20 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
     # centroid assignment for each. Lazy localCheckpoint computes it
     # once at first execution (swap for checkpoint() on a real cluster
     # for executor-loss resilience, same note as dedup.dup_clusters).
-    m = assign.join(v, "vec_id").localCheckpoint(eager=False)
+    m = _with_norm(assign.join(v, "vec_id"), "vec", "_n") \
+        .localCheckpoint(eager=False)
     x = m.select(F.col("vec_id").alias("a_id"),
                  F.col("cluster_id").alias("cl"),
-                 F.col("vec").alias("a_vec"))
+                 F.col("vec").alias("a_vec"),
+                 F.col("_n").alias("_an"))
     y = m.select(F.col("vec_id").alias("b_id"),
                  F.col("cluster_id").alias("cl"),
-                 F.col("vec").alias("b_vec"))
+                 F.col("vec").alias("b_vec"),
+                 F.col("_n").alias("_bn"))
     dominated = (x.join(y, "cl")
                  .filter(F.col("a_id") > F.col("b_id"))
-                 .filter(F.round(cosine(F.col("a_vec"), F.col("b_vec")), 6)
+                 .filter(_cos_pre(F.col("a_vec"), F.col("b_vec"),
+                                  F.col("_an"), F.col("_bn"))
                          >= threshold)
                  .select(F.col("a_id").alias("vec_id"))
                  .distinct())
@@ -1694,9 +1780,11 @@ def _kmeans_score(v: DataFrame, cent: DataFrame,
     per vector after map-side combine, no sort). ``keep_vec`` threads the
     vector through the aggregate so the Lloyd mean update needs no second
     join back to the corpus."""
-    scored = v.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "cluster_id", "v_vec",
-        F.round(cosine(F.col("v_vec"), F.col("c_vec")), 6).alias("cos_sim"))
+    scored = _with_norm(v, "v_vec", "_vn") \
+        .crossJoin(F.broadcast(_with_norm(cent, "c_vec", "_cn"))) \
+        .select("vec_id", "cluster_id", "v_vec",
+                _cos_pre(F.col("v_vec"), F.col("c_vec"),
+                         F.col("_vn"), F.col("_cn")).alias("cos_sim"))
     # same zero-norm guard as ivf_assign — in the ORDERING, not a
     # pre-agg filter (which would push into the join condition and
     # double-evaluate the interpreted cosine: measured ~1.5× across
@@ -1735,8 +1823,13 @@ def _kmeans_update(assign_with_vec: DataFrame,
 
 
 def _kmeans_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    return df.select(F.col(id_col).cast("long").alias("vec_id"),
-                     _as_double(df, vec_col).alias("v_vec"))
+    # parallelism floor (r13): a single-file corpus otherwise runs every
+    # Lloyd round's n·k·dim scoring pass on ONE scan task; no-op at
+    # scale where the file count alone exceeds the floor
+    from qvarn_mr_spark.functions.dedup import ensure_min_partitions
+    return ensure_min_partitions(df).select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        _as_double(df, vec_col).alias("v_vec"))
 
 
 def _kmeans_init(df: DataFrame, id_col: str, vec_col: str,
@@ -2036,17 +2129,20 @@ def _multi_probe_candidates(df: DataFrame, id_col: str, vec_col: str,
                 .select(F.col("vec_id").alias("q_id"),
                         F.col("cluster_id").alias("q_cluster"),
                         F.col("rn").alias("q_rn")))
-    qv = df.select(F.col(id_col).alias("q_id"),
-                   _as_double(df, vec_col).alias("q_vec"))
-    vecs = df.select(F.col(id_col).alias("n_id"),
-                     _as_double(df, vec_col).alias("n_vec"))
+    qv = _with_norm(df.select(F.col(id_col).alias("q_id"),
+                              _as_double(df, vec_col).alias("q_vec")),
+                    "q_vec", "_qn")
+    vecs = _with_norm(df.select(F.col(id_col).alias("n_id"),
+                                _as_double(df, vec_col).alias("n_vec")),
+                      "n_vec", "_nn")
     members = assign.select(F.col("vec_id").alias("n_id"), "cluster_id")
     return (F.broadcast(q_routes).join(qv, "q_id")
             .join(members, F.col("q_cluster") == F.col("cluster_id"))
             .join(vecs, "n_id")
             .filter(F.col("q_id") != F.col("n_id"))
             .select("q_id", "n_id", "q_rn",
-                    F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6)
+                    _cos_pre(F.col("q_vec"), F.col("n_vec"),
+                             F.col("_qn"), F.col("_nn"))
                     .alias("cos_sim")))
 
 

@@ -92,24 +92,36 @@ def pagerank(
       pytest differential against the fixed-``iters`` form. ``None``
       (default) keeps the deterministic oracle-able unroll."""
     # the edge list is rescanned every iteration — pin it so the distinct
-    # (its one shuffle) happens once, not per superstep
+    # (its one shuffle) happens once, not per superstep. r13: pinned
+    # PRE-PARTITIONED AND PRE-SORTED on the superstep join key (src), the
+    # bucketed-table move of guide §2.4 applied in-memory: every
+    # superstep's contributions join then needs NO exchange and NO sort
+    # on the edge side (the cached plan's hashpartitioning(src)/ordering
+    # satisfies the SMJ requirement), so the only corpus-sized shuffle
+    # per superstep is the groupBy(dst) aggregation — the Pregel ideal.
     if weight_col is None:
         e = pin(edges.select(F.col(src).alias("src"),
                              F.col(dst).alias("dst")).distinct()
+                     .repartition("src")
+                     .sortWithinPartitions("src")
                      .withColumn("w", F.lit(1.0)))
     else:
         e = pin(edges.select(F.col(src).alias("src"),
                              F.col(dst).alias("dst"),
                              F.col(weight_col).cast("double").alias("w"))
                      .groupBy("src", "dst")
-                     .agg(F.sum("w").alias("w")))
+                     .agg(F.sum("w").alias("w"))
+                     .repartition("src")
+                     .sortWithinPartitions("src"))
     nodes = (e.select(F.col("src").alias("node"))
               .union(e.select(F.col("dst").alias("node")))
               .distinct())
     nodes = pin(nodes)
     n = nodes.count()  # bounded driver scalar: |V|, needed in the formula
-    # out-strength; == out-degree when unweighted (w = 1.0 per edge)
-    outdeg = pin(e.groupBy("src").agg(F.sum("w").alias("outdeg")))
+    # out-strength; == out-degree when unweighted (w = 1.0 per edge).
+    # e is cached hash(src)-partitioned, so this aggregate is
+    # exchange-free (partial+final in place).
+    outdeg = e.groupBy("src").agg(F.sum("w").alias("outdeg"))
     if seeds is not None:
         # intersect with the node set BEFORE counting: ns must be the
         # number of seeds that can actually hold teleport mass, else
@@ -151,8 +163,26 @@ def _pagerank_loop(e, nodes, outdeg, iters, damping, digits,
     (contributions + dangling mass), so without truncation the LOGICAL
     plan doubles per iteration (2^iters nodes; AQE stringifies it per
     job and OOMs the driver around 10 supersteps). Checkpointing cuts
-    the lineage at node-sized state, the Pregel norm."""
+    the lineage at node-sized state, the Pregel norm.
+
+    r13 (guide §2.4, measured in OPTIMIZATION_r13.md): the checkpointed
+    state CARRIES the (constant) out-strength column, so each superstep
+    needs neither the outdeg join on the contributions path nor the
+    left_anti sink join on the dangling path — dangling mass is a
+    filter+sum over the node-sized state (sinks are exactly the rows
+    whose outdeg is NULL). With the edge table pinned pre-partitioned
+    on src and the state checkpoint preserving hash(node) partitioning,
+    a superstep's only Exchange is the groupBy(dst) contribution
+    shuffle (was 4 joins + 2 exchanges per superstep). Same arithmetic,
+    value-for-value: share = rank·w/outdeg and the dangling sum range
+    over identical rows."""
     node_cols = [c for c in nodes.columns]
+    # constant per-node out-strength folded into the state vector: NULL
+    # for sinks. nodes is cached hash(node)-partitioned and outdeg
+    # derives from the hash(src)-partitioned edge cache, so this join
+    # (and everything per-superstep below) is exchange-free.
+    nodes = nodes.join(outdeg, nodes["node"] == outdeg["src"], "left") \
+                 .select(*node_cols, "outdeg")
     if init_ranks is not None:
         # warm start: previous ranks where known, 1/n for new nodes,
         # renormalized to sum 1 (one-row aggregate, broadcast back) so
@@ -171,7 +201,7 @@ def _pagerank_loop(e, nodes, outdeg, iters, damping, digits,
             raise ValueError(
                 f"pagerank warm start: init_ranks total {tot!r} is not "
                 "positive; cannot renormalize to a probability vector")
-        ranks = (joined.select(*node_cols,
+        ranks = (joined.select(*node_cols, "outdeg",
                                (F.col("_r0") / F.lit(float(tot)))
                                .alias("rank"))
                  .localCheckpoint())
@@ -184,20 +214,24 @@ def _pagerank_loop(e, nodes, outdeg, iters, damping, digits,
     n_run = 0
     for _ in range(iters):
         n_run += 1
-        contribs = (e.join(ranks.select("node", "rank"),
+        # e is cached hash(src)-partitioned+sorted and the state
+        # checkpoint preserves hash(node): this join plans with no
+        # Exchange and no edge-side Sort; the groupBy(dst) below is the
+        # superstep's one corpus-sized shuffle
+        contribs = (e.join(ranks.select("node", "rank", "outdeg"),
                            e.src == F.col("node"))
-                      .join(outdeg, "src")
                       .select(e.dst.alias("node"),
                               (F.col("rank") * F.col("w")
                                / F.col("outdeg")).alias("share"))
                       .groupBy("node")
                       .agg(F.sum("share").alias("contrib")))
         # sinks hold rank but emit no shares; their mass redistributes
-        # to the teleport vector (uniform / seeds). One-row aggregate,
-        # broadcast back via cross join — no driver round-trip inside
-        # the loop.
-        dangling = (ranks.join(outdeg, ranks.node == outdeg.src,
-                               "left_anti")
+        # to the teleport vector (uniform / seeds). Sinks are exactly
+        # the NULL-outdeg state rows (r13: a filter over the node-sized
+        # checkpoint replaces the per-superstep left_anti join — same
+        # row set, same sum). One-row aggregate, broadcast back via
+        # cross join — no driver round-trip inside the loop.
+        dangling = (ranks.filter(F.col("outdeg").isNull())
                          .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
                               .alias("dangling")))
         if personalized:
@@ -210,9 +244,14 @@ def _pagerank_loop(e, nodes, outdeg, iters, damping, digits,
                          + F.lit(damping)
                          * (F.coalesce(F.col("contrib"), F.lit(0.0))
                             + F.col("dangling") / F.lit(float(n))))
-        nxt = (nodes.join(contribs, "node", "left")
+        # join the new contributions back onto the PREVIOUS checkpoint
+        # (same node set, already hash(node)-partitioned — contribs
+        # arrives partitioned the same way out of its aggregation, so
+        # this join is exchange-free too)
+        nxt = (ranks.select(*node_cols, "outdeg")
+                    .join(contribs, "node", "left")
                     .crossJoin(F.broadcast(dangling))
-                    .select(*node_cols, rank_expr.alias("rank")))
+                    .select(*node_cols, "outdeg", rank_expr.alias("rank")))
         # eager by default: materializes now, truncates lineage; the
         # previous step's blocks are released by the context cleaner
         prev = ranks
@@ -297,11 +336,21 @@ def hits(
     ``pagerank(tol=)`` — stop when the superstep L1 delta over
     (hub, auth) drops below ``tol``, with ``iters`` as the safety cap;
     one node-sized join + a one-row collect per superstep."""
-    e = pin(edges.select(F.col(src).alias("src"),
-                         F.col(dst).alias("dst")).distinct())
-    nodes = pin(e.select(F.col("src").alias("node"))
-                 .union(e.select(F.col("dst").alias("node")))
-                 .distinct())
+    # r13 (guide §2.4): TWO pinned copies of the edge list, one
+    # pre-partitioned+sorted per half-step join key — the auth half
+    # joins on src, the hub half on dst, and with the state checkpoint
+    # preserving hash(node) both half-step joins plan with no Exchange
+    # and no edge-side Sort (the in-memory bucketed-table move; the
+    # GraphX edge-replication trade, 2x edge storage for zero per-
+    # superstep edge shuffles). e_dst derives from the e_src cache, so
+    # the distinct computes once.
+    e_src = pin(edges.select(F.col(src).alias("src"),
+                             F.col(dst).alias("dst")).distinct()
+                     .repartition("src").sortWithinPartitions("src"))
+    e_dst = pin(e_src.repartition("dst").sortWithinPartitions("dst"))
+    nodes = pin(e_src.select(F.col("src").alias("node"))
+                     .union(e_src.select(F.col("dst").alias("node")))
+                     .distinct())
     # same lineage discipline as pagerank: each superstep references the
     # previous state several times (auth update, hub update, output
     # join), so state is localCheckpoint'ed per superstep
@@ -329,22 +378,26 @@ def hits(
         # frame: both its normalizer (the one-row total) and the next
         # half-step read it, and without truncation each reference
         # re-runs the edge join — two extra corpus-sized joins per
-        # superstep, measured 10x the whole operator's cost at sf0.1
-        a_raw = (e.join(state.select(F.col("node").alias("src"), "hub"),
-                        "src")
+        # superstep, measured 10x the whole operator's cost at sf0.1.
+        # r13: LAZY checkpoints — the totals' broadcast job
+        # materializes each one as a side effect, so a half-step costs
+        # one job instead of two (eager-checkpoint job + broadcast job)
+        a_raw = (e_src.join(state.select(F.col("node").alias("src"),
+                                         "hub"),
+                            "src")
                   .groupBy(F.col("dst").alias("node"))
                   .agg(F.sum("hub").alias("auth"))
-                  .localCheckpoint())
+                  .localCheckpoint(eager=False))
         a_tot = a_raw.agg(F.sum("auth").alias("tot"))
         a = (nodes.join(a_raw, "node", "left")
                   .crossJoin(F.broadcast(a_tot))
                   .select("node", (F.coalesce(F.col("auth"), F.lit(0.0))
                                    / F.col("tot")).alias("auth")))
-        h_raw = (e.join(a.select(F.col("node").alias("dst"), "auth"),
-                        "dst")
+        h_raw = (e_dst.join(a.select(F.col("node").alias("dst"), "auth"),
+                            "dst")
                   .groupBy(F.col("src").alias("node"))
                   .agg(F.sum("auth").alias("hub"))
-                  .localCheckpoint())
+                  .localCheckpoint(eager=False))
         h_tot = h_raw.agg(F.sum("hub").alias("tot"))
         nxt = (nodes.join(h_raw, "node", "left")
                     .crossJoin(F.broadcast(h_tot))
@@ -436,6 +489,15 @@ def triangle_count(edges: DataFrame, src: str = "src",
 
     Returns ``(node, triangles)`` for every node (0 for triangle-free
     nodes)."""
+    und, deg = _und_deg(edges, src, dst)
+    return _triangle_core(und, deg, max_wedges)
+
+
+def _und_deg(edges: DataFrame, src: str, dst: str):
+    """Pinned undirected collapse + per-node degree — shared by
+    :func:`triangle_count` and :func:`clustering_coefficient` (r13: the
+    coefficient previously re-derived both from the raw edges, paying
+    the distinct and the degree aggregate twice per call)."""
     und = pin(edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
                    .filter(F.col("a") != F.col("b"))
                    .select(F.least("a", "b").alias("u"),
@@ -444,6 +506,13 @@ def triangle_count(edges: DataFrame, src: str = "src",
     deg = pin(und.select(F.col("u").alias("node"))
                  .union(und.select(F.col("v").alias("node")))
                  .groupBy("node").agg(F.count("*").alias("deg")))
+    return und, deg
+
+
+def _triangle_core(und: DataFrame, deg: DataFrame,
+                   max_wedges: int | None) -> DataFrame:
+    """The degree-ordered orientation + wedge/closure joins of
+    :func:`triangle_count` over a pinned ``(und, deg)`` pair."""
     lower = ((F.col("du") < F.col("dv"))
              | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))))
     # yk = the tip's position in the same total order: lets the wedge
@@ -463,7 +532,13 @@ def triangle_count(edges: DataFrame, src: str = "src",
                                    F.col("v").alias("n")))
                     .otherwise(F.struct(F.col("du").alias("d"),
                                         F.col("u").alias("n")))
-                    .alias("yk")))
+                    .alias("yk"))
+           # r13 (guide §2.4): the wedge stage self-joins this table on
+           # x — pinning it pre-partitioned+sorted on x makes BOTH
+           # sides of that join exchange-free and sort-free (one
+           # edge-sized shuffle here instead of two there; the closure
+           # join's wedge-side shuffle remains the one m^1.5 exchange)
+           .repartition("x").sortWithinPartitions("x"))
     if max_wedges is not None:
         n_wedges = (oriented.groupBy("x")
                     .agg(F.count(F.lit(1)).alias("d"))
@@ -556,16 +631,12 @@ def clustering_coefficient(edges: DataFrame, src: str = "src",
     (1.0 = clique-like, 0.0 = star-like). Composes
     :func:`triangle_count` with the undirected degree; nodes of degree
     < 2 report 0.0. Same cost profile as triangle_count (the join and
-    the degree aggregate are already in its plan)."""
-    und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-                .filter(F.col("a") != F.col("b"))
-                .select(F.least("a", "b").alias("u"),
-                        F.greatest("a", "b").alias("v"))
-                .distinct())
-    deg = (und.select(F.col("u").alias("node"))
-              .union(und.select(F.col("v").alias("node")))
-              .groupBy("node").agg(F.count("*").alias("deg")))
-    tri = triangle_count(edges, src, dst, max_wedges=max_wedges)
+    the degree aggregate are already in its plan; r13: the undirected
+    collapse and degree table are SHARED with the triangle core via
+    :func:`_und_deg` instead of re-derived — one distinct + one degree
+    aggregate per call, not two)."""
+    und, deg = _und_deg(edges, src, dst)
+    tri = _triangle_core(und, deg, max_wedges)
     coef = F.when(F.col("deg") >= 2,
                   2.0 * F.col("triangles")
                   / (F.col("deg") * (F.col("deg") - 1))) \
@@ -620,16 +691,20 @@ def label_propagation(edges: DataFrame, src: str = "src",
     lineage discipline as the other iterative operators.
 
     Returns ``(node, label)``; nodes sharing a label are one community."""
-    from pyspark.sql import Window
-
     e = pin(edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
                  .filter(F.col("a") != F.col("b"))
                  .select(F.least("a", "b").alias("u"),
                          F.greatest("a", "b").alias("v"))
                  .distinct())
+    # r13 (guide §2.4): the symmetric adjacency is joined on nbr every
+    # round — pin it pre-partitioned+sorted on that key so the
+    # per-round votes join needs no Exchange and no Sort on the
+    # edge-sized side (labels arrive hash(node)-partitioned out of each
+    # round's aggregation, alias-preserved through the rename)
     sym = pin(e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
                .union(e.select(F.col("v").alias("node"),
-                               F.col("u").alias("nbr"))))
+                               F.col("u").alias("nbr")))
+               .repartition("nbr").sortWithinPartitions("nbr"))
     nodes = pin(sym.select("node").distinct())
     if init_labels is not None:
         labels = (nodes.join(
@@ -642,7 +717,6 @@ def label_propagation(edges: DataFrame, src: str = "src",
     else:
         labels = nodes.withColumn("label",
                                   F.col("node")).localCheckpoint()
-    w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
     for _ in range(iters):
         votes = (sym.join(labels.select(F.col("node").alias("nbr"),
                                         "label"), "nbr")
@@ -650,9 +724,17 @@ def label_propagation(edges: DataFrame, src: str = "src",
                     .union(labels.select("node", "label")))
         counts = votes.groupBy("node", "label").agg(
             F.count(F.lit(1)).alias("cnt"))
-        nxt = (counts.withColumn("_rn", F.row_number().over(w))
-                     .filter(F.col("_rn") == 1)
-                     .select("node", "label"))
+        # r13 (guide §2.3): the per-node argmax as a partial-aggregating
+        # min_by over the (−cnt, label) total order instead of a
+        # row_number window — row-identical (max count, smallest-label
+        # tiebreak), but map-side combine replaces the window's full
+        # per-partition sort of the (node, label) count table and the
+        # shuffle into the argmax carries one row per node per partition
+        nxt = (counts.groupBy("node")
+                     .agg(F.min_by(F.col("label"),
+                                   F.struct((-F.col("cnt")).alias("nc"),
+                                            F.col("label")))
+                          .alias("label")))
         if until_stable:
             # carry the changed-flag INTO the checkpoint so the probe
             # reads materialized partitions with a limit(1) early-exit
