@@ -2933,7 +2933,8 @@ def q_graph_pagerank(spark, sf_dir):
     damped update unrolled as a DuckDB CTE chain
     (oracle.pagerank_sql)."""
     from qvarn_mr_spark.operators.graph import pagerank
-    return pagerank(_cs_edges(spark, sf_dir), iters=6)
+    return pagerank(_cs_edges(spark, sf_dir), iters=6,
+                    edges_distinct=True)
 
 
 def _cs_edges_pre(spark, sf_dir):
@@ -2961,8 +2962,10 @@ def q_graph_pagerank_warm(spark, sf_dir):
     supersteps. Fully value-oracled: oracle.pagerank_sql composes — the
     pre-delta unroll feeds the post-delta unroll as its init CTE."""
     from qvarn_mr_spark.operators.graph import pagerank
-    old = pagerank(_cs_edges_pre(spark, sf_dir), iters=6)
-    return pagerank(_cs_edges(spark, sf_dir), iters=3, init_ranks=old)
+    old = pagerank(_cs_edges_pre(spark, sf_dir), iters=6,
+                   edges_distinct=True)
+    return pagerank(_cs_edges(spark, sf_dir), iters=3, init_ranks=old,
+                    edges_distinct=True)
 
 
 #: committed converged-superstep counts (the _PQ_BOOKS discipline for
@@ -3062,7 +3065,7 @@ def q_graph_pagerank_converged(spark, sf_dir):
     tests/test_graph.py's differential against deep fixed runs."""
     from qvarn_mr_spark.operators.graph import pagerank
     out, n_run = pagerank(_cs_edges(spark, sf_dir), iters=30, tol=1e-7,
-                          return_iters=True)
+                          return_iters=True, edges_distinct=True)
     _pr_record(sf_dir, n_run)
     return out
 
@@ -3076,7 +3079,8 @@ def q_graph_communities(spark, sf_dir):
     rounds: fully value-oracled by the same CTE-unroll discipline as
     PageRank (oracle.label_propagation_sql)."""
     from qvarn_mr_spark.operators.graph import label_propagation
-    return label_propagation(_part_co_edges(spark, sf_dir), iters=4)
+    return label_propagation(_part_co_edges(spark, sf_dir), iters=4,
+                             edges_canonical=True)
 
 
 def _part_co_edges_pre(spark, sf_dir):
@@ -3109,8 +3113,10 @@ def q_graph_communities_warm(spark, sf_dir):
     label tie-break), so the composed CTE unroll value-oracles the
     whole thing (oracle.label_propagation_sql(init_sql=...))."""
     from qvarn_mr_spark.operators.graph import label_propagation
-    old = label_propagation(_part_co_edges_pre(spark, sf_dir), iters=4)
+    old = label_propagation(_part_co_edges_pre(spark, sf_dir), iters=4,
+                            edges_canonical=True)
     return label_propagation(_part_co_edges(spark, sf_dir), iters=2,
+                             edges_canonical=True,
                              init_labels=old)
 
 
@@ -3119,7 +3125,7 @@ def q_graph_degrees(spark, sf_dir):
     link-farm / orphan companion signal to q_graph_pagerank. Two
     map-side-combined aggregates; full value oracle."""
     from qvarn_mr_spark.operators.graph import degree_profile
-    return degree_profile(_cs_edges(spark, sf_dir))
+    return degree_profile(_cs_edges(spark, sf_dir), edges_distinct=True)
 
 
 def _cs_edges_weighted(spark, sf_dir):
@@ -3146,7 +3152,7 @@ def q_graph_pagerank_weighted(spark, sf_dir):
     unroll)."""
     from qvarn_mr_spark.operators.graph import pagerank
     return pagerank(_cs_edges_weighted(spark, sf_dir), iters=6,
-                    weight_col="w")
+                    weight_col="w", edges_distinct=True)
 
 
 def q_graph_pagerank_personalized(spark, sf_dir):
@@ -3160,7 +3166,8 @@ def q_graph_pagerank_personalized(spark, sf_dir):
              .filter(F.lower(F.col("c_mktsegment")) == "building")
              .select(F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
                      .alias("node")))
-    return pagerank(_cs_edges(spark, sf_dir), iters=6, seeds=seeds)
+    return pagerank(_cs_edges(spark, sf_dir), iters=6, seeds=seeds,
+                    edges_distinct=True)
 
 
 def q_graph_triangles(spark, sf_dir):
@@ -3171,7 +3178,8 @@ def q_graph_triangles(spark, sf_dir):
     join at sum(out_deg^2) <= m^1.5 regardless of hub size. Full value
     oracle (oracle.triangle_count_sql)."""
     from qvarn_mr_spark.operators.graph import triangle_count
-    return triangle_count(_part_co_edges(spark, sf_dir))
+    return triangle_count(_part_co_edges(spark, sf_dir),
+                          edges_canonical=True)
 
 
 def _part_co_edges(spark, sf_dir):
@@ -3195,7 +3203,8 @@ def q_graph_triangles_approx(spark, sf_dir):
     value-oracled (oracle.triangle_count_approx_sql), unusual for an
     approximate operator."""
     from qvarn_mr_spark.operators.graph import triangle_count_approx
-    return triangle_count_approx(_part_co_edges(spark, sf_dir), p=0.25)
+    return triangle_count_approx(_part_co_edges(spark, sf_dir), p=0.25,
+                                 edges_canonical=True)
 
 
 def q_graph_clustering(spark, sf_dir):
@@ -3204,7 +3213,8 @@ def q_graph_clustering(spark, sf_dir):
     clique-vs-star cohesion signal on top of triangle_count's
     degree-ordered wedge join. Full value oracle."""
     from qvarn_mr_spark.operators.graph import clustering_coefficient
-    return clustering_coefficient(_part_co_edges(spark, sf_dir))
+    return clustering_coefficient(_part_co_edges(spark, sf_dir),
+                                  edges_canonical=True)
 
 
 def q_graph_components(spark, sf_dir):
@@ -3259,7 +3269,7 @@ def q_graph_hits(spark, sf_dir):
     PageRank's stationary mass. L1-normalized half-steps so the DuckDB
     unroll (oracle.hits_sql) reproduces the arithmetic exactly."""
     from qvarn_mr_spark.operators.graph import hits
-    return hits(_cs_edges(spark, sf_dir), iters=4)
+    return hits(_cs_edges(spark, sf_dir), iters=4, edges_distinct=True)
 
 
 def q_graph_hits_warm(spark, sf_dir):
@@ -3273,8 +3283,10 @@ def q_graph_hits_warm(spark, sf_dir):
     composes, the pre-delta unroll feeding the post-delta unroll as
     its init CTE."""
     from qvarn_mr_spark.operators.graph import hits
-    old = hits(_cs_edges_pre(spark, sf_dir), iters=4)
-    return hits(_cs_edges(spark, sf_dir), iters=2, init_hubs=old)
+    old = hits(_cs_edges_pre(spark, sf_dir), iters=4,
+               edges_distinct=True)
+    return hits(_cs_edges(spark, sf_dir), iters=2, init_hubs=old,
+                edges_distinct=True)
 
 
 def q_doc_paragraph_dedup(spark, sf_dir):

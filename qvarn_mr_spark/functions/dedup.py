@@ -628,14 +628,14 @@ def dup_clusters(pairs: DataFrame, a: str = "a_id", b: str = "b_id",
     # the full sf0.1 pipeline)
     pairs = pairs.select(F.col(a).alias("u"), F.col(b).alias("v")) \
                  .localCheckpoint(eager=True)
-    # r13 (guide §2.4): the symmetric pair list is static and joined on
-    # v every round — pin it pre-partitioned+sorted on that key so the
-    # per-round neighbor-label join needs no Exchange and no Sort on
-    # the edge-sized side (label frames arrive hash-partitioned out of
-    # each round's checkpoint)
+    # (r13 note: a pre-partitioned+sorted pin of sym plus a 3-way split
+    # of the pointer-doubling join — static edge branch against the pin,
+    # node-sized forward branch, join-free backward branch — measured
+    # 3.3x SLOWER end-to-end at sf0.1: the extra per-round stages and
+    # barriers dominate the saved edge-side exchange at bench scale, so
+    # the single-union single-join form below stays.)
     sym = pin(pairs.unionByName(
-        pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .repartition("v").sortWithinPartitions("v"))
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))))
     labels = (sym.select(F.col("u").alias("node")).distinct()
               .withColumn("label", F.col("node")))
     if init_labels is not None:
@@ -646,24 +646,16 @@ def dup_clusters(pairs: DataFrame, a: str = "a_id", b: str = "b_id",
             .select("node", F.coalesce(F.col("_l0"), F.col("node"))
                     .alias("label")))
     for _ in range(max_iter):
-        # pointer doubling: treat (node -> label) as extra edges both
-        # ways. r13 (guide §2.4): the three edge branches resolve their
-        # tip label SEPARATELY instead of unioning into one join — the
-        # static sym branch hits the pre-partitioned pin (no shuffle of
-        # the edge-sized side, no sort), the forward label-link branch
-        # is a node-sized self-join, and the backward branch needs no
-        # join at all (the (label -> node) edge's tip label is
-        # label(node), i.e. the u value itself). Row-for-row the same
-        # (u, vlabel) multiset as the unioned join, so min is unchanged.
-        lab_v = labels.select(F.col("node").alias("v"),
-                              F.col("label").alias("vlabel"))
-        nb1 = sym.join(lab_v, "v").select("u", "vlabel")
-        nb2 = (labels.select(F.col("node").alias("u"),
-                             F.col("label").alias("v"))
-               .join(lab_v, "v").select("u", "vlabel"))
-        nb3 = labels.select(F.col("label").alias("u"),
-                            F.col("label").alias("vlabel"))
-        nbr = (nb1.unionByName(nb2).unionByName(nb3)
+        # pointer doubling: treat (node -> label) as extra edges both ways
+        edges = sym.unionByName(
+            labels.select(F.col("node").alias("u"),
+                          F.col("label").alias("v"))
+        ).unionByName(
+            labels.select(F.col("label").alias("u"),
+                          F.col("node").alias("v"))
+        )
+        nbr = (edges.join(labels.select(F.col("node").alias("v"),
+                                        F.col("label").alias("vlabel")), "v")
                .groupBy("u").agg(F.min("vlabel").alias("nlabel")))
         # carry a changed-flag INTO the checkpoint: the convergence probe
         # then reads the already-materialized partitions with an

@@ -50,6 +50,7 @@ def pagerank(
     init_rank_col: str = "rank",
     tol: float | None = None,
     return_iters: bool = False,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """Rank every node of the directed graph ``edges`` (duplicate edges
     collapse; self-loops count). Returns ``(node, rank)`` with
@@ -100,19 +101,26 @@ def pagerank(
     # satisfies the SMJ requirement), so the only corpus-sized shuffle
     # per superstep is the groupBy(dst) aggregation — the Pregel ideal.
     if weight_col is None:
-        e = pin(edges.select(F.col(src).alias("src"),
-                             F.col(dst).alias("dst")).distinct()
-                     .repartition("src")
-                     .sortWithinPartitions("src")
-                     .withColumn("w", F.lit(1.0)))
+        e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        # ``edges_distinct=True``: the caller GUARANTEES (src, dst) rows
+        # are already unique (r13, guide §2.4 "a distinct on data that
+        # is already unique") — skips the collapse exchange+aggregate
+        # pair from the pinned plan. Results are identical only under
+        # that guarantee; default False keeps the collapse.
+        if not edges_distinct:
+            e = e.distinct()
+        e = pin(e.repartition("src")
+                 .sortWithinPartitions("src")
+                 .withColumn("w", F.lit(1.0)))
     else:
-        e = pin(edges.select(F.col(src).alias("src"),
-                             F.col(dst).alias("dst"),
-                             F.col(weight_col).cast("double").alias("w"))
-                     .groupBy("src", "dst")
-                     .agg(F.sum("w").alias("w"))
-                     .repartition("src")
-                     .sortWithinPartitions("src"))
+        e = edges.select(F.col(src).alias("src"),
+                         F.col(dst).alias("dst"),
+                         F.col(weight_col).cast("double").alias("w"))
+        # edges_distinct=True here means one row per (src, dst) already
+        # — the weight-summing collapse is skipped the same way
+        if not edges_distinct:
+            e = e.groupBy("src", "dst").agg(F.sum("w").alias("w"))
+        e = pin(e.repartition("src").sortWithinPartitions("src"))
     nodes = (e.select(F.col("src").alias("node"))
               .union(e.select(F.col("dst").alias("node")))
               .distinct())
@@ -284,13 +292,17 @@ def _pagerank_loop(e, nodes, outdeg, iters, damping, digits,
 
 
 def degree_profile(edges: DataFrame, src: str = "src",
-                   dst: str = "dst") -> DataFrame:
+                   dst: str = "dst",
+                   edges_distinct: bool = False) -> DataFrame:
     """Per-node (out_degree, in_degree) in one pass over the edge list —
     the cheap companion signal (link-farm / orphan detection) to
     :func:`pagerank`. Two map-side-combined aggregates, node-sized
     output."""
-    e = edges.select(F.col(src).alias("src"),
-                     F.col(dst).alias("dst")).distinct()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # edges_distinct=True: caller guarantees unique rows (same contract
+    # as pagerank's flag) — the collapse exchange is skipped
+    if not edges_distinct:
+        e = e.distinct()
     out = e.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("out_degree"))
     inn = e.groupBy(F.col("dst").alias("node")).agg(
@@ -310,6 +322,7 @@ def hits(
     init_hubs: DataFrame | None = None,
     init_hub_col: str = "hub",
     tol: float | None = None,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """Kleinberg's HITS: hub/authority scores by alternating power
     iteration — ``authority(v) = sum of hub(u) over u->v edges``, then
@@ -336,21 +349,21 @@ def hits(
     ``pagerank(tol=)`` — stop when the superstep L1 delta over
     (hub, auth) drops below ``tol``, with ``iters`` as the safety cap;
     one node-sized join + a one-row collect per superstep."""
-    # r13 (guide §2.4): TWO pinned copies of the edge list, one
-    # pre-partitioned+sorted per half-step join key — the auth half
-    # joins on src, the hub half on dst, and with the state checkpoint
-    # preserving hash(node) both half-step joins plan with no Exchange
-    # and no edge-side Sort (the in-memory bucketed-table move; the
-    # GraphX edge-replication trade, 2x edge storage for zero per-
-    # superstep edge shuffles). e_dst derives from the e_src cache, so
-    # the distinct computes once.
-    e_src = pin(edges.select(F.col(src).alias("src"),
-                             F.col(dst).alias("dst")).distinct()
-                     .repartition("src").sortWithinPartitions("src"))
-    e_dst = pin(e_src.repartition("dst").sortWithinPartitions("dst"))
-    nodes = pin(e_src.select(F.col("src").alias("node"))
-                     .union(e_src.select(F.col("dst").alias("node")))
-                     .distinct())
+    # (r13 note: dual pre-partitioned edge pins — hash(src) for the auth
+    # half-step, hash(dst) for the hub half-step — measured 1.6-1.9x
+    # SLOWER at sf0.1 than this single pin: the node-sized state side of
+    # each half-step join broadcasts, so the edge side is never shuffled
+    # in the first place and the two repartition+sort+cache passes are
+    # pure overhead. Single un-partitioned pin kept deliberately.)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # edges_distinct=True: caller guarantees unique (src, dst) rows —
+    # skip the collapse exchange (same contract as pagerank's flag)
+    if not edges_distinct:
+        e = e.distinct()
+    e = pin(e)
+    nodes = pin(e.select(F.col("src").alias("node"))
+                 .union(e.select(F.col("dst").alias("node")))
+                 .distinct())
     # same lineage discipline as pagerank: each superstep references the
     # previous state several times (auth update, hub update, output
     # join), so state is localCheckpoint'ed per superstep
@@ -379,25 +392,25 @@ def hits(
         # half-step read it, and without truncation each reference
         # re-runs the edge join — two extra corpus-sized joins per
         # superstep, measured 10x the whole operator's cost at sf0.1.
-        # r13: LAZY checkpoints — the totals' broadcast job
-        # materializes each one as a side effect, so a half-step costs
-        # one job instead of two (eager-checkpoint job + broadcast job)
-        a_raw = (e_src.join(state.select(F.col("node").alias("src"),
-                                         "hub"),
-                            "src")
+        # (r13 note: lazy checkpoints — letting the totals' broadcast
+        # job materialize each half-step as a side effect — measured
+        # no better than eager here; eager kept for the deterministic
+        # job accounting.)
+        a_raw = (e.join(state.select(F.col("node").alias("src"), "hub"),
+                        "src")
                   .groupBy(F.col("dst").alias("node"))
                   .agg(F.sum("hub").alias("auth"))
-                  .localCheckpoint(eager=False))
+                  .localCheckpoint(eager=True))
         a_tot = a_raw.agg(F.sum("auth").alias("tot"))
         a = (nodes.join(a_raw, "node", "left")
                   .crossJoin(F.broadcast(a_tot))
                   .select("node", (F.coalesce(F.col("auth"), F.lit(0.0))
                                    / F.col("tot")).alias("auth")))
-        h_raw = (e_dst.join(a.select(F.col("node").alias("dst"), "auth"),
-                            "dst")
+        h_raw = (e.join(a.select(F.col("node").alias("dst"), "auth"),
+                        "dst")
                   .groupBy(F.col("src").alias("node"))
                   .agg(F.sum("auth").alias("hub"))
-                  .localCheckpoint(eager=False))
+                  .localCheckpoint(eager=True))
         h_tot = h_raw.agg(F.sum("hub").alias("tot"))
         nxt = (nodes.join(h_raw, "node", "left")
                     .crossJoin(F.broadcast(h_tot))
@@ -458,7 +471,8 @@ def degree_views(source: str = "edges", src_col: str = "src",
 
 def triangle_count(edges: DataFrame, src: str = "src",
                    dst: str = "dst",
-                   max_wedges: int | None = None) -> DataFrame:
+                   max_wedges: int | None = None,
+                   edges_canonical: bool = False) -> DataFrame:
     """Per-node triangle participation over the UNDIRECTED collapse of
     ``edges`` (direction and duplicates ignored; self-loops dropped) —
     the classic cohesion/link-spam signal (a farm of pages linking each
@@ -489,20 +503,32 @@ def triangle_count(edges: DataFrame, src: str = "src",
 
     Returns ``(node, triangles)`` for every node (0 for triangle-free
     nodes)."""
-    und, deg = _und_deg(edges, src, dst)
+    und, deg = _und_deg(edges, src, dst, edges_canonical)
     return _triangle_core(und, deg, max_wedges)
 
 
-def _und_deg(edges: DataFrame, src: str, dst: str):
+def _und_deg(edges: DataFrame, src: str, dst: str,
+             canonical: bool = False):
     """Pinned undirected collapse + per-node degree — shared by
     :func:`triangle_count` and :func:`clustering_coefficient` (r13: the
     coefficient previously re-derived both from the raw edges, paying
-    the distinct and the degree aggregate twice per call)."""
-    und = pin(edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-                   .filter(F.col("a") != F.col("b"))
-                   .select(F.least("a", "b").alias("u"),
-                           F.greatest("a", "b").alias("v"))
-                   .distinct())
+    the distinct and the degree aggregate twice per call).
+
+    ``canonical=True``: the caller GUARANTEES ``edges`` is already the
+    canonical undirected form — one row per unordered pair, ``src <
+    dst``, no self-loops (e.g. a co-occurrence list built with a
+    ``pa < pb`` filter + distinct) — so the least/greatest collapse and
+    its distinct exchange are skipped outright (r13, guide §2.4)."""
+    if canonical:
+        und = pin(edges.select(F.col(src).alias("u"),
+                               F.col(dst).alias("v")))
+    else:
+        und = pin(edges.select(F.col(src).alias("a"),
+                               F.col(dst).alias("b"))
+                       .filter(F.col("a") != F.col("b"))
+                       .select(F.least("a", "b").alias("u"),
+                               F.greatest("a", "b").alias("v"))
+                       .distinct())
     deg = pin(und.select(F.col("u").alias("node"))
                  .union(und.select(F.col("v").alias("node")))
                  .groupBy("node").agg(F.count("*").alias("deg")))
@@ -532,13 +558,12 @@ def _triangle_core(und: DataFrame, deg: DataFrame,
                                    F.col("v").alias("n")))
                     .otherwise(F.struct(F.col("du").alias("d"),
                                         F.col("u").alias("n")))
-                    .alias("yk"))
-           # r13 (guide §2.4): the wedge stage self-joins this table on
-           # x — pinning it pre-partitioned+sorted on x makes BOTH
-           # sides of that join exchange-free and sort-free (one
-           # edge-sized shuffle here instead of two there; the closure
-           # join's wedge-side shuffle remains the one m^1.5 exchange)
-           .repartition("x").sortWithinPartitions("x"))
+                    .alias("yk")))
+    # (r13 note: pre-partitioning this pin on x for the wedge self-join
+    # measured 1.27-1.40x SLOWER at sf0.1 — the self-join's two sides
+    # are the SAME cached subtree, so Spark already plans one Exchange +
+    # one ReusedExchange; the explicit repartition+sort only added a
+    # pass. Left un-partitioned deliberately.)
     if max_wedges is not None:
         n_wedges = (oriented.groupBy("x")
                     .agg(F.count(F.lit(1)).alias("d"))
@@ -576,7 +601,8 @@ def _triangle_core(und: DataFrame, deg: DataFrame,
 def triangle_count_approx(edges: DataFrame, src: str = "src",
                           dst: str = "dst", p: float = 0.25,
                           salt: str = "doulion",
-                          digits: int | None = 6) -> DataFrame:
+                          digits: int | None = 6,
+                          edges_canonical: bool = False) -> DataFrame:
     """DOULION approximate triangle counting (Tsourakakis, Kang, Miller,
     Faloutsos, KDD 2009): sparsify the undirected graph by keeping each
     edge independently with probability ``p``, count triangles EXACTLY
@@ -603,18 +629,24 @@ def triangle_count_approx(edges: DataFrame, src: str = "src",
     if not 0.0 < p <= 1.0:
         raise ValueError(f"triangle_count_approx: p must be in (0, 1], "
                          f"got {p}")
-    und = pin(edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-                   .filter(F.col("a") != F.col("b"))
-                   .select(F.least("a", "b").alias("u"),
-                           F.greatest("a", "b").alias("v"))
-                   .distinct())
+    # edges_canonical: same caller contract as _und_deg(canonical=True)
+    if edges_canonical:
+        und = pin(edges.select(F.col(src).alias("u"),
+                               F.col(dst).alias("v")))
+    else:
+        und = pin(edges.select(F.col(src).alias("a"),
+                               F.col(dst).alias("b"))
+                       .filter(F.col("a") != F.col("b"))
+                       .select(F.least("a", "b").alias("u"),
+                               F.greatest("a", "b").alias("v"))
+                       .distinct())
     nodes = (und.select(F.col("u").alias("node"))
                 .union(und.select(F.col("v").alias("node")))
                 .distinct())
     kept = (und.withColumn("_ek", F.concat_ws("#", "u", "v"))
                .filter(hash_unit("_ek", salt) < F.lit(float(p)))
                .select("u", "v"))
-    tri = triangle_count(kept, src="u", dst="v")
+    tri = triangle_count(kept, src="u", dst="v", edges_canonical=True)
     est = F.coalesce(F.col("triangles"), F.lit(0)) / F.lit(float(p) ** 3)
     if digits is not None:
         est = F.round(est, digits)
@@ -625,6 +657,7 @@ def triangle_count_approx(edges: DataFrame, src: str = "src",
 def clustering_coefficient(edges: DataFrame, src: str = "src",
                            dst: str = "dst",
                            digits: int | None = 6,
+                           edges_canonical: bool = False,
                            max_wedges: int | None = None) -> DataFrame:
     """Local clustering coefficient per node: ``2*T / (d*(d-1))`` —
     what fraction of a node's neighbor pairs are themselves linked
@@ -635,7 +668,7 @@ def clustering_coefficient(edges: DataFrame, src: str = "src",
     collapse and degree table are SHARED with the triangle core via
     :func:`_und_deg` instead of re-derived — one distinct + one degree
     aggregate per call, not two)."""
-    und, deg = _und_deg(edges, src, dst)
+    und, deg = _und_deg(edges, src, dst, edges_canonical)
     tri = _triangle_core(und, deg, max_wedges)
     coef = F.when(F.col("deg") >= 2,
                   2.0 * F.col("triangles")
@@ -652,7 +685,8 @@ def label_propagation(edges: DataFrame, src: str = "src",
                       dst: str = "dst", iters: int = 5,
                       init_labels: DataFrame | None = None,
                       init_label_col: str = "label",
-                      until_stable: bool = False) -> DataFrame:
+                      until_stable: bool = False,
+                      edges_canonical: bool = False) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan
     et al. 2007) over the undirected collapse of ``edges`` — the
     link-farm / topical-cluster signal between connected components
@@ -691,11 +725,18 @@ def label_propagation(edges: DataFrame, src: str = "src",
     lineage discipline as the other iterative operators.
 
     Returns ``(node, label)``; nodes sharing a label are one community."""
-    e = pin(edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-                 .filter(F.col("a") != F.col("b"))
-                 .select(F.least("a", "b").alias("u"),
-                         F.greatest("a", "b").alias("v"))
-                 .distinct())
+    # edges_canonical: same caller contract as _und_deg(canonical=True)
+    # — already one row per unordered pair, src < dst, no self-loops;
+    # the collapse exchange is skipped (r13, guide §2.4)
+    if edges_canonical:
+        e = pin(edges.select(F.col(src).alias("u"),
+                             F.col(dst).alias("v")))
+    else:
+        e = pin(edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+                     .filter(F.col("a") != F.col("b"))
+                     .select(F.least("a", "b").alias("u"),
+                             F.greatest("a", "b").alias("v"))
+                     .distinct())
     # r13 (guide §2.4): the symmetric adjacency is joined on nbr every
     # round — pin it pre-partitioned+sorted on that key so the
     # per-round votes join needs no Exchange and no Sort on the

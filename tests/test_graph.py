@@ -829,3 +829,55 @@ def test_connected_components_warm_start_needs_fewer_rounds(spark):
         post_df, max_iter=2).collect()))
     assert set(warm.values()) == {0}
     assert set(cold.values()) != {0}
+
+
+def test_edges_distinct_flag_identical_on_unique_edges(spark):
+    """pagerank/hits/degree_profile(edges_distinct=True) skip the
+    collapse exchange under the caller's uniqueness guarantee — on an
+    input that honors the guarantee the results must be IDENTICAL,
+    row for row (the r13 optimization must not change any value)."""
+    from qvarn_mr_spark.operators.graph import hits
+    uniq = sorted(set(GRAPH))
+    df = spark.createDataFrame(uniq, ["src", "dst"])
+    for fn, kw in ((pagerank, dict(iters=4)),
+                   (hits, dict(iters=3)),
+                   (degree_profile, dict())):
+        base = sorted(map(tuple, fn(df, **kw).collect()))
+        fast = sorted(map(tuple,
+                          fn(df, edges_distinct=True, **kw).collect()))
+        assert fast == base, fn.__name__
+
+
+def test_weighted_pagerank_edges_distinct_flag(spark):
+    """Weighted twin: one row per (src, dst) in, flag skips the
+    weight-summing collapse, values identical."""
+    rows = [("a", "b", 2.0), ("b", "c", 1.0), ("c", "a", 3.0),
+            ("a", "c", 1.0)]
+    df = spark.createDataFrame(rows, ["src", "dst", "w"])
+    base = sorted(map(tuple,
+                      pagerank(df, iters=4, weight_col="w").collect()))
+    fast = sorted(map(tuple,
+                      pagerank(df, iters=4, weight_col="w",
+                               edges_distinct=True).collect()))
+    assert fast == base
+
+
+def test_edges_canonical_flag_identical_on_canonical_edges(spark):
+    """triangle_count/clustering_coefficient/triangle_count_approx/
+    label_propagation(edges_canonical=True) skip the least/greatest
+    collapse under the caller's canonical-form guarantee (one row per
+    unordered pair, src < dst, no self-loops) — identical results on
+    an input honoring it."""
+    from qvarn_mr_spark.operators.graph import (
+        clustering_coefficient, label_propagation, triangle_count,
+        triangle_count_approx)
+    pairs = sorted({(min(a, b), max(a, b)) for a, b in GRAPH if a != b})
+    df = spark.createDataFrame(pairs, ["src", "dst"])
+    for fn, kw in ((triangle_count, dict()),
+                   (clustering_coefficient, dict()),
+                   (triangle_count_approx, dict(p=0.5)),
+                   (label_propagation, dict(iters=3))):
+        base = sorted(map(tuple, fn(df, **kw).collect()))
+        fast = sorted(map(tuple,
+                          fn(df, edges_canonical=True, **kw).collect()))
+        assert fast == base, fn.__name__
