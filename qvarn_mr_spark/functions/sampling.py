@@ -35,26 +35,23 @@ UNIT_DENOM = 16 ** UNIT_NIBBLES  # 2^32
 
 def hash_unit(col: str, salt: str) -> Column:
     """Deterministic ``double`` in [0, 1): first 8 md5 hex nibbles of
-    ``salt || '|' || value``, decoded by position in the hex-digit string
-    (portable: the oracle twin uses DuckDB ``strpos`` identically).
-    Different salts give independent hashes of the same id. Takes a column
-    NAME (the md5 is inlined per nibble; codegen CSE collapses the eight
-    copies into one evaluation)."""
+    ``salt || '|' || value``, decoded in ONE ``conv(hex, 16, 10)`` (r13,
+    guide §1.2 per-task work: the previous 8×(locate+substring) nibble
+    loop decoded the same 32-bit value with ~24 string expressions per
+    row; ``conv`` is the idiom ``dedup._minhash_base_col`` already
+    proved bit-identical against the DuckDB strpos-per-nibble twin).
+    Different salts give independent hashes of the same id. Takes a
+    column NAME so call sites stay declarative."""
     if not isinstance(col, str):
         raise TypeError("hash_unit needs a column name")
     # coalesce: concat_ws silently drops NULL elements AND their separator
     # (md5('salt')), while the DuckDB twin's concat keeps the '|'
     # (md5('salt|')) — a NULL id would silently break hash parity. Pin both
     # sides to the empty string.
-    val = None
-    for j in range(UNIT_NIBBLES):
-        # bigint: nibble * 16^7 overflows int32 (ANSI mode throws)
-        nib = F.expr(
-            f"cast(locate(substring(md5(concat_ws('|', '{salt}', "
-            f"coalesce(cast({col} as string), ''))), {j + 1}, 1), "
-            f"'{HEX_DIGITS}') - 1 as bigint)")
-        term = nib * (16 ** (UNIT_NIBBLES - 1 - j))
-        val = term if val is None else val + term
+    val = F.expr(
+        f"cast(conv(substring(md5(concat_ws('|', '{salt}', "
+        f"coalesce(cast({col} as string), ''))), 1, {UNIT_NIBBLES}), "
+        f"16, 10) as bigint)")
     return val / F.lit(float(UNIT_DENOM))
 
 
@@ -713,12 +710,12 @@ def _gram_bucket(gram: Column, n_buckets: int, salt: str) -> Column:
     Column — ``ascii`` needs only the character itself and has an exact
     DuckDB twin (``dsir_bucket_sql``)."""
     d = F.md5(F.concat(F.lit(f"{salt}|"), gram))
-    val = None
-    for j in range(_DSIR_NIBBLES):
-        a = F.ascii(F.substring(d, j + 1, 1))
-        nib = (F.when(a <= 57, a - 48).otherwise(a - 87)).cast("bigint")
-        term = nib * (16 ** (_DSIR_NIBBLES - 1 - j))
-        val = term if val is None else val + term
+    # r13 (guide §1.2 per-task work): one conv(hex, 16, 10) replaces the
+    # previous 6×(substring+ascii+when) nibble decode — same 24-bit
+    # value (conv is case-insensitive over md5's lowercase hex, the
+    # dedup._minhash_base_col precedent), and unlike locate it needs no
+    # needle column, so it stays legal inside transform() lambdas too.
+    val = F.conv(F.substring(d, 1, _DSIR_NIBBLES), 16, 10).cast("bigint")
     return val % F.lit(n_buckets)
 
 

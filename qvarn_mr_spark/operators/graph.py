@@ -387,36 +387,49 @@ def hits(
         state = nodes.select("node", F.lit(1.0).alias("hub"),
                              F.lit(1.0).alias("auth")).localCheckpoint()
     for _ in range(iters):
-        # checkpoint the RAW edge-sized aggregate, not the normalized
-        # frame: both its normalizer (the one-row total) and the next
-        # half-step read it, and without truncation each reference
-        # re-runs the edge join — two extra corpus-sized joins per
-        # superstep, measured 10x the whole operator's cost at sf0.1.
-        # (r13 note: lazy checkpoints — letting the totals' broadcast
-        # job materialize each half-step as a side effect — measured
-        # no better than eager here; eager kept for the deterministic
-        # job accounting.)
+        # checkpoint the RAW edge-sized aggregates, not normalized
+        # frames: both their normalizers (the one-row totals) and the
+        # next half-step read them, and without truncation each
+        # reference re-runs the edge join — two extra corpus-sized
+        # joins per superstep, measured 10x the whole operator's cost
+        # at sf0.1. (r13 note: lazy checkpoints — letting the totals'
+        # broadcast job materialize each half-step as a side effect —
+        # measured no better than eager here; eager kept for the
+        # deterministic job accounting.)
+        #
+        # r13 fold (guide §1.2 step 1, measured in OPTIMIZATION_r13.md):
+        # the half-step L1 normalization is a division by a SCALAR, and
+        # the hub update is linear, so the hub half-step can consume the
+        # RAW auth sums — hub(u) = (Σ_v a_raw(v)) / Σ_u Σ_v a_raw(v),
+        # the a_tot factor cancels algebraically. That drops the old
+        # per-superstep normalized-auth frame (a node-sized left join +
+        # one-row broadcast evaluated TWICE: once under the hub edge
+        # join, once in the output join) — both normalizations now
+        # happen once, in the superstep's single node-sized state
+        # build. Same fixpoint, same L1 contract per superstep (state
+        # stays normalized), value-for-value with the identically
+        # folded oracle.hits_sql unroll.
         a_raw = (e.join(state.select(F.col("node").alias("src"), "hub"),
                         "src")
                   .groupBy(F.col("dst").alias("node"))
                   .agg(F.sum("hub").alias("auth"))
                   .localCheckpoint(eager=True))
-        a_tot = a_raw.agg(F.sum("auth").alias("tot"))
-        a = (nodes.join(a_raw, "node", "left")
-                  .crossJoin(F.broadcast(a_tot))
-                  .select("node", (F.coalesce(F.col("auth"), F.lit(0.0))
-                                   / F.col("tot")).alias("auth")))
-        h_raw = (e.join(a.select(F.col("node").alias("dst"), "auth"),
-                        "dst")
+        h_raw = (e.join(a_raw.select(F.col("node").alias("dst"),
+                                     F.col("auth")), "dst")
                   .groupBy(F.col("src").alias("node"))
                   .agg(F.sum("auth").alias("hub"))
                   .localCheckpoint(eager=True))
-        h_tot = h_raw.agg(F.sum("hub").alias("tot"))
+        a_tot = a_raw.agg(F.sum("auth").alias("atot"))
+        h_tot = h_raw.agg(F.sum("hub").alias("htot"))
         nxt = (nodes.join(h_raw, "node", "left")
+                    .join(a_raw, "node", "left")
                     .crossJoin(F.broadcast(h_tot))
-                    .select("node", (F.coalesce(F.col("hub"), F.lit(0.0))
-                                     / F.col("tot")).alias("hub"))
-                    .join(a, "node"))
+                    .crossJoin(F.broadcast(a_tot))
+                    .select("node",
+                            (F.coalesce(F.col("hub"), F.lit(0.0))
+                             / F.col("htot")).alias("hub"),
+                            (F.coalesce(F.col("auth"), F.lit(0.0))
+                             / F.col("atot")).alias("auth")))
         prev = state
         state = nxt.localCheckpoint()
         if tol is not None:
@@ -541,9 +554,6 @@ def _triangle_core(und: DataFrame, deg: DataFrame,
     :func:`triangle_count` over a pinned ``(und, deg)`` pair."""
     lower = ((F.col("du") < F.col("dv"))
              | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))))
-    # yk = the tip's position in the same total order: lets the wedge
-    # join emit each {b, c} pair once (b below c) instead of both
-    # directions — halves the operator's dominant intermediate
     oriented = pin(
         und.join(deg.select(F.col("node").alias("u"),
                             F.col("deg").alias("du")), "u")
@@ -552,18 +562,7 @@ def _triangle_core(und: DataFrame, deg: DataFrame,
            .select(F.when(lower, F.col("u")).otherwise(F.col("v"))
                     .alias("x"),
                    F.when(lower, F.col("v")).otherwise(F.col("u"))
-                    .alias("y"),
-                   F.when(lower,
-                          F.struct(F.col("dv").alias("d"),
-                                   F.col("v").alias("n")))
-                    .otherwise(F.struct(F.col("du").alias("d"),
-                                        F.col("u").alias("n")))
-                    .alias("yk")))
-    # (r13 note: pre-partitioning this pin on x for the wedge self-join
-    # measured 1.27-1.40x SLOWER at sf0.1 — the self-join's two sides
-    # are the SAME cached subtree, so Spark already plans one Exchange +
-    # one ReusedExchange; the explicit repartition+sort only added a
-    # pass. Left un-partitioned deliberately.)
+                    .alias("y")))
     if max_wedges is not None:
         n_wedges = (oriented.groupBy("x")
                     .agg(F.count(F.lit(1)).alias("d"))
@@ -577,22 +576,38 @@ def _triangle_core(und: DataFrame, deg: DataFrame,
                 f"max_wedges={max_wedges}; the wedge join would "
                 f"dominate the job. Use triangle_count_approx "
                 f"(DOULION edge sampling) or raise the cap.")
-    wedges = (oriented.select("x", F.col("y").alias("b"),
-                              F.col("yk").alias("bk"))
-                      .join(oriented.select("x", F.col("y").alias("c"),
-                                            F.col("yk").alias("ck")),
-                            "x")
-                      .filter(F.col("bk") < F.col("ck")))
-    tri = wedges.join(
-        oriented.select(F.col("x").alias("b"), F.col("y").alias("c")),
-        ["b", "c"]).select("x", "b", "c")
-    # ONE scan of the (expensive) triangle join: explode each triangle
-    # into its three members in-row — a 3-branch union would re-run the
-    # wedge+closure joins once per branch (measured 3.5x the whole
-    # operator at sf0.1)
-    members = tri.select(
-        F.explode(F.array("x", "b", "c")).alias("node"))
-    counts = members.groupBy("node").agg(F.count("*").alias("triangles"))
+    # r13 (guide §2.3 "shuffle fewer bytes", measured in
+    # OPTIMIZATION_r13.md): adjacency-array intersection replaces the
+    # wedge self-join + closure join. Every triangle {a < b < c} (the
+    # orientation's total order) is found ONCE, at its base edge
+    # (a, b), as c ∈ out(a) ∩ out(b) — the "compact-forward" algorithm.
+    # The old shape materialized and SHUFFLED the full wedge set
+    # (Σ C(out_deg, 2) rows, ~m^1.5) into the closure join; this shape
+    # shuffles the oriented edges (m rows) plus ONE array-carrying pass
+    # of the same aggregate volume in ~m rows instead of ~m^1.5 rows,
+    # and the closure test becomes a per-row array_intersect. Per-node
+    # credits are identical: each of the three corners once per
+    # triangle — base endpoints get |intersection|, each common
+    # neighbor gets 1 — in ONE scan of the joined frame (the 3-branch
+    # union lesson from the old shape still applies).
+    adj = oriented.groupBy("x").agg(F.collect_list("y").alias("ns"))
+    edges2 = (oriented.select("x", "y")
+              .join(adj, "x")
+              .join(adj.select(F.col("x").alias("y"),
+                               F.col("ns").alias("ns_y")), "y")
+              .withColumn("_common", F.array_intersect("ns", "ns_y"))
+              .withColumn("_cnt", F.size("_common").cast("long"))
+              .filter(F.col("_cnt") > 0))
+    contrib = F.concat(
+        F.array(F.struct(F.col("x").alias("n"), F.col("_cnt").alias("c")),
+                F.struct(F.col("y").alias("n"), F.col("_cnt").alias("c"))),
+        F.transform("_common",
+                    lambda w: F.struct(w.alias("n"),
+                                       F.lit(1).cast("long").alias("c"))))
+    members = (edges2.select(F.explode(contrib).alias("m"))
+                     .select(F.col("m.n").alias("node"),
+                             F.col("m.c").alias("c")))
+    counts = members.groupBy("node").agg(F.sum("c").alias("triangles"))
     return (deg.select("node").join(counts, "node", "left")
                .select("node", F.coalesce("triangles", F.lit(0))
                        .alias("triangles")))

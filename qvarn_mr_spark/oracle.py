@@ -2830,6 +2830,14 @@ def hits_sql(edges_sql: str, iters: int = 4, digits: int = 6,
     else:
         parts.append(f"{P}st0 AS (SELECT node, 1.0 AS hub, 1.0 AS auth"
                      f" FROM {P}nodes)")
+    # r13 fold (mirrors graph.hits): the half-step L1 normalization is
+    # a scalar division and the hub update is linear, so the hub
+    # half-step consumes the RAW auth sums — the a_tot factor cancels
+    # (hub = hr/sum(hr) either way) — and both normalizations happen
+    # once, in st{i}. Drops the per-superstep normalized-auth CTE
+    # (an{i}: a node-sized left join + scalar subquery). Same fixpoint,
+    # same normalized state per superstep, value-for-value with the
+    # identically folded Spark loop.
     for i in range(1, iters + 1):
         p = f"{P}st{i - 1}"
         parts.append(
@@ -2838,21 +2846,18 @@ def hits_sql(edges_sql: str, iters: int = 4, digits: int = 6,
             f"FROM {P}edges e JOIN {p} s ON e.src = s.node"
             f" GROUP BY e.dst)")
         parts.append(
-            f"{P}an{i} AS MATERIALIZED (SELECT n.node,"
-            f" coalesce(ar.a, 0.0) / "
-            f"(SELECT sum(a) FROM {P}ar{i}) AS auth "
-            f"FROM {P}nodes n LEFT JOIN {P}ar{i} ar ON n.node = ar.node)")
-        parts.append(
             f"{P}hr{i} AS MATERIALIZED (SELECT e.src AS node,"
-            f" sum(an.auth) AS h "
-            f"FROM {P}edges e JOIN {P}an{i} an ON e.dst = an.node"
+            f" sum(ar.a) AS h "
+            f"FROM {P}edges e JOIN {P}ar{i} ar ON e.dst = ar.node"
             f" GROUP BY e.src)")
         parts.append(
             f"{P}st{i} AS MATERIALIZED (SELECT n.node,"
             f" coalesce(hr.h, 0.0) / "
-            f"(SELECT sum(h) FROM {P}hr{i}) AS hub, an.auth "
+            f"(SELECT sum(h) FROM {P}hr{i}) AS hub, "
+            f"coalesce(ar.a, 0.0) / "
+            f"(SELECT sum(a) FROM {P}ar{i}) AS auth "
             f"FROM {P}nodes n LEFT JOIN {P}hr{i} hr ON n.node = hr.node "
-            f"JOIN {P}an{i} an ON n.node = an.node)")
+            f"LEFT JOIN {P}ar{i} ar ON n.node = ar.node)")
     return ("WITH " + ",\n".join(parts) +
             f"\nSELECT node, round(hub, {digits}) AS hub, "
             f"round(auth, {digits}) AS auth FROM {P}st{iters}")
