@@ -220,6 +220,15 @@ def _pagerank_loop(e, nodes, outdeg, iters, damping, digits,
             init = F.lit(1.0 / n)
         ranks = nodes.withColumn("rank", init).localCheckpoint()
     n_run = 0
+    # tol path: the probe already collects one row per superstep, so the
+    # NEXT superstep's dangling mass rides along in that same collect
+    # (r13 — drops the per-superstep one-row aggregate job + broadcast);
+    # the initial value needs one bounded collect over the init state
+    dang_scalar = None
+    if tol is not None:
+        dang_scalar = (ranks.filter(F.col("outdeg").isNull())
+                       .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                       .collect()[0][0])
     for _ in range(iters):
         n_run += 1
         # e is cached hash(src)-partitioned+sorted and the state
@@ -237,21 +246,28 @@ def _pagerank_loop(e, nodes, outdeg, iters, damping, digits,
         # to the teleport vector (uniform / seeds). Sinks are exactly
         # the NULL-outdeg state rows (r13: a filter over the node-sized
         # checkpoint replaces the per-superstep left_anti join — same
-        # row set, same sum). One-row aggregate, broadcast back via
-        # cross join — no driver round-trip inside the loop.
-        dangling = (ranks.filter(F.col("outdeg").isNull())
-                         .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
-                              .alias("dangling")))
+        # row set, same sum). Fixed-iters path: one-row aggregate,
+        # broadcast back via cross join — no driver round-trip inside
+        # the loop. tol path: the scalar arrives with the previous
+        # superstep's probe collect (same filter+sum over the same
+        # checkpointed rows) and is inlined as a literal.
+        if tol is None:
+            dangling = (ranks.filter(F.col("outdeg").isNull())
+                             .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                                  .alias("dangling")))
+            dang_col = F.col("dangling")
+        else:
+            dang_col = F.lit(float(dang_scalar))
         if personalized:
             rank_expr = (F.lit(1.0 - damping) * F.col("t")
                          + F.lit(damping)
                          * (F.coalesce(F.col("contrib"), F.lit(0.0))
-                            + F.col("dangling") * F.col("t")))
+                            + dang_col * F.col("t")))
         else:
             rank_expr = (F.lit((1.0 - damping) / n)
                          + F.lit(damping)
                          * (F.coalesce(F.col("contrib"), F.lit(0.0))
-                            + F.col("dangling") / F.lit(float(n))))
+                            + dang_col / F.lit(float(n))))
         # join the new contributions back onto the PREVIOUS checkpoint
         # (same node set, already hash(node)-partitioned — contribs
         # arrives partitioned the same way out of its aggregation, so
@@ -260,10 +276,11 @@ def _pagerank_loop(e, nodes, outdeg, iters, damping, digits,
                       if tol is not None else [])
         keep_prev = ["_pr"] if tol is not None else []
         nxt = (ranks.select(*node_cols, "outdeg", *carry_prev)
-                    .join(contribs, "node", "left")
-                    .crossJoin(F.broadcast(dangling))
-                    .select(*node_cols, "outdeg", *keep_prev,
-                            rank_expr.alias("rank")))
+                    .join(contribs, "node", "left"))
+        if tol is None:
+            nxt = nxt.crossJoin(F.broadcast(dangling))
+        nxt = nxt.select(*node_cols, "outdeg", *keep_prev,
+                         rank_expr.alias("rank"))
         if tol is not None:
             # r13 (guide §2.4, dup_clusters' changed-flag discipline):
             # carry the per-node |Δrank| INTO the checkpoint — the old
@@ -281,8 +298,15 @@ def _pagerank_loop(e, nodes, outdeg, iters, damping, digits,
         ranks = nxt.localCheckpoint()
         if tol is not None:
             # convergence probe: one-row aggregate over the fresh
-            # checkpoint — bounded by contract
-            delta = ranks.agg(F.sum("_d").alias("d")).collect()[0]["d"]
+            # checkpoint — bounded by contract. The same collect also
+            # returns the NEXT superstep's dangling mass (sinks are the
+            # NULL-outdeg rows of this very frame).
+            row = ranks.agg(
+                F.sum("_d").alias("d"),
+                F.coalesce(F.sum(F.when(F.col("outdeg").isNull(),
+                                        F.col("rank"))),
+                           F.lit(0.0)).alias("dang")).collect()[0]
+            delta, dang_scalar = row["d"], row["dang"]
             if delta is not None and delta < tol:
                 break
 
