@@ -624,8 +624,10 @@ def _triangle_core(und: DataFrame, deg: DataFrame,
     # neighbor gets 1 — in ONE scan of the joined frame (the 3-branch
     # union lesson from the old shape still applies).
     adj = oriented.groupBy("x").agg(F.collect_list("y").alias("ns"))
-    edges2 = (oriented.select("x", "y")
-              .join(adj, "x")
+    # the oriented edge list IS adj exploded — re-deriving it from adj
+    # attaches ns without the extra oriented⋈adj join+exchange the
+    # two-join form paid (r13; only the y-side attach shuffles)
+    edges2 = (adj.select("x", F.explode("ns").alias("y"), "ns")
               .join(adj.select(F.col("x").alias("y"),
                                F.col("ns").alias("ns_y")), "y")
               .withColumn("_common", F.array_intersect("ns", "ns_y"))
