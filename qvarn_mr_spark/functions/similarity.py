@@ -1105,7 +1105,8 @@ def probe_ivf_store(delta: DataFrame, store, table: str, centroids,
 
 def write_ivf_partitioned(df: DataFrame, path: str, centroids,
                           id_col: str, vec_col: str,
-                          mode: str = "overwrite") -> None:
+                          mode: str = "overwrite",
+                          rebalance: bool | None = None) -> None:
     """Materialize the corpus PHYSICALLY PARTITIONED by its IVF cluster
     — the layout move every IVF docstring in this module points at
     ("at scale this column becomes the corpus table's partition key"):
@@ -1121,9 +1122,27 @@ def write_ivf_partitioned(df: DataFrame, path: str, centroids,
     view and this layout for the cold corpus; a refit (new centroids,
     see :func:`ivf_index_views`) rewrites the layout the same way a
     version bump resyncs the view."""
-    (df.select(F.col(id_col), F.col(vec_col),
-               ivf_cluster_col(vec_col, centroids).alias("cluster_id"))
-       .write.mode(mode).partitionBy("cluster_id").parquet(path))
+    # r13 (guide §6 "small files hurt twice"): REBALANCE on the
+    # partition column before the partitioned write — without it every
+    # input task opens one file per cluster it holds (tasks × nlist
+    # small files; at 100 TB, millions); with it each cluster's rows
+    # land together (AQE still splits oversized clusters), so the file
+    # count tracks nlist + skew splits and the probe's pruned scan opens
+    # O(nprobe) files. Rows/values unchanged — layout only. Measured at
+    # sf0.1/local[32] the extra vector-payload Exchange costs MORE than
+    # the small files it saves (write 5.8 → 9.2 s, interleaved A/B), so
+    # the default follows the input size: tiny corpora skip the shuffle,
+    # cluster-scale corpora (or rebalance=True) pay it once. The
+    # threshold is partition-count-based, not data-size (cheap, exact
+    # enough: small files only matter when many tasks write).
+    assigned = df.select(F.col(id_col), F.col(vec_col),
+                         ivf_cluster_col(vec_col, centroids)
+                         .alias("cluster_id"))
+    if rebalance is None:
+        rebalance = assigned.rdd.getNumPartitions() >= 32
+    if rebalance:
+        assigned = assigned.hint("rebalance", "cluster_id")
+    assigned.write.mode(mode).partitionBy("cluster_id").parquet(path)
 
 
 def probe_ivf_partitioned(spark, path: str, queries: DataFrame,

@@ -327,23 +327,31 @@ def _pagerank_loop(e, nodes, outdeg, iters, damping, digits,
 def degree_profile(edges: DataFrame, src: str = "src",
                    dst: str = "dst",
                    edges_distinct: bool = False) -> DataFrame:
-    """Per-node (out_degree, in_degree) in one pass over the edge list —
+    """Per-node (out_degree, in_degree) in ONE pass over the edge list —
     the cheap companion signal (link-farm / orphan detection) to
-    :func:`pagerank`. Two map-side-combined aggregates, node-sized
-    output."""
+    :func:`pagerank`. Each edge contributes an out-credit to ``src`` and
+    an in-credit to ``dst`` in-row; one map-side-combined aggregate over
+    the exploded credit stream, node-sized output. (r13, guide §2.4:
+    previously two separate edge-sized aggregates + a node-sized
+    full-outer join — TWO scans of the edge subtree, which for the
+    declared queries is itself a join+distinct, and two Exchanges. Same
+    counts: ``sum`` of disjoint 0/1 credits per node ≡ the two
+    ``count(*)`` sides with ``coalesce(_, 0)``.)"""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     # edges_distinct=True: caller guarantees unique rows (same contract
     # as pagerank's flag) — the collapse exchange is skipped
     if not edges_distinct:
         e = e.distinct()
-    out = e.groupBy(F.col("src").alias("node")).agg(
-        F.count("*").alias("out_degree"))
-    inn = e.groupBy(F.col("dst").alias("node")).agg(
-        F.count("*").alias("in_degree"))
-    return (out.join(inn, "node", "full")
-               .select("node",
-                       F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
-                       F.coalesce("in_degree", F.lit(0)).alias("in_degree")))
+    credits = e.select(F.explode(F.array(
+        F.struct(F.col("src").alias("node"),
+                 F.lit(1).cast("long").alias("o"),
+                 F.lit(0).cast("long").alias("i")),
+        F.struct(F.col("dst").alias("node"),
+                 F.lit(0).cast("long").alias("o"),
+                 F.lit(1).cast("long").alias("i")))).alias("m"))
+    return (credits.groupBy(F.col("m.node").alias("node"))
+                   .agg(F.sum("m.o").alias("out_degree"),
+                        F.sum("m.i").alias("in_degree")))
 
 
 def hits(
