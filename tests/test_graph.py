@@ -87,6 +87,24 @@ def test_degree_profile(spark, edges_df):
         assert i == sum(1 for _, d in e if d == v)
 
 
+def test_degree_profile_single_pass_credit_semantics(spark):
+    """The r13 one-pass rewrite (explode credits + one aggregate) must
+    keep the two-aggregate+full-outer-join semantics on the shapes the
+    join made subtle: pure sources (in=0), pure sinks (out=0),
+    self-loops (both sides of the same node), and a NULL endpoint —
+    which the old USING full-outer join could NOT merge (NULL keys
+    never equal), so the one-row-per-NULL-node form here is the pinned,
+    intended semantics of the single-pass shape."""
+    rows = [("a", "b"), ("b", "b"), (None, "a"), ("c", None)]
+    df = spark.createDataFrame(rows, "src string, dst string")
+    prof = {r["node"]: (r["out_degree"], r["in_degree"])
+            for r in degree_profile(df).collect()}
+    assert prof == {"a": (1, 1),      # source of a->b, target of NULL->a
+                    "b": (1, 2),      # self-loop counts both sides
+                    "c": (1, 0),      # pure source
+                    None: (1, 1)}     # one merged row for NULL endpoints
+
+
 def _py_hits(edges, iters):
     edges = sorted(set(edges))
     nodes = sorted({s for s, _ in edges} | {d for _, d in edges})

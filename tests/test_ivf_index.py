@@ -387,3 +387,37 @@ def test_ivf_index_randomized_cdc_lifecycle(spark, tmp_path):
         inc.apply_changes(notifications(spark, batch))
         assert read_members(inc) == py_members(
             sorted(state.items()), cents), f"diverged at batch {b}"
+
+
+def test_write_ivf_partitioned_rebalance_invariance(spark, sf_dir,
+                                                    tmp_path):
+    """r13: the rebalance switch on write_ivf_partitioned is layout
+    only — probe answers are identical with and without the clustering
+    shuffle, and rebalance=True writes at most one file per non-empty
+    cluster here (the tasks x nlist small-file shape collapsed)."""
+    import os
+    from qvarn_mr_spark.catalog import load_tables
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    cents = [(r["vec_id"], list(r["c"])) for r in
+             emb.filter(F.col("vec_id") % 100 == 0)
+             .select("vec_id",
+                     F.col("embedding").cast("array<double>").alias("c"))
+             .collect()]
+    queries = emb.filter(F.col("vec_id") % 40 == 3)
+    got = {}
+    nfiles = {}
+    for rb in (False, True):
+        path = str(tmp_path / f"ivf_rb_{rb}")
+        similarity.write_ivf_partitioned(
+            emb.repartition(8), path, cents, "vec_id", "embedding",
+            rebalance=rb)
+        nfiles[rb] = sum(
+            len([f for f in fs if f.endswith(".parquet")])
+            for _, _, fs in os.walk(path))
+        got[rb] = sorted(map(tuple, similarity.probe_ivf_partitioned(
+            spark, path, queries, cents, "vec_id", "embedding",
+            k=3).collect()))
+    assert got[True] == got[False]
+    n_clusters = len(cents)
+    assert nfiles[True] <= n_clusters        # ~one file per cluster
+    assert nfiles[False] > nfiles[True]      # 8 tasks x clusters before
