@@ -3727,38 +3727,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             **{n: f for n, f in base.items() if n not in head}}
 
 
-#: Round-13 driver window (first 50 sampled): the 42 queries whose
-#: code paths round 13 touched — the five oracle graduations
-#: (multimodal ×2 via committed rows, zlib ratios via committed
-#: lengths, perplexity scale buckets via committed cuts, plus the
-#: refactored doc_perplexity_buckets) and the three fingerprint-dedup
-#: dispatch oracles, together with EVERY consumer of the hardened
-#: cosine()/min_by argmax/topk_per_key ordering (the whole
-#: embedding/IVF/kNN/k-means/hybrid/PQ family, the tuning grids,
-#: dedup_tune_bands, doc_stratified_fixed_k) — plus the 7 remaining
-#: r3-era anchors the driver has not sampled since r3 (deferred from
-#: the r12 window; mirror-proven r12) and the brand-new doc_lsh_gate.
+#: Round-13 driver window (first 50 sampled), re-rotated after the
+#: round's OPTIMIZATION commits so it covers every code path r13
+#: actually touched: the five oracle graduations (multimodal ×2 via
+#: committed rows, zlib ratios via committed lengths, perplexity scale
+#: buckets via committed cuts, plus the refactored
+#: doc_perplexity_buckets) and the three fingerprint-dedup dispatch
+#: oracles; ONE representative per DISTINCT code path of the hardened
+#: cosine()/min_by argmax/topk_per_key ordering + r13 norm-hoisting
+#: (the JVM and Arrow kNN paths, the JVM argmax, assign, k-means,
+#: probe, tuning-grid, recall, LSH and hybrid legs — the dropped
+#: same-path twins are the Arrow argmax variants whose `_unit_rows`
+#: guard the hardening did not change, and the r12-mirror-proven
+#: entries whose code r13 left alone); the optimization round's graph
+#: superstep / triangle / degree rewrites, the JVM-parsed
+#: minhash/simhash expression paths, and the conv-decode DSIR pipeline;
+#: plus the 7 remaining r3-era anchors (deferred from the r12 window;
+#: mirror-proven r12) and the brand-new doc_lsh_gate.
 _R13_WINDOW = [
     # oracle graduations + dispatch-dedup rebuilds (r13 / post-r12)
     "multimodal_features", "multimodal_signal_features",
     "doc_compression_ratio", "doc_perplexity_buckets_scale",
     "doc_perplexity_buckets", "graph_pagerank_converged",
     "doc_bpe_tokenize", "corpus_bpe_merges",
-    # hardened cosine()/argmax/topk consumers (null/zero-norm change)
+    # hardened cosine()/argmax/topk + r13 norm-hoisting, one per path
     "ivf_index_probe", "ivf_store_probe", "ivf_partitioned_probe",
-    "ivf_assign", "ivf_assign_arrow", "ivf_probe_search",
-    "knn_bruteforce", "knn_bruteforce_arrow",
-    "embedding_nn", "embedding_nn_ivf", "embedding_nn_ivf_arrow",
-    "embedding_kmeans_assign", "embedding_kmeans_assign_arrow",
-    "embedding_kmeans_warm", "embedding_kmeans_centroids",
-    "kmeans_probe_search", "kmeans_probe_fixed_nlist",
-    "tune_nprobe_fixed_nlist", "embedding_tune_nprobe",
-    "embedding_ann_recall", "embedding_density_sample",
-    "embedding_semantic_dedup", "embedding_near_dup_lsh",
-    "embedding_lsh_probe", "embedding_quantize", "embedding_pq_search",
-    "embedding_hard_negatives", "hybrid_search", "hybrid_search_ivf",
-    "centroid_by_label", "topk_per_key", "dedup_tune_bands",
-    "doc_stratified_fixed_k", "schema_migrate_search",
+    "ivf_assign", "knn_bruteforce", "knn_bruteforce_arrow",
+    "embedding_nn_ivf", "embedding_kmeans_assign",
+    "embedding_kmeans_warm", "kmeans_probe_search",
+    "kmeans_probe_fixed_nlist", "tune_nprobe_fixed_nlist",
+    "embedding_tune_nprobe", "embedding_ann_recall",
+    "embedding_density_sample", "embedding_semantic_dedup",
+    "embedding_near_dup_lsh", "embedding_lsh_probe",
+    "embedding_pq_search", "embedding_hard_negatives",
+    "hybrid_search_ivf", "dedup_tune_bands", "doc_stratified_fixed_k",
+    # r13 optimization-touched paths: graph superstep/triangle/degree
+    # rewrites, JVM-parsed signature expressions, conv-decode DSIR
+    "graph_pagerank", "graph_pagerank_warm", "graph_hits",
+    "graph_hits_warm", "graph_triangles", "graph_clustering",
+    "graph_communities", "graph_degrees",
+    "minhash_candidates", "simhash", "corpus_dsir_prepare",
     # r3-era anchors deferred from r12 + the new r13 query
     "events_asof", "mr_count", "mr_join", "mr_sum", "q1_pricing",
     "search_exact_ci", "window_latest", "doc_lsh_gate",
