@@ -1708,9 +1708,8 @@ def q_embedding_kmeans_warm(spark, sf_dir):
     post-delta chain's c0 (oracle.kmeans_centroids_sql(init_sql=,
     prefix=, corpus_pred=))."""
     emb = _t(spark, sf_dir, "embeddings")["embeddings"]
-    pre = emb.filter(F.col("vec_id") % 2 == 0)
-    cents = similarity.kmeans_fit(pre, "vec_id", "embedding",
-                                  F.col("vec_id") % 100 == 0, iters=2)
+    cents = _warm_fixture(spark, sf_dir, "embedding_kmeans_warm",
+                          _warm_fix_kmeans)
     return similarity.kmeans_centroids(emb, "vec_id", "embedding",
                                        iters=1, init_centroids=cents)
 
@@ -2952,6 +2951,112 @@ def _cs_edges_pre(spark, sf_dir):
         cs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
 
+#: Bench-only warm-fixture staging (VERDICT r13 #8). The warm-start
+#: queries model "absorb a delta from the PREVIOUS run's output"; that
+#: previous output is INPUT DATA to the operator under test — like the
+#: parquet tables themselves — but it was being rebuilt inside every
+#: timed attempt, so the bench charged ~7.8 s of fixture unroll to
+#: queries whose own cost is ~0.02 s. bench.py stages each fixture ONCE
+#: PER BENCH PROCESS into a fresh temp dir (never reused across runs —
+#: every bench invocation still computes everything from the parquet
+#: inputs) and sets _WARM_FIXTURE_DIR; the queries then read the staged
+#: copy. Correctness paths (driver t2, check_oracle, tests) never set
+#: the dir, so they build the fixture inline exactly as before. Results
+#: are identical either way: the fixtures are deterministic frames whose
+#: values round before use, and the parquet round-trip is exact —
+#: pinned by tests/test_functions.py::test_warm_fixture_staging_identical.
+_WARM_FIXTURE_DIR: str | None = None
+
+
+def _warm_fixture(spark, sf_dir, key, build):
+    """The warm-start input: the staged copy when bench.py
+    pre-materialized it (same values — parquet for frames, JSON for the
+    k·dim centroid list), else built inline."""
+    if _WARM_FIXTURE_DIR:
+        import json
+        import os
+
+        p = os.path.join(_WARM_FIXTURE_DIR, key)
+        if os.path.isfile(p + ".json"):
+            with open(p + ".json") as f:
+                return [(int(c), [float(x) for x in vec])
+                        for c, vec in json.load(f)]
+        if os.path.isdir(p):
+            return spark.read.parquet(p)
+    return build(spark, sf_dir)
+
+
+def _warm_fix_pagerank(spark, sf_dir):
+    from qvarn_mr_spark.operators.graph import pagerank
+    return pagerank(_cs_edges_pre(spark, sf_dir), iters=6,
+                    edges_distinct=True)
+
+
+def _warm_fix_hits(spark, sf_dir):
+    from qvarn_mr_spark.operators.graph import hits
+    return hits(_cs_edges_pre(spark, sf_dir), iters=4,
+                edges_distinct=True)
+
+
+def _warm_fix_communities(spark, sf_dir):
+    from qvarn_mr_spark.operators.graph import label_propagation
+    return label_propagation(_part_co_edges_pre(spark, sf_dir), iters=4,
+                             edges_canonical=True)
+
+
+def _warm_fix_components(spark, sf_dir):
+    from qvarn_mr_spark.operators.graph import connected_components
+    return connected_components(
+        _supp_nation_edges(spark, sf_dir, F.col("s_suppkey") % 2 == 0))
+
+
+def _warm_fix_kmeans(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")["embeddings"]
+    pre = emb.filter(F.col("vec_id") % 2 == 0)
+    return similarity.kmeans_fit(pre, "vec_id", "embedding",
+                                 F.col("vec_id") % 100 == 0, iters=2)
+
+
+#: query name -> builder of its pre-delta fixture ("the previous run's
+#: output" each warm query absorbs a delta against)
+WARM_FIXTURE_BUILDERS = {
+    "graph_pagerank_warm": _warm_fix_pagerank,
+    "graph_hits_warm": _warm_fix_hits,
+    "graph_communities_warm": _warm_fix_communities,
+    "graph_components_warm": _warm_fix_components,
+    "embedding_kmeans_warm": _warm_fix_kmeans,
+}
+
+
+def bench_stage_warm_fixtures(spark, sf_dir, root, names=None):
+    """Materialize warm-start fixtures once per bench process (bench.py
+    only; see _WARM_FIXTURE_DIR above). Returns ``{query: seconds}`` —
+    the fixture-build cost the sidecar publishes next to each warm
+    query's own construct+run, so the old accounting stays
+    reconstructable (old construct ≈ fixture_prepare + new construct)."""
+    global _WARM_FIXTURE_DIR
+    import os
+    import time
+
+    import json
+
+    out = {}
+    for key, build in WARM_FIXTURE_BUILDERS.items():
+        if names is not None and key not in names:
+            continue
+        t0 = time.time()
+        obj = build(spark, sf_dir)
+        if isinstance(obj, list):          # k·dim centroid list
+            with open(os.path.join(root, key + ".json"), "w") as f:
+                json.dump(obj, f)
+        else:
+            obj.write.mode("overwrite").parquet(os.path.join(root, key))
+        out[key] = round(time.time() - t0, 3)
+    if out:
+        _WARM_FIXTURE_DIR = root
+    return out
+
+
 def q_graph_pagerank_warm(spark, sf_dir):
     """Incremental PageRank maintenance (graph.pagerank(init_ranks=)):
     rank the PRE-delta purchase graph (non-urgent orders, 6 supersteps),
@@ -2962,8 +3067,8 @@ def q_graph_pagerank_warm(spark, sf_dir):
     supersteps. Fully value-oracled: oracle.pagerank_sql composes — the
     pre-delta unroll feeds the post-delta unroll as its init CTE."""
     from qvarn_mr_spark.operators.graph import pagerank
-    old = pagerank(_cs_edges_pre(spark, sf_dir), iters=6,
-                   edges_distinct=True)
+    old = _warm_fixture(spark, sf_dir, "graph_pagerank_warm",
+                        _warm_fix_pagerank)
     return pagerank(_cs_edges(spark, sf_dir), iters=3, init_ranks=old,
                     edges_distinct=True)
 
@@ -3113,8 +3218,8 @@ def q_graph_communities_warm(spark, sf_dir):
     label tie-break), so the composed CTE unroll value-oracles the
     whole thing (oracle.label_propagation_sql(init_sql=...))."""
     from qvarn_mr_spark.operators.graph import label_propagation
-    old = label_propagation(_part_co_edges_pre(spark, sf_dir), iters=4,
-                            edges_canonical=True)
+    old = _warm_fixture(spark, sf_dir, "graph_communities_warm",
+                        _warm_fix_communities)
     return label_propagation(_part_co_edges(spark, sf_dir), iters=2,
                              edges_canonical=True,
                              init_labels=old)
@@ -3256,8 +3361,8 @@ def q_graph_components_warm(spark, sf_dir):
     one — the check proves the warm path lands on the exact cold
     fixpoint, label for label."""
     from qvarn_mr_spark.operators.graph import connected_components
-    prev = connected_components(
-        _supp_nation_edges(spark, sf_dir, F.col("s_suppkey") % 2 == 0))
+    prev = _warm_fixture(spark, sf_dir, "graph_components_warm",
+                         _warm_fix_components)
     return connected_components(_supp_nation_edges(spark, sf_dir),
                                 init_components=prev)
 
@@ -3283,8 +3388,7 @@ def q_graph_hits_warm(spark, sf_dir):
     composes, the pre-delta unroll feeding the post-delta unroll as
     its init CTE."""
     from qvarn_mr_spark.operators.graph import hits
-    old = hits(_cs_edges_pre(spark, sf_dir), iters=4,
-               edges_distinct=True)
+    old = _warm_fixture(spark, sf_dir, "graph_hits_warm", _warm_fix_hits)
     return hits(_cs_edges(spark, sf_dir), iters=2, init_hubs=old,
                 edges_distinct=True)
 
@@ -3721,10 +3825,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_sole_returners": q21_sole_returners,
         "q22_idle_customers": q22_idle_customers,
     }
-    head = [n for n in _R13_WINDOW if n in base]
+    head = [n for n in _R14_WINDOW if n in base]
     assert len(head) == 50, len(head)
     return {**{n: base[n] for n in head},
             **{n: f for n, f in base.items() if n not in head}}
+
+
+#: Round-14 driver window (first 50 sampled) — the union-freshness
+#: rotation VERDICT r13 #6 prescribes: FIRST every code path round 14
+#: touched (the degree-profile oracle twin rewrite to the exploded-
+#: credit form, the label-propagation self-vote fold and its warm twin,
+#: the triangle/clustering degree-cap valve, the warm-fixture helper
+#: that now fronts the warm queries' pre-delta build — one
+#: representative per staged form: parquet-frame via pagerank_warm,
+#: centroid-list via kmeans_warm — and the IVF partitioned write's
+#: inputFiles-based rebalance signal), THEN the 42 r12-proven anchors
+#: rotated out in r13 (TPC-H q2-q22, the events window family, mr_*,
+#: search_*, set ops, quantile sketches). events_running is the one
+#: anchor deferred to keep the head at 50 — its lag/running-window
+#: machinery stays covered by events_value_deltas +
+#: events_ntile_quartiles, and it remains in the 169-query local mirror
+#: (tools/check_oracle.py), which value-checks EVERY declared query at
+#: sf0.01 each round — including all Arrow twins of the r13-hoisted
+#: scoring paths (ADVICE r13 #3).
+_R14_WINDOW = [
+    # r14-touched paths first
+    "graph_degrees", "graph_communities", "graph_communities_warm",
+    "graph_triangles", "graph_clustering", "graph_pagerank_warm",
+    "embedding_kmeans_warm", "ivf_partitioned_probe",
+    # the r12-proven anchors rotated out in r13
+    "q2_min_cost_supplier", "q3_topk_revenue", "q4_late_orders",
+    "q5_region_revenue", "q6_selective_sum", "q7_nation_volume",
+    "q8_market_share", "q9_product_profit", "q10_returned_items",
+    "q11_important_parts", "q13_order_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q16_supplier_variety", "q17_small_qty_revenue",
+    "q18_big_orders", "q19_disjunctive_revenue", "q20_heavy_shippers",
+    "q21_sole_returners", "q22_idle_customers",
+    "events_asof_bucketed", "events_distinct_users_hll",
+    "events_error_window", "events_hourly", "events_ntile_quartiles",
+    "events_pivot", "events_sessionize", "events_sessionize_bucketed",
+    "events_top_users", "events_value_deltas",
+    "mr_dict_map", "mr_median_pandas", "mr_minmax", "mr_wordcount",
+    "price_quantiles", "price_quantiles_kll",
+    "agg_cube", "agg_rollup", "except_unused_parts",
+    "intersect_nations", "search_like", "search_range_sort_limit",
+]
 
 
 #: Round-13 driver window (first 50 sampled), re-rotated after the

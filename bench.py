@@ -198,10 +198,65 @@ def _spread_bounds(s):
     return s[0], (s[-2] if len(s) >= 4 else s[-1])
 
 
+def _box_state():
+    """Box-state provenance snapshot (VERDICT r13 #3, guide §1
+    "attribute before believing"): r13's driver bench ran on a box so
+    contended its 8-core run beat its 32-core run of identical code —
+    detectable only by hand-reconstruction. These fields make a
+    contended run self-identifying: load average, cumulative CPU/steal
+    ticks (/proc/stat; the start→end delta gives steal %), and a ~0.5 s
+    single-core Python spin calibration (identical work every time —
+    big swings between runs, or between a run's start and end, mean the
+    box, not the code)."""
+    state = {}
+    try:
+        la = os.getloadavg()
+        state["loadavg"] = [round(x, 2) for x in la]
+    except OSError:
+        pass
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        ticks = [int(x) for x in parts[1:]]
+        state["cpu_ticks_total"] = sum(ticks)
+        state["cpu_ticks_steal"] = ticks[7] if len(ticks) > 7 else 0
+        state["cpu_ticks_idle"] = ticks[3] if len(ticks) > 3 else 0
+    except (OSError, ValueError, IndexError):
+        pass
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < 0.5:
+        acc = 0
+        for i in range(100_000):
+            acc += i
+        n += 1
+    state["calib_loops_per_s"] = round(n / (time.time() - t0), 1)
+    return state
+
+
+def _box_delta(start, end):
+    """Derived whole-run contention summary from two _box_state snaps."""
+    out = {"start": start, "end": end}
+    ts, te = start.get("cpu_ticks_total"), end.get("cpu_ticks_total")
+    if ts is not None and te is not None and te > ts:
+        out["steal_pct"] = round(
+            100.0 * (end["cpu_ticks_steal"] - start["cpu_ticks_steal"])
+            / (te - ts), 2)
+        out["idle_pct"] = round(
+            100.0 * (end["cpu_ticks_idle"] - start["cpu_ticks_idle"])
+            / (te - ts), 2)
+    c0, c1 = start.get("calib_loops_per_s"), end.get("calib_loops_per_s")
+    if c0 and c1:
+        out["calib_drift"] = round(max(c0, c1) / min(c0, c1) - 1, 3)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    box_start = _box_state()
 
     spark = get_spark("qvarn-mr-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -235,10 +290,8 @@ def main() -> None:
         only = sys.argv[sys.argv.index("--only") + 1]
         names = tuple(n for n in names if only in n)
         sidecar_name = "BENCH_ONLY.json"
-    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           sidecar_name)
-    prev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_RESULT.json")
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev_path = os.path.join(here, "BENCH_RESULT.json")
     prev = None
     if not bench_all and os.path.exists(prev_path):
         try:
@@ -246,9 +299,39 @@ def main() -> None:
                 prev = json.load(f)
         except (OSError, ValueError):
             prev = None
+    # never clobber the headline sidecar with a DIFFERENT-core run
+    # (VERDICT r13 #2: the driver's 8-core scaling run overwrote the
+    # 32-core per-query record) — a mismatched-core headline run writes
+    # to its own BENCH_RESULT_c<N>.json; the per-query history below is
+    # append-only either way
+    if (sidecar_name == "BENCH_RESULT.json" and prev is not None
+            and prev.get("cpus") not in (None, cpus)):
+        sidecar_name = f"BENCH_RESULT_c{cpus}.json"
+    sidecar = os.path.join(here, sidecar_name)
 
     # warmup: JIT + executor spin-up on a trivial job
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    # warm-start fixtures (VERDICT r13 #8): each warm query's pre-delta
+    # "previous run's output" is INPUT DATA to the operator under test —
+    # stage it ONCE PER BENCH PROCESS (fresh temp dir, deleted on exit;
+    # never reused across bench runs) so the timed region measures the
+    # delta-absorbing operator, not ~7.8 s of fixture unroll per attempt.
+    # The build cost stays published per query (fixture_prepare below),
+    # so the old accounting is reconstructable: old construct ≈
+    # fixture_prepare + new construct. Staged-vs-inline value identity is
+    # pinned by tests/test_functions.py::test_warm_fixture_staging_identical.
+    fixture_prepare = {}
+    fixture_names = set(names) & set(entry.WARM_FIXTURE_BUILDERS)
+    if fixture_names:
+        import atexit
+        import shutil
+        import tempfile
+
+        fx_root = tempfile.mkdtemp(prefix="qvarn_bench_warm_fixtures_")
+        atexit.register(shutil.rmtree, fx_root, True)
+        fixture_prepare = entry.bench_stage_warm_fixtures(
+            spark, sf_dir, fx_root, names=fixture_names)
 
     times: dict[str, float] = {}
     construct: dict[str, float] = {}
@@ -350,8 +433,15 @@ def main() -> None:
     # own column but no longer gates. Legacy sidecars without
     # run_spread fall back to the single point queries[k]−construct[k]
     # (the run-only share of the recorded fastest attempt).
+    # only classify against a matched-core sidecar: the r13 record shows
+    # an 8-core run "regressing" every query vs a 32-core one means
+    # nothing (legacy sidecars without a cpus field still classify —
+    # they were all headline 32-core runs)
     vs_prev = None
-    if prev and isinstance(prev.get("spread"), dict):
+    if (prev is not None and prev.get("cpus") not in (None, cpus)):
+        vs_prev = {"skipped": f"prev sidecar at {prev['cpus']} cores, "
+                              f"this run at {cpus}"}
+    elif prev and isinstance(prev.get("spread"), dict):
         regs, imps, within = {}, {}, 0
         prev_rs = prev.get("run_spread") or {}
         for name, t in times.items():
@@ -400,7 +490,22 @@ def main() -> None:
         "run_only_median_total": round(sum(run_only.values()), 3),
         "runs_per_query": runs,
         "sf": sf,
+        "cpus": cpus,
+        # whole-run contention provenance (VERDICT r13 #3): steal%,
+        # idle%, load and an identical-work calibration loop at start
+        # and end — a contended run self-identifies in its own sidecar
+        "box_state": _box_delta(box_start, _box_state()),
     }
+    if fixture_prepare:
+        # warm-fixture staging cost (once per process, OUTSIDE the
+        # per-attempt timed region — see the staging comment above);
+        # old accounting ≈ queries[q] + fixture_prepare[q]
+        out["fixture_prepare"] = fixture_prepare
+        out["fixture_accounting"] = (
+            "warm pre-delta fixtures staged once per process since r14; "
+            "per-attempt construct no longer includes the fixture unroll "
+            "(VERDICT r13 #8) — old-accounting total for a warm query is "
+            "queries[q] + fixture_prepare[q]")
     if noise_band:
         out["noise_band"] = noise_band
     if vs_prev is not None:
@@ -411,6 +516,27 @@ def main() -> None:
     # whole...
     with open(sidecar, "w") as f:
         json.dump(out, f, indent=1)
+    # ...plus one APPEND-ONLY line per run to BENCH_HISTORY.jsonl
+    # (VERDICT r13 #2): the durable per-query record no later run —
+    # different core count, --only subset, scaling pass — can clobber;
+    # keyed the same every round (cpus, sf, per-query run-only medians
+    # + spreads), so round-over-round per-query comparison never again
+    # depends on reconstructing overwritten sidecars
+    hist = {"ts": int(time.time()), "cpus": cpus, "sf": sf,
+            "metric": out["metric"], "n_queries": len(times),
+            "value": out["value"],
+            "construct_total": out["construct_total"],
+            "run_only_median_total": out["run_only_median_total"],
+            "box_state": out["box_state"],
+            "queries": times, "construct": construct,
+            "run_only": run_only, "run_spread": run_spread}
+    if fixture_prepare:
+        hist["fixture_prepare"] = fixture_prepare
+    try:
+        with open(os.path.join(here, "BENCH_HISTORY.jsonl"), "a") as f:
+            f.write(json.dumps(hist, separators=(",", ":")) + "\n")
+    except OSError:
+        pass  # history is best-effort; the sidecar is the record
     # ...and a compact summary-only line LAST on stdout. The driver keeps
     # only a ~2000 char tail of stdout; per-query dicts overflowed it in
     # r3 and again in r7 (both recorded parsed:null with rc:0), so the
@@ -418,12 +544,23 @@ def main() -> None:
     # headline and a pointer to the sidecar.
     compact = {k: v for k, v in out.items()
                if k not in ("queries", "construct", "spread", "vs_prev",
-                            "run_only", "run_spread")}
+                            "run_only", "run_spread", "box_state",
+                            "fixture_prepare", "fixture_accounting")}
+    # one-line box/fixture summary (full detail stays in the sidecar)
+    bs = out["box_state"]
+    compact["box"] = {k: bs[k] for k in ("steal_pct", "idle_pct",
+                                         "calib_drift") if k in bs}
+    if fixture_prepare:
+        compact["fixture_prepare_total"] = round(
+            sum(fixture_prepare.values()), 3)
     if vs_prev is not None:
-        compact["vs_prev_counts"] = {
-            "regressions": len(vs_prev["regressions"]),
-            "improvements": len(vs_prev["improvements"]),
-            "within_noise": vs_prev["n_within_noise"]}
+        if "skipped" in vs_prev:
+            compact["vs_prev_counts"] = {"skipped": vs_prev["skipped"]}
+        else:
+            compact["vs_prev_counts"] = {
+                "regressions": len(vs_prev["regressions"]),
+                "improvements": len(vs_prev["improvements"]),
+                "within_noise": vs_prev["n_within_noise"]}
     compact["n_queries"] = len(times)
     compact["sidecar"] = sidecar_name
     line = json.dumps(compact, separators=(",", ":"))

@@ -1139,7 +1139,19 @@ def write_ivf_partitioned(df: DataFrame, path: str, centroids,
                          ivf_cluster_col(vec_col, centroids)
                          .alias("cluster_id"))
     if rebalance is None:
-        rebalance = assigned.rdd.getNumPartitions() >= 32
+        # derive the many-write-tasks signal WITHOUT planning the RDD
+        # (ADVICE r13: ``.rdd.getNumPartitions()`` under AQE materializes
+        # every upstream shuffle stage — the "cheap check" executed the
+        # whole input job once, and the write then executed it again —
+        # and post-shuffle inputs always reported exactly the session
+        # shuffle-partition count, defeating the tiny-corpora skip).
+        # ``inputFiles()`` inspects the plan's file index only: a
+        # scan-backed corpus reports its real file count (the 100 TB
+        # case: thousands of scan tasks → rebalance engages); in-memory
+        # or synthetic frames report zero files → skip, matching the
+        # measured bench-scale result that the vector-payload Exchange
+        # costs more than the small files it saves.
+        rebalance = len(df.inputFiles()) >= 32
     if rebalance:
         assigned = assigned.hint("rebalance", "cluster_id")
     assigned.write.mode(mode).partitionBy("cluster_id").parquet(path)

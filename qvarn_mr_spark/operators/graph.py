@@ -526,7 +526,8 @@ def degree_views(source: str = "edges", src_col: str = "src",
 def triangle_count(edges: DataFrame, src: str = "src",
                    dst: str = "dst",
                    max_wedges: int | None = None,
-                   edges_canonical: bool = False) -> DataFrame:
+                   edges_canonical: bool = False,
+                   max_adj: int = 4096) -> DataFrame:
     """Per-node triangle participation over the UNDIRECTED collapse of
     ``edges`` (direction and duplicates ignored; self-loops dropped) —
     the classic cohesion/link-spam signal (a farm of pages linking each
@@ -558,7 +559,7 @@ def triangle_count(edges: DataFrame, src: str = "src",
     Returns ``(node, triangles)`` for every node (0 for triangle-free
     nodes)."""
     und, deg = _und_deg(edges, src, dst, edges_canonical)
-    return _triangle_core(und, deg, max_wedges)
+    return _triangle_core(und, deg, max_wedges, max_adj=max_adj)
 
 
 def _und_deg(edges: DataFrame, src: str, dst: str,
@@ -590,9 +591,28 @@ def _und_deg(edges: DataFrame, src: str, dst: str,
 
 
 def _triangle_core(und: DataFrame, deg: DataFrame,
-                   max_wedges: int | None) -> DataFrame:
-    """The degree-ordered orientation + wedge/closure joins of
-    :func:`triangle_count` over a pinned ``(und, deg)`` pair."""
+                   max_wedges: int | None,
+                   max_adj: int = 4096) -> DataFrame:
+    """The degree-ordered orientation + adjacency-intersection core of
+    :func:`triangle_count` over a pinned ``(und, deg)`` pair.
+
+    ``max_adj`` is the r14 degree-cap valve (VERDICT r13 #5): the
+    adjacency-array shape carries ``collect_list`` out-neighbor arrays
+    per oriented source and intersects them per base edge — at
+    10^11-10^12 edges a √m-degree hub's array is ~10^5-10^6 entries
+    moving through a shuffle, a task-memory risk (guide §5) the
+    relational join shape never had. When any node's degree exceeds
+    ``max_adj`` (one bounded max over the pinned node-degree table),
+    the core goes HYBRID: arrays are built ONLY for sources whose
+    undirected degree ≤ ``max_adj`` (so every array is provably
+    bounded; und-degree upper-bounds oriented out-degree), base edges
+    with both endpoints small keep the intersection path, and the
+    tail — base edges touching a > ``max_adj`` node — falls back to
+    the relational expand-and-close join (row-at-a-time, same
+    asymptotics, no arrays). Base edges partition exactly in two, so
+    each triangle is still found once at its base edge; counts sum.
+    Graphs whose max degree fits the cap (every declared query at
+    bench scale) take the pure array path — the r13 plan, unchanged."""
     lower = ((F.col("du") < F.col("dv"))
              | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))))
     oriented = pin(
@@ -631,10 +651,29 @@ def _triangle_core(und: DataFrame, deg: DataFrame,
     # triangle — base endpoints get |intersection|, each common
     # neighbor gets 1 — in ONE scan of the joined frame (the 3-branch
     # union lesson from the old shape still applies).
-    adj = oriented.groupBy("x").agg(F.collect_list("y").alias("ns"))
+    # degree-cap valve (r14, VERDICT r13 #5 / guide §5): one bounded
+    # max over the pinned node-degree table decides the shape. The
+    # collect is a node-sized aggregate of an already-pinned frame —
+    # milliseconds at bench scale, one cheap pass at cluster scale,
+    # and it buys a provable per-row array bound.
+    kmax = deg.agg(F.max("deg").alias("m")).collect()[0]["m"]
+    hybrid = kmax is not None and int(kmax) > int(max_adj)
+    if hybrid:
+        small = pin(deg.filter(F.col("deg") <= int(max_adj))
+                       .select("node"))
+        # full out-lists, but ONLY for small sources: |out(x)| ≤
+        # und-deg(x) ≤ max_adj, so no array ever exceeds the cap
+        osm = oriented.join(small.select(F.col("node").alias("x")),
+                            "x", "left_semi")
+        adj = osm.groupBy("x").agg(F.collect_list("y").alias("ns"))
+    else:
+        adj = oriented.groupBy("x").agg(F.collect_list("y").alias("ns"))
     # the oriented edge list IS adj exploded — re-deriving it from adj
     # attaches ns without the extra oriented⋈adj join+exchange the
-    # two-join form paid (r13; only the y-side attach shuffles)
+    # two-join form paid (r13; only the y-side attach shuffles). Under
+    # the hybrid split this inner join ALSO restricts the array path to
+    # base edges with BOTH endpoints small (a big or out-less y has no
+    # adj row — out-less y closes no triangle, big y goes to the tail).
     edges2 = (adj.select("x", F.explode("ns").alias("y"), "ns")
               .join(adj.select(F.col("x").alias("y"),
                                F.col("ns").alias("ns_y")), "y")
@@ -650,6 +689,34 @@ def _triangle_core(und: DataFrame, deg: DataFrame,
     members = (edges2.select(F.explode(contrib).alias("m"))
                      .select(F.col("m.n").alias("node"),
                              F.col("m.c").alias("c")))
+    if hybrid:
+        # tail base edges — x big, or x small with y big: a disjoint
+        # partition of the oriented edges against the array path, so
+        # each triangle is still found exactly once at its base edge
+        big = pin(deg.filter(F.col("deg") > int(max_adj))
+                     .select("node"))
+        tail = (oriented.join(big.select(F.col("node").alias("x")),
+                              "x", "left_semi")
+                .union(oriented
+                       .join(small.select(F.col("node").alias("x")),
+                             "x", "left_semi")
+                       .join(big.select(F.col("node").alias("y")),
+                             "y", "left_semi")))
+        # relational expand-and-close (the pre-r13 wedge discipline,
+        # restricted to the tail): c ∈ out(x) via one join, closed by
+        # the oriented edge (y, c) via a second — no arrays, row-sized
+        # state only; one row per tail triangle (x, y, c)
+        tri_tail = (tail
+                    .join(oriented.select("x", F.col("y").alias("c")),
+                          "x")
+                    .join(oriented.select(F.col("x").alias("y"),
+                                          F.col("y").alias("c")),
+                          ["y", "c"]))
+        tail_members = (tri_tail
+                        .select(F.explode(F.array("x", "y", "c"))
+                                .alias("node"))
+                        .select("node", F.lit(1).cast("long").alias("c")))
+        members = members.union(tail_members)
     counts = members.groupBy("node").agg(F.sum("c").alias("triangles"))
     return (deg.select("node").join(counts, "node", "left")
                .select("node", F.coalesce("triangles", F.lit(0))
@@ -716,7 +783,8 @@ def clustering_coefficient(edges: DataFrame, src: str = "src",
                            dst: str = "dst",
                            digits: int | None = 6,
                            edges_canonical: bool = False,
-                           max_wedges: int | None = None) -> DataFrame:
+                           max_wedges: int | None = None,
+                           max_adj: int = 4096) -> DataFrame:
     """Local clustering coefficient per node: ``2*T / (d*(d-1))`` —
     what fraction of a node's neighbor pairs are themselves linked
     (1.0 = clique-like, 0.0 = star-like). Composes
@@ -727,7 +795,7 @@ def clustering_coefficient(edges: DataFrame, src: str = "src",
     :func:`_und_deg` instead of re-derived — one distinct + one degree
     aggregate per call, not two)."""
     und, deg = _und_deg(edges, src, dst, edges_canonical)
-    tri = _triangle_core(und, deg, max_wedges)
+    tri = _triangle_core(und, deg, max_wedges, max_adj=max_adj)
     coef = F.when(F.col("deg") >= 2,
                   2.0 * F.col("triangles")
                   / (F.col("deg") * (F.col("deg") - 1))) \
@@ -800,11 +868,20 @@ def label_propagation(edges: DataFrame, src: str = "src",
     # per-round votes join needs no Exchange and no Sort on the
     # edge-sized side (labels arrive hash(node)-partitioned out of each
     # round's aggregation, alias-preserved through the rename)
-    sym = pin(e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
-               .union(e.select(F.col("v").alias("node"),
-                               F.col("u").alias("nbr")))
-               .repartition("nbr").sortWithinPartitions("nbr"))
-    nodes = pin(sym.select("node").distinct())
+    base = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")) \
+            .union(e.select(F.col("v").alias("node"),
+                            F.col("u").alias("nbr")))
+    nodes = pin(base.select("node").distinct())
+    # r14 (VERDICT r13 #9): the SELF-VOTE rides the adjacency as one
+    # (node, node) row per node, pre-unioned into the same partitioned
+    # pin — the per-round vote stream becomes ONE nbr-keyed join
+    # against the label frame instead of join ∪ labels, which read the
+    # label checkpoint twice per round. Vote multiset per (node, label)
+    # is identical: the self row delivers exactly the one own-label
+    # vote the union used to.
+    sym = pin(base.union(nodes.select("node",
+                                      F.col("node").alias("nbr")))
+              .repartition("nbr").sortWithinPartitions("nbr"))
     if init_labels is not None:
         labels = (nodes.join(
             init_labels.select(F.col("node"),
@@ -817,10 +894,12 @@ def label_propagation(edges: DataFrame, src: str = "src",
         labels = nodes.withColumn("label",
                                   F.col("node")).localCheckpoint()
     for _ in range(iters):
+        # ONE read of the label checkpoint per round (r14, VERDICT r13
+        # #9): the self-vote arrives through sym's (node, node) rows,
+        # so no second labels-frame branch is needed here
         votes = (sym.join(labels.select(F.col("node").alias("nbr"),
                                         "label"), "nbr")
-                    .select("node", "label")
-                    .union(labels.select("node", "label")))
+                    .select("node", "label"))
         counts = votes.groupBy("node", "label").agg(
             F.count(F.lit(1)).alias("cnt"))
         # r13 (guide §2.3): the per-node argmax as a partial-aggregating

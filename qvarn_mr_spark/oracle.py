@@ -2701,15 +2701,23 @@ def pagerank_converged_dispatch_sql(entries: list, edges_sql: str,
 
 
 def degree_profile_sql(edges_sql: str) -> str:
-    """graph.degree_profile — per-node in/out degree over distinct edges."""
+    """graph.degree_profile — per-node in/out degree over distinct edges.
+
+    The exploded-credit GROUP BY mirrors the engine's r13 single-pass
+    shape exactly, INCLUDING the pinned NULL-endpoint semantics (a NULL
+    src and a NULL dst merge into ONE output row — tests/test_graph.py
+    pins it; ADVICE r13: the old ``FULL JOIN ON o.node = i.node`` form
+    emitted two separate NULL rows, silently diverging on any future
+    edge source that admits NULLs)."""
     return f"""
 WITH edges AS (SELECT DISTINCT src, dst FROM ({edges_sql})),
-o AS (SELECT src AS node, count(*) AS out_degree FROM edges GROUP BY src),
-i AS (SELECT dst AS node, count(*) AS in_degree FROM edges GROUP BY dst)
-SELECT coalesce(o.node, i.node) AS node,
-       coalesce(out_degree, 0) AS out_degree,
-       coalesce(in_degree, 0) AS in_degree
-FROM o FULL JOIN i ON o.node = i.node
+credits AS (
+  SELECT src AS node, 1 AS o, 0 AS i FROM edges
+  UNION ALL
+  SELECT dst AS node, 0 AS o, 1 AS i FROM edges)
+SELECT node, CAST(sum(o) AS BIGINT) AS out_degree,
+       CAST(sum(i) AS BIGINT) AS in_degree
+FROM credits GROUP BY node
 """
 
 

@@ -22,3 +22,23 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "sweep: multi-minute randomized/CDC sweep — skipped unless "
+        "SPARK_GRAFT_SLOW_TESTS=1 so the default gate fits the driver's "
+        "pytest budget (VERDICT r13 #1). Every sweep has a fast "
+        "deterministic sibling in the default gate; the full set runs "
+        "via SPARK_GRAFT_SLOW_TESTS=1 (recorded in OPTIMIZATION_r14.md).")
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("SPARK_GRAFT_SLOW_TESTS"):
+        return
+    skip = pytest.mark.skip(
+        reason="sweep: set SPARK_GRAFT_SLOW_TESTS=1 to run")
+    for item in items:
+        if "sweep" in item.keywords:
+            item.add_marker(skip)

@@ -76,6 +76,7 @@ def _expected(rows):
     return out
 
 
+@pytest.mark.sweep
 def test_merge_lifecycle_matches_recompute(spark, tmp_path, mk_store):
     rows = [("1", 1, 10), ("2", 1, 20), ("3", 2, 5)]
     cat, inc, set_source = _mk(spark, tmp_path, rows, mk_store)

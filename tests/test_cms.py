@@ -1,6 +1,8 @@
 """Count-min sketch: overestimate/bound properties, linear merge, and
 incremental maintenance through the algebraic IVM path."""
 
+import pytest
+
 import math
 import random
 
@@ -103,6 +105,7 @@ def test_cms_grouped_rollup(spark):
     assert coarse == flat
 
 
+@pytest.mark.sweep
 def test_cms_maintained_incrementally(spark, tmp_path):
     """A CMS counter view maintained by the algebraic IVM path (MERGE_ADD
     on insert-only dirty keys, recompute on deletes) equals the batch

@@ -22,6 +22,8 @@ composition ever rescans the corpus, which is what makes it a 100 TB
 ingest design.
 """
 
+import pytest
+
 import glob
 import shutil
 
@@ -64,6 +66,7 @@ def _norm_pairs(df, a, b):
     return {(min(r[a], r[b]), max(r[a], r[b])) for r in df.collect()}
 
 
+@pytest.mark.sweep
 def test_composed_streaming_corpus_pipeline(spark, tmp_path):
     feed = tmp_path / "feed"
     feed.mkdir()

@@ -57,6 +57,7 @@ def _expected(rows):
     return hist
 
 
+@pytest.mark.sweep
 def test_deep_dag_lifecycle_matches_recompute(spark, tmp_path):
     cat, eng, inc, set_source = _setup(spark, tmp_path)
     rows = [("o1", 1), ("o2", 1), ("o3", 2)]
@@ -94,6 +95,7 @@ def test_deep_dag_lifecycle_matches_recompute(spark, tmp_path):
     assert _hist(inc) == {}
 
 
+@pytest.mark.sweep
 def test_deep_dag_untouched_keys_stay_clean(spark, tmp_path):
     """A change to one user must not mark other histogram buckets dirty:
     the synthetic batches carry only the propagated dirty keys."""
@@ -130,6 +132,7 @@ def test_deep_dag_resync_bootstrap(spark, tmp_path):
     assert _hist(inc) == _expected(rows) == {"2": 2, "1": 1}
 
 
+@pytest.mark.sweep
 def test_map_resync_prefers_stored_upstream_snapshot(spark, tmp_path):
     """Resync of a map-over-derived target must rebuild from the STORED
     upstream snapshot (like the reduce branch and the incremental path),

@@ -1724,3 +1724,25 @@ def test_r11_edge_guards(spark, tmp_path, sf_dir):
         [("d", "   ")], "doc_id string, text string")
     with _pt.raises(ValueError, match="no tokens"):
         export_unigram_lm(empty_docs)
+
+
+def test_warm_fixture_staging_identical(spark, sf_dir, tmp_path):
+    """bench.py's per-process warm-fixture staging (VERDICT r13 #8) is
+    value-invisible: every warm query returns identical rows whether its
+    pre-delta fixture is built inline (the driver-correctness path) or
+    read back from the staged copy (the bench path)."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    names = sorted(entry.WARM_FIXTURE_BUILDERS)
+    cold = {n: sorted(map(tuple, qs[n](spark, sf_dir).collect()))
+            for n in names}
+    prep = entry.bench_stage_warm_fixtures(spark, sf_dir, str(tmp_path),
+                                           names=set(names))
+    try:
+        assert set(prep) == set(names)
+        for n in names:
+            staged = sorted(map(tuple, qs[n](spark, sf_dir).collect()))
+            assert staged == cold[n], n
+    finally:
+        entry._WARM_FIXTURE_DIR = None

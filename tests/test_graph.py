@@ -269,6 +269,7 @@ def test_connected_components_oracle_self_loop_parity(spark):
     assert want["z"] == "z"
 
 
+@pytest.mark.sweep
 def test_pagerank_convergence_tested(spark, edges_df):
     """tol= form: a loose tol stops after the first superstep (result
     == iters=1 exactly, proving the probe breaks the loop), a tight tol
@@ -324,6 +325,7 @@ def test_pagerank_warm_start_zero_init_raises(spark, edges_df):
         pagerank(edges_df, iters=2, init_ranks=zero)
 
 
+@pytest.mark.sweep
 def test_pagerank_warm_start_converges_faster(spark):
     """The IVM property: after a SMALL edge delta, restarting from the
     previous fixpoint reaches the new fixpoint in fewer supersteps than
@@ -401,6 +403,7 @@ def test_pagerank_warm_start_oracle_parity(spark, edges_df):
     assert got == pytest.approx(want, abs=1e-9)
 
 
+@pytest.mark.sweep
 def test_pagerank_warm_composes_with_maintained_edges(spark, tmp_path):
     """The full incremental loop: edges live in an IVM-maintained store,
     a CDC delta updates them O(delta), and PageRank re-converges warm
@@ -458,6 +461,7 @@ def test_pagerank_warm_composes_with_maintained_edges(spark, tmp_path):
     assert l1 < 2e-2, l1
 
 
+@pytest.mark.sweep
 def test_degree_views_maintain_through_cdc(spark, tmp_path):
     """Maintained degree/adjacency views (graph.degree_views through the
     IVM engine) must agree with the batch degree_profile after every
@@ -594,6 +598,7 @@ def test_triangle_approx_p1_is_exact(spark, edges_df):
     assert est == {k: float(v) for k, v in exact.items()}
 
 
+@pytest.mark.sweep
 def test_triangle_approx_unbiased_over_salts(spark):
     """DOULION unbiasedness: E[est] = true count. The coin is a
     deterministic hash, so 'expectation' is realized by averaging over
@@ -711,6 +716,7 @@ def test_label_propagation_warm_start_after_delta(spark):
     assert all(warm[v] == "w" for v in "wxyz")  # bridge didn't merge
 
 
+@pytest.mark.sweep
 def test_hits_tol_converged_twin(spark, edges_df):
     """hits(tol=): the convergence-tested production form — stops at
     the same fixpoint a deep fixed run reaches, a loose tol stops
@@ -899,3 +905,149 @@ def test_edges_canonical_flag_identical_on_canonical_edges(spark):
         fast = sorted(map(tuple,
                           fn(df, edges_canonical=True, **kw).collect()))
         assert fast == base, fn.__name__
+
+
+def _hits_sql_prefold(edges_sql, iters=4, digits=6, init_sql=None,
+                      prefix=""):
+    """The pre-r13 hits_sql unroll, kept VERBATIM (commit 9b72f04^) as
+    the independent reference for the fold: each superstep builds a
+    normalized-auth CTE (an{i}) that the hub half-step consumes, where
+    the folded form feeds the RAW auth sums into the hub update and
+    normalizes once in st{i} (the scalar a_tot cancels algebraically).
+    VERDICT r13 #7: engine and oracle were folded in the SAME commit, so
+    this pins old-unroll == new-unroll on the real driver graph."""
+    P = prefix
+    parts = [
+        f"{P}edges AS MATERIALIZED (SELECT DISTINCT src, dst"
+        f" FROM ({edges_sql}))",
+        f"{P}nodes AS MATERIALIZED (SELECT src AS node FROM {P}edges"
+        f" UNION SELECT dst FROM {P}edges)",
+    ]
+    if init_sql is not None:
+        parts.append(f"{P}nn AS (SELECT CAST(count(*) AS DOUBLE) AS n"
+                     f" FROM {P}nodes)")
+        parts.append(f"{P}init AS MATERIALIZED (SELECT node, "
+                     f"CAST(hub AS DOUBLE) AS hub FROM ({init_sql}))")
+        parts.append(f"{P}ij AS (SELECT n.node, coalesce(i.hub, "
+                     f"1.0 / (SELECT n FROM {P}nn)) AS h0 "
+                     f"FROM {P}nodes n LEFT JOIN {P}init i"
+                     f" ON n.node = i.node)")
+        parts.append(f"{P}itot AS (SELECT sum(h0) AS t0 FROM {P}ij)")
+        parts.append(f"{P}st0 AS (SELECT node, "
+                     f"h0 / (SELECT t0 FROM {P}itot) AS hub, "
+                     f"1.0 AS auth FROM {P}ij)")
+    else:
+        parts.append(f"{P}st0 AS (SELECT node, 1.0 AS hub, 1.0 AS auth"
+                     f" FROM {P}nodes)")
+    for i in range(1, iters + 1):
+        p = f"{P}st{i - 1}"
+        parts.append(
+            f"{P}ar{i} AS MATERIALIZED (SELECT e.dst AS node,"
+            f" sum(s.hub) AS a "
+            f"FROM {P}edges e JOIN {p} s ON e.src = s.node"
+            f" GROUP BY e.dst)")
+        parts.append(
+            f"{P}an{i} AS MATERIALIZED (SELECT n.node,"
+            f" coalesce(ar.a, 0.0) / "
+            f"(SELECT sum(a) FROM {P}ar{i}) AS auth "
+            f"FROM {P}nodes n LEFT JOIN {P}ar{i} ar ON n.node = ar.node)")
+        parts.append(
+            f"{P}hr{i} AS MATERIALIZED (SELECT e.src AS node,"
+            f" sum(an.auth) AS h "
+            f"FROM {P}edges e JOIN {P}an{i} an ON e.dst = an.node"
+            f" GROUP BY e.src)")
+        parts.append(
+            f"{P}st{i} AS MATERIALIZED (SELECT n.node,"
+            f" coalesce(hr.h, 0.0) / "
+            f"(SELECT sum(h) FROM {P}hr{i}) AS hub, an.auth "
+            f"FROM {P}nodes n LEFT JOIN {P}hr{i} hr ON n.node = hr.node "
+            f"JOIN {P}an{i} an ON n.node = an.node)")
+    return ("WITH " + ",\n".join(parts) +
+            f"\nSELECT node, round(hub, {digits}) AS hub, "
+            f"round(auth, {digits}) AS auth FROM {P}st{iters}")
+
+
+def test_hits_sql_fold_differential_on_driver_graph(sf_dir):
+    """oracle.hits_sql's r13 fold == the pre-fold unroll, value for
+    value at the published 6 digits, on the REAL driver graph (the CS
+    purchase edges at the test SF) — cold (the graph_hits query's exact
+    parameters) and warm-composed (graph_hits_warm's)."""
+    import duckdb
+
+    from qvarn_mr_spark import oracle
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS"
+                    f" SELECT * FROM '{sf_dir}/{t}.parquet'")
+    cases = [
+        (oracle.hits_sql(oracle.CS_EDGES_SQL, iters=4),
+         _hits_sql_prefold(oracle.CS_EDGES_SQL, iters=4)),
+        (oracle.hits_sql(
+            oracle.CS_EDGES_SQL, iters=2,
+            init_sql=oracle.hits_sql(oracle.CS_EDGES_PRE_SQL,
+                                     iters=4, prefix="w_")),
+         _hits_sql_prefold(
+             oracle.CS_EDGES_SQL, iters=2,
+             init_sql=_hits_sql_prefold(oracle.CS_EDGES_PRE_SQL,
+                                        iters=4, prefix="w_"))),
+    ]
+    for new_sql, old_sql in cases:
+        new = sorted(con.sql(new_sql).fetchall())
+        old = sorted(con.sql(old_sql).fetchall())
+        assert new == old
+
+
+def test_triangle_degree_cap_valve_equivalence(spark):
+    """r14 degree-cap valve (VERDICT r13 #5): with max_adj forced below
+    the hub degrees, the hybrid shape (bounded adjacency arrays for the
+    small sources + relational expand-and-close for the big-node tail)
+    returns row-identical counts to the pure array shape, across all
+    three tail branches (base edges with x big, with y big, and the
+    small-small path whose arrays still carry big out-neighbors); and
+    no adjacency array the hybrid shape builds exceeds the cap."""
+    from pyspark.sql import functions as F
+
+    from qvarn_mr_spark.operators.graph import (_und_deg,
+                                                clustering_coefficient,
+                                                triangle_count)
+
+    # 3 hubs (degree 12 each) all-connected to each other and to a
+    # 10-ring of small nodes: triangles (p_i, p_i+1, h_k) exercise the
+    # small-small array path with big common neighbors, (p_i, h_j, h_k)
+    # the y-big tail, (h1, h2, h3) the x-big tail
+    hubs = ["h1", "h2", "h3"]
+    ring = [f"p{i}" for i in range(10)]
+    edges = ([(h, p) for h in hubs for p in ring]
+             + [("h1", "h2"), ("h1", "h3"), ("h2", "h3")]
+             + [(ring[i], ring[(i + 1) % 10]) for i in range(10)])
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    pure = sorted(map(tuple, triangle_count(df).collect()))
+    hyb = sorted(map(tuple, triangle_count(df, max_adj=5).collect()))
+    assert hyb == pure
+    # sanity on the shape itself: every node really is in a triangle
+    assert all(t > 0 for _, t in pure)
+    cc_pure = sorted(map(tuple, clustering_coefficient(df).collect()))
+    cc_hyb = sorted(map(tuple,
+                        clustering_coefficient(df, max_adj=5).collect()))
+    assert cc_hyb == cc_pure
+    # bounded-array pin: the hybrid shape only builds out-lists for
+    # sources whose undirected degree fits the cap, and |out(x)| is
+    # bounded by that degree — replicate the construction and assert
+    und, deg = _und_deg(df, "src", "dst", False)
+    lower = ((F.col("du") < F.col("dv"))
+             | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))))
+    oriented = (und.join(deg.select(F.col("node").alias("u"),
+                                    F.col("deg").alias("du")), "u")
+                .join(deg.select(F.col("node").alias("v"),
+                                 F.col("deg").alias("dv")), "v")
+                .select(F.when(lower, F.col("u")).otherwise(F.col("v"))
+                        .alias("x"),
+                        F.when(lower, F.col("v")).otherwise(F.col("u"))
+                        .alias("y")))
+    small = deg.filter(F.col("deg") <= 5).select("node")
+    adj = (oriented.join(small.select(F.col("node").alias("x")),
+                         "x", "left_semi")
+           .groupBy("x").agg(F.collect_list("y").alias("ns")))
+    max_ns = adj.agg(F.max(F.size("ns"))).collect()[0][0]
+    assert max_ns is not None and max_ns <= 5

@@ -115,6 +115,7 @@ def test_resync_changed_on_version_bump(setup):
     assert read_sums(inc) == {"1": 6}
 
 
+@pytest.mark.sweep
 def test_resync_interleaved_live_changes_converge(setup):
     """Worker interleave (reference worker.py:66-71): live notifications
     arriving between resync chunks are applied mid-backfill, and the final
@@ -143,6 +144,7 @@ def test_resync_interleaved_live_changes_converge(setup):
     assert read_sums(inc) == {"1": 8}      # == full recompute of final source
 
 
+@pytest.mark.sweep
 def test_resync_interleaved_map_chunks_and_drift(setup):
     """Chunked MAP resync: each chunk is a hash-slice of current source ids
     through the normal notification path; rows whose source vanished with
@@ -165,6 +167,7 @@ def test_resync_interleaved_map_chunks_and_drift(setup):
     assert read_sums(inc) == {"1": 3, "2": 10}
 
 
+@pytest.mark.sweep
 def test_version_barrier_postpones_half_synced_keys(setup):
     """Reference conformance (test_processor.py:160-232): while a map
     handler upgrade is mid-backfill, a key whose live map rows mix handler

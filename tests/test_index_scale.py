@@ -19,6 +19,8 @@ Plus the store-level machinery they rest on: append-chain manifests,
 chain-length compaction, and GC that respects chain closures.
 """
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -75,6 +77,7 @@ def rows_written(spark, store_root, table, version):
     return spark.read.parquet(path).count()
 
 
+@pytest.mark.sweep
 def test_hot_cluster_insert_commits_delta_not_cluster(spark, tmp_path):
     """Plant one hot cluster (200 members) vs one cold (5); apply
     insert-only CDC batches of 3 and 12 rows into the HOT cluster. The
@@ -518,6 +521,7 @@ def test_read_keys_on_pre_feature_manifest_and_push_keys_zero(
     assert {tuple(r) for r in zero.collect()} == want and want
 
 
+@pytest.mark.sweep
 def test_probe_spanning_compaction_returns_pinned_answer(spark,
                                                          tmp_path):
     """r12 (VERDICT r11 #5): a probe PLAN built against one manifest and

@@ -115,6 +115,7 @@ def test_ivf_cluster_col_matches_batch_assign(spark, sf_dir):
         similarity.ivf_cluster_col("embedding", [])
 
 
+@pytest.mark.sweep
 def test_ivf_index_maintains_through_cdc(spark, tmp_path):
     cat = Catalog(spark)
     rows = [("a", vec(1)), ("b", vec(2)), ("c", vec(5))]
@@ -159,6 +160,7 @@ def test_ivf_index_maintains_through_cdc(spark, tmp_path):
     assert stats == {c: len(ms) for c, ms in members.items()}
 
 
+@pytest.mark.sweep
 def test_probe_ivf_index_matches_batch_probe(spark, sf_dir):
     """On the real embeddings: the maintained-view probe equals the
     batch ivf_probe_search at nprobe=1 and ivf_probe_search_multi at
@@ -201,6 +203,7 @@ def test_probe_ivf_index_matches_batch_probe(spark, sf_dir):
     assert hits[0]["n_id"] == 7 and hits[0]["cos_sim"] > 0.999
 
 
+@pytest.mark.sweep
 def test_ivf_index_via_streaming_maintainer(spark, tmp_path):
     """End-to-end streaming ANN upkeep: vector CRUD lands in a
     ResourceStore change feed; the StreamingMaintainer drives the IVF
@@ -339,6 +342,7 @@ def test_ivf_partitioned_layout_prunes_and_matches(spark, sf_dir,
     assert want2.exceptAll(got2).count() == 0
 
 
+@pytest.mark.sweep
 def test_ivf_index_randomized_cdc_lifecycle(spark, tmp_path):
     """Seeded randomized CDC mix (create/update/delete in every batch)
     — the maintained IVF members view must equal the independent

@@ -8,6 +8,8 @@ rule); breadth comes from length of the sequence, not reseeding."""
 import random
 
 import pytest
+
+pytestmark = pytest.mark.sweep
 from pyspark.sql import functions as F
 
 from qvarn_mr_spark.catalog import Catalog

@@ -50,6 +50,7 @@ def _norm_pairs(df, a="a_id", b="b_id"):
             for r in df.collect()}
 
 
+@pytest.mark.sweep
 def test_lsh_index_maintains_through_cdc(spark, tmp_path):
     cat = Catalog(spark)
     rows = [("1", BASE), ("2", OTHER), ("3", THIRD)]
@@ -158,6 +159,7 @@ def test_lsh_index_via_streaming_maintainer(spark, tmp_path):
     assert all(m != other_id for _, m in got)
 
 
+@pytest.mark.sweep
 def test_embedding_lsh_index_maintains_through_cdc(spark, tmp_path):
     """Embedding analogue: band keys computed per-row must equal the
     batch signature banding, and the maintained index must track vector
@@ -223,6 +225,7 @@ def test_embedding_lsh_index_maintains_through_cdc(spark, tmp_path):
     assert all(r["m"] != "a" for r in members)
 
 
+@pytest.mark.sweep
 def test_embedding_lsh_index_randomized_differential(spark, tmp_path):
     """Seeded randomized CRUD over an embedding corpus: after EVERY CDC
     batch, probing all live vectors against the MAINTAINED index must

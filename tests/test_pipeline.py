@@ -161,6 +161,7 @@ def test_corpus_prepare_classifier_gate(spark):
     assert kept == [i for i, _ in en]      # only the positive class
 
 
+@pytest.mark.sweep
 def test_corpus_prepare_dsir_gate(spark, docs):
     """The DSIR gate must equal the manual composition: gate → dsir_resample
     top-k on the gated survivors → corpus_prepare restricted to the picks."""
@@ -198,6 +199,7 @@ def test_corpus_prepare_dsir_requires_k_or_frac(spark, docs):
         corpus_prepare(docs, dsir_target=target).collect()
 
 
+@pytest.mark.sweep
 def test_corpus_funnel_counts(spark, docs):
     """Funnel stage counts are monotone non-increasing and agree with
     the stage operators run independently."""
@@ -251,6 +253,7 @@ def test_corpus_prepare_gopher_gate(spark, docs):
     assert rows == ["input", "gates", "c4", "gopher", "canonical"]
 
 
+@pytest.mark.sweep
 def test_corpus_prepare_perplexity_gate(spark, docs):
     """The CCNet perplexity gate must equal the manual composition:
     gates → perplexity_buckets(keep head+middle) on the gated

@@ -105,6 +105,7 @@ ops_strategy = st.lists(
     min_size=1, max_size=8)
 
 
+@pytest.mark.sweep
 @pytest.mark.parametrize("store_kind", ["plain", "bucketed"])
 @settings(max_examples=6, deadline=None,
           suppress_health_check=list(HealthCheck))

@@ -106,6 +106,7 @@ def test_hll_view_maintains_incrementally(spark, tmp_path):
     assert estimates() == exact()
 
 
+@pytest.mark.sweep
 def test_bloom_view_maintains_incrementally(spark, tmp_path):
     """The membership view through the algebraic merge path: insert-only
     batches OR the bit words in O(delta); a delete falls back to

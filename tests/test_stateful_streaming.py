@@ -38,6 +38,7 @@ def test_windowed_counts_stream_matches_batch(spark, events_dir, tmp_path):
     assert len(got) > 100
 
 
+@pytest.mark.sweep
 def test_sessionize_stream_state_across_batches(spark, tmp_path):
     feed = tmp_path / "feed"
     feed.mkdir()

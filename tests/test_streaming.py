@@ -172,6 +172,7 @@ def test_dead_letter_on_missing_resource(spark, tmp_path, loop):
         [("source", "ghost-id")]
 
 
+@pytest.mark.sweep
 def test_stream_maintains_deep_dag(spark, tmp_path):
     """The streaming loop drives an extended (depth-4) config: CRUD →
     feed → per-user counts → count-of-counts histogram, all maintained by

@@ -2,6 +2,7 @@
 flow (/root/reference/tests/scripts/test_worker.py) through
 ``qvarn_mr_spark.worker.main``."""
 
+import pytest
 import json
 import sys
 import textwrap
@@ -9,6 +10,7 @@ import textwrap
 from qvarn_mr_spark import worker
 
 
+@pytest.mark.sweep
 def test_worker_resync_and_drain(spark, sf_dir, tmp_path, capsys):
     # a handlers-config module, imported by dotted path like the reference
     mod_dir = tmp_path / "mods"
@@ -97,6 +99,7 @@ def test_worker_ini_config(spark, sf_dir, tmp_path, capsys):
     assert total == spark.read.parquet(f"{sf_dir}/events.parquet").count()
 
 
+@pytest.mark.sweep
 def test_worker_bucketed_store_and_extended_dag(spark, sf_dir, tmp_path,
                                                 capsys):
     """--state-buckets selects the O(dirty-bucket)-commit store and
