@@ -661,18 +661,36 @@ def dup_clusters(pairs: DataFrame, a: str = "a_id", b: str = "b_id",
             labels.select(F.col("label").alias("u"),
                           F.col("node").alias("v"))
         )
-        nbr = (edges.join(labels.select(F.col("node").alias("v"),
-                                        F.col("label").alias("vlabel")), "v")
-               .groupBy("u").agg(F.min("vlabel").alias("nlabel")))
+        # r14 (guide §2.4, the LPA self-vote move): the node's OWN label
+        # rides the vote stream as a self row instead of being
+        # re-attached by a node-sized left join after the aggregate —
+        # min over {pointer-doubled neighbor labels} ∪ {own label} IS
+        # least(old, min_nbr), and the self row carries the old label
+        # through the aggregate so the changed-flag needs no second
+        # labels read. Groups whose u is a label-only endpoint (the
+        # (label -> node) doubling rows can introduce u values outside
+        # the node set) carry no self row and are dropped by the _has
+        # filter — exactly the rows the old inner-side-of-left-join
+        # discarded. One labels-sized shuffle join per round removed.
+        votes = (edges.join(labels.select(F.col("node").alias("v"),
+                                          F.col("label").alias("vlabel")),
+                            "v")
+                 .select("u", "vlabel", F.lit(False).alias("_self"))
+                 .unionByName(labels.select(
+                     F.col("node").alias("u"),
+                     F.col("label").alias("vlabel"),
+                     F.lit(True).alias("_self"))))
         # carry a changed-flag INTO the checkpoint: the convergence probe
         # then reads the already-materialized partitions with an
         # early-exit limit(1) instead of costing a join job per round
-        newlab = F.least(F.col("label"),
-                         F.coalesce(F.col("nlabel"), F.col("label")))
-        flagged = (labels
-                   .join(nbr, labels["node"] == nbr["u"], "left")
-                   .select("node", newlab.alias("_new"),
-                           (newlab != F.col("label")).alias("_chg"))
+        flagged = (votes.groupBy("u")
+                   .agg(F.min("vlabel").alias("_new"),
+                        F.max(F.when(F.col("_self"), F.col("vlabel")))
+                        .alias("_old"),
+                        F.max("_self").alias("_has"))
+                   .filter(F.col("_has"))
+                   .select(F.col("u").alias("node"), "_new",
+                           (F.col("_new") != F.col("_old")).alias("_chg"))
                    .localCheckpoint(eager=True))
         stable = flagged.filter(F.col("_chg")).limit(1).isEmpty()
         labels = flagged.select("node", F.col("_new").alias("label"))
